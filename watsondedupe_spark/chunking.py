@@ -1,0 +1,221 @@
+"""Content-defined chunking (CDC) with reference-parity semantics.
+
+Re-implements the reference's sliding-window MD5 chunker as a pure-Python
+function plus an Arrow-batched Spark wrapper. Semantics are taken from
+/root/reference/src/DedupeLibrary/DedupeLibrary.cs:605-717:
+
+- input ``<= min_chunk_size``  -> a single chunk (l.623-637);
+- otherwise a window of ``min_chunk_size`` bytes slides by ``shift_count``;
+  a chunk boundary is declared at the window's end when the first
+  ``boundary_check_bytes`` bytes of MD5(window) are zero (l.668-670,
+  DedupeCommon.cs:157-181 — the reference's ``data.Length >= i``
+  off-by-one is NOT copied; it is unobservable for 16-byte MD5 anyway)
+  or when the accumulated chunk reaches ``max_chunk_size``;
+- after a cut the next window starts fresh at the cut point
+  (``AdvanceToNewChunk``, l.682-685); the final partial chunk is flushed
+  at end-of-stream (l.694-710);
+- chunk key = URL-safe unpadded base64 of SHA-256(chunk bytes)
+  (l.628/674/700; DedupeCommon.cs:106-111, 146-154). MD5 only finds
+  boundaries.
+
+Parallelism note (SURVEY.md §7.3): CDC is sequential *within* one object
+but embarrassingly parallel *across* objects, so the Spark wrapper is a
+``mapInPandas`` over (object_key, data) rows — one Python pass per object,
+Arrow batches across the JVM boundary, no shuffle. A single multi-GB
+object would serialize into one task; for that regime use
+``segment_bytes`` below (segment-framed chunking) or cap object size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+from watsondedupe_spark.keys import chunk_key
+
+# Defaults and validation rules: DedupeSettings.cs:104-107 / 19-98.
+DEFAULT_MIN_CHUNK_SIZE = 1024
+DEFAULT_MAX_CHUNK_SIZE = 32768
+DEFAULT_SHIFT_COUNT = 32
+DEFAULT_BOUNDARY_CHECK_BYTES = 2
+
+#: Recommended profiles from the reference README.md:154-157.
+SMALL_FILE_PROFILE = (2048, 16384, 128, 2)
+LARGE_FILE_PROFILE = (32768, 262144, 512, 2)
+
+
+@dataclass(frozen=True)
+class ChunkSettings:
+    """Chunking parameters, immutable per index (DedupeLibrary.cs:583-603).
+
+    Validation mirrors DedupeSettings.cs: min >= 256 and divisible by 64
+    (l.30), max >= 2048, divisible by 64 and >= 8x min (l.52-53),
+    shift in (1, min] (l.73-74), boundary bytes in [1,4] (l.95).
+    """
+
+    min_chunk_size: int = DEFAULT_MIN_CHUNK_SIZE
+    max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE
+    shift_count: int = DEFAULT_SHIFT_COUNT
+    boundary_check_bytes: int = DEFAULT_BOUNDARY_CHECK_BYTES
+
+    def __post_init__(self) -> None:
+        if self.min_chunk_size < 256 or self.min_chunk_size % 64 != 0:
+            raise ValueError("min_chunk_size must be >= 256 and divisible by 64")
+        if (
+            self.max_chunk_size < 2048
+            or self.max_chunk_size % 64 != 0
+            or self.max_chunk_size < 8 * self.min_chunk_size
+        ):
+            raise ValueError("max_chunk_size must be >= 2048, divisible by 64, >= 8x min")
+        if not (1 < self.shift_count <= self.min_chunk_size):
+            raise ValueError("shift_count must be in (1, min_chunk_size]")
+        if not (1 <= self.boundary_check_bytes <= 4):
+            raise ValueError("boundary_check_bytes must be in [1, 4]")
+
+    def to_config(self) -> dict[str, str]:
+        """The four persisted config keys (DedupeLibrary.cs:589-592)."""
+        return {
+            "min_chunk_size": str(self.min_chunk_size),
+            "max_chunk_size": str(self.max_chunk_size),
+            "shift_count": str(self.shift_count),
+            "boundary_check_bytes": str(self.boundary_check_bytes),
+        }
+
+    @classmethod
+    def from_config(cls, config: dict[str, str]) -> "ChunkSettings":
+        return cls(
+            min_chunk_size=int(config["min_chunk_size"]),
+            max_chunk_size=int(config["max_chunk_size"]),
+            shift_count=int(config["shift_count"]),
+            boundary_check_bytes=int(config["boundary_check_bytes"]),
+        )
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One emitted chunk: content key + placement within the object."""
+
+    key: str
+    length: int
+    position: int  # 0-based ordinal (DedupeObjectMap.cs:42)
+    address: int  # byte offset within the object (DedupeObjectMap.cs:48)
+    data: bytes
+
+
+def is_boundary(digest: bytes, boundary_check_bytes: int) -> bool:
+    """First N bytes of the digest are zero => boundary.
+
+    Probability 256**-N per window shift (DedupeCommon.cs:157-181 without
+    the off-by-one; BASELINE.md's boundary-probability row).
+    """
+    return not any(digest[:boundary_check_bytes])
+
+
+def chunk_bytes(data: bytes, settings: ChunkSettings | None = None) -> list[Chunk]:
+    """Chunk one object's bytes. Deterministic: same bytes + same settings
+    => identical boundaries and keys (invariant SURVEY.md §5.7).
+    """
+    settings = settings or ChunkSettings()
+    n = len(data)
+    if n < 1:
+        raise ValueError("content must be at least one byte (DedupeLibrary.cs:155)")
+
+    min_size = settings.min_chunk_size
+    if n <= min_size:
+        # Single-chunk fast path, DedupeLibrary.cs:623-637.
+        return [Chunk(chunk_key(data), n, 0, 0, data)]
+
+    max_size = settings.max_chunk_size
+    shift = settings.shift_count
+    nb = settings.boundary_check_bytes
+    md5 = hashlib.md5
+
+    chunks: list[Chunk] = []
+    chunk_start = 0  # address of the chunk being accumulated
+    window_start = 0
+
+    while True:
+        window_end = min(window_start + min_size, n)
+        final = window_end >= n
+        # Boundary test on the current window (DedupeLibrary.cs:668-670);
+        # the accumulated chunk always extends to the window's end.
+        cur_len = window_end - chunk_start
+        digest = md5(data[window_start:window_end]).digest()
+        if (not any(digest[:nb])) or cur_len >= max_size:
+            payload = data[chunk_start:window_end]
+            chunks.append(Chunk(chunk_key(payload), len(payload), len(chunks), chunk_start, payload))
+            chunk_start = window_end
+            window_start = window_end  # AdvanceToNewChunk, l.682-685
+            if final:
+                break
+            continue
+        if final:
+            # Flush the trailing partial chunk, l.694-710.
+            payload = data[chunk_start:n]
+            chunks.append(Chunk(chunk_key(payload), len(payload), len(chunks), chunk_start, payload))
+            break
+        window_start += shift
+
+    return chunks
+
+
+def segment_bytes(data: bytes, segment_size: int) -> Iterable[tuple[int, bytes]]:
+    """Frame a very large object into independently chunkable segments.
+
+    Yields (segment_address, segment_bytes). Each segment is chunked
+    independently and addresses are rebased — this trades slightly
+    different boundaries near segment edges for within-object parallelism
+    (SURVEY.md §7.3 mitigation). ``segment_size`` must be >= max_chunk_size.
+    """
+    if segment_size < 1:
+        raise ValueError("segment_size must be positive")
+    for off in range(0, len(data), segment_size):
+        yield off, data[off : off + segment_size]
+
+
+# ---------------------------------------------------------------------------
+# Spark wrapper
+# ---------------------------------------------------------------------------
+
+#: Output schema of the chunker over (object_key, data) rows. One row per
+#: (object, chunk occurrence) — the object_map edge plus the payload,
+#: which downstream splits into object_map / chunks / chunk_store.
+CHUNK_OUTPUT_SCHEMA = (
+    "object_key string, chunk_key string, length int, position int, "
+    "address long, chunk_data binary"
+)
+
+
+def chunk_objects(df, settings: ChunkSettings | None = None, key_col: str = "object_key", data_col: str = "data"):
+    """Distributed chunking: (object_key, data) DataFrame -> chunk rows.
+
+    Uses ``mapInPandas`` so each Arrow batch is processed in one Python
+    call; objects never cross batch boundaries (each input row is one
+    whole object). The plan is scan -> ArrowEvalPython -> downstream;
+    no shuffle is introduced here.
+    """
+    settings = settings or ChunkSettings()
+    import pandas as pd  # local import: executors re-import cheaply
+
+    def _chunk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "object_key": [],
+                "chunk_key": [],
+                "length": [],
+                "position": [],
+                "address": [],
+                "chunk_data": [],
+            }
+            for key, payload in zip(pdf[key_col], pdf[data_col]):
+                for ch in chunk_bytes(bytes(payload), settings):
+                    out["object_key"].append(key)
+                    out["chunk_key"].append(ch.key)
+                    out["length"].append(ch.length)
+                    out["position"].append(ch.position)
+                    out["address"].append(ch.address)
+                    out["chunk_data"].append(ch.data)
+            yield pd.DataFrame(out)
+
+    return df.select(key_col, data_col).mapInPandas(_chunk_batches, schema=CHUNK_OUTPUT_SCHEMA)

@@ -1,0 +1,237 @@
+"""Engine integration tests — the reference harness scenarios as invariants.
+
+Scenario sources: SampleApp/Program.cs:19-35 (3-identical-writes dedup),
+Cli/test.bat (50-copy ingest + prefix pagination + duplicate-key
+rejection), Test.ReadStream/Program.cs:187-264 (random-access reads),
+and FIXTURES.md §4 invariants.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+from watsondedupe_spark.engine import (
+    DedupeEngine,
+    DuplicateKeyError,
+    ObjectNotFoundError,
+)
+
+SMALL = ChunkSettings(*SMALL_FILE_PROFILE)
+
+
+def rand_bytes(n: int, seed: int) -> bytes:
+    return random.Random(seed).randbytes(n)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+
+
+def test_create_then_open_preserves_settings(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    DedupeEngine.create(spark, root, SMALL)
+    reopened = DedupeEngine.open(spark, root)
+    assert reopened.settings == SMALL
+    with pytest.raises(ValueError):
+        DedupeEngine.create(spark, root, SMALL)
+
+
+def test_open_missing_index(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        DedupeEngine.open(spark, str(tmp_path / "nope"))
+
+
+@pytest.mark.parametrize("size", [1, 2048, 5000, 60_000])
+def test_write_get_roundtrip(engine, size):
+    data = rand_bytes(size, seed=size)
+    engine.write(f"k{size}", data)
+    assert engine.get(f"k{size}") == data
+
+
+def test_duplicate_key_rejected_write_or_replace_succeeds(engine):
+    engine.write("dup", b"version one")
+    with pytest.raises(DuplicateKeyError):
+        engine.write("dup", b"version two")
+    engine.write_or_replace("dup", b"version two")
+    assert engine.get("dup") == b"version two"
+    assert engine.stats().object_count == 1
+
+
+def test_exists_and_try_get(engine):
+    engine.write("present", b"here")
+    assert engine.exists("present")
+    assert not engine.exists("absent")
+    assert engine.try_get("present") == b"here"
+    assert engine.try_get("absent") is None
+    with pytest.raises(ObjectNotFoundError):
+        engine.get("absent")
+
+
+def test_three_identical_writes_dedup_ratio(engine):
+    """SampleApp scenario: same payload under 3 keys => ratio ~= 3x."""
+    data = rand_bytes(50_000, seed=1)
+    df = engine.spark.createDataFrame(
+        [(f"copy{i}", bytearray(data)) for i in range(3)], "object_key string, data binary"
+    )
+    engine.write_batch(df)
+    s = engine.stats()
+    assert s.object_count == 3
+    assert s.logical_bytes == 3 * 50_000
+    assert s.physical_bytes == 50_000
+    assert s.ratio_x == pytest.approx(3.0)
+    assert s.ratio_percent == pytest.approx(100 * (1 - 1 / 3))
+
+
+def test_refcount_equals_map_count_invariant(engine):
+    """DQ9: chunks.ref_count == COUNT(*) over object_map per chunk_key."""
+    data = rand_bytes(40_000, seed=2)
+    df = engine.spark.createDataFrame(
+        [("a", bytearray(data)), ("b", bytearray(data)), ("c", bytearray(rand_bytes(9000, 3)))],
+        "object_key string, data binary",
+    )
+    engine.write_batch(df)
+    mismatch = (
+        engine.chunks.alias("c")
+        .join(
+            engine.object_map.groupBy("chunk_key").agg(F.count("*").alias("n")).alias("m"),
+            "chunk_key",
+            "full_outer",
+        )
+        .filter(F.col("c.ref_count") != F.col("m.n"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_delete_gc_semantics(engine):
+    """Invariant 5.3: deleting one of N refs GCs nothing; the last ref GCs."""
+    data = rand_bytes(30_000, seed=4)
+    df = engine.spark.createDataFrame(
+        [("x", bytearray(data)), ("y", bytearray(data))], "object_key string, data binary"
+    )
+    engine.write_batch(df)
+    assert engine.delete("x") == []  # shared chunks survive
+    assert engine.get("y") == data
+    gc = engine.delete("y")
+    assert len(gc) > 0  # last reference frees all chunks
+    s = engine.stats()
+    assert s.object_count == 0 and s.chunk_count == 0
+    assert engine.chunk_store.count() == 0
+    assert engine.object_map.count() == 0
+    with pytest.raises(ObjectNotFoundError):
+        engine.delete("x")
+
+
+def test_metadata_and_coverage_invariants(engine):
+    """FIXTURES §4.2/4.5: comp_length = sum(map.length), chunk_count =
+    count(map rows), positions are 0..n-1 by address, addresses tile."""
+    data = rand_bytes(70_000, seed=5)
+    engine.write("big", data)
+    meta = engine.get_metadata("big")
+    assert meta.original_length == 70_000
+    assert meta.comp_length == sum(r.length for r in meta.object_map)
+    assert meta.chunk_count == len(meta.object_map)
+    addr = 0
+    for i, r in enumerate(meta.object_map):
+        assert r.position == i and r.address == addr
+        addr += r.length
+    assert addr == 70_000
+    assert {c.chunk_key for c in meta.chunks} == {r.chunk_key for r in meta.object_map}
+
+
+def test_map_for_position(engine):
+    data = rand_bytes(40_000, seed=6)
+    engine.write("pos", data)
+    for p in [0, 1, 2048, 39_999]:
+        rows = engine.map_for_position("pos", p).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.address <= p < r.address + r.length
+    assert engine.map_for_position("pos", 40_000).count() == 0
+
+
+def test_get_range_matches_slices(engine):
+    data = rand_bytes(50_000, seed=7)
+    engine.write("rng", data)
+    for off, ln in [(0, 10), (2047, 10), (16_000, 20_000), (49_990, 100), (50_000, 5)]:
+        assert engine.get_range("rng", off, ln) == data[off : off + ln]
+    assert engine.get_range("rng", 10, 0) == b""
+
+
+def test_stream_read_and_seek(engine):
+    """Invariant 5.4: DedupeStream reads equal slices at any seek position."""
+    import io as _io
+
+    data = rand_bytes(60_000, seed=8)
+    engine.write("strm", data)
+    s = engine.get_stream("strm")
+    assert s.read(100) == data[:100]
+    s.seek(30_000)
+    assert s.read(5000) == data[30_000:35_000]
+    s.seek(-100, _io.SEEK_END)
+    assert s.read() == data[-100:]
+    s.seek(0)
+    assert s.read() == data
+    assert s.read(10) == b""
+
+
+def test_list_objects_keyset_pagination(engine):
+    """Invariant 5.5: repeated pages walk all keys exactly once in id order."""
+    df = engine.spark.createDataFrame(
+        [(f"{i:03d}", bytearray(rand_bytes(300, i))) for i in range(25)],
+        "object_key string, data binary",
+    )
+    engine.write_batch(df)
+    seen: list[str] = []
+    start, pages = 0, 0
+    while True:
+        page = engine.list_objects(index_start=start, max_results=10)
+        seen += [o.object_key for o in page.objects]
+        ids = [o.id for o in page.objects]
+        assert ids == sorted(ids)
+        pages += 1
+        if page.next_index_start is None:
+            break
+        start = page.next_index_start
+    assert seen == [f"{i:03d}" for i in range(25)]
+    assert pages == 3
+
+    pfx = engine.list_objects(prefix="01", max_results=100)
+    assert [o.object_key for o in pfx.objects] == [f"01{i}" for i in range(10)]
+    # page size is capped at 100 (EnumerationResult.cs:60)
+    assert len(engine.list_objects(max_results=10_000).objects) == 25
+
+
+def test_batch_rejects_duplicate_keys(engine):
+    engine.write("taken", b"x")
+    df = engine.spark.createDataFrame(
+        [("new", bytearray(b"a")), ("taken", bytearray(b"b"))], "object_key string, data binary"
+    )
+    with pytest.raises(DuplicateKeyError):
+        engine.write_batch(df)
+    dup = engine.spark.createDataFrame(
+        [("same", bytearray(b"a")), ("same", bytearray(b"b"))], "object_key string, data binary"
+    )
+    with pytest.raises(DuplicateKeyError):
+        engine.write_batch(dup)
+
+
+def test_ids_are_monotone_across_batches(engine):
+    engine.write("first", b"1")
+    engine.write("second", b"2")
+    df = engine.spark.createDataFrame(
+        [("third", bytearray(b"3")), ("fourth", bytearray(b"4"))], "object_key string, data binary"
+    )
+    engine.write_batch(df)
+    rows = engine.objects.orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2, 3, 4]
+    assert rows[0].object_key == "first"
+
+
+def test_empty_index_stats(engine):
+    s = engine.stats()
+    assert (s.object_count, s.chunk_count, s.logical_bytes, s.physical_bytes) == (0, 0, 0, 0)
+    assert s.ratio_x == 0.0 and s.ratio_percent == 0.0

@@ -1,0 +1,514 @@
+"""The dedupe engine — every reference operator as DataFrame compositions.
+
+This is the Spark-native re-expression of the reference's public API
+(/root/reference/src/DedupeLibrary/DedupeLibrary.cs). The unit of
+parallelism is the *batch*: ``write_batch`` ingests a whole DataFrame of
+objects in one pass (chunker UDF -> one shuffle on chunk_key -> table
+commits), which is what a 1000-executor cluster wants; the single-object
+``write``/``get``/``delete`` calls the reference exposes are thin
+wrappers over the batch path.
+
+Operator map (SURVEY.md §2.1):
+  write/write_batch        O1/O2/O3/O4 (DedupeLibrary.cs:198-251, 605-717)
+  write_or_replace         O5  (DedupeLibrary.cs:301-318)
+  get / try_get            O6/O7 (DedupeLibrary.cs:377-404)
+  get_metadata             O8  (DedupeLibrary.cs:329-334)
+  get_stream               O9  (DedupeStream.cs:83-152)
+  map_for_position         O10 (SqliteProvider.cs:363-393)
+  exists                   O11 (SqliteProvider.cs:258-270)
+  list_objects             O12 (SqliteProvider.cs:203-247)
+  get_chunks               O13 (SqliteProvider.cs:333-355)
+  get_object_map           O14 (SqliteProvider.cs:400-414)
+  get_chunk_metadata       O15 (SqliteProvider.cs:312-326)
+  refcount maintenance     O17/O18 (SqliteProvider.cs:463-484, 533-556)
+  delete / delete_batch    O19 (DedupeLibrary.cs:495-522)
+  stats                    O20/O21 (SqliteProvider.cs:155-190; IndexStatistics.cs:81-108)
+  config                   O22 (SqliteProvider.cs:105-149)
+
+Scale posture (100 TB): the only shuffles in the write path are the
+groupBy(chunk_key) refcount aggregation and groupBy(object_key) object
+rollup — both keyed exactly on their join keys. Point reads broadcast
+the (tiny) filtered object_map side into the chunk_store join so the
+payload scan stays pushdown-pruned on chunk_key. With Delta/Iceberg the
+``IndexStore`` commits become MERGE INTO; no engine code changes.
+
+Deviations from the reference, by design (SURVEY.md §7.3): no lossy key
+sanitization (O23); failed writes cannot leak chunks (snapshot commits
+are all-or-nothing, vs the reference's dead GC path at
+DedupeLibrary.cs:212,237); ``Test.External``'s forgotten object-row
+delete is not reproduced.
+"""
+
+from __future__ import annotations
+
+import io
+from bisect import bisect_right
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.chunking import ChunkSettings, chunk_objects
+from watsondedupe_spark.keys import validate_object_key
+from watsondedupe_spark.schemas import (
+    CHUNK_STORE_SCHEMA,
+    CHUNKS_SCHEMA,
+    CONFIG_SCHEMA,
+    OBJECT_MAP_SCHEMA,
+    OBJECTS_SCHEMA,
+)
+from watsondedupe_spark.store import IndexStore
+
+MAX_LIST_RESULTS = 100  # EnumerationResult.cs:60
+
+
+class DuplicateKeyError(ValueError):
+    """Second write with an existing key (DedupeLibrary.cs:203)."""
+
+
+class ObjectNotFoundError(KeyError):
+    pass
+
+
+@dataclass(frozen=True)
+class ObjectMetadata:
+    """Hydrated object row (DedupeObject.cs + chunks + ordered map)."""
+
+    id: int
+    object_key: str
+    original_length: int
+    comp_length: int
+    chunk_count: int
+    created_utc: datetime
+    object_map: list = field(default_factory=list)  # rows ordered by address
+    chunks: list = field(default_factory=list)  # distinct chunk metadata rows
+
+
+@dataclass(frozen=True)
+class EnumerationResult:
+    """One page of ``list_objects`` (EnumerationResult.cs)."""
+
+    objects: list
+    next_index_start: int | None
+
+
+@dataclass(frozen=True)
+class IndexStats:
+    """O20/O21. Ratio semantics: IndexStatistics.cs:81-108."""
+
+    object_count: int
+    chunk_count: int
+    logical_bytes: int
+    physical_bytes: int
+
+    @property
+    def ratio_x(self) -> float:
+        if not self.logical_bytes or not self.physical_bytes:
+            return 0.0
+        return self.logical_bytes / self.physical_bytes
+
+    @property
+    def ratio_percent(self) -> float:
+        if not self.logical_bytes or not self.physical_bytes:
+            return 0.0
+        return 100.0 * (1.0 - self.physical_bytes / self.logical_bytes)
+
+
+class DedupeEngine:
+    """A dedupe index over five parquet/Delta tables.
+
+    Use :meth:`create` for a new index or :meth:`open` for an existing
+    one — chunking settings are immutable per index because different
+    settings produce different boundaries (DedupeLibrary.cs:583-603).
+    """
+
+    def __init__(self, spark: SparkSession, store: IndexStore, settings: ChunkSettings):
+        self.spark = spark
+        self.store = store
+        self.settings = settings
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, settings: ChunkSettings | None = None) -> "DedupeEngine":
+        settings = settings or ChunkSettings()
+        store = IndexStore(spark, root)
+        if store.exists("config"):
+            raise ValueError(f"index already exists at {root}; use open()")
+        cfg = spark.createDataFrame(list(settings.to_config().items()), CONFIG_SCHEMA)
+        store.commit("config", cfg)
+        return cls(spark, store, settings)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "DedupeEngine":
+        store = IndexStore(spark, root)
+        if not store.exists("config"):
+            raise FileNotFoundError(f"no index at {root}")
+        cfg = {r["key"]: r["value"] for r in store.read("config").collect()}
+        return cls(spark, store, ChunkSettings.from_config(cfg))
+
+    # -- table accessors (always-current snapshots) ---------------------------
+
+    @property
+    def objects(self) -> DataFrame:
+        return self.store.read("objects", OBJECTS_SCHEMA)
+
+    @property
+    def chunks(self) -> DataFrame:
+        return self.store.read("chunks", CHUNKS_SCHEMA)
+
+    @property
+    def object_map(self) -> DataFrame:
+        return self.store.read("object_map", OBJECT_MAP_SCHEMA)
+
+    @property
+    def chunk_store(self) -> DataFrame:
+        return self.store.read("chunk_store", CHUNK_STORE_SCHEMA)
+
+    # -- ingest (O1-O5) --------------------------------------------------------
+
+    def write(self, key: str, data: bytes, created_utc: datetime | None = None) -> None:
+        """Single-object convenience over :meth:`write_batch` (O1)."""
+        validate_object_key(key)
+        if not data:
+            raise ValueError("content must be at least one byte (DedupeLibrary.cs:155)")
+        df = self.spark.createDataFrame([(key, bytearray(data))], "object_key string, data binary")
+        self.write_batch(df, created_utc=created_utc)
+
+    def write_or_replace(self, key: str, data: bytes, created_utc: datetime | None = None) -> None:
+        """O5: delete-if-exists then write (DedupeLibrary.cs:301-318)."""
+        if self.exists(key):
+            self.delete(key)
+        self.write(key, data, created_utc=created_utc)
+
+    def write_batch(self, objects_df: DataFrame, created_utc: datetime | None = None) -> int:
+        """Ingest a DataFrame of ``(object_key string, data binary)``.
+
+        One distributed pass (reference lifecycle §3.1, made atomic):
+        chunk -> [object_map append] -> groupBy(chunk_key) refcount merge
+        -> chunk_store insert-if-absent -> objects append with ingest-
+        sequence ids. Duplicate keys (in the index OR within the batch)
+        reject the whole batch, matching DedupeLibrary.cs:203 semantics.
+        Returns the number of objects written.
+        """
+        created_utc = created_utc or datetime.now(timezone.utc)
+
+        dup_in_batch = (
+            objects_df.groupBy("object_key").count().filter(F.col("count") > 1).limit(5).collect()
+        )
+        if dup_in_batch:
+            raise DuplicateKeyError(f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}")
+        existing = (
+            objects_df.join(self.objects, "object_key", "left_semi").limit(5).collect()
+        )
+        if existing:
+            raise DuplicateKeyError(f"keys already exist: {[r.object_key for r in existing]}")
+
+        chunk_rows = chunk_objects(objects_df, self.settings)
+        # The chunker UDF is the expensive stage; persist so the four
+        # downstream consumers share one pass over the payloads.
+        chunk_rows.persist()
+        try:
+            n_objects = self._commit_ingest(chunk_rows, created_utc)
+        finally:
+            chunk_rows.unpersist()
+        return n_objects
+
+    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime) -> int:
+        # 1. object_map rows are exactly the chunker output minus payload.
+        new_map = chunk_rows.select("object_key", "chunk_key", "length", "position", "address")
+        self.store.append("object_map", new_map)
+
+        # 2. refcount merge (O17): aggregate increments per chunk_key FIRST
+        # so the merge is one row per key — the batched form of the
+        # reference's mutex-serialized upsert (SqliteProvider.cs:463-484).
+        increments = chunk_rows.groupBy("chunk_key").agg(
+            F.count("*").alias("inc"), F.first("length").alias("new_length")
+        )
+        merged = (
+            self.chunks.join(increments, "chunk_key", "full_outer")
+            .select(
+                "chunk_key",
+                F.coalesce("length", "new_length").cast("int").alias("length"),
+                (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
+                .cast("long")
+                .alias("ref_count"),
+            )
+        )
+        self.store.commit("chunks", merged)
+
+        # 3. chunk_store insert-if-absent (content-addressed storage is the
+        # physical dedup: same key => stored once, DedupeLibrary.cs:628).
+        new_payloads = (
+            chunk_rows.dropDuplicates(["chunk_key"])
+            .join(self.chunk_store.select("chunk_key"), "chunk_key", "left_anti")
+            .select("chunk_key", F.col("chunk_data").alias("data"))
+        )
+        self.store.append("chunk_store", new_payloads)
+
+        # 4. objects rows: per-object rollup + ingest-sequence ids. comp_length
+        # preserves the reference quirk: sum of chunk lengths
+        # (DedupeLibrary.cs:233), which equals original_length since chunks
+        # tile the object.
+        prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
+        w = Window.orderBy("object_key")  # deterministic intra-batch sequence
+        new_objects = (
+            chunk_rows.groupBy("object_key")
+            .agg(
+                F.sum("length").cast("long").alias("original_length"),
+                F.sum("length").cast("long").alias("comp_length"),
+                F.count("*").cast("long").alias("chunk_count"),
+            )
+            .withColumn("id", (F.lit(prev_max) + F.row_number().over(w)).cast("long"))
+            .withColumn("created_utc", F.lit(created_utc))
+            .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
+        )
+        self.store.append("objects", new_objects)
+        return new_objects.count()
+
+    # -- point reads (O6-O11, O13-O15) ----------------------------------------
+
+    def exists(self, key: str) -> bool:
+        """O11: key-existence probe (SqliteProvider.cs:258-270)."""
+        return bool(self.objects.filter(F.col("object_key") == key).limit(1).take(1))
+
+    def get_object_map(self, key: str) -> DataFrame:
+        """O14: map rows for one object, ordered by address."""
+        return self.object_map.filter(F.col("object_key") == key).orderBy("address")
+
+    def get_chunks(self, key: str) -> DataFrame:
+        """O13: distinct chunk metadata for an object — semi-join form of
+        the reference's IN-list lookup (SqliteProvider.cs:333-355)."""
+        keys = self.object_map.filter(F.col("object_key") == key).select("chunk_key").distinct()
+        return self.chunks.join(F.broadcast(keys), "chunk_key", "left_semi")
+
+    def get_chunk_metadata(self, chunk_key: str):
+        """O15: point lookup of one chunk row; None on miss."""
+        rows = self.chunks.filter(F.col("chunk_key") == chunk_key).take(1)
+        return rows[0] if rows else None
+
+    def get_metadata(self, key: str) -> ObjectMetadata:
+        """O8: object row + ordered map + chunk list, no payloads."""
+        rows = self.objects.filter(F.col("object_key") == key).take(1)
+        if not rows:
+            raise ObjectNotFoundError(key)
+        r = rows[0]
+        return ObjectMetadata(
+            id=r.id,
+            object_key=r.object_key,
+            original_length=r.original_length,
+            comp_length=r.comp_length,
+            chunk_count=r.chunk_count,
+            created_utc=r.created_utc,
+            object_map=self.get_object_map(key).collect(),
+            chunks=self.get_chunks(key).collect(),
+        )
+
+    def get(self, key: str) -> bytes:
+        """O6: point lookup + reassembly (DedupeLibrary.cs:377-404).
+
+        The filtered map is tiny (one object's chunks) so it is broadcast
+        into the chunk_store join; payload scan prunes to matching keys.
+        """
+        if not self.exists(key):
+            raise ObjectNotFoundError(key)
+        pieces = (
+            self.chunk_store.join(
+                F.broadcast(self.object_map.filter(F.col("object_key") == key)),
+                "chunk_key",
+            )
+            .select("address", "data")
+            .orderBy("address")
+            .collect()
+        )
+        return b"".join(bytes(p.data) for p in pieces)
+
+    def try_get(self, key: str) -> bytes | None:
+        """O7: exception-free get (DedupeLibrary.cs:353-368)."""
+        try:
+            return self.get(key)
+        except ObjectNotFoundError:
+            return None
+
+    def map_for_position(self, key: str, position: int) -> DataFrame:
+        """O10: the interval-containment predicate — the reference's one
+        hand-written SQL query (SqliteProvider.cs:378-382)."""
+        return self.object_map.filter(
+            (F.col("object_key") == key)
+            & (F.col("address") <= position)
+            & (F.col("address") + F.col("length") > position)
+        )
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes:
+        """Ranged read: fetch only the chunks overlapping [offset, offset+length)."""
+        if length <= 0:
+            return b""
+        overlapping = self.object_map.filter(
+            (F.col("object_key") == key)
+            & (F.col("address") < offset + length)
+            & (F.col("address") + F.col("length") > offset)
+        )
+        pieces = (
+            self.chunk_store.join(F.broadcast(overlapping), "chunk_key")
+            .select("address", "data")
+            .orderBy("address")
+            .collect()
+        )
+        if not pieces:
+            return b""
+        buf = bytearray()
+        for p in pieces:
+            data = bytes(p.data)
+            start = max(0, offset - p.address)
+            end = min(len(data), offset + length - p.address)
+            buf += data[start:end]
+        return bytes(buf)
+
+    def get_stream(self, key: str) -> "DedupeReadStream":
+        """O9: seekable read-only view (DedupeStream.cs:13)."""
+        meta = self.get_metadata(key)
+        return DedupeReadStream(self, meta)
+
+    # -- enumeration (O12) ------------------------------------------------------
+
+    def list_objects(
+        self,
+        prefix: str | None = None,
+        index_start: int = 0,
+        max_results: int = MAX_LIST_RESULTS,
+    ) -> EnumerationResult:
+        """Keyset-paginated, prefix-filtered enumeration
+        (SqliteProvider.cs:203-247). ``id > index_start`` seek beats OFFSET
+        at scale; page capped at 100 like the reference."""
+        n = max(1, min(max_results, MAX_LIST_RESULTS))
+        df = self.objects.filter(F.col("id") > index_start)
+        if prefix:
+            df = df.filter(F.col("object_key").startswith(prefix))
+        page = df.orderBy("id").limit(n).collect()
+        next_start = page[-1].id if len(page) == n else None
+        return EnumerationResult(objects=page, next_index_start=next_start)
+
+    # -- delete + GC (O18/O19) ---------------------------------------------------
+
+    def delete(self, key: str) -> list[str]:
+        """O19: cascading delete; returns GC'd chunk keys."""
+        if not self.exists(key):
+            raise ObjectNotFoundError(key)
+        return self.delete_batch([key])
+
+    def delete_batch(self, keys: list[str]) -> list[str]:
+        """Batched cascading delete + refcount decrement + payload GC.
+
+        The decrement MERGE aggregates per chunk_key first (the batched
+        form of SqliteProvider.cs:533-556); chunks reaching ref_count < 1
+        are dropped and their payloads deleted from chunk_store — the
+        anti-join GC of SURVEY §3.3.
+        """
+        key_col = F.col("object_key").isin(keys)
+        doomed_map = self.object_map.filter(key_col)
+        decrements = doomed_map.groupBy("chunk_key").agg(F.count("*").alias("dec"))
+
+        merged = (
+            self.chunks.join(decrements, "chunk_key", "left")
+            .select(
+                "chunk_key",
+                "length",
+                (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
+            )
+        )
+        gc_keys = [r.chunk_key for r in merged.filter(F.col("ref_count") < 1).select("chunk_key").collect()]
+
+        self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
+        self.store.commit("object_map", self.object_map.filter(~key_col))
+        self.store.commit("objects", self.objects.filter(~key_col))
+        if gc_keys:
+            self.store.commit(
+                "chunk_store", self.chunk_store.filter(~F.col("chunk_key").isin(gc_keys))
+            )
+        return gc_keys
+
+    # -- stats (O20/O21) ----------------------------------------------------------
+
+    def stats(self) -> IndexStats:
+        o = self.objects.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("original_length"), F.lit(0)).alias("b")
+        ).collect()[0]
+        c = self.chunks.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("b")
+        ).collect()[0]
+        return IndexStats(
+            object_count=o.n, chunk_count=c.n, logical_bytes=o.b, physical_bytes=c.b
+        )
+
+
+class DedupeReadStream(io.RawIOBase):
+    """Seekable read-only stream over a stored object (O9).
+
+    Mirrors DedupeStream.cs:83-152: each read resolves the chunk covering
+    the current position (bisect over the collected, ordered map — one
+    object's map is small), fetches that chunk's payload once, and serves
+    in-chunk slices. Sequential scans fetch each chunk exactly once.
+    """
+
+    def __init__(self, engine: DedupeEngine, meta: ObjectMetadata):
+        self._engine = engine
+        self._meta = meta
+        self._map = sorted(meta.object_map, key=lambda r: r.address)
+        self._addresses = [r.address for r in self._map]
+        self._pos = 0
+        self._cached_key: str | None = None
+        self._cached_data: bytes = b""
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            new = offset
+        elif whence == io.SEEK_CUR:
+            new = self._pos + offset
+        elif whence == io.SEEK_END:
+            new = self._meta.original_length + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        if new < 0:
+            raise ValueError("negative seek position")
+        self._pos = new
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def _fetch(self, chunk_key: str) -> bytes:
+        if chunk_key != self._cached_key:
+            rows = (
+                self._engine.chunk_store.filter(F.col("chunk_key") == chunk_key).take(1)
+            )
+            if not rows:
+                raise OSError(f"missing chunk payload {chunk_key}")
+            self._cached_key = chunk_key
+            self._cached_data = bytes(rows[0].data)
+        return self._cached_data
+
+    def read(self, size: int = -1) -> bytes:
+        total = self._meta.original_length
+        if self._pos >= total:
+            return b""
+        if size is None or size < 0:
+            size = total - self._pos
+        out = bytearray()
+        while size > 0 and self._pos < total:
+            i = bisect_right(self._addresses, self._pos) - 1
+            row = self._map[i]
+            data = self._fetch(row.chunk_key)
+            off = self._pos - row.address
+            take = min(size, row.length - off)
+            out += data[off : off + take]
+            self._pos += take
+            size -= take
+        return bytes(out)

@@ -1,0 +1,151 @@
+"""Event-time windowing + dedup — batch equivalents of the streaming module.
+
+The reference has no stream processing (its DedupeStream is a read
+cursor, DedupeStream.cs:83-115); these are the engine-side additions of
+SURVEY.md §2.2. Each query is the *batch* semantics of a Structured
+Streaming operator (`streaming/` module runs the same logic with
+``readStream`` + watermarks); the DuckDB oracle proves the window math.
+
+Spark's ``window()`` aligns tumbling/sliding buckets to the unix epoch;
+DuckDB's ``time_bucket`` aligns to an epoch-aligned origin for
+minute/hour intervals, so bucket starts agree. Session windows use
+Spark's ``session_window`` vs the classic gaps-and-islands rewrite: a
+new session starts when the gap is >= the timeout (Spark merges an event
+into a session only while ``ts < prev_ts + gap``), and session end is
+``last_ts + gap``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.sources import read_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling 1h event-time window per type (streaming: groupBy(window(ts,'1 hour')))",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sliding",
+    """
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+           value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+GROUP BY window_start
+""",
+    doc="sliding window 1h/30min: each event lands in 2 overlapping windows",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_session",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="session windows, 5-min gap (streaming: session_window(ts,'5 minutes'); "
+    "oracle: gaps-and-islands rewrite)",
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_dedupe_first",
+    """
+SELECT user_id, event_type, event_id, ts,
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+    doc="keep-first dedup on (user_id, event_type) — batch form of "
+    "streaming dropDuplicates within watermark",
+)
+def events_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
+        )
+    )

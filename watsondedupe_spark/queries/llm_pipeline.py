@@ -1,0 +1,597 @@
+"""LLM-training-pipeline operators over ``documents`` / ``embeddings``.
+
+Engine-side additions (BASELINE.json north star): exact + near
+deduplication, text analysis, document fingerprinting, and similarity
+search — each oracle-checked against DuckDB. Portability rules used
+throughout:
+
+- hashes: ``md5`` (lowercase hex in both engines) — minhash values are
+  *lexicographic minima of md5 hex strings*, a uniform permutation
+  surrogate that needs no 64-bit integer parity;
+- vector math: embeddings are quantized ``floor(x*1000 + 0.5)`` to
+  BIGINT so dot products and norms are exact integer sums
+  (order-independent), and the final cosine is a fixed sequence of IEEE
+  double ops — identical bits on both engines;
+- regex: Spark's ``regexp_replace`` is global by default, DuckDB needs
+  the ``'g'`` flag.
+
+The scalable forms (MinHash-LSH banding instead of all-pairs, stop-
+shingle frequency cutoff) are used even though sf0.01 would tolerate
+brute force — the same plans run at 100 TB with band buckets as the
+shuffle key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+#: distinct word-3-gram shingles per doc (docs with >= 3 tokens)
+_SHINGLES_SQL = """
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tok
+)
+"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.get("t", i), F.get("t", i + 1), F.get("t", i + 2)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_N_HASHES = 6
+_SEEDS = [f"s{j}:" for j in range(1, _N_HASHES + 1)]
+
+_SIG_SQL = (
+    "sig AS (\n    SELECT doc_id,\n"
+    + ",\n".join(
+        f"           MIN(md5('{seed}' || shingle)) AS m{j+1}" for j, seed in enumerate(_SEEDS)
+    )
+    + ",\n           md5(MIN(md5('s1:' || shingle)) || MIN(md5('s2:' || shingle)) || MIN(md5('s3:' || shingle))) AS b1"
+    + ",\n           md5(MIN(md5('s4:' || shingle)) || MIN(md5('s5:' || shingle)) || MIN(md5('s6:' || shingle))) AS b2"
+    + "\n    FROM sh GROUP BY doc_id\n)"
+)
+
+
+def minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (k=6) + two LSH band keys per document."""
+    sh = shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"m{j+1}")
+        for j, seed in enumerate(_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "*",
+        F.md5(F.concat("m1", "m2", "m3")).alias("b1"),
+        F.md5(F.concat("m4", "m5", "m6")).alias("b2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact + normalized dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    """
+SELECT md5(text) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS representative
+FROM documents GROUP BY md5(text)
+""",
+    doc="exact dedup: content-hash groupBy; representative = min doc_id "
+    "(the O3 content-address idea applied to whole documents)",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("representative"),
+        )
+    )
+
+
+@register(
+    "docs_norm_dedup",
+    """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS representative
+FROM documents GROUP BY 1
+""",
+    doc="normalized dedup: lowercase, strip punctuation, collapse spaces, then hash",
+)
+def docs_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("representative"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup candidates + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_EST_SQL = (
+    "CAST(("
+    + " + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(1, _N_HASHES + 1))
+    + ") AS DOUBLE) / 6.0"
+)
+
+
+@register(
+    "docs_minhash_pairs",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL}
+SELECT DISTINCT doc_a, doc_b, est_sim FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_EST_SQL} AS est_sim
+    FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_EST_SQL} AS est_sim
+    FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+)
+""",
+    doc="MinHash-LSH near-dup candidates: shingle -> 6 minhashes -> 2 bands "
+    "-> band-bucket self-join (the 100 TB path: bands are the shuffle key, "
+    "never all-pairs); est_sim = matching minhash fraction",
+)
+def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_df(spark, sf_dir).cache()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    est = (
+        sum(
+            F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+            for j in range(1, _N_HASHES + 1)
+        ).cast("double")
+        / 6.0
+    ).alias("est_sim")
+    sel = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), est]
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    p1 = a.join(b, (F.col("a.b1") == F.col("b.b1")) & lt).select(*sel)
+    p2 = a.join(b, (F.col("a.b2") == F.col("b.b2")) & lt).select(*sel)
+    return p1.unionAll(p2).distinct()
+
+
+_STOP_SHINGLE_MAX = 50  # drop shingles shared by > this many docs (skew guard)
+
+
+@register(
+    "docs_jaccard_pairs",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
+""",
+    doc="exact 3-gram Jaccard near-dup pairs; stop-shingle cutoff "
+    f"(freq > {_STOP_SHINGLE_MAX}) bounds the self-join fan-out — the "
+    "skew guard that keeps this plan alive at scale",
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(spark, sf_dir)
+    rare = (
+        sh.groupBy("shingle").count().filter(F.col("count") <= _STOP_SHINGLE_MAX).select("shingle")
+    )
+    shr = sh.join(rare, "shingle").cache()
+    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = shr.alias("x")
+    y = shr.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts, quality, language-id, fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_count",
+    """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+    doc="token counting: whitespace split, alpha/numeric regex tokens, "
+    "chars/4 BPE estimate",
+)
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias("n_num_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@register(
+    "docs_quality",
+    f"""
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, avg_token_len,
+       least(1.0, n_tokens / 50.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio) AS quality_score
+FROM (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+)
+""",
+    doc="quality scoring: length/punctuation/stopword ratios -> composite "
+    "score (integer counts, deterministic double arithmetic)",
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(toks)
+        ).alias("stop_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+    )
+    return base.select(
+        "*",
+        (
+            F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+            * (1.0 - F.col("punct_ratio"))
+            * (0.5 + F.col("stop_ratio"))
+        ).alias("quality_score"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "(" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + ")"
+    return f"CAST(len(list_filter(string_split(text, ' '), x -> x IN {lst})) AS BIGINT)"
+
+
+@register(
+    "docs_langid",
+    f"""
+SELECT doc_id, s_en, s_es, s_de,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+FROM (
+    SELECT doc_id,
+           {_marker_sql('en')} AS s_en,
+           {_marker_sql('es')} AS s_es,
+           {_marker_sql('de')} AS s_de
+    FROM documents
+)
+""",
+    doc="language-ID heuristic: marker-token voting with a deterministic "
+    "argmax ladder",
+)
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+
+    def score(lang):
+        return F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS[lang]))).cast("long")
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", score("en").alias("s_en"), score("es").alias("s_es"), score("de").alias("s_de")
+    )
+    return base.select(
+        "*",
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("pred_lang"),
+    )
+
+
+_FP_K = 8  # k-gram length (chars)
+_FP_W = 4  # winnowing window (positions)
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+WITH kg AS (
+    SELECT doc_id,
+           g.i AS pos,
+           md5(substr(text, CAST(g.i AS INTEGER), {_FP_K})) AS h,
+           length(text) AS n
+    FROM documents
+    JOIN (SELECT unnest(generate_series(1, 1024)) AS i) g
+      ON g.i <= length(text) - {_FP_K} + 1
+),
+wmin AS (
+    SELECT doc_id, pos, n,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_FP_W - 1} FOLLOWING) AS fp
+    FROM kg
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM wmin
+WHERE pos <= n - {_FP_K} + 1 - {_FP_W - 1}
+GROUP BY doc_id
+""",
+    doc=f"document fingerprinting: winnowing over {_FP_K}-char k-gram md5 "
+    f"hashes, window {_FP_W} (rolling-hash fingerprint family)",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kg = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length("text").alias("n"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - _FP_K + 1)).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n",
+            "pos",
+            F.md5(F.expr(f"substr(text, pos, {_FP_K})")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _FP_W - 1)
+    return (
+        kg.select("doc_id", "n", "pos", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") <= F.col("n") - _FP_K + 1 - (_FP_W - 1))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = (0, 1, 2)
+_QUANT = "CAST(floor(CAST({x} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "emb_knn_cosine",
+    f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+ce AS (
+    SELECT e.vec_id, d.i,
+           {_QUANT.format(x='list_extract(e.embedding, CAST(d.i AS INTEGER))')} AS v
+    FROM embeddings e CROSS JOIN dims d
+),
+norms AS (SELECT vec_id, SUM(v*v) AS nrm FROM ce GROUP BY vec_id),
+qe AS (SELECT vec_id AS qid, i, v FROM ce WHERE vec_id IN {tuple(_KNN_QUERIES)}),
+dots AS (
+    SELECT q.qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+    FROM qe q JOIN ce c ON q.i = c.i AND c.vec_id != q.qid
+    GROUP BY q.qid, c.vec_id
+),
+sims AS (
+    SELECT d.qid, d.cid,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(nc.nrm AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+)
+SELECT qid AS query_id, cid AS neighbor_id, cosine,
+       CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk FROM sims)
+WHERE rnk <= 10
+""",
+    doc="brute-force cosine top-k ANN baseline; embeddings quantized to "
+    "integers so dot/norm sums are exact and order-independent — the "
+    "portability trick that makes float similarity oracle-checkable",
+)
+def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ce = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("v"),
+    )
+    ce = ce.cache()
+    norms = ce.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("nrm"))
+    qe = ce.filter(F.col("vec_id").isin(*_KNN_QUERIES)).select(
+        F.col("vec_id").alias("qid"), "i", F.col("v").alias("qv")
+    )
+    dots = (
+        ce.join(F.broadcast(qe), (ce.i == qe.i) & (ce.vec_id != qe.qid))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    sims = (
+        dots.join(F.broadcast(nq), F.col("qid") == F.col("nq.vec_id"))
+        .join(F.broadcast(nc), F.col("cid") == F.col("nc.vec_id"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nq.nrm").cast("double"))
+                / F.sqrt(F.col("nc.nrm").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+_N_PLANES = 8
+
+
+def _plane_sign(j: int, i: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 — same literal table
+    is injected into both engines, so no RNG parity is needed."""
+    h = hashlib.md5(f"p{j}:{i}".encode()).hexdigest()
+    return 1 if h[0] in "01234567" else -1
+
+
+_PLANES = [(j, i, _plane_sign(j, i)) for j in range(1, _N_PLANES + 1) for i in range(1, 65)]
+_PLANES_SQL = "planes(j, i, s) AS (VALUES " + ", ".join(
+    f"({j}, {i}, {s})" for j, i, s in _PLANES
+) + ")"
+
+
+@register(
+    "emb_ann_buckets",
+    f"""
+WITH {_PLANES_SQL},
+ce AS (
+    SELECT e.vec_id, d.i,
+           {_QUANT.format(x='list_extract(e.embedding, CAST(d.i AS INTEGER))')} AS v
+    FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+),
+proj AS (
+    SELECT c.vec_id, p.j, SUM(p.s * c.v) AS dot
+    FROM ce c JOIN planes p ON p.i = c.i
+    GROUP BY c.vec_id, p.j
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+""",
+    doc="LSH-bucketed ANN (scale path): 8 deterministic random-hyperplane "
+    "sign bits -> 256 buckets; candidate search joins within a bucket "
+    "instead of all-pairs",
+)
+def emb_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _emb(spark, sf_dir).sparkSession.createDataFrame(_PLANES, "j int, i int, s int")
+    # posexplode is 0-based; planes table is 1-based
+    ce = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("v"),
+        )
+    )
+    proj = (
+        ce.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("v")).alias("dot"))
+    )
+    bucket_bit = F.when(F.col("dot") >= 0, F.pow(2, F.col("j") - 1).cast("long")).otherwise(F.lit(0))
+    return proj.groupBy("vec_id").agg(F.sum(bucket_bit).cast("long").alias("bucket"))

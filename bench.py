@@ -1,0 +1,104 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a CDC-chunker
+ingest throughput measurement. Each query is fully materialized
+(count-collected) so the wall time includes the whole plan, and each is
+run once after a warm-up of the session (JVM/codegen startup is
+amortized into the first query only; per-query times are steady-state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "ddp_stats",
+    "ddp_refcount",
+    "ddp_coverage",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "join_left_agg",
+    "window_rank_lag",
+    "events_session",
+    "events_tumbling",
+    "docs_minhash_pairs",
+    "docs_jaccard_pairs",
+    "docs_fingerprint",
+    "emb_knn_cosine",
+    "emb_ann_buckets",
+]
+
+
+def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
+    """Chunker throughput: CDC over the documents corpus (inflated to
+    multi-chunk sizes); returns (seconds, MB processed)."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE, chunk_objects
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    objs = docs.select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 50), "UTF-8").alias("data"),
+    )
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    t0 = time.time()
+    n = chunk_objects(objs, ChunkSettings(*SMALL_FILE_PROFILE)).count()
+    dt = time.time() - t0
+    assert n > 0
+    return dt, mb
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.session import get_spark
+
+    spark = get_spark("watsondedupe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # warm up the session (JVM, codegen, parquet footer caches)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    ingest_sec, ingest_mb = bench_cdc_ingest(spark, sf_dir)
+    times["cdc_ingest"] = round(ingest_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,7 @@ def chunk_bytes(data: bytes, settings: ChunkSettings | None = None) -> list[Chun
     chunks: list[Chunk] = []
     chunk_start = 0  # address of the chunk being accumulated
     window_start = 0
+    view = memoryview(data)  # zero-copy window slices for the md5 loop
 
     while True:
         window_end = min(window_start + min_size, n)
@@ -141,7 +142,7 @@ def chunk_bytes(data: bytes, settings: ChunkSettings | None = None) -> list[Chun
         # Boundary test on the current window (DedupeLibrary.cs:668-670);
         # the accumulated chunk always extends to the window's end.
         cur_len = window_end - chunk_start
-        digest = md5(data[window_start:window_end]).digest()
+        digest = md5(view[window_start:window_end]).digest()
         if (not any(digest[:nb])) or cur_len >= max_size:
             payload = data[chunk_start:window_end]
             chunks.append(Chunk(chunk_key(payload), len(payload), len(chunks), chunk_start, payload))
@@ -187,16 +188,35 @@ CHUNK_OUTPUT_SCHEMA = (
 )
 
 
-def chunk_objects(df, settings: ChunkSettings | None = None, key_col: str = "object_key", data_col: str = "data"):
+def chunk_objects(
+    df,
+    settings: ChunkSettings | None = None,
+    key_col: str = "object_key",
+    data_col: str = "data",
+    min_parallelism: int | None = None,
+):
     """Distributed chunking: (object_key, data) DataFrame -> chunk rows.
 
     Uses ``mapInPandas`` so each Arrow batch is processed in one Python
     call; objects never cross batch boundaries (each input row is one
-    whole object). The plan is scan -> ArrowEvalPython -> downstream;
-    no shuffle is introduced here.
+    whole object).
+
+    CDC is CPU-bound (one MD5 per shift), so partitioning must match the
+    cores, not the input file layout: a corpus that arrives as one big
+    parquet file would otherwise chunk on a single task. When the scan
+    has fewer partitions than ``min_parallelism`` (default: the session's
+    defaultParallelism), we repartition by object key first — a shuffle
+    of the payload bytes, but the hash work it unlocks dominates at any
+    scale, and round-robin-by-key also evens out skewed object sizes.
     """
     settings = settings or ChunkSettings()
     import pandas as pd  # local import: executors re-import cheaply
+
+    sel = df.select(key_col, data_col)
+    if min_parallelism is None:
+        min_parallelism = sel.sparkSession.sparkContext.defaultParallelism
+    if min_parallelism and sel.rdd.getNumPartitions() < min_parallelism:
+        sel = sel.repartition(min_parallelism, key_col)
 
     def _chunk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -218,4 +238,4 @@ def chunk_objects(df, settings: ChunkSettings | None = None, key_col: str = "obj
                     out["chunk_data"].append(ch.data)
             yield pd.DataFrame(out)
 
-    return df.select(key_col, data_col).mapInPandas(_chunk_batches, schema=CHUNK_OUTPUT_SCHEMA)
+    return sel.mapInPandas(_chunk_batches, schema=CHUNK_OUTPUT_SCHEMA)

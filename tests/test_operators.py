@@ -1,0 +1,216 @@
+"""Operator-module tests: dedupe, similarity, text, multimodal plumbing."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The quick brown fox jumps over the lazy dog!"),  # normalized dup of 0
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "the slow red fox walks under the busy cat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_and_normalized_dedupe(docs):
+    from watsondedupe_spark.operators.dedupe import duplicate_groups, exact_dedupe
+
+    kept = exact_dedupe(docs, "text", "doc_id")
+    assert kept.count() == 5  # 0/1 collapse
+    assert 1 not in {r.doc_id for r in kept.collect()}
+
+    kept_norm = exact_dedupe(docs, "text", "doc_id", normalized=True)
+    assert kept_norm.count() == 4  # 0/1/2 collapse
+    groups = duplicate_groups(docs, "text", "doc_id", normalized=True).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0].members) == [0, 1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from watsondedupe_spark.operators.dedupe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(docs, "text", "doc_id")
+    sig = minhash_signatures(sh, n_hashes=16, n_bands=8)  # tight bands: high recall
+    pairs = {(r.id_a, r.id_b): r.est_sim for r in lsh_candidate_pairs(sig, 16, 8).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs: all minhashes agree
+    assert (0, 3) in pairs  # near dup is a candidate
+    assert all(0.0 <= v <= 1.0 for v in pairs.values())
+
+
+def test_jaccard_pairs_exact_values(docs):
+    from watsondedupe_spark.operators.dedupe import jaccard_pairs, word_shingles
+
+    sh = word_shingles(docs, "text", "doc_id")
+    out = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(sh, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    # doc0 vs doc3: 7 shingles each, 4 shared -> 4/10
+    assert out[(0, 3)] == pytest.approx(0.4)
+    assert (0, 4) not in out
+
+
+def test_simhash_near_dups(docs):
+    from watsondedupe_spark.operators.dedupe import simhash64, simhash_candidates
+
+    fp = simhash64(docs, "text", "doc_id")
+    rows = {r.id: r.simhash for r in fp.collect()}
+    assert rows[0] == rows[1]  # identical text => identical fingerprint
+    cand = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_candidates(fp, max_hamming=16).collect()
+    }
+    assert cand[(0, 1)] == 0
+    assert cand[(0, 3)] <= 16  # near dup within distance
+    assert (0, 4) not in cand or cand[(0, 4)] > 8
+
+
+def _rand_vec(rng, dim=16):
+    return [rng.uniform(-1, 1) for _ in range(dim)]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from watsondedupe_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(7)
+    vecs = {i: _rand_vec(rng) for i in range(40)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = cosine_topk(emb, q, k=5).orderBy("rank").collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+
+    # float32 storage: recompute expectation from the collected vectors
+    stored = {r.vec_id: r.embedding for r in emb.collect()}
+    expected = sorted(
+        ((cos(stored[0], v), i) for i, v in stored.items() if i != 0), reverse=True
+    )[:5]
+    assert [r.neighbor_id for r in got] == [i for _, i in expected]
+    for r, (c, _) in zip(got, expected):
+        assert r.cosine == pytest.approx(c, rel=1e-6)
+
+
+def test_ann_lsh_self_bucket_recall(spark):
+    """A vector plus a tiny perturbation of it must share a bucket and be
+    found by the bucketed ANN search."""
+    from watsondedupe_spark.operators.similarity import ann_topk_lsh
+
+    rng = random.Random(3)
+    base = [_rand_vec(rng, 64) for _ in range(30)]
+    near = [x + 1e-4 for x in base[0]]
+    rows = [(i, v) for i, v in enumerate(base)] + [(100, near)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = ann_topk_lsh(emb, q, k=5, n_planes=6, n_dims=64).collect()
+    assert any(r.neighbor_id == 100 for r in got)
+    top = min(got, key=lambda r: r.rank)
+    assert top.neighbor_id == 100 and top.cosine > 0.999999
+
+
+def test_embedding_near_dups(spark):
+    from watsondedupe_spark.operators.dedupe import embedding_near_dups
+
+    rng = random.Random(11)
+    base = [_rand_vec(rng, 64) for _ in range(20)]
+    near = [x * 1.001 for x in base[5]]  # same direction => cosine ~ 1
+    rows = [(i, v) for i, v in enumerate(base)] + [(200, near)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(emb, threshold=0.999, n_planes=6).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(5, 200)}
+
+
+def test_text_analysis_columns(docs):
+    from watsondedupe_spark.operators import text as T
+
+    out = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n"),
+        T.punct_ratio(F.col("text")).alias("punct"),
+        T.stopword_ratio(F.col("text")).alias("stop"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].n == 9
+    assert by_id[0].punct == 0.0
+    assert by_id[2].punct > 0.0
+    assert by_id[0].stop == pytest.approx(2 / 9)  # 'the' twice among 9 tokens
+    assert all(r.q > 0 for r in out)
+
+
+def test_predict_lang_deterministic(docs):
+    from watsondedupe_spark.operators.text import predict_lang
+
+    out = predict_lang(docs, "text").collect()
+    assert all(r.pred_lang in ("en", "es", "de", "fr") for r in out)
+    # doc0 has 'the' twice + 'over'... marker 'the' => en must win
+    assert {r.pred_lang for r in out if r.doc_id == 0} == {"en"}
+
+
+def test_winnow_fingerprints_overlap(docs):
+    from watsondedupe_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, "text", "doc_id")
+    sets = {
+        r.doc_id: set()
+        for r in docs.select(F.col("doc_id")).collect()
+    }
+    for r in fps.collect():
+        sets[r.id].add(r.fp)
+    assert sets[0] == sets[1]  # identical docs: identical fingerprint sets
+    inter_near = len(sets[0] & sets[3]) / len(sets[0] | sets[3])
+    inter_far = len(sets[0] & sets[4]) / len(sets[0] | sets[4])
+    assert inter_near > inter_far  # fingerprints rank overlap correctly
+
+
+def test_multimodal_image_pipeline(spark):
+    from watsondedupe_spark.operators.multimodal import (
+        extract_image_features,
+        sample_frames,
+        wrap_media,
+    )
+
+    rng = random.Random(5)
+    rows = [(f"img{i}", bytearray(rng.randbytes(500 + i * 100))) for i in range(4)]
+    rows.append(("empty", bytearray(b"")))
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    media = wrap_media(df, "payload", "image/png", "name")
+    assert [f.name for f in media.schema["media"].dataType.fields] == ["data", "mime", "meta"]
+
+    feats = {r.id: r for r in extract_image_features(media).collect()}
+    assert len(feats) == 5
+    assert feats["img0"].n_bytes == 500
+    assert 16 <= feats["img0"].width < 80
+    assert len(feats["img0"].feature) == 8
+    assert abs(sum(feats["img0"].feature) - 1.0) < 1e-6
+    assert feats["empty"].format == "error" and feats["empty"].width == -1
+
+    frames = sample_frames(media).collect()
+    per_id = {}
+    for r in frames:
+        per_id.setdefault(r.id, []).append(r)
+    assert "empty" not in per_id
+    for rid, rs in per_id.items():
+        assert [r.frame_index for r in sorted(rs, key=lambda r: r.frame_index)] == list(
+            range(len(rs))
+        )
+        assert all(r.frame_ts_ms == r.frame_index * 1000 for r in rs)
+
+
+def test_decode_audio_stub_contract(spark):
+    from watsondedupe_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(spark.range(1))

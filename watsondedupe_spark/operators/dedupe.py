@@ -1,0 +1,259 @@
+"""Deduplication operators for large text corpora.
+
+The reference dedupes *byte streams* by content-defined chunking
+(DedupeLibrary.cs:605-717); a training-data pipeline also needs
+*document-level* dedup. All operators here are pure DataFrame
+compositions (no Python UDFs in the hot path) and are shaped for scale:
+
+- exact/normalized: one hash-groupBy shuffle, keyed on the content hash;
+- MinHash-LSH: shingle explode -> per-doc min-aggregation -> band-bucket
+  self-join (the shuffle key is the band hash, never all-pairs);
+- SimHash: per-token hash -> bit-majority aggregation -> band join on
+  16-bit slices for Hamming candidates;
+- embedding near-dup: sign-LSH buckets first, exact cosine only within
+  a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# exact + normalized
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, strip non-alnum, collapse spaces."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "))
+
+
+def exact_dedupe(df: DataFrame, text_col: str, id_col: str, normalized: bool = False) -> DataFrame:
+    """Keep one representative (min id) per distinct content hash.
+
+    One shuffle on the 256-bit hash; with billions of documents the
+    group cardinality ~= the row count, so this relies on partial
+    aggregation — which groupBy(sha2) gets natively.
+    """
+    text = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    h = F.sha2(text, 256).alias("__h")
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str, normalized: bool = False) -> DataFrame:
+    """Groups of byte-identical (or normalized-identical) documents."""
+    text = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.groupBy(F.sha2(text, 256).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("representative"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
+    )
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
+    """MinHash signature per document + LSH band keys.
+
+    The permutation surrogate is the lexicographic minimum of
+    md5(seed || shingle) hex strings — uniform, deterministic, and
+    portable (no 64-bit hash parity needed). Bands hash consecutive
+    signature slices; docs sharing any band key are candidates.
+    """
+    if n_hashes % n_bands:
+        raise ValueError("n_bands must divide n_hashes")
+    per = n_hashes // n_bands
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+    sig = shingles.groupBy("id").agg(*mins)
+    bands = [
+        F.md5(F.concat(*[F.col(f"m{b * per + j}") for j in range(per)])).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select("id", *[f"m{j}" for j in range(n_hashes)], *bands)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
+    """Candidate pairs from band-bucket self-joins, with estimated
+    similarity = fraction of matching minhashes. Shuffle key = band hash;
+    all-pairs never materializes."""
+    a, b = sig.alias("a"), sig.alias("b")
+    est = (
+        sum(
+            F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0) for j in range(n_hashes)
+        ).cast("double")
+        / float(n_hashes)
+    ).alias("est_sim")
+    lt = F.col("a.id") < F.col("b.id")
+    parts = [
+        a.join(b, (F.col(f"a.band{k}") == F.col(f"b.band{k}")) & lt).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), est
+        )
+        for k in range(n_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.4,
+    stop_shingle_max: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing >=1 rare shingle.
+
+    ``stop_shingle_max`` drops shingles shared by more than N docs — the
+    skew guard: a boilerplate shingle appearing in 1e6 docs would
+    otherwise produce 1e12 join rows. At 100 TB this cutoff (plus LSH
+    pre-filtering) is what keeps the plan feasible.
+    """
+    rare = shingles.groupBy("shingle").count().filter(F.col("count") <= stop_shingle_max)
+    shr = shingles.join(rare.select("shingle"), "shingle")
+    sizes = shr.groupBy("id").agg(F.count("*").alias("sz"))
+    x, y = shr.alias("x"), shr.alias("y")
+    inter = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document, JVM-side end to end.
+
+    Token hash = xxhash64 (Spark built-in, stable across sessions);
+    fingerprint bit i is the majority vote of token-hash bit i. The
+    per-bit tally is one explode + groupBy(id) aggregation with 64
+    conditional-sum columns — no Python, one shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    tallied = tok.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: xor == or
+    return tallied.select("id", fp.alias("simhash"))
+
+
+def simhash_candidates(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-near pairs via the 4x16-bit band trick: if hamming(a,b) <= 3,
+    at least one of the four 16-bit slices is identical (pigeonhole), so a
+    4-way band equijoin finds all candidates; exact popcount filters."""
+    sliced = fp.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias(f"s{k}")
+            for k in range(4)
+        ],
+    )
+    a, b = sliced.alias("a"), sliced.alias("b")
+    lt = F.col("a.id") < F.col("b.id")
+    parts = [
+        a.join(b, (F.col(f"a.s{k}") == F.col(f"b.s{k}")) & lt).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        for k in range(4)
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH bucket first, exact cosine within
+    the bucket. Near-dup pairs (cosine ~ 1) collide in all/most sign
+    buckets, so the bucket equijoin keeps recall high while reducing the
+    pair count by ~2**n_planes."""
+    from watsondedupe_spark.operators.similarity import cosine, sign_lsh_bucket
+
+    withb = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,164 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing here is real and tested — schema conventions,
+Arrow-batched ``mapInPandas`` transforms, partition sizing — while the
+actual codecs are stubbed (this container ships no image/audio
+libraries). Each decoder seam is a single clearly-marked function that a
+deployment replaces with PIL/torchaudio/ffmpeg calls; everything around
+it (batch iteration, schema, null handling) is production-shaped.
+
+Schema convention::
+
+    media: struct<data: binary, mime: string, meta: map<string,string>>
+
+Scale notes: binary payloads make rows heavy — transforms set
+``maxRecordsPerBatch`` low (the session default 4096 already bounds
+Arrow batches) and payload columns are pruned before any wide shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("data", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "id string, width int, height int, n_bytes long, format string, feature array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = "id string, frame_index int, frame_ts_ms long, frame binary"
+
+
+def wrap_media(df: DataFrame, data_col: str, mime: str, id_col: str) -> DataFrame:
+    """Pack a raw binary column into the media struct convention."""
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.struct(
+            F.col(data_col).alias("data"),
+            F.lit(mime).alias("mime"),
+            F.create_map().cast(MapType(StringType(), StringType())).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
+    """DECODER SEAM — replace with PIL in deployment.
+
+    Deterministic fake so pipelines are testable end-to-end: 'decodes'
+    the payload into (width, height, format) from its length and first
+    bytes. Raises on empty payloads like a real decoder would.
+    """
+    if not payload:
+        raise ValueError("cannot decode empty image payload")
+    width = 16 + payload[0] % 64
+    height = 16 + (payload[-1] if len(payload) > 1 else payload[0]) % 64
+    fmt = "png" if payload[:1] == b"\x89" else "raw"
+    return width, height, fmt
+
+
+def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """FEATURE SEAM — replace with a vision encoder in deployment.
+    Deterministic byte-histogram features (sum of byte values per
+    modulo-class, normalized)."""
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] += b
+    total = float(sum(acc)) or 1.0
+    return [a / total for a in acc]
+
+
+def extract_image_features(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
+    """Decode + featurize image payloads via Arrow-batched mapInPandas.
+
+    The plan is scan -> MapInPandas (payloads never shuffle); output is
+    narrow (metadata + small feature vector), so downstream joins/aggs
+    run without the binary column — column pruning does the rest.
+    """
+    import pandas as pd
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"id": [], "width": [], "height": [], "n_bytes": [], "format": [], "feature": []}
+            for rid, media in zip(pdf["id"], pdf["__media"]):
+                payload = bytes(media["data"]) if media["data"] is not None else b""
+                try:
+                    w, h, fmt = _decode_image_stub(payload)
+                except ValueError:
+                    w, h, fmt = -1, -1, "error"
+                out["id"].append(rid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(payload))
+                out["format"].append(fmt)
+                out["feature"].append(_feature_stub(payload))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("__media")).mapInPandas(
+        _batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sample 'video' payloads: one output row per sampled frame.
+
+    FRAME SEAM — the splitter is a deterministic fake (fixed-size byte
+    slices standing in for ffmpeg keyframe extraction); the explode
+    shape, timestamps, and bounded fan-out are the real contract.
+    """
+    import pandas as pd
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"id": [], "frame_index": [], "frame_ts_ms": [], "frame": []}
+            for rid, media in zip(pdf["id"], pdf["__media"]):
+                payload = bytes(media["data"]) if media["data"] is not None else b""
+                if not payload:
+                    continue
+                step = max(1, len(payload) // max_frames)
+                for idx in range(min(max_frames, (len(payload) + step - 1) // step)):
+                    out["id"].append(rid)
+                    out["frame_index"].append(idx)
+                    out["frame_ts_ms"].append(idx * every_ms)
+                    out["frame"].append(payload[idx * step : (idx + 1) * step])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("__media")).mapInPandas(
+        _batches, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def decode_audio(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
+    """AUDIO SEAM — not implemented in this container (no audio libs).
+
+    Raises NotImplementedError eagerly with the deployment instruction;
+    the schema contract is ``id string, sample_rate int, n_samples long,
+    duration_s double``.
+    """
+    raise NotImplementedError(
+        "audio decoding requires torchaudio/soundfile; replace this seam in "
+        "deployment. Schema contract: id string, sample_rate int, "
+        "n_samples long, duration_s double"
+    )

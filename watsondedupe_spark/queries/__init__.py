@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import for side effect of registration
     from watsondedupe_spark.queries import (  # noqa: F401
         dedupe_index,
+        engine_native,
         events,
         llm_pipeline,
         relational,

@@ -1,0 +1,176 @@
+"""Streaming tests: every streaming operator must converge to its
+(oracle-checked) batch equivalent on the same data."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.sources import read_table
+from watsondedupe_spark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """The sf events table re-written as 4 chronologically ordered parquet
+    files (file source processes by mtime): micro-batches then arrive
+    roughly in event-time order, as a real log would, so the watermark
+    does not discard data the batch comparison still counts."""
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df = read_table(spark, sf_dir, "events").cache()
+    qs = df.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        (
+            df.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    df.unpersist()
+    return out
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _collect_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def _run(spark, sdf, name, mode="append"):
+    for old in spark.streams.active:
+        if old.name == name:
+            old.stop()
+    q = S.run_to_memory(sdf, name, mode)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    sdf = S.tumbling_counts(S.stream_from_dir(spark, events_dir))
+    got = _run(spark, sdf, "t_tumble", "complete")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _collect_set(got, cols) == _collect_set(batch, cols)
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    sdf = S.session_counts(S.stream_from_dir(spark, events_dir))
+    got = _run(spark, sdf, "t_session", "complete")
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _collect_set(got, cols) == _collect_set(batch, cols)
+
+
+def test_dedupe_stream_unique_keys(spark, events_dir):
+    n_keys = (
+        _batch_events(spark, events_dir).select("user_id", "event_type").distinct().count()
+    )
+    n_rows = _batch_events(spark, events_dir).count()
+
+    # exact (unbounded-state) dedup: exactly one row per key, ever
+    exact = S.dedupe_stream(
+        S.stream_from_dir(spark, events_dir), ["user_id", "event_type"], within_watermark=False
+    )
+    got = _run(spark, exact, "t_dedup_exact", "append")
+    per_key = got.groupBy("user_id", "event_type").count()
+    assert per_key.filter(F.col("count") > 1).count() == 0
+    assert got.count() == n_keys
+
+    # bounded-state dedup: unique within the watermark horizon, but a key
+    # may legitimately re-emit after its state evicts (events span ~30
+    # days vs a 2h watermark) — so between n_keys and all rows
+    bounded = S.dedupe_stream(
+        S.stream_from_dir(spark, events_dir), ["user_id", "event_type"], within_watermark=True
+    )
+    got_b = _run(spark, bounded, "t_dedup_bounded", "append")
+    assert n_keys <= got_b.count() < n_rows
+
+
+def test_stateful_user_totals(spark, events_dir):
+    sdf = S.stateful_user_totals(S.stream_from_dir(spark, events_dir))
+    got = _run(spark, sdf, "t_state", "update")
+    # last emitted row per user must equal the batch totals
+    latest = {}
+    for r in got.collect():
+        latest[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    assert len(latest) == len(batch)
+    for r in batch:
+        n, tv = latest[r.user_id]
+        assert n == r.n
+        assert tv == pytest.approx(r.tv, rel=1e-9)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event older than the watermark arriving in a later file must not
+    create/modify a window (append mode only finalizes closed windows)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    rows1 = [(1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}")]  # advances watermark far
+    # coalesce(1): both on-time events must land in ONE file (= one
+    # micro-batch), else the file source may process the 06:00 file first
+    # and the 00:10 click would itself arrive behind the watermark
+    spark.createDataFrame(rows1, S.EVENTS_SCHEMA.replace("ts timestamp", "ts string")) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    sdf = S.tumbling_counts(S.stream_from_dir(spark, src), watermark="1 hour")
+    for old in spark.streams.active:
+        if old.name == "t_late":
+            old.stop()
+    q = S.run_to_memory(sdf, "t_late", "append")
+    q.processAllAvailable()
+
+    # late straggler: hours behind the watermark. Must get a strictly later
+    # mtime than the first file — the file source orders by mtime and a
+    # same-second tie could process the straggler first (not late yet).
+    import time as _time
+
+    _time.sleep(1.1)
+    rows2 = [(3, "2024-01-01 00:20:00", 2, "view", 5.0, "{}")]
+    spark.createDataFrame(rows2, S.EVENTS_SCHEMA.replace("ts timestamp", "ts string")) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    finalized = spark.table("t_late").collect()
+    # the 00:00 window closed with ONLY the on-time click; the late view
+    # (user 2) must not appear anywhere
+    assert all(r.event_type != "view" for r in finalized)
+    w0 = [r for r in finalized if r.window_start.hour == 0]
+    assert len(w0) == 1 and w0[0].n_events == 1

@@ -1,0 +1,176 @@
+"""Structured Streaming operators: event-time windows, watermarks, dedup,
+and a custom stateful operator.
+
+The reference has no stream processing (SURVEY.md §2.2: DedupeStream is
+a pull cursor, not dataflow); this module is the engine-side addition.
+Every operator here has a batch-equivalent query in
+``queries/events.py`` whose DuckDB oracle pins the semantics; the tests
+run the streaming form over the same data and assert it converges to
+the batch answer.
+
+Scale/ops posture: watermarks bound state (late data beyond the
+watermark is dropped); session windows and dropDuplicatesWithinWatermark
+keep per-key state that is evicted at the watermark; the custom stateful
+operator uses ``applyInPandasWithState`` with an explicit timeout so
+state cannot grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: schema of the driver's events table after nano->micro normalization
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_from_dir(spark: SparkSession, path: str, schema: str | StructType = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream: picks up parquet files appearing under ``path``.
+
+    (``maxFilesPerTrigger=1`` keeps micro-batches small in tests; a real
+    deployment reads Kafka with the same downstream operators.)
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window per event_type with a watermark.
+
+    Batch-equivalent: ``queries/events.py::events_tumbling``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window; each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap timeout); state evicted at watermark.
+
+    Batch-equivalent: ``queries/events.py::events_session`` (gaps-and-
+    islands oracle).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedupe_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours", within_watermark: bool = True
+) -> DataFrame:
+    """Streaming dedup on ``keys``.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — the bounded-state form; plain ``dropDuplicates``
+    keeps keys forever (exact, unbounded). Late duplicates beyond the
+    watermark are the documented trade.
+    """
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
+def stateful_user_totals(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, emitted every micro-batch.
+
+    This is the template for reference-style incremental maintenance
+    (the refcount counter, O17/O18) as a streaming operator.
+
+    ``timeout_minutes`` bounds state: after that much processing-time
+    inactivity a key's state is dropped. It is OFF by default because a
+    ProcessingTimeTimeout makes the engine schedule timeout-check
+    micro-batches continuously even with no new data, so
+    ``processAllAvailable`` (the drain-and-stop pattern tests and batch
+    backfills use) never returns. Long-running production streams with a
+    real trigger interval should set it; bounded drains should not.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+    timed = timeout_minutes is not None
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timed:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout if timed else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Start the stream into an in-memory sink table ``name`` and return
+    the query handle (caller: ``q.processAllAvailable()`` then
+    ``spark.table(name)``)."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

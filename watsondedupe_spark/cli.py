@@ -1,0 +1,187 @@
+"""Command-line interface — the reference CLI's verbs over the Spark engine.
+
+Re-expresses O25 (/root/reference/src/Cli/Program.cs:136-287: verbs
+``create stats write get md del list exists`` over an index, with file or
+stdin payloads and stdout output) as a thin argparse layer on
+:class:`~watsondedupe_spark.engine.DedupeEngine`. Verb-for-verb parity:
+
+    dedupe <index_root> create [--min N --max N --shift N --boundary N]
+    dedupe <index_root> stats
+    dedupe <index_root> write  --key K [--file PATH]      (stdin if no file)
+    dedupe <index_root> get    --key K [--file PATH]      (stdout if no file)
+    dedupe <index_root> md     --key K
+    dedupe <index_root> del    --key K
+    dedupe <index_root> list   [--prefix P --idxstart N --results N]
+    dedupe <index_root> exists --key K
+
+Exit codes: 0 success / truthy, 1 falsy (``exists`` miss), 2 usage or
+engine error — matching the reference's console conventions without its
+interactive REPL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from watsondedupe_spark.chunking import ChunkSettings
+from watsondedupe_spark.engine import (
+    DedupeEngine,
+    DuplicateKeyError,
+    MAX_LIST_RESULTS,
+    ObjectNotFoundError,
+)
+from watsondedupe_spark.session import get_spark
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dedupe", description="content-defined dedupe index (Spark engine)"
+    )
+    p.add_argument("index_root", help="directory holding the index tables")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    create = sub.add_parser("create", help="initialize a new index")
+    create.add_argument("--min", type=int, default=ChunkSettings().min_chunk_size)
+    create.add_argument("--max", type=int, default=ChunkSettings().max_chunk_size)
+    create.add_argument("--shift", type=int, default=ChunkSettings().shift_count)
+    create.add_argument("--boundary", type=int, default=ChunkSettings().boundary_check_bytes)
+
+    sub.add_parser("stats", help="index statistics")
+
+    write = sub.add_parser("write", help="store an object")
+    write.add_argument("--key", required=True)
+    write.add_argument("--file", help="payload file (default: stdin)")
+    write.add_argument("--replace", action="store_true", help="overwrite existing key")
+
+    get = sub.add_parser("get", help="retrieve an object")
+    get.add_argument("--key", required=True)
+    get.add_argument("--file", help="output file (default: stdout)")
+
+    md = sub.add_parser("md", help="object metadata as JSON")
+    md.add_argument("--key", required=True)
+
+    dele = sub.add_parser("del", help="delete an object (prints GC'd chunk keys)")
+    dele.add_argument("--key", required=True)
+
+    lst = sub.add_parser("list", help="enumerate objects (keyset-paginated)")
+    lst.add_argument("--prefix", default=None)
+    lst.add_argument("--idxstart", type=int, default=0)
+    lst.add_argument("--results", type=int, default=MAX_LIST_RESULTS)
+
+    exists = sub.add_parser("exists", help="key existence (exit 0 yes / 1 no)")
+    exists.add_argument("--key", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark("dedupe-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return _dispatch(args, spark)
+    except (DuplicateKeyError, ObjectNotFoundError, FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
+def _dispatch(args: argparse.Namespace, spark) -> int:
+    if args.verb == "create":
+        DedupeEngine.create(
+            spark,
+            args.index_root,
+            ChunkSettings(args.min, args.max, args.shift, args.boundary),
+        )
+        print(f"created index at {args.index_root}")
+        return 0
+
+    engine = DedupeEngine.open(spark, args.index_root)
+
+    if args.verb == "stats":
+        s = engine.stats()
+        print(
+            json.dumps(
+                {
+                    "objects": s.object_count,
+                    "chunks": s.chunk_count,
+                    "logical_bytes": s.logical_bytes,
+                    "physical_bytes": s.physical_bytes,
+                    "ratio_x": s.ratio_x,
+                    "ratio_percent": s.ratio_percent,
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "write":
+        data = open(args.file, "rb").read() if args.file else sys.stdin.buffer.read()
+        if args.replace:
+            engine.write_or_replace(args.key, data)
+        else:
+            engine.write(args.key, data)
+        print(f"wrote {len(data)} bytes under {args.key!r}")
+        return 0
+
+    if args.verb == "get":
+        data = engine.get(args.key)
+        if args.file:
+            with open(args.file, "wb") as f:
+                f.write(data)
+        else:
+            sys.stdout.buffer.write(data)
+        return 0
+
+    if args.verb == "md":
+        m = engine.get_metadata(args.key)
+        print(
+            json.dumps(
+                {
+                    "id": m.id,
+                    "object_key": m.object_key,
+                    "original_length": m.original_length,
+                    "comp_length": m.comp_length,
+                    "chunk_count": m.chunk_count,
+                    "created_utc": m.created_utc.isoformat(),
+                    "map": [
+                        {
+                            "chunk_key": r.chunk_key,
+                            "position": r.position,
+                            "address": r.address,
+                            "length": r.length,
+                        }
+                        for r in m.object_map
+                    ],
+                }
+            )
+        )
+        return 0
+
+    if args.verb == "del":
+        for gc_key in engine.delete(args.key):
+            print(gc_key)
+        return 0
+
+    if args.verb == "list":
+        page = engine.list_objects(args.prefix, args.idxstart, args.results)
+        for r in page.objects:
+            print(f"{r.id}\t{r.object_key}\t{r.original_length}")
+        if page.next_index_start is not None:
+            print(f"next: --idxstart {page.next_index_start}", file=sys.stderr)
+        return 0
+
+    if args.verb == "exists":
+        ok = engine.exists(args.key)
+        print("true" if ok else "false")
+        return 0 if ok else 1
+
+    raise AssertionError(f"unhandled verb {args.verb}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

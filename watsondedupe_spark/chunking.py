@@ -239,3 +239,92 @@ def chunk_objects(
             yield pd.DataFrame(out)
 
     return sel.mapInPandas(_chunk_batches, schema=CHUNK_OUTPUT_SCHEMA)
+
+
+def chunk_objects_segmented(
+    df,
+    settings: ChunkSettings | None = None,
+    segment_size: int = 64 * 1024 * 1024,
+    key_col: str = "object_key",
+    data_col: str = "data",
+):
+    """Segment-framed distributed chunking for very large objects
+    (SURVEY.md §7.3 mitigation).
+
+    Plain :func:`chunk_objects` is sequential *within* an object — a
+    single multi-GB object serializes into one task and one Arrow batch.
+    Here the object is first split into ``segment_size`` frames entirely
+    JVM-side (``substring`` on the binary column + ``posexplode`` of an
+    offset ``sequence`` — no Python touches the payload until the CDC
+    loop), each frame is chunked independently in parallel, chunk
+    addresses are rebased by the frame offset, and the global ``position``
+    ordinal is restored with one ``row_number`` window over (object,
+    address).
+
+    Deviation from unsegmented chunking, by design: boundaries within
+    ``max_chunk_size`` of a frame edge may differ (each frame starts a
+    fresh window), so the same bytes chunked segmented vs unsegmented can
+    produce different — still valid, still deterministic — chunk sets.
+    An index must therefore pick one mode per index, exactly like the
+    immutable chunking settings (DedupeLibrary.cs:583-603).
+
+    ``segment_size`` must be >= ``max_chunk_size`` (a frame shorter than
+    one max chunk defeats the purpose and breaks the tiling invariant).
+    """
+    settings = settings or ChunkSettings()
+    if segment_size < settings.max_chunk_size:
+        raise ValueError("segment_size must be >= max_chunk_size")
+    import pandas as pd  # local import: executors re-import cheaply
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_frames = (F.length(data_col) + segment_size - 1).cast("long") / F.lit(segment_size)
+    frames = (
+        df.select(key_col, data_col)
+        .select(
+            key_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames.cast("long") - 1),
+                    lambda i: F.substring(
+                        F.col(data_col), (i * segment_size + 1).cast("int"), segment_size
+                    ),
+                )
+            ).alias("frame_idx", "frame_data"),
+        )
+        .withColumn("frame_addr", F.col("frame_idx").cast("long") * segment_size)
+    )
+    # spread the frames of one object across the cluster
+    frames = frames.repartition(
+        frames.sparkSession.sparkContext.defaultParallelism, key_col, "frame_idx"
+    )
+
+    def _chunk_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "object_key": [],
+                "chunk_key": [],
+                "length": [],
+                "address": [],
+                "chunk_data": [],
+            }
+            for key, base, payload in zip(
+                pdf[key_col], pdf["frame_addr"], pdf["frame_data"]
+            ):
+                for ch in chunk_bytes(bytes(payload), settings):
+                    out["object_key"].append(key)
+                    out["chunk_key"].append(ch.key)
+                    out["length"].append(ch.length)
+                    out["address"].append(int(base) + ch.address)
+                    out["chunk_data"].append(ch.data)
+            yield pd.DataFrame(out)
+
+    raw = frames.select(key_col, "frame_addr", "frame_data").mapInPandas(
+        _chunk_frames,
+        schema="object_key string, chunk_key string, length int, address long, chunk_data binary",
+    )
+    w = Window.partitionBy("object_key").orderBy("address")
+    return raw.withColumn("position", (F.row_number().over(w) - 1).cast("int")).select(
+        "object_key", "chunk_key", "length", "position", "address", "chunk_data"
+    )

@@ -125,3 +125,87 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine.
+
+    ``centroids`` is (centroid_id, cv) and small by construction, so the
+    scoring join is a broadcast fan-out of |centroids| per vector followed
+    by a per-vector top-n_probe window — no corpus shuffle.
+    """
+    c = centroids.select(F.col("centroid_id"), F.col("cv"))
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+        id_col, vec_col, "centroid_id", cosine(F.col(vec_col), F.col("cv")).alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), "centroid_id")
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_probe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id)`` — a uniform pseudo-random sample
+    that needs no RNG state and is reproducible across runs/engines.
+    (A k-means refinement loop can start from these; for IVF routing a
+    fixed coarse sample already buys the |corpus|/n_centroids probe
+    reduction.) ``orderBy().limit()`` executes as a distributed
+    TakeOrdered — per-partition top-n then a driver merge of n rows —
+    never a global sort.
+    """
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file search with coarse centroids.
+
+    Build: corpus vectors are listed under their nearest centroid (one
+    broadcast scoring pass; at scale the assignment is precomputed once
+    and the corpus is partitioned by ``centroid_id``, so a probe reads
+    |corpus| * n_probe / n_centroids instead of everything). Query: each
+    query probes its ``n_probe`` nearest centroids' lists and scores
+    exactly within them. Same output shape as :func:`cosine_topk`;
+    recall rises with ``n_probe`` (== n_centroids is exact search).
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_lists = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    query_probes = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    scored = (
+        corpus_lists.join(F.broadcast(query_probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -94,6 +94,49 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ann_topk_ivf",
+    None,
+    doc="IVF approximate top-k: deterministic coarse centroids, corpus "
+    "listed per centroid, queries probe n_probe nearest lists (the "
+    "partition-pruned scale path alongside sign-LSH).",
+)
+def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    return ann_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "cdc_chunk_index_segmented",
+    None,
+    doc="segment-framed CDC (SURVEY §7.3): objects split into frames "
+    "JVM-side, frames chunked in parallel, addresses rebased — the "
+    "within-object parallelism path for multi-GB objects.",
+)
+def cdc_chunk_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.chunking import (
+        ChunkSettings,
+        SMALL_FILE_PROFILE,
+        chunk_objects_segmented,
+    )
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    chunks = chunk_objects_segmented(
+        objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=32768
+    )
+    return chunks.groupBy("object_key").agg(
+        F.count("*").cast("long").alias("chunk_count"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.count_distinct("chunk_key").alias("distinct_chunks"),
+    )
+
+
+@register(
     "multimodal_image_features",
     None,
     doc="multimodal plumbing: documents' bytes wrapped as media structs -> "

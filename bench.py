@@ -33,6 +33,7 @@ HEADLINE = [
     "docs_fingerprint",
     "emb_knn_cosine",
     "emb_ann_buckets",
+    "emb_ann_topk_ivf",
 ]
 
 

@@ -410,3 +410,41 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since"),
     )
+
+
+@register(
+    "percentile_agg",
+    """
+SELECT l_returnflag,
+       quantile_cont(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 0.5) AS median_qty,
+       quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9) AS p90_price,
+       quantile_cont(CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE), 0.25) AS p25_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont bit-for-bit on decimal-quantized doubles); at scale "
+    "swap for approx_percentile's t-digest sketch",
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(_dec("l_quantity", 2).cast("double"), 0.5).alias("median_qty"),
+        F.percentile(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 0.9).alias("p90_price"),
+        F.percentile(_dec("l_discount", 2).cast("double"), 0.25).alias("p25_disc"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    None,
+    doc="approx_count_distinct (HyperLogLog++) per return flag — the "
+    "sketch path for 100 TB cardinalities; no oracle because Spark's "
+    "HLL++ and DuckDB's approx_distinct are different sketches (exact "
+    "counterpart: distinct_agg).",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )

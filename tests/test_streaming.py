@@ -174,3 +174,30 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert all(r.event_type != "view" for r in finalized)
     w0 = [r for r in finalized if r.window_start.hour == 0]
     assert len(w0) == 1 and w0[0].n_events == 1
+
+
+def test_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (views->clicks within 30 min) must
+    produce exactly the batch inner join with the same predicates."""
+    views_s = S.stream_from_dir(spark, events_dir).filter(F.col("event_type") == "view")
+    clicks_s = S.stream_from_dir(spark, events_dir).filter(F.col("event_type") == "click")
+    sdf = S.interval_join_views_to_clicks(views_s, clicks_s)
+    got = _run(spark, sdf, "t_ivjoin", "append")
+
+    ev = _batch_events(spark, events_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    batch = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts")
+
+    cols = ["user_id", "view_id", "click_id", "view_ts", "click_ts"]
+    assert batch.count() > 0  # the fixture must actually exercise the join
+    assert _collect_set(got, cols) == _collect_set(batch, cols)

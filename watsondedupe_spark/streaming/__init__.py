@@ -164,6 +164,44 @@ def stateful_user_totals(events: DataFrame, timeout_minutes: int | None = None) 
     )
 
 
+def interval_join_views_to_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to a preceding
+    view by the same user within ``within``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides — that pair of constraints is what lets the engine
+    evict join state (a view older than click-watermark - ``within`` can
+    never match again). Without the time bound the state would grow
+    forever; with it, state is O(users x within-window).
+
+    Batch-equivalent semantics: a plain inner join with the same
+    predicates (asserted in tests).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Start the stream into an in-memory sink table ``name`` and return
     the query handle (caller: ``q.processAllAvailable()`` then

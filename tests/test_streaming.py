@@ -201,3 +201,51 @@ def test_interval_join_matches_batch(spark, events_dir):
     cols = ["user_id", "view_id", "click_id", "view_ts", "click_ts"]
     assert batch.count() > 0  # the fixture must actually exercise the join
     assert _collect_set(got, cols) == _collect_set(batch, cols)
+
+
+def test_ingest_stream_builds_index_incrementally(spark, tmp_path):
+    """Streaming dedupe ingest: objects arriving across micro-batches
+    land in the index with cross-batch chunk dedup; the final index
+    equals what one batch write of everything would build."""
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    src = str(tmp_path / "objsrc")
+    os.makedirs(src, exist_ok=True)
+    engine = DedupeEngine.create(
+        spark, str(tmp_path / "sidx"), ChunkSettings(2048, 16384, 128, 2)
+    )
+
+    import random as _r
+
+    shared = _r.Random(1).randbytes(40_000)  # same bytes in both waves
+    wave1 = [("s/a", shared), ("s/b", _r.Random(2).randbytes(30_000))]
+    wave2 = [("s/c", shared), ("s/d", _r.Random(3).randbytes(30_000))]
+
+    def emit(rows):
+        spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in rows], "object_key string, data binary"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    import time as _time
+
+    emit(wave1)
+    q = S.ingest_stream(engine, src, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    assert engine.exists("s/a") and engine.exists("s/b")
+
+    _time.sleep(1.1)  # distinct mtime for the second wave's file
+    emit(wave2)
+    q.processAllAvailable()
+    q.stop()
+
+    # every object readable byte-for-byte
+    for key, payload in wave1 + wave2:
+        assert engine.get(key) == payload
+    # cross-batch dedup: s/c's chunks are s/a's chunks, refcounted not re-stored
+    stats = engine.stats()
+    assert stats.object_count == 4
+    assert stats.logical_bytes == 140_000
+    assert stats.physical_bytes < stats.logical_bytes  # shared bytes stored once
+    shared_chunks = engine.get_chunks("s/a").collect()
+    assert all(c.ref_count == 2 for c in shared_chunks)

@@ -202,6 +202,38 @@ def interval_join_views_to_clicks(
     )
 
 
+def ingest_stream(engine, path: str, checkpoint: str, object_key_col: str = "object_key"):
+    """Continuous dedupe ingest: stream (object_key, data) parquet files
+    into a :class:`~watsondedupe_spark.engine.DedupeEngine` index.
+
+    The reference's Write (O1) as a stream: each micro-batch runs the
+    full distributed write path (chunker UDF -> refcount merge -> chunk
+    store insert-if-absent -> object rows) via ``foreachBatch``, so
+    chunks arriving in later batches dedup against everything already
+    indexed. Micro-batches commit serially — the same single-writer
+    discipline the snapshot store (and the reference's mutexes,
+    SqliteProvider.cs:29-30) assume; the checkpoint makes ingest
+    restartable exactly-once at the batch level.
+
+    Returns the StreamingQuery; callers drain with
+    ``processAllAvailable()`` or leave it running.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.write_batch(batch_df.select(object_key_col, "data"))
+
+    return (
+        engine.spark.readStream.schema(f"{object_key_col} string, data binary")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Start the stream into an in-memory sink table ``name`` and return
     the query handle (caller: ``q.processAllAvailable()`` then

@@ -1,0 +1,81 @@
+"""as-of and range join operators: semantics vs a brute-force reference
+on small data, plus the one-shuffle plan shape."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from watsondedupe_spark import plans as P
+from watsondedupe_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s):
+    return f"2024-01-01 {s}:00"
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = random.Random(5)
+    lefts = [(u, _ts(f"{rng.randrange(10, 20):02d}:{rng.randrange(60):02d}"), i)
+             for i, u in enumerate(rng.choices(range(4), k=25))]
+    rights = [(u, _ts(f"{rng.randrange(10, 20):02d}:{rng.randrange(60):02d}"), 100 + i)
+              for i, u in enumerate(rng.choices(range(4), k=25))]
+    L = spark.createDataFrame(lefts, "user_id long, ts string, click_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(rights, "user_id long, ts string, view_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        r.click_id: r.view_id
+        for r in asof_join(L, R, on="user_id", ts="ts", tie_cols=["view_id"]).collect()
+    }
+    lrows = L.collect()
+    rrows = R.collect()
+    for lr in lrows:
+        cands = [rr for rr in rrows if rr.user_id == lr.user_id and rr.ts <= lr.ts]
+        want = max(cands, key=lambda rr: (rr.ts, rr.view_id)).view_id if cands else None
+        assert got[lr.click_id] == want, lr.click_id
+    assert len(got) == len(lrows)  # every left row survives (left-outer semantics)
+
+
+def test_asof_join_tolerance(spark):
+    L = spark.createDataFrame(
+        [(1, _ts("12:00"), 1)], "user_id long, ts string, click_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, _ts("11:00"), 10)], "user_id long, ts string, view_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ok = asof_join(L, R, on="user_id", ts="ts").collect()[0]
+    assert ok.view_id == 10
+    stale = asof_join(L, R, on="user_id", ts="ts", tolerance="30 minutes").collect()[0]
+    assert stale.view_id is None
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    L = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("click_id"),
+    )
+    R = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 45).alias("ts"),
+        F.col("id").alias("view_id"),
+    )
+    df = asof_join(L, R, on="user_id", ts="ts")
+    assert not P.has_cartesian(df)
+    # union + one window = exactly one hashpartitioning exchange on the key
+    assert P.shuffle_count(df) == 1
+
+
+def test_range_join_containment(spark):
+    points = spark.createDataFrame(
+        [("k", 5), ("k", 150), ("k", 250)], "object_key string, pos long"
+    )
+    intervals = spark.createDataFrame(
+        [("k", 0, 100), ("k", 100, 100)], "object_key string, address long, length long"
+    )
+    got = sorted(
+        (r.pos, r.address)
+        for r in range_join(points, intervals, "object_key", "pos", "address", "length").collect()
+    )
+    assert got == [(5, 0), (150, 100)]  # 250 falls outside every interval

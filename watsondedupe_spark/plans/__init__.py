@@ -109,10 +109,21 @@ def codegen_span_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Exchange operators in the plan = shuffle boundaries. Every one is a
-    full network rewrite of its input at scale; audits pin the expected
-    count so an accidental extra shuffle fails loudly."""
-    return count_occurrences(df, r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)")
+    """Shuffle Exchange operators in the plan (BroadcastExchange excluded
+    — shipping a small table is not a shuffle of the big one). Every one
+    is a full network rewrite of its input at scale; audits pin the
+    expected count so an accidental extra shuffle fails loudly.
+
+    Matches both explain formats: formatted mode names the operator
+    ``(N) Exchange``; simple mode inlines ``Exchange hashpartitioning...``.
+    """
+    plan = physical_plan(df)
+    formatted = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    if formatted:
+        return formatted
+    return len(
+        re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)
+    )
 
 
 def audit(df: DataFrame) -> dict:

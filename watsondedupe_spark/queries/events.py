@@ -149,3 +149,41 @@ def events_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
         )
     )
+
+
+@register(
+    "events_asof_view_click",
+    """
+WITH tagged AS (
+    SELECT user_id, ts, event_id AS click_id, NULL::BIGINT AS view_id, 1 AS side
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, NULL::BIGINT AS click_id, event_id AS view_id, 0 AS side
+    FROM events WHERE event_type = 'view'
+),
+carried AS (
+    SELECT user_id, ts, click_id, side,
+           last_value(view_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, COALESCE(click_id, view_id)
+               ROWS UNBOUNDED PRECEDING) AS view_id
+    FROM tagged
+)
+SELECT user_id, ts, click_id, view_id FROM carried WHERE side = 1
+""",
+    doc="as-of join: each click paired with the latest view at-or-before "
+    "it per user — union+window merge formulation (one shuffle on the "
+    "key, no range-join row explosion; operators/joins.py::asof_join)",
+)
+def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    return asof_join(clicks, views, on="user_id", ts="ts", tie_cols=["view_id"]).select(
+        "user_id", "ts", "click_id", "view_id"
+    )

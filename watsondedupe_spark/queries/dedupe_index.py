@@ -230,12 +230,16 @@ def ddp_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DQ7: COUNT/SUM statistics (SqliteProvider.cs:155-190)",
 )
 def ddp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ob = objects_df(spark, sf_dir)
-    ck = object_map_df(spark, sf_dir).groupBy("chunk_key").agg(F.min("length").alias("length"))
-    o = ob.agg(
-        F.count("*").cast("long").alias("object_count"),
-        F.sum("original_length").cast("long").alias("logical_bytes"),
+    # one derivation of the chunk index feeds both aggregate branches
+    # (persist: the md5-per-chunk explode is the cost, not the aggs);
+    # object stats come straight from the map — count(distinct id) ==
+    # count of grouped objects, sum(length) == sum of original_length
+    om = object_map_df(spark, sf_dir).persist()
+    o = om.agg(
+        F.count_distinct("id").cast("long").alias("object_count"),
+        F.sum("length").cast("long").alias("logical_bytes"),
     )
+    ck = om.groupBy("chunk_key").agg(F.min("length").alias("length"))
     c = ck.agg(
         F.count("*").cast("long").alias("chunk_count"),
         F.sum("length").cast("long").alias("physical_bytes"),
@@ -258,7 +262,7 @@ def ddp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DQ8: dedup ratios with div-by-zero guard (IndexStatistics.cs:81-108)",
 )
 def ddp_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    om = object_map_df(spark, sf_dir)
+    om = object_map_df(spark, sf_dir).persist()
     ck = om.groupBy("chunk_key").agg(F.min("length").alias("length"))
     s = (
         om.agg(F.sum("length").cast("long").alias("logical_bytes"))

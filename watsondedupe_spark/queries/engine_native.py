@@ -148,3 +148,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     media = wrap_media(df, "payload", "image/png", "doc_id")
     return extract_image_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc="multimodal frame sampling: binary 'video' payloads explode into "
+    "bounded per-frame rows via Arrow-batched mapInPandas (splitter seam "
+    "is a deterministic fake; schema/fan-out contract is real).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.multimodal import sample_frames, wrap_media
+
+    df = _docs(spark, sf_dir).limit(200).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = wrap_media(df, "payload", "video/mp4", "doc_id")
+    frames = sample_frames(media, every_ms=500, max_frames=4)
+    return frames.select("id", "frame_index", "frame_ts_ms", F.length("frame").alias("frame_bytes"))

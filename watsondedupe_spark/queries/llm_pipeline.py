@@ -595,3 +595,54 @@ def emb_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket_bit = F.when(F.col("dot") >= 0, F.pow(2, F.col("j") - 1).cast("long")).otherwise(F.lit(0))
     return proj.groupBy("vec_id").agg(F.sum(bucket_bit).cast("long").alias("bucket"))
+
+
+@register(
+    "docs_pipeline_filter",
+    f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+    FROM documents
+),
+keep AS (
+    SELECT doc_id, text FROM scored
+    WHERE n_tokens >= 10 AND punct_ratio <= 0.2 AND stop_ratio >= 0.05
+),
+dedup AS (
+    SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM keep GROUP BY md5(text)
+)
+SELECT doc_id FROM dedup
+""",
+    doc="composite training-data filter: quality gates (length, punctuation, "
+    "stopword ratios) then exact dedup keeping min doc_id — the filters all "
+    "evaluate in one scan before the single dedup shuffle",
+)
+def docs_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    keep = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.2) & (F.col("stop_ratio") >= 0.05)
+    )
+    return (
+        keep.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+        .select("doc_id")
+    )

@@ -235,3 +235,22 @@ def test_empty_index_stats(engine):
     s = engine.stats()
     assert (s.object_count, s.chunk_count, s.logical_bytes, s.physical_bytes) == (0, 0, 0, 0)
     assert s.ratio_x == 0.0 and s.ratio_percent == 0.0
+
+
+def test_get_batch_distributed_reassembly(engine):
+    """get_batch reassembles every requested object byte-identically in
+    one job; missing keys are absent (batched try_get semantics)."""
+    payloads = {
+        f"gb{i}": random.Random(400 + i).randbytes(5000 + 9000 * i) for i in range(4)
+    }
+    df = engine.spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "object_key string, data binary"
+    )
+    engine.write_batch(df)
+    got = {
+        r.object_key: bytes(r.data)
+        for r in engine.get_batch([*payloads, "gb-missing"]).collect()
+    }
+    assert set(got) == set(payloads)  # missing key absent, no error
+    for k, v in payloads.items():
+        assert got[k] == v, k

@@ -332,6 +332,36 @@ class DedupeEngine:
         except ObjectNotFoundError:
             return None
 
+    def get_batch(self, keys: list[str]) -> DataFrame:
+        """Batched point reads with DISTRIBUTED reassembly: one DataFrame
+        of ``(object_key, data)`` for all requested keys.
+
+        The reference reads one object per call (DedupeLibrary.cs:377-404);
+        a driver-side loop over :meth:`get` would run one Spark job per
+        key. Here all requested maps join ``chunk_store`` at once and each
+        object reassembles inside its ``groupBy`` group: pieces are
+        collected as (address, data) structs, sorted by address, and
+        folded with binary concat — all JVM-side, one job for the whole
+        batch, objects distributed across executors. Missing keys are
+        simply absent from the result (try_get semantics, batched).
+        """
+        wanted = self.object_map.filter(F.col("object_key").isin(keys))
+        pieces = self.chunk_store.join(F.broadcast(wanted), "chunk_key")
+        return (
+            pieces.groupBy("object_key")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("address", "data"))).alias("_pieces")
+            )
+            .select(
+                "object_key",
+                F.aggregate(
+                    "_pieces",
+                    F.lit(b"").cast("binary"),
+                    lambda acc, p: F.concat(acc, p["data"]),
+                ).alias("data"),
+            )
+        )
+
     def map_for_position(self, key: str, position: int) -> DataFrame:
         """O10: the interval-containment predicate — the reference's one
         hand-written SQL query (SqliteProvider.cs:378-382)."""

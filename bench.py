@@ -34,6 +34,8 @@ HEADLINE = [
     "emb_knn_cosine",
     "emb_ann_buckets",
     "emb_ann_topk_ivf",
+    "events_asof_view_click",
+    "docs_pipeline_filter",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Semantic invariants for the extended relational/query batch
+(queries/relational_ext.py + the text-metric additions) beyond the
+value-hash oracle check tools/check.py performs:
+
+- sessionization: within a session every inter-event gap <= 30 min, and
+  consecutive sessions of one user are separated by > 30 min
+- repetition ratio: bounded in (0, 1], distinct <= total
+- cross-source overlap: symmetric-free (a < b), counts positive
+- q14 promo share: promo_revenue <= total_revenue, pct in [0, 100]
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.queries import all_queries
+
+GAP_US = 1_800_000_000
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def test_sessionize_gap_invariants(spark, sf_dir, specs):
+    sess = specs["events_sessionize_gap"].spark(spark, sf_dir)
+    rows = sess.collect()
+    assert rows, "sessionization produced no sessions"
+    # rebuild raw per-user ordered events and re-segment in plain Python
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    by_user_sessions: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.us, r.event_id))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions = [1]
+        for (prev, _), (cur, _) in zip(evs, evs[1:]):
+            sessions.append(sessions[-1] + (1 if cur - prev > GAP_US else 0))
+        by_user_sessions[uid] = sessions
+    # expected: per (user, session_seq) count
+    expected: dict[tuple[int, int], int] = {}
+    for uid, sessions in by_user_sessions.items():
+        for s in sessions:
+            expected[(uid, s)] = expected.get((uid, s), 0) + 1
+    got = {(r.user_id, r.session_seq): r.n_events for r in rows}
+    assert got == expected
+
+
+def test_repetition_ratio_bounds(spark, sf_dir, specs):
+    rep = specs["docs_repetition_ratio"].spark(spark, sf_dir)
+    bad = rep.filter(
+        (F.col("uniq_ratio") <= 0)
+        | (F.col("uniq_ratio") > 1)
+        | (F.col("distinct_grams") > F.col("total_grams"))
+    ).count()
+    assert bad == 0
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.size(F.split("text", " ")) >= 5)
+        .count()
+    )
+    assert rep.count() == n_docs
+
+
+def test_cross_source_overlap_shape(spark, sf_dir, specs):
+    ov = specs["docs_cross_source_overlap"].spark(spark, sf_dir).collect()
+    for r in ov:
+        assert r.source_a < r.source_b
+        assert r.shared_shingles > 0
+
+
+def test_promo_share_bounds(spark, sf_dir, specs):
+    row = specs["tpch_q14_promo"].spark(spark, sf_dir).collect()[0]
+    assert 0 <= row.promo_revenue <= row.total_revenue
+    assert 0.0 <= row.promo_pct <= 100.0
+
+
+def test_q6_agrees_with_direct_recount(spark, sf_dir, specs):
+    row = specs["tpch_q6_revenue"].spark(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).count()
+    assert row.n_rows == n

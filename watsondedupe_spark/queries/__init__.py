@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         llm_pipeline,
         relational,
+        relational_ext,
     )
 
     return dict(_REGISTRY)

@@ -646,3 +646,101 @@ def docs_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("long").alias("doc_id"))
         .select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition & cross-source contamination metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_repetition_ratio",
+    """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+),
+g AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+             AS gram
+    FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS uniq_ratio
+FROM g GROUP BY doc_id
+""",
+    doc="within-doc repetition metric (Gopher-style quality signal): "
+    "fraction of word-5-grams that are distinct; a low ratio flags "
+    "boilerplate/looped text. One scan, one shuffle on doc_id; the "
+    "distinct-count is per-group exact (ratio of exact ints -> IEEE "
+    "double, identical both engines)",
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.get("t", i),
+                        F.get("t", i + 1),
+                        F.get("t", i + 2),
+                        F.get("t", i + 3),
+                        F.get("t", i + 4),
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.count_distinct("gram").alias("distinct_grams"),
+        (F.count_distinct("gram").cast("double") / F.count("*")).alias("uniq_ratio"),
+    )
+
+
+@register(
+    "docs_cross_source_overlap",
+    f"""
+WITH {_SHINGLES_SQL},
+src AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_shingles
+FROM src a JOIN src b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    doc="cross-source contamination check (train/test-overlap shape): "
+    "distinct word-3-gram shingles per source, self-joined on shingle to "
+    "count shared shingles per source pair. The inverted-index join runs "
+    "on the pre-deduped (source, shingle) set — the shuffle key is the "
+    "shingle, so at 100 TB this scales with corpus vocabulary, never "
+    "all-pairs of documents; at real scale use 13-grams so collisions "
+    "imply contamination rather than chance",
+)
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        shingles_df(spark, sf_dir)
+        .join(F.broadcast(_docs(spark, sf_dir).select("doc_id", "source")), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = src.alias("a")
+    b = src.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("shared_shingles"))
+    )

@@ -1,0 +1,453 @@
+"""Extended relational coverage — TPC-H-style query shapes the first
+relational batch (relational.py) did not exercise, adapted to the
+driver's pared-down star schema (no partsupp/shipmode/phone columns).
+
+New plan shapes covered here, each oracle-exact vs DuckDB:
+
+- semi-join driven aggregate (Q4), single-pass filter aggregate (Q6),
+  returned-revenue top-k over a 4-way join (Q10), conditional CASE
+  aggregation (Q12), promo revenue share (Q14), decorrelated correlated
+  subquery (Q17), HAVING over a join-back aggregate (Q18), disjunctive
+  OR-of-ANDs join predicate (Q19), scalar-subquery + anti-join (Q22)
+- JSON extraction from a string column (events.props)
+- gap-based sessionization (lag + cumulative flag sum), the batch
+  analogue of session_window with exact integer-microsecond arithmetic
+
+Scale posture: every dim side small enough to broadcast is broadcast;
+the fact table (lineitem/orders/events) shuffles at most once per
+aggregate grain; scalar subqueries collapse to a 1-row broadcast cross
+join rather than a driver collect. FP discipline follows relational.py:
+money math through DECIMAL, one final double cast on both engines.
+
+Reference parity note: none of these exist in WatsonDedupe (its only
+join is the IN-list chunk lookup, SqliteProvider.cs:333-355); they are
+engine-side additions per SURVEY.md §2.2/DQ13-DQ20.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.sources import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _rev_spark():
+    return (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+
+@register(
+    "tpch_q4_priority",
+    """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then "
+    "count per priority (one shuffle on o_orderkey, one on the group key)",
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_revenue",
+    """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2))
+                                            AND CAST(0.07 AS DECIMAL(18,2))
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure scan-filter-aggregate — the predicate-pushdown / "
+    "whole-stage-codegen showcase (no shuffle at all beyond the final "
+    "1-row reduce)",
+)
+def tpch_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & _dec("l_discount").between(
+            F.lit(0.05).cast("decimal(18,2)"), F.lit(0.07).cast("decimal(18,2)")
+        )
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+    return li.agg(
+        F.sum(disc_rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: lost-revenue top-20 — 4-way join with broadcast "
+    "customer/nation dims, one fact shuffle, TakeOrderedAndProject top-k",
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-07-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_class",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12 shape: conditional CASE aggregation after an equi-join "
+    "(priority buckets stand in for the absent l_shipmode column)",
+)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    f"""
+SELECT
+  CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS total_revenue,
+  100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE)) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
+""",
+    doc="TPC-H Q14: promo revenue share — broadcast part dim, conditional "
+    "decimal sums, ratio taken once in IEEE double (identical bits both "
+    "engines because the operands are decimal-exact)",
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-06-01 00:00:00")
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev_spark()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(_rev_spark()).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * (F.col("promo_revenue") / F.col("total_revenue"))).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < 0.4 * a.avg_qty
+""",
+    doc="TPC-H Q17 shape: correlated scalar subquery decorrelated into a "
+    "per-part aggregate joined back to the fact (Catalyst does the same "
+    "rewrite for the subquery form); avg computed decimal-exact",
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_big_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(250 AS DECIMAL(18,2)))
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18: large-volume orders — HAVING aggregate as a semi-join "
+    "filter, then re-aggregate at the order grain with broadcast customer",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > F.lit(250).cast("decimal(18,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
+                li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+SELECT CAST(SUM({_REV_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1  AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+    doc="TPC-H Q19: disjunctive OR-of-ANDs predicate spanning both join "
+    "sides — Catalyst extracts the common p_partkey equi-key so the join "
+    "stays hash-based (no nested-loop), residual OR evaluated post-join",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & (q >= 20) & (q <= 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_spark()).cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "tpch_q22_idle_rich",
+    """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 shape: scalar subquery (global avg positive balance, "
+    "computed once and broadcast as a 1-row cross join) + anti-join "
+    "against urgent orders, grouped by nation",
+)
+def tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE event_type = 'click'
+GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) % 10
+""",
+    doc="semi-structured extraction: JSON path into the events.props "
+    "string column (Spark get_json_object — JVM Jackson path, no UDF), "
+    "aggregated per bucket",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_sessionize_gap",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM sess
+GROUP BY user_id, session_seq
+""",
+    doc="gap-based sessionization (30-min inactivity): lag + cumulative "
+    "new-session flag — the batch analogue of session_window, exact in "
+    "integer microseconds (unix_micros == DuckDB epoch_us); one shuffle "
+    "on user_id serves both windows and the final aggregate",
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    marked = e.select("user_id", "event_id", F.unix_micros("ts").alias("us")).withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

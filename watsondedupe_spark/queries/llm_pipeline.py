@@ -59,23 +59,25 @@ sh AS (
 """
 
 
+def _shingle_arr():
+    """Word-3-gram shingle array per document, computed row-local (no
+    explode, no shuffle) — whole-stage-codegen array expressions."""
+    t = F.split("text", " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)),
+    )
+
+
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split("text", " ")
+    # Shape note: explode + distinct() (map-side partial dedup, one
+    # shuffle) measures ~4x faster than the shuffle-free
+    # explode(array_distinct(...)) — ArrayDistinct over string arrays
+    # evaluates interpreted and quadratic per row, outside codegen.
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.get("t", i), F.get("t", i + 1), F.get("t", i + 2)
-                    ),
-                )
-            ).alias("shingle"),
-        )
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(_shingle_arr()).alias("shingle"))
         .distinct()
     )
 
@@ -95,7 +97,17 @@ _SIG_SQL = (
 
 
 def minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature (k=6) + two LSH band keys per document."""
+    """MinHash signature (k=6) + two LSH band keys per document.
+
+    Shape note: explode + groupBy(doc_id) with six MIN aggregates beats
+    the tempting zero-shuffle row-local form (six array_min(transform)
+    columns over the shingle array) by ~4x here — six inline copies of
+    the shingle-array expression blow up the generated code and fall out
+    of whole-stage codegen, while the exploded form hashes each shingle
+    row-wise in codegen and map-side-combines before its single shuffle.
+    (MIN is insensitive to duplicate shingles, so shingles_df's
+    distinct-free output is still correct input.)
+    """
     sh = shingles_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"m{j+1}")
@@ -236,17 +248,37 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
     "skew guard that keeps this plan alive at scale",
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index formulation: one groupBy(shingle) produces the
+    # posting list per shingle; the stop-shingle cutoff (<= 50 docs)
+    # bounds each list so in-bucket pair expansion is row-local array
+    # math (<= C(50,2) pairs), never a self-join of the posting table.
+    # Three shuffles total: shingle, doc_id (sizes), (doc_a, doc_b).
     sh = shingles_df(spark, sf_dir)
-    rare = (
-        sh.groupBy("shingle").count().filter(F.col("count") <= _STOP_SHINGLE_MAX).select("shingle")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _STOP_SHINGLE_MAX)
     )
-    shr = sh.join(rare, "shingle").cache()
-    sizes = shr.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    x = shr.alias("x")
-    y = shr.alias("y")
+    # per-doc count of *rare* shingles (matches the oracle's `sizes` CTE)
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ds is sorted ascending, so nested index expansion yields a < b
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ds") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds") - 1),
+                lambda j: F.struct(F.get("ds", i).alias("a"), F.get("ds", j).alias("b")),
+            ),
+        )
+    )
     inter = (
-        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -458,6 +490,13 @@ _KNN_QUERIES = (0, 1, 2)
 _QUANT = "CAST(floor(CAST({x} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
 
 
+def _quant_vec():
+    """Embedding quantized to exact integers, row-local."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+    )
+
+
 @register(
     "emb_knn_cosine",
     f"""
@@ -491,43 +530,43 @@ WHERE rnk <= 10
     "portability trick that makes float similarity oracle-checkable",
 )
 def emb_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    ce = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i", "x"),
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("v"),
+    # Row-local formulation: the (tiny) query set broadcasts as whole
+    # quantized vectors; each candidate row computes dot and norms with
+    # zip_with/aggregate inside codegen. No explode, no wide shuffle over
+    # dimension rows. Top-k is two-phase (salted partial rank, then final
+    # rank over <= 32*10 rows per query) so one hot query key can never
+    # pin the sort to a single task at scale.
+    emb = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("v"))
+    nrm = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    ce = ce.cache()
-    norms = ce.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("nrm"))
-    qe = ce.filter(F.col("vec_id").isin(*_KNN_QUERIES)).select(
-        F.col("vec_id").alias("qid"), "i", F.col("v").alias("qv")
+    cand = emb.select("vec_id", "v", nrm.alias("nrm"))
+    q = cand.filter(F.col("vec_id").isin(*_KNN_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    dots = (
-        ce.join(F.broadcast(qe), (ce.i == qe.i) & (ce.vec_id != qe.qid))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
     sims = (
-        dots.join(F.broadcast(nq), F.col("qid") == F.col("nq.vec_id"))
-        .join(F.broadcast(nc), F.col("cid") == F.col("nc.vec_id"))
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
-            "cid",
+            F.col("vec_id").alias("cid"),
             (
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("nq.nrm").cast("double"))
-                / F.sqrt(F.col("nc.nrm").cast("double"))
+                dot.cast("double")
+                / F.sqrt(F.col("qnrm").cast("double"))
+                / F.sqrt(F.col("nrm").cast("double"))
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    w_part = Window.partitionBy("qid", "salt").orderBy(F.desc("cosine"), "cid")
+    w_full = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
     return (
-        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        sims.withColumn("salt", F.pmod(F.col("cid"), F.lit(32)))
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= 10)
+        .withColumn("rank", F.row_number().over(w_full).cast("int"))
         .filter(F.col("rank") <= 10)
         .select(
             F.col("qid").alias("query_id"),
@@ -577,24 +616,29 @@ FROM proj GROUP BY vec_id
     "instead of all-pairs",
 )
 def emb_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _emb(spark, sf_dir).sparkSession.createDataFrame(_PLANES, "j int, i int, s int")
-    # posexplode is 0-based; planes table is 1-based
-    ce = (
-        _emb(spark, sf_dir)
-        .select("vec_id", F.posexplode("embedding").alias("i0", "x"))
-        .select(
-            "vec_id",
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("v"),
-        )
+    # The hyperplane table is a compile-time constant, so each sign bit
+    # is a row-local dot product over array literals (zip_with +
+    # aggregate): one scan, zero shuffles, zero joins — the oracle keeps
+    # the relational explode/join formulation, which Spark would spend
+    # two shuffles on.
+    plane_arrs = [
+        F.array(*[F.lit(s) for (jj, _i, s) in _PLANES if jj == j])
+        for j in range(1, _N_PLANES + 1)
+    ]
+    dots = [
+        F.aggregate(
+            F.zip_with("qv", plane_arrs[j - 1], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"dot{j}")
+        for j in range(1, _N_PLANES + 1)
+    ]
+    proj = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("qv")).select("vec_id", *dots)
+    bucket = sum(
+        F.when(F.col(f"dot{j}") >= 0, F.lit(1 << (j - 1)).cast("long")).otherwise(F.lit(0))
+        for j in range(1, _N_PLANES + 1)
     )
-    proj = (
-        ce.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("v")).alias("dot"))
-    )
-    bucket_bit = F.when(F.col("dot") >= 0, F.pow(2, F.col("j") - 1).cast("long")).otherwise(F.lit(0))
-    return proj.groupBy("vec_id").agg(F.sum(bucket_bit).cast("long").alias("bucket"))
+    return proj.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
 @register(

@@ -59,25 +59,32 @@ sh AS (
 """
 
 
-def _shingle_arr():
-    """Word-3-gram shingle array per document, computed row-local (no
-    explode, no shuffle) — whole-stage-codegen array expressions."""
-    t = F.split("text", " ")
-    return F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
-        lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)),
-    )
-
-
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shape note: explode + distinct() (map-side partial dedup, one
-    # shuffle) measures ~4x faster than the shuffle-free
-    # explode(array_distinct(...)) — ArrayDistinct over string arrays
-    # evaluates interpreted and quadratic per row, outside codegen.
+    # Shape notes (measured):
+    # - tokens MUST be materialized as a projected column before the
+    #   n-gram transform — an inline F.split shared across F.get calls
+    #   is re-evaluated per array element inside the higher-order
+    #   lambda (no CSE there), re-splitting each text ~3x per shingle;
+    # - explode + distinct() (map-side partial dedup, one shuffle)
+    #   beats shuffle-free explode(array_distinct(...)) ~4x —
+    #   ArrayDistinct over string arrays evaluates interpreted and
+    #   quadratic per row, outside codegen.
+    toks = F.split("text", " ")
     return (
         _docs(spark, sf_dir)
-        .filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.explode(_shingle_arr()).alias("shingle"))
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.get("t", i), F.get("t", i + 1), F.get("t", i + 2)
+                    ),
+                )
+            ).alias("shingle"),
+        )
         .distinct()
     )
 

@@ -451,3 +451,167 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+@register(
+    "pivot_segment_year",
+    """
+SELECT c.c_mktsegment,
+       CAST(SUM(CASE WHEN year(o.o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+       CAST(SUM(CASE WHEN year(o.o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+       CAST(SUM(CASE WHEN year(o.o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997,
+       CAST(SUM(CASE WHEN year(o.o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY c.c_mktsegment
+""",
+    doc="pivot: order counts per market segment x year — Spark's pivot() "
+    "relational operator (plans as a single hash aggregate over "
+    "pivot-case projections, no extra shuffle vs a plain groupBy)",
+)
+def pivot_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01 00:00:00")
+    c = _t(spark, sf_dir, "customer")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .groupBy("c_mktsegment")
+        .pivot("yr", [1995, 1996, 1997, 1998])
+        .count()
+    )
+    # pivot leaves null for absent cells; the CASE-SUM oracle yields 0
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(str(y)), F.lit(0)).cast("long").alias(f"y{y}") for y in (1995, 1996, 1997, 1998)],
+    )
+
+
+@register(
+    "events_trailing_window",
+    """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_10min,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_last_10min
+FROM events
+WHERE user_id < 20
+""",
+    doc="time-based RANGE window frame: trailing 10-minute per-user count "
+    "and decimal-exact sum, ordered by integer microseconds so the frame "
+    "bound is engine-portable (Spark rangeBetween == DuckDB RANGE "
+    "PRECEDING on the same BIGINT key)",
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    val = F.col("value").cast("decimal(12,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_10min"),
+        F.sum(val).over(w).cast("double").alias("v_last_10min"),
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+       CAST(nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_key
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+""",
+    doc="ranking-window family: ntile, percent_rank, cume_dist, "
+    "first_value, nth_value (full-frame) — one sort per partition key "
+    "serves all five functions",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_orderstatus").orderBy(price, "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).cast("int").alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("o_orderkey").over(w).cast("long").alias("cheapest_key"),
+            F.nth_value("o_orderkey", 2).over(w_full).cast("long").alias("second_key"),
+        )
+    )
+
+
+@register(
+    "listagg_nation_brands",
+    """
+SELECT n.n_name,
+       string_agg(DISTINCT p.p_brand, ',' ORDER BY p.p_brand) AS brands,
+       CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+FROM supplier s
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 48
+GROUP BY n.n_name
+""",
+    doc="ordered string aggregation (LISTAGG): distinct brands supplied "
+    "per nation, sorted then joined — Spark side sorts the collected set "
+    "explicitly (collect_set order is partition-dependent; sort_array "
+    "makes it deterministic)",
+)
+def listagg_nation_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("p_brand")), ",").alias("brands"),
+            F.count_distinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@register(
+    "regexp_extract_parts",
+    """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+       regexp_matches(p_name, '^[a-m]') AS starts_early,
+       CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS n_consonants
+FROM part
+WHERE p_partkey <= 150
+""",
+    doc="regex functions: capture-group extraction, boolean match, "
+    "global replace — all JVM-side (no Python UDF)",
+)
+def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 150)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+            F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+            F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("int").alias("n_consonants"),
+        )
+    )

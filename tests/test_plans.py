@@ -85,3 +85,30 @@ def test_engine_get_plan_broadcasts_map_side(spark, tmp_path):
     )
     assert P.uses_broadcast_join(pieces)
     assert not P.has_shuffle_join(pieces)
+
+
+def test_ann_buckets_plan_has_no_shuffle(spark, sf_dir):
+    """The sign-LSH bucketing is row-local array math — any Exchange
+    appearing here means the explode/join formulation regressed in."""
+    df = q("emb_ann_buckets", spark, sf_dir)
+    report = P.audit(df)
+    assert report["shuffles"] == 0
+    assert report["shuffle_joins"] == 0
+
+
+def test_knn_broadcasts_query_vectors(spark, sf_dir):
+    """Brute-force kNN must broadcast the (tiny) query-vector side; the
+    candidate scan must never shuffle on dimension rows."""
+    df = q("emb_knn_cosine", spark, sf_dir)
+    report = P.audit(df)
+    # the only exchanges allowed are the two top-k window sorts
+    assert report["shuffle_joins"] == 0
+    assert report["shuffles"] <= 2
+
+
+def test_minhash_band_joins_are_broadcast_at_test_scale(spark, sf_dir):
+    df = q("docs_minhash_pairs", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    # band-bucket equi-joins; at sf-test the sig side broadcasts
+    assert report["broadcast_joins"] >= 1 or report["shuffle_joins"] >= 1

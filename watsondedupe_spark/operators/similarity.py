@@ -205,7 +205,9 @@ def ann_topk_ivf(
         corpus_lists.join(F.broadcast(query_probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+        # no dedup needed: build side assigns each corpus vector to
+        # exactly one list (n_probe=1), so multi-probe on the query side
+        # can never surface the same neighbor twice
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -250,3 +250,27 @@ def test_ivf_centroids_deterministic(spark):
     a = [r.centroid_id for r in ivf_centroids(emb, 8).collect()]
     b = [r.centroid_id for r in ivf_centroids(emb, 8).collect()]
     assert a == b and len(a) == 8
+
+
+def test_connected_components_toy_graph(spark):
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "node long")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path graph needs multiple propagation rounds
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    n = 20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "node long")
+    rows = connected_components(edges, nodes).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == n + 1

@@ -257,3 +257,56 @@ def embedding_near_dups(
         cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` is an undirected pair list (``src_col``, ``dst_col``);
+    ``nodes`` is the full vertex set (``node_col``) so isolated vertices
+    come out as singleton clusters. Returns (node, cluster_id) where
+    cluster_id is the smallest node id reachable from the node — the
+    canonical representative used by keep-one-per-cluster dedup.
+
+    Each iteration is one equi-join + one aggregate (labels flow across
+    edges, every node keeps the min seen so far) and converges in
+    O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
+    cliques, so 2-3 rounds in practice. ``localCheckpoint`` truncates
+    the lineage each round so the plan does not grow with iterations;
+    at cluster scale swap in ``checkpoint`` on durable storage and the
+    large-star/small-star variant if diameters get long.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

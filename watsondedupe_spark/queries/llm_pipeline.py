@@ -795,3 +795,100 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
         .agg(F.count("*").alias("shared_shingles"))
     )
+
+
+@register(
+    "docs_dup_clusters",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+)
+SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v
+""",
+    doc="near-dup clustering: connected components over the MinHash-LSH "
+    "candidate graph by iterative min-label propagation (one join + one "
+    "aggregate per round, lineage truncated per round, O(diameter) "
+    "rounds) — the keep-one-per-cluster map a training pipeline "
+    "deduplicates with. Oracle: DuckDB recursive CTE transitive closure "
+    "— an iterative DataFrame algorithm that still hash-matches SQL",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    pairs = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    cc = connected_components(
+        pairs, nodes, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@register(
+    "docs_top_ngrams",
+    """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+    SELECT unnest(list_transform(generate_series(1, len(t)-2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+    FROM tok
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 20
+""",
+    doc="corpus-level n-gram frequency (LM-style counts): all word-3-gram "
+    "occurrences, global top-20 — map-side partial counts into one "
+    "shuffle, then TakeOrdered; at 100 TB this is the canonical "
+    "high-cardinality count where partial aggregation does all the work",
+)
+def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    grams = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.get("t", i), F.get("t", i + 1), F.get("t", i + 2)
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )

@@ -36,6 +36,12 @@ HEADLINE = [
     "emb_ann_topk_ivf",
     "events_asof_view_click",
     "docs_pipeline_filter",
+    "tpch_q6_revenue",
+    "tpch_q10_returns",
+    "events_sessionize_gap",
+    "docs_top_ngrams",
+    "docs_repetition_ratio",
+    "docs_dup_clusters",
 ]
 
 

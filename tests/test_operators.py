@@ -274,3 +274,37 @@ def test_connected_components_chain_converges(spark):
     rows = connected_components(edges, nodes).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert len(rows) == n + 1
+
+
+def test_global_prefix_sum_matches_local(spark):
+    import random
+
+    from watsondedupe_spark.operators.text import global_prefix_sum
+
+    rng = random.Random(7)
+    vals = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    # expected exclusive cumsum in key order
+    expected, acc = {}, 0
+    for k, v in vals:
+        expected[k] = acc
+        acc += v
+    for nparts in (1, 4, 32):
+        got = {
+            r.k: r.offset
+            for r in global_prefix_sum(df, "k", "v", num_partitions=nparts).collect()
+        }
+        assert got == expected, f"prefix sum wrong at num_partitions={nparts}"
+
+
+def test_pack_sequences_contiguous(spark, sf_dir):
+    from watsondedupe_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(pack_sequences(docs, 128).collect(), key=lambda r: r.doc_id)
+    acc = 0
+    for r in rows:
+        assert r.offset == acc, "offsets must tile the stream with no gaps"
+        assert r.first_seq == r.offset // 128
+        assert r.last_seq == (r.offset + r.n_tokens - 1) // 128
+        acc += r.n_tokens

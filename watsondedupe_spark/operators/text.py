@@ -116,3 +116,77 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order,
+    computed with the two-phase distributed scan:
+
+    1. range-repartition on the order key (partition i holds keys below
+       partition i+1's), local exclusive cumsum inside each partition;
+    2. aggregate one total per partition, prefix-sum those few numbers
+       on the small side, broadcast-join the per-partition base offsets
+       back.
+
+    A bare ``Window.orderBy`` with no partitionBy would funnel the whole
+    table through ONE task; this shape keeps every stage parallel — the
+    only single-point work is the per-partition totals list (``#
+    partitions`` rows). Result is independent of where the (sampled)
+    range boundaries land, so the output is deterministic even though
+    partitioning is not.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn("_local_excl", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+    # totals branch reads `part`, not `local`: the range-shuffle Exchange
+    # is reused (ReusedExchange) and this side skips the window sort
+    totals = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn("_base", F.coalesce(F.sum("_ptotal").over(w_parts), F.lit(0))).select(
+        "_pid", "_base"
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn(out_col, (F.col("_base") + F.col("_local_excl")).cast("long"))
+        .drop("_pid", "_local_excl", "_base")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chop sequence packing (LM training-data layout).
+
+    Documents are laid end-to-end in ``id_col`` order as one virtual
+    token stream, then chopped into fixed ``capacity``-token training
+    sequences. Returns one row per document with its token offset in
+    the stream and the first/last sequence ids it lands in — the map a
+    packing writer needs to emit examples. Offsets come from
+    :func:`global_prefix_sum`, so no stage is single-task.
+    """
+    t = docs.select(F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    with_off = global_prefix_sum(t, id_col, "n_tokens", out_col="offset")
+    return with_off.select(
+        id_col,
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / capacity).cast("long").alias("first_seq"),
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / capacity).cast("long").alias("last_seq"),
+    )

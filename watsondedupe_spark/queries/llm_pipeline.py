@@ -892,3 +892,36 @@ def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "gram")
         .limit(20)
     )
+
+
+_PACK_CAP = 256
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+WITH t AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+    FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       CAST(floor("offset" / {_PACK_CAP}) AS BIGINT) AS first_seq,
+       CAST(floor(("offset" + n_tokens - 1) / {_PACK_CAP}) AS BIGINT) AS last_seq
+FROM c
+""",
+    doc=f"sequence packing (concat-and-chop into {_PACK_CAP}-token training "
+    "sequences): every document's offset in the virtual token stream via "
+    "a two-phase distributed prefix sum (range partition -> local cumsum "
+    "-> per-partition base offsets broadcast back) — never the "
+    "single-task global window the oracle can afford at sf0.01",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), _PACK_CAP)

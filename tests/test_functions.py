@@ -49,3 +49,27 @@ def test_vector_functions(spark):
     ).collect()
     assert rows[0].d == 1.0 and rows[0].c == 1.0
     assert rows[1].d == 0.0 and rows[1].c == 0.0
+
+
+def test_chunk_spans_udtf_matches_expression_derivation(spark, sf_dir):
+    """The Python UDTF and the pure-expression chunk layout must agree."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.functions.udtfs import register_udtfs
+    from watsondedupe_spark.queries.dedupe_index import CHUNK, object_map_df
+
+    register_udtfs(spark)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (str(r.doc_id), r.position, r.address, r.length)
+        for r in spark.sql(
+            f"""SELECT d.doc_id, s.position, s.address, s.length
+                FROM udtf_docs d,
+                LATERAL chunk_spans(CAST(length(d.text) AS INT), {CHUNK}) s"""
+        ).collect()
+    }
+    via_expr = {
+        (r.object_key, r.position, r.address, r.length)
+        for r in object_map_df(spark, sf_dir).collect()
+    }
+    assert via_udtf == via_expr

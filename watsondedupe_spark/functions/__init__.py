@@ -57,3 +57,4 @@ def interval_contains(address: Column | str, length: Column | str, position: int
     a = F.col(address) if isinstance(address, str) else address
     ln = F.col(length) if isinstance(length, str) else length
     return (a <= position) & (a + ln > position)
+from watsondedupe_spark.functions.udtfs import ChunkSpans, register_udtfs  # noqa: F401,E402

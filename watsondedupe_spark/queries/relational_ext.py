@@ -615,3 +615,49 @@ def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("int").alias("n_consonants"),
         )
     )
+
+
+@register(
+    "setops_multiset",
+    """
+SELECT 'inter_all' AS tag, c_nationkey AS nationkey FROM
+  (SELECT c_nationkey FROM customer WHERE c_custkey <= 200
+   INTERSECT ALL
+   SELECT c_nationkey FROM customer WHERE c_custkey BETWEEN 101 AND 300) t
+UNION ALL
+SELECT 'except_all' AS tag, c_nationkey AS nationkey FROM
+  (SELECT c_nationkey FROM customer WHERE c_custkey <= 200
+   EXCEPT ALL
+   SELECT c_nationkey FROM customer WHERE c_custkey BETWEEN 101 AND 300) t
+""",
+    doc="multiset set operations: INTERSECT ALL / EXCEPT ALL preserve "
+    "duplicate multiplicity (Spark intersectAll/exceptAll), unlike the "
+    "distinct forms in setops_nations",
+)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") <= 200).select(F.col("c_nationkey").alias("nationkey"))
+    b = c.filter(F.col("c_custkey").between(101, 300)).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    inter = a.intersectAll(b).select(F.lit("inter_all").alias("tag"), "nationkey")
+    exc = a.exceptAll(b).select(F.lit("except_all").alias("tag"), "nationkey")
+    return inter.unionByName(exc)
+
+
+@register(
+    "approx_percentile_qty",
+    None,
+    doc="approx_percentile (t-digest-style sketch) per return flag — the "
+    "mergeable-sketch path for 100 TB percentiles; no oracle because "
+    "Spark's and DuckDB's approx sketches differ (exact counterpart: "
+    "percentile_agg). Exact columns ride along so the rows-only check "
+    "still exercises both code paths.",
+)
+def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(qty, F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("approx_p50_p90"),
+        F.percentile(qty, 0.5).alias("exact_p50"),
+    )

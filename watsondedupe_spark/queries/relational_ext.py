@@ -661,3 +661,55 @@ def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(qty, F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("approx_p50_p90"),
         F.percentile(qty, 0.5).alias("exact_p50"),
     )
+
+
+@register(
+    "stats_corr_qty_price",
+    """
+SELECT l_returnflag, n_rows,
+       (n_rows * sxy - sx * sy) / sqrt((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy))
+         AS corr_qty_price,
+       (sxy - sx * sy / n_rows) / (n_rows - 1) AS covar_samp_qty_price,
+       (n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx) AS regr_slope_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+) t
+""",
+    doc="statistical aggregates (Pearson correlation, sample covariance, "
+    "regression slope) per return flag. Built-in corr()/covar_samp() are "
+    "engine-implementation-dependent in their summation order, so the "
+    "moments are accumulated as exact DECIMAL sums (bit-identical across "
+    "engines) and the closed-form ratios evaluated with the same double "
+    "expression tree on both sides — one partial-aggregable shuffle, "
+    "scale-safe because the six moments are mergeable",
+)
+def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n_rows"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum((qty * price).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((qty * qty).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((price * price).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n_rows"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return moments.select(
+        "l_returnflag",
+        "n_rows",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp_qty_price"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("regr_slope_qty_price"),
+    )

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_pipeline,
         relational,
         relational_ext,
+        tpch_full,
     )
 
     return dict(_REGISTRY)

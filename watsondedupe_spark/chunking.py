@@ -130,6 +130,7 @@ def chunk_bytes(data: bytes, settings: ChunkSettings | None = None) -> list[Chun
     shift = settings.shift_count
     nb = settings.boundary_check_bytes
     md5 = hashlib.md5
+    zero_prefix = b"\x00" * nb
 
     chunks: list[Chunk] = []
     chunk_start = 0  # address of the chunk being accumulated
@@ -137,13 +138,18 @@ def chunk_bytes(data: bytes, settings: ChunkSettings | None = None) -> list[Chun
     view = memoryview(data)  # zero-copy window slices for the md5 loop
 
     while True:
-        window_end = min(window_start + min_size, n)
+        window_end = window_start + min_size
         final = window_end >= n
+        if final:
+            window_end = n
         # Boundary test on the current window (DedupeLibrary.cs:668-670);
         # the accumulated chunk always extends to the window's end.
-        cur_len = window_end - chunk_start
-        digest = md5(view[window_start:window_end]).digest()
-        if (not any(digest[:nb])) or cur_len >= max_size:
+        # usedforsecurity=False: MD5 only locates boundaries here (the
+        # chunk key is SHA-256), so the faster non-FIPS path is safe.
+        if (
+            md5(view[window_start:window_end], usedforsecurity=False).digest()[:nb]
+            == zero_prefix
+        ) or window_end - chunk_start >= max_size:
             payload = data[chunk_start:window_end]
             chunks.append(Chunk(chunk_key(payload), len(payload), len(chunks), chunk_start, payload))
             chunk_start = window_end

@@ -42,6 +42,12 @@ HEADLINE = [
     "docs_top_ngrams",
     "docs_repetition_ratio",
     "docs_dup_clusters",
+    "tpch_q9_profit_by_nation",
+    "tpch_q13_order_count_distribution",
+    "tpch_q21_waiting_supplier",
+    "emb_near_dup_pairs",
+    "docs_lsh_levenshtein",
+    "events_funnel_conversion",
 ]
 
 

@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         engine_native,
         events,
         llm_pipeline,
+        pipeline_ext,
         relational,
         relational_ext,
         tpch_full,

@@ -1,0 +1,409 @@
+"""Second batch of training-data-pipeline operators — selection,
+ranking, funnel/cohort analytics, and the verify stage of the near-dup
+pipeline. All oracle-exact vs DuckDB using the portability rules from
+``llm_pipeline`` (md5 for hashes, integer quantization for vector math,
+fixed-order IEEE double arithmetic, no transcendental functions).
+
+New shapes covered:
+
+- all-pairs embedding near-dup with exact quantized cosine (the verify
+  counterpart of the LSH candidate path in ``operators.dedupe``)
+- group top-k (best-quality docs per source) via ranking window
+- deterministic hash-threshold stratified sampling (reproducible at any
+  scale and cluster layout — no rand(), no seed coordination)
+- log-free BM25-style scoring (rational saturation * rational idf keeps
+  every op IEEE-exact across engines; log() would drift in the last ulp)
+- ordered funnel conversion (view -> click -> purchase) via staged
+  conditional MIN aggregations, re-shuffling on the same user_id key
+- weekly cohort retention (first-seen week x activity week)
+- MinHash-LSH candidates verified with exact Levenshtein similarity —
+  candidates come from band buckets, so the quadratic edit-distance
+  never runs on more than the bucket fan-out
+
+Reference parity: none of these exist in WatsonDedupe (SURVEY.md §2.2);
+they are the engine-side additions a 100 TB curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries.llm_pipeline import (
+    _SHINGLES_SQL,
+    _SIG_SQL,
+    _docs,
+    _emb,
+    _quant_vec,
+    minhash_sig_df,
+)
+from watsondedupe_spark.sources import read_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: exact near-dup pairs (verify counterpart of the LSH path)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_COSINE = 0.40
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+ce AS (
+    SELECT e.vec_id, d.i,
+           CAST(floor(CAST(list_extract(e.embedding, CAST(d.i AS INTEGER)) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+    FROM embeddings e CROSS JOIN dims d
+),
+norms AS (SELECT vec_id, SUM(v*v) AS nrm FROM ce GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dot
+    FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT va AS vec_a, vb AS vec_b, cosine
+FROM (
+    SELECT d.va, d.vb,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.va
+    JOIN norms nb ON nb.vec_id = d.vb
+)
+WHERE cosine >= {_NEAR_DUP_COSINE}
+""",
+    doc="embedding near-dup pairs, exact: quantized-integer dot/norm so "
+    "the cosine is bit-stable; this is the *verify* formulation — at "
+    "scale the candidate set comes from operators.dedupe.embedding_"
+    "near_dups (sign-LSH buckets) and only candidates pay the dot product",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nrm = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    cand = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("v")).select(
+        "vec_id", "v", nrm.alias("nrm")
+    )
+    a = cand.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double")) / F.sqrt(
+        F.col("nb").cast("double")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _NEAR_DUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: group top-k, stratified sampling, BM25-style ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_top_quality_per_source",
+    """
+SELECT source, doc_id, n_chars, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM documents
+)
+WHERE rnk <= 3
+""",
+    doc="group top-k: best docs per source by length with a deterministic "
+    "tiebreak — the per-stratum selection step of a curation pipeline "
+    "(rank window partitions by source, so the shuffle key is the stratum)",
+)
+def docs_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", "n_chars", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# per-source sampling rates: hex threshold on the first 8 md5 nibbles.
+# 0x33333333/0x100000000 = 0.2; 0x0ccccccc/0x100000000 = 0.05.
+_SAMPLE_HEAVY = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source IN {_SAMPLE_HEAVY} THEN '33333333' ELSE '0ccccccc' END
+""",
+    doc="deterministic stratified sampling: md5-threshold per stratum "
+    "(20% for the head sources, 5% for the tail). Hash-gated sampling is "
+    "reproducible across runs, engines, and partitionings — unlike "
+    "rand()-based sampling, which can never be oracle-checked",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gate = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    threshold = F.when(F.col("source").isin(*_SAMPLE_HEAVY), "33333333").otherwise("0ccccccc")
+    return (
+        _docs(spark, sf_dir)
+        .filter(gate < threshold)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+_BM25_TERMS = ("table", "hash", "merge")
+_BM25_K1 = "1.2"
+
+
+def _bm25_term_sql(term: str) -> str:
+    tf = f"CAST(t.tf_{term} AS DOUBLE)"
+    df = f"CAST(s.df_{term} AS DOUBLE)"
+    n = "CAST(s.n_docs AS DOUBLE)"
+    return f"({tf} / ({tf} + {_BM25_K1})) * (({n} - {df} + 0.5) / ({df} + 0.5))"
+
+
+@register(
+    "docs_bm25_lite",
+    f"""
+WITH tf AS (
+    SELECT doc_id,
+{",".join(f'''
+           CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf_{t}'''
+          for t in _BM25_TERMS)}
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+{",".join(f'''
+           CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}'''
+          for t in _BM25_TERMS)}
+    FROM tf
+)
+SELECT t.doc_id, {", ".join(f"t.tf_{t}" for t in _BM25_TERMS)},
+       {" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS score
+FROM tf t CROSS JOIN stats s
+""",
+    doc="BM25-style relevance without log(): rational term saturation "
+    "tf/(tf+k1) times rational idf (N-df+.5)/(df+.5), summed in fixed "
+    "order — every op is an IEEE double primitive, so scores are "
+    "bit-identical across engines (log-idf would drift in the last ulp). "
+    "Corpus stats collapse to a 1-row broadcast",
+)
+def docs_bm25_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+
+    # closure factory: a default-arg lambda would take two params, which
+    # F.filter binds as (value, index) — the index, not the term
+    def tf_col(t: str):
+        return F.size(F.filter(toks, lambda x: x == t)).cast("long").alias(f"tf_{t}")
+
+    tf = _docs(spark, sf_dir).select("doc_id", *[tf_col(t) for t in _BM25_TERMS])
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).cast("long").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        tfd = F.col(f"tf_{t}").cast("double")
+        dfd = F.col(f"df_{t}").cast("double")
+        n = F.col("n_docs").cast("double")
+        return (tfd / (tfd + F.lit(1.2))) * ((n - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return tf.join(F.broadcast(stats)).select(
+        "doc_id", *[f"tf_{t}" for t in _BM25_TERMS], score.alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+""",
+    doc="ordered funnel (view -> click -> purchase): staged conditional "
+    "MIN aggregations, each stage strictly after the previous stage's "
+    "first event. Every stage shuffles on the same user_id key, so "
+    "co-partitioning is preserved end-to-end (no extra exchanges)",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+    FROM events)
+SELECT f.cohort_week,
+       CAST(CAST(date_diff('day', f.cohort_week, a.activity_week) AS DOUBLE) / 7
+            AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+    doc="weekly cohort retention: first-seen week x activity-week-offset "
+    "user counts (offsets are exact multiples of 7 days, so the /7 cast "
+    "is lossless on both engines); activity is pre-deduped per "
+    "(user, week) so the final count needs no DISTINCT",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+    ).distinct()
+    offset = (
+        (F.datediff("activity_week", "cohort_week").cast("double") / 7).cast("int")
+    )
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup verify: LSH candidates -> exact Levenshtein
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 200
+
+
+@register(
+    "docs_lsh_levenshtein",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(substr(da.text, 1, {_LEV_PREFIX}),
+                        substr(db.text, 1, {_LEV_PREFIX})) AS BIGINT) AS lev_dist,
+       1.0 - CAST(levenshtein(substr(da.text, 1, {_LEV_PREFIX}),
+                              substr(db.text, 1, {_LEV_PREFIX})) AS DOUBLE)
+           / CAST(greatest(length(substr(da.text, 1, {_LEV_PREFIX})),
+                           length(substr(db.text, 1, {_LEV_PREFIX}))) AS DOUBLE) AS lev_sim
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+""",
+    doc="the verify stage of near-dup detection: MinHash band buckets "
+    "propose candidates, exact Levenshtein over a fixed prefix scores "
+    f"them (prefix {_LEV_PREFIX} bounds the O(n^2) DP per pair). The "
+    "quadratic never runs outside a bucket — candidates, not all-pairs, "
+    "pay the edit distance",
+)
+def docs_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_df(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("b1").alias("ba1"), F.col("b2").alias("ba2"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("b1").alias("bb1"), F.col("b2").alias("bb2"))
+    lt = F.col("doc_a") < F.col("doc_b")
+    p1 = a.join(b, (F.col("ba1") == F.col("bb1")) & lt).select("doc_a", "doc_b")
+    p2 = a.join(b, (F.col("ba2") == F.col("bb2")) & lt).select("doc_a", "doc_b")
+    cand = p1.union(p2).distinct()
+    docs = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix"))
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    dist = F.levenshtein("pa", "pb")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("pa"), F.length("pb")
+    ).cast("double")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", dist.cast("long").alias("lev_dist"), sim.alias("lev_sim"))
+    )

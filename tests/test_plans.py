@@ -112,3 +112,76 @@ def test_minhash_band_joins_are_broadcast_at_test_scale(spark, sf_dir):
     assert report["cartesian"] is False
     # band-bucket equi-joins; at sf-test the sig side broadcasts
     assert report["broadcast_joins"] >= 1 or report["shuffle_joins"] >= 1
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark, sf_dir):
+    """Q2's correlated MIN is a window over one (l_partkey) partitioning;
+    dims broadcast. A self-join re-shuffle of the cost table here is the
+    decorrelation regression this pins against."""
+    df = q("tpch_q2_min_cost_supplier", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["broadcast_joins"] >= 3  # supplier, nation, region, part
+
+
+def test_q7_dual_alias_nation_broadcasts(spark, sf_dir):
+    df = q("tpch_q7_nation_volume", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["partial_agg"]
+    pf = " ".join(report["pushed_filters"]).lower()
+    assert "l_shipdate" in pf
+
+
+def test_q13_left_join_keeps_partial_agg_and_pruned_scans(spark, sf_dir):
+    df = q("tpch_q13_order_count_distribution", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["partial_agg"]
+    # orders scan: o_custkey + o_orderkey + o_orderpriority of 6 cols
+    assert P.max_scan_width(df) <= 3
+
+
+def test_q21_window_decorrelation_no_self_join(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair collapses into window aggregates —
+    the plan must contain no extra join of pair-with-pair."""
+    df = q("tpch_q21_waiting_supplier", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["broadcast_joins"] >= 1  # supplier + nation sides
+    assert report["shuffle_joins"] == 0  # pair never self-joins
+    # pair agg, window repartition, s_name agg (+AQE reads); never the
+    # 5+ exchanges a dual self-join formulation would cost
+    assert report["shuffles"] <= 4
+
+
+def test_funnel_stages_share_user_partitioning(spark, sf_dir):
+    df = q("events_funnel_conversion", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["partial_agg"]
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Hash-gated sampling is a pure scan-filter — any Exchange is a bug."""
+    df = q("docs_stratified_sample", spark, sf_dir)
+    report = P.audit(df)
+    assert report["shuffles"] == 0
+    assert report["cartesian"] is False
+
+
+def test_bm25_corpus_stats_broadcast_one_row(spark, sf_dir):
+    """The corpus-stats side is one row: it must arrive by broadcast
+    (nested-loop over a 1-row build side is free), never by shuffle."""
+    df = q("docs_bm25_lite", spark, sf_dir)
+    report = P.audit(df)
+    assert report["shuffle_joins"] == 0
+    assert P.count_occurrences(df, r"BroadcastNestedLoopJoin") >= 1
+    assert report["shuffles"] <= 1  # the stats aggregate's single reduce
+
+
+def test_lsh_levenshtein_candidates_are_equi_joins(spark, sf_dir):
+    """Candidates must come from band-bucket equi-joins; the Levenshtein
+    verify runs per candidate row, never as a join predicate."""
+    df = q("docs_lsh_levenshtein", spark, sf_dir)
+    assert not P.has_cartesian(df)

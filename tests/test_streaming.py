@@ -249,3 +249,59 @@ def test_ingest_stream_builds_index_incrementally(spark, tmp_path):
     assert stats.physical_bytes < stats.logical_bytes  # shared bytes stored once
     shared_chunks = engine.get_chunks("s/a").collect()
     assert all(c.ref_count == 2 for c in shared_chunks)
+
+
+def test_near_dup_filter_stream_matches_sequential_semantics(spark, sf_dir, tmp_path):
+    """The streaming LSH filter must keep exactly the docs a sequential
+    scan would keep under the documented aggressive semantics: a doc is
+    dropped iff one of its band keys was seen on any earlier doc
+    (earlier batch, or lower id within the batch)."""
+    import time as _time
+
+    from watsondedupe_spark.operators.dedupe import minhash_signatures, word_shingles
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant near-dups across batches: clone some docs with a tweaked tail
+    clones = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat("text", F.lit(" tail")).alias("text"))
+    )
+    full = docs.union(clones)
+
+    stream_in = str(tmp_path / "in")
+    for lo, hi in [(0, 200), (200, 100000), (100000, 10**9)]:
+        (
+            full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_in)
+        )
+        _time.sleep(1.1)
+
+    band = str(tmp_path / "bands")
+    kept = str(tmp_path / "kept")
+    q = S.near_dup_filter_stream(
+        spark, stream_in, band, kept, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept_ids = {r.doc_id for r in spark.read.parquet(kept).select("doc_id").collect()}
+
+    # oracle: sequential scan in (batch mtime order, id) over the same bands
+    sig = minhash_signatures(word_shingles(full, "text", "doc_id"))
+    bands_by_id = {
+        r.id: [r[f"band{b}"] for b in range(4)] for r in sig.collect()
+    }
+    order = sorted(bands_by_id, key=lambda i: (0 if i < 200 else (1 if i < 100000 else 2), i))
+    seen, want = set(), set()
+    for i in order:
+        if not any(b in seen for b in bands_by_id[i]):
+            want.add(i)
+        seen.update(bands_by_id[i])
+    # docs with < 3 tokens have no shingles -> no bands -> always kept
+    no_sig = {r.doc_id for r in full.select("doc_id").collect()} - set(bands_by_id)
+    want |= no_sig
+
+    assert kept_ids == want
+    assert len(kept_ids) < full.count()  # the planted clones were filtered

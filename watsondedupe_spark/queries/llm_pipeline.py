@@ -40,6 +40,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with scan parallelism >= the session's cores.
+
+    A small corpus arriving as one parquet file scans as ONE partition,
+    which serializes every narrow transform before the first shuffle —
+    explode-heavy work (shingling, fingerprinting) then runs on a single
+    core no matter how many are free. A cheap round-robin repartition of
+    the raw rows (a few MB) unlocks the full width; at 100 TB the scan
+    has thousands of partitions naturally and this is a no-op.
+    """
+    df = _docs(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -59,7 +76,7 @@ sh AS (
 """
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_df(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
     # Shape notes (measured):
     # - tokens MUST be materialized as a projected column before the
     #   n-gram transform — an inline F.split shared across F.get calls
@@ -68,10 +85,12 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - explode + distinct() (map-side partial dedup, one shuffle)
     #   beats shuffle-free explode(array_distinct(...)) ~4x —
     #   ArrayDistinct over string arrays evaluates interpreted and
-    #   quadratic per row, outside codegen.
+    #   quadratic per row, outside codegen;
+    # - consumers whose aggregate is duplicate-insensitive (MIN for
+    #   minhash) pass distinct=False and skip that shuffle entirely.
     toks = F.split("text", " ")
-    return (
-        _docs(spark, sf_dir)
+    out = (
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(
@@ -85,8 +104,8 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 _N_HASHES = 6
@@ -112,10 +131,10 @@ def minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle-array expression blow up the generated code and fall out
     of whole-stage codegen, while the exploded form hashes each shingle
     row-wise in codegen and map-side-combines before its single shuffle.
-    (MIN is insensitive to duplicate shingles, so shingles_df's
-    distinct-free output is still correct input.)
+    (MIN is insensitive to duplicate shingles, so the distinct-free
+    shingle stream is correct input and one whole shuffle cheaper.)
     """
-    sh = shingles_df(spark, sf_dir)
+    sh = shingles_df(spark, sf_dir, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"m{j+1}")
         for j, seed in enumerate(_SEEDS)
@@ -259,11 +278,15 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting list per shingle; the stop-shingle cutoff (<= 50 docs)
     # bounds each list so in-bucket pair expansion is row-local array
     # math (<= C(50,2) pairs), never a self-join of the posting table.
-    # Three shuffles total: shingle, doc_id (sizes), (doc_a, doc_b).
-    sh = shingles_df(spark, sf_dir)
+    # Three shuffles total: shingle, doc_id (sizes), (doc_a, doc_b) —
+    # collect_set fuses the per-doc shingle dedup into the posting-list
+    # aggregate, so the raw shingle stream never pays its own distinct()
+    # shuffle (duplicates only occur within one doc, which set-collection
+    # removes identically).
+    sh = shingles_df(spark, sf_dir, distinct=False)
     buckets = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") <= _STOP_SHINGLE_MAX)
     )
     # per-doc count of *rare* shingles (matches the oracle's `sizes` CTE)
@@ -462,7 +485,7 @@ GROUP BY doc_id
 )
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .select(
             "doc_id",
             F.length("text").alias("n"),
@@ -733,7 +756,7 @@ FROM g GROUP BY doc_id
 def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     grams = (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 5)
         .select(
@@ -872,7 +895,7 @@ LIMIT 20
 def docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     grams = (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(

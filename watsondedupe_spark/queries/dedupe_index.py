@@ -35,9 +35,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def object_map_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived object_map: one row per (object, chunk occurrence)."""
+    """Derived object_map: one row per (object, chunk occurrence).
+
+    The explode + per-chunk md5 below is the expensive narrow stage; a
+    single-file corpus scans as one partition and would run it on one
+    core, so parallelize the scan first (no-op on a many-partition scan).
+    """
+    from watsondedupe_spark.queries.llm_pipeline import _docs_parallel
+
     return (
-        _docs(spark, sf_dir)
+        _docs_parallel(spark, sf_dir)
         .select(
             F.col("doc_id").cast("long").alias("id"),
             F.col("doc_id").cast("string").alias("object_key"),

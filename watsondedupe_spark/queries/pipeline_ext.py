@@ -87,7 +87,14 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    cand = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("v")).select(
+    emb = _emb(spark, sf_dir)
+    # the O(n^2) pair evaluation lives on the stream side of the nested-
+    # loop join: a one-file scan would run all of it in a single task, so
+    # spread the stream side across the session's cores first
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    cand = emb.select("vec_id", _quant_vec().alias("v")).select(
         "vec_id", "v", nrm.alias("nrm")
     )
     a = cand.select(

@@ -308,3 +308,22 @@ def test_pack_sequences_contiguous(spark, sf_dir):
         assert r.first_seq == r.offset // 128
         assert r.last_seq == (r.offset + r.n_tokens - 1) // 128
         acc += r.n_tokens
+
+
+def test_cosine_topk_np_matches_jvm_form(spark, sf_dir):
+    """The Arrow/numpy matmul top-k must return the same neighbor sets and
+    ranks as the JVM expression form (cosines may differ in the last ulp
+    between BLAS and fold-order accumulation, so compare ids, not floats)."""
+    from watsondedupe_spark.operators.similarity import cosine_topk, cosine_topk_np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    want = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in cosine_topk_np(emb, q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want

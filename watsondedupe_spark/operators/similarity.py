@@ -211,3 +211,77 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: Arrow-batched numpy matmul.
+
+    Same semantics as :func:`cosine_topk` (exact, per-query global
+    top-k, deterministic neighbor_id tiebreak), different physical
+    strategy: the query matrix ships to every task as a closure capture
+    (it is the small side), each corpus Arrow batch becomes one
+    ``batch x queries`` BLAS matmul, and each task emits only its local
+    per-query top-k — so the window that produces the global top-k sorts
+    at most ``tasks * k`` rows per query instead of the whole corpus.
+
+    This is the ``mapInPandas`` escape hatch the task calls for when the
+    built-in operators can't express the semantics *efficiently*: the
+    JVM higher-order-function dot product evaluates interpreted per
+    element, while one matmul per Arrow batch stays inside optimized
+    C loops. Use this form when |corpus| x |queries| is large and dense;
+    the IVF/LSH operators remain the sublinear path.
+    """
+    import numpy as np  # noqa: F401 — imported here so executors resolve it lazily
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [list(r[1]) for r in q_rows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # |batch| x |queries|
+            out_q, out_n, out_s = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j].copy()
+                col[ids == qid[j]] = -np.inf  # exclude self
+                take = min(k, len(col))
+                # partial select then (score desc, id asc) order
+                cand = np.argpartition(-col, take - 1)[:take] if take < len(col) else np.arange(len(col))
+                order = cand[np.lexsort((ids[cand], -col[cand]))]
+                out_q.extend([qid[j]] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_s.extend(col[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("cosine") != F.lit(float("-inf")))
+    )

@@ -414,3 +414,23 @@ def docs_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "doc_b")
         .select("doc_a", "doc_b", dist.cast("long").alias("lev_dist"), sim.alias("lev_sim"))
     )
+
+
+@register(
+    "emb_knn_cosine_np",
+    None,
+    doc="brute-force cosine top-k via the Arrow/numpy matmul operator "
+    "(cosine_topk_np) — same neighbors as emb_knn_cosine (pinned by "
+    "test), no oracle because BLAS accumulation differs from fold-order "
+    "in the last ulp; the vectorized form is the dense-similarity scale "
+    "path (one matmul per Arrow batch, local top-k before the window)",
+)
+def emb_knn_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import cosine_topk_np
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return cosine_topk_np(emb, q, k=10)

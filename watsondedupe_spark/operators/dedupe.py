@@ -278,18 +278,28 @@ def connected_components(
     Each iteration is one equi-join + one aggregate (labels flow across
     edges, every node keeps the min seen so far) and converges in
     O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
-    cliques, so 2-3 rounds in practice. ``localCheckpoint`` truncates
-    the lineage each round so the plan does not grow with iterations;
-    at cluster scale swap in ``checkpoint`` on durable storage and the
+    cliques, so 2-3 rounds in practice. Two shape decisions keep the
+    rounds cheap: the symmetrized edge list is materialized ONCE
+    (``localCheckpoint``) so the upstream candidate pipeline — often a
+    full LSH derivation — is not re-executed every round, and the
+    iteration runs only over edge-touched nodes (isolated vertices can
+    never change label; they rejoin as singletons at the end). At
+    cluster scale swap in ``checkpoint`` on durable storage and the
     large-star/small-star variant if diameters get long.
     """
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    touched = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .join(all_nodes, "node", "left_semi")  # dangling edge ids get no label
+    )
+    labels = touched.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -309,4 +319,6 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if n_changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("cluster_id")
+    )

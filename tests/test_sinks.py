@@ -81,3 +81,32 @@ def test_chunk_store_layout_prunes_by_prefix(spark, tmp_path):
     assert bytes(hit.collect()[0].data) == bytes(
         [r for r in rows.collect() if r.chunk_key == one_key][0].data
     )
+
+
+def test_jsonl_and_csv_sources_roundtrip_documents(spark, sf_dir, tmp_path):
+    """The declared-schema jsonl/csv readers must reproduce the parquet
+    rows exactly (no inference drift on ids or lengths)."""
+    from watsondedupe_spark.sources import read_csv, read_jsonl, read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    want = {(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in docs.collect()}
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    jl = str(tmp_path / "docs_jsonl")
+    docs.write.json(jl)
+    got_j = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+        for r in read_jsonl(spark, jl, schema).collect()
+    }
+    assert got_j == want
+
+    cs = str(tmp_path / "docs_csv")
+    # quote/escape defaults round-trip embedded commas; header mode on
+    docs.write.option("header", "true").csv(cs)
+    got_c = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+        for r in read_csv(spark, cs, schema).collect()
+    }
+    assert got_c == want

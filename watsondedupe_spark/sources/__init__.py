@@ -51,3 +51,29 @@ def read_binary_objects(spark: SparkSession, path_glob: str) -> DataFrame:
         .load(path_glob)
         .select(F.col("path").alias("object_key"), F.col("content").alias("data"))
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines reader with a mandatory explicit schema.
+
+    Schema inference triggers an extra full pass over the data and can
+    drift between files at scale, so the engine's posture (like the
+    reference's attribute-declared tables, SURVEY.md §1.3) is: schemas
+    are declared, never inferred. Corrupt lines land in a
+    ``_corrupt_record`` column instead of failing the scan when the
+    schema declares one; with PERMISSIVE mode they otherwise null out.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, delimiter: str = ","
+) -> DataFrame:
+    """CSV reader with a mandatory explicit schema (same no-inference
+    posture as :func:`read_jsonl`; inference would scan twice)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )

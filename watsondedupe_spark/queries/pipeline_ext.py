@@ -434,3 +434,109 @@ def emb_knn_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = emb.repartition(want)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return cosine_topk_np(emb, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# time-series: daily LOCF resample + exact-moment z-score outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_locf",
+    """
+WITH bounds AS (
+    SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+           CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+    FROM events),
+days AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           MAX(value) AS day_value
+    FROM events WHERE user_id < 20 GROUP BY 1, 2)
+SELECT u.user_id, d.day, dv.day_value,
+       last_value(dv.day_value IGNORE NULLS) OVER (
+           PARTITION BY u.user_id ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM users u CROSS JOIN days d
+LEFT JOIN daily dv ON dv.user_id = u.user_id AND dv.day = d.day
+""",
+    doc="daily resample with forward fill (LOCF): a generated day spine "
+    "per user, observed daily maxima joined on, gaps filled by the last "
+    "non-null value — the regularization step before any ML on irregular "
+    "event streams. The spine is a broadcast cross join (|days| rows), "
+    "the fill one window over (user, day)",
+)
+def events_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    all_ev = _events(spark, sf_dir)
+    bounds = all_ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.max("value").alias("day_value"))
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+@register(
+    "events_user_zscore",
+    """
+WITH m AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) *
+                         CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS s2
+    FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id,
+       CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+       (CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - m.s1 / m.n)
+         / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS zscore
+FROM events e
+JOIN m ON m.user_id = e.user_id
+WHERE m.n > 1
+  AND abs((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - m.s1 / m.n)
+         / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) >= 3.0
+""",
+    doc="per-user z-score outliers via the engine-portable exact-moment "
+    "recipe: decimal-exact sums (order-independent), then a fixed "
+    "sequence of IEEE double ops (sub, div, sqrt) — bit-identical on "
+    "both engines without relying on either engine's stddev",
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum((vdec * vdec).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    val = vdec.cast("double")
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (val - mean) / F.sqrt(var)
+    return (
+        ev.join(m, "user_id")
+        .filter(F.col("n") > 1)
+        .select("event_id", "user_id", val.alias("value"), z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 3.0)
+    )

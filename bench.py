@@ -48,6 +48,7 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "docs_lsh_levenshtein",
     "events_funnel_conversion",
+    "docs_curation_funnel",
 ]
 
 

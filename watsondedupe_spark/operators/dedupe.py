@@ -236,17 +236,20 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_dims: int = 64,
 ) -> DataFrame:
     """Near-duplicate vectors: sign-LSH bucket first, exact cosine within
     the bucket. Near-dup pairs (cosine ~ 1) collide in all/most sign
     buckets, so the bucket equijoin keeps recall high while reducing the
-    pair count by ~2**n_planes."""
+    pair count by ~2**n_planes. ``n_dims`` must match the vector width —
+    the hyperplanes are literal arrays, and zip_with against a wider
+    plane would null-pad the products."""
     from watsondedupe_spark.operators.similarity import cosine, sign_lsh_bucket
 
     withb = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        sign_lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
     )
     a, b = withb.alias("a"), withb.alias("b")
     pairs = a.join(

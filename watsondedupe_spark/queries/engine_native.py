@@ -166,3 +166,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = wrap_media(df, "payload", "video/mp4", "doc_id")
     frames = sample_frames(media, every_ms=500, max_frames=4)
     return frames.select("id", "frame_index", "frame_ts_ms", F.length("frame").alias("frame_bytes"))
+
+
+@register(
+    "multimodal_feature_near_dups",
+    None,
+    doc="cross-modal integration: binary payloads -> Arrow-batched "
+    "featurize (decoder seam stubbed) -> sign-LSH bucketed cosine "
+    "near-dup over the 8-dim feature vectors — the image-dedup pipeline "
+    "with every Spark stage real and only the codec faked.",
+)
+def multimodal_feature_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.dedupe import embedding_near_dups
+    from watsondedupe_spark.operators.multimodal import extract_image_features, wrap_media
+
+    df = _docs(spark, sf_dir).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    media = wrap_media(df, "payload", "image/png", "doc_id")
+    feats = extract_image_features(media).select("id", "feature")
+    return embedding_near_dups(
+        feats, id_col="id", vec_col="feature", threshold=0.9999, n_planes=6, n_dims=8
+    )

@@ -74,6 +74,36 @@ def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
     return dt, mb
 
 
+def bench_engine_ingest(spark, sf_dir: str) -> tuple[float, float]:
+    """Full write path (O1): chunk -> refcount merge -> chunk_store
+    insert-if-absent -> object rows, through a throwaway index. Returns
+    (seconds, MB ingested)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    objs = docs.limit(1000).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    root = tempfile.mkdtemp(prefix="bench_engine_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        t0 = time.time()
+        n = eng.write_batch(objs)
+        dt = time.time() - t0
+        assert n == 1000
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return dt, mb
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -107,6 +137,8 @@ def main() -> None:
 
     ingest_sec, ingest_mb = bench_cdc_ingest(spark, sf_dir)
     times["cdc_ingest"] = round(ingest_sec, 3)
+    eng_sec, eng_mb = bench_engine_ingest(spark, sf_dir)
+    times["engine_ingest"] = round(eng_sec, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -118,6 +150,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+                "engine_ingest_mb_per_sec": round(eng_mb / eng_sec, 2) if eng_sec else None,
             }
         )
     )

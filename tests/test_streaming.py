@@ -305,3 +305,32 @@ def test_near_dup_filter_stream_matches_sequential_semantics(spark, sf_dir, tmp_
 
     assert kept_ids == want
     assert len(kept_ids) < full.count()  # the planted clones were filtered
+
+
+def test_near_dup_filter_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id, state already written) must
+    produce byte-identical kept/band stores — the crash-recovery contract
+    of the batch-partitioned overwrite design."""
+    from watsondedupe_spark.streaming import near_dup_filter_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 150)
+    b1 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    band, kept = str(tmp_path / "bands"), str(tmp_path / "kept")
+
+    near_dup_filter_batch(b0, 0, band, kept)
+    near_dup_filter_batch(b1, 1, band, kept)
+    kept_before = {r.doc_id for r in spark.read.parquet(kept).collect()}
+    bands_before = {
+        (r.batch, r.band_key) for r in spark.read.parquet(band).collect()
+    }
+
+    # replay both batches out of order (restart-after-crash shape)
+    near_dup_filter_batch(b1, 1, band, kept)
+    near_dup_filter_batch(b0, 0, band, kept)
+    kept_after = {r.doc_id for r in spark.read.parquet(kept).collect()}
+    bands_after = {
+        (r.batch, r.band_key) for r in spark.read.parquet(band).collect()
+    }
+    assert kept_after == kept_before
+    assert bands_after == bands_before

@@ -234,6 +234,64 @@ def ingest_stream(engine, path: str, checkpoint: str, object_key_col: str = "obj
     )
 
 
+def near_dup_filter_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    band_store: str,
+    kept_store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> None:
+    """One micro-batch of the streaming near-dup filter (module-level so
+    replay/restart behavior is directly testable). See
+    :func:`near_dup_filter_stream` for semantics."""
+    if batch_df.isEmpty():
+        return
+    from watsondedupe_spark.operators.dedupe import minhash_signatures, word_shingles
+
+    sess = batch_df.sparkSession
+    sig = minhash_signatures(word_shingles(batch_df, text_col, id_col), n_hashes, n_bands)
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band_key"),
+    )
+    try:
+        # partition pruning on batch < batch_id makes a replayed batch
+        # see exactly the state it saw the first time (its own partly-
+        # written partition is excluded), so the filter is deterministic
+        seen = (
+            sess.read.parquet(band_store)
+            .filter(F.col("batch") < batch_id)
+            .select("band_key")
+            .distinct()
+        )
+    except Exception:  # first batch: no store yet
+        seen = None
+    hit_prior = bands.join(seen, "band_key", "left_semi") if seen is not None else None
+    # within-batch: a band key also dooms every doc except its lowest id
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_key").orderBy("id")
+    hit_local = (
+        bands.withColumn("first_id", F.first("id").over(w))
+        .filter(F.col("id") != F.col("first_id"))
+        .select("band_key", "id")
+    )
+    doomed_ids = hit_local.select("id")
+    if hit_prior is not None:
+        doomed_ids = doomed_ids.union(hit_prior.select("id"))
+    doomed_ids = doomed_ids.distinct()
+    kept = batch_df.join(doomed_ids.withColumnRenamed("id", id_col), id_col, "left_anti")
+    # batch-partitioned overwrite => replaying a failed batch rewrites
+    # exactly its own directory (idempotent), never duplicates rows
+    kept.write.mode("overwrite").parquet(f"{kept_store}/batch={batch_id}")
+    bands.select("band_key").distinct().write.mode("overwrite").parquet(
+        f"{band_store}/batch={batch_id}"
+    )
+
+
 def near_dup_filter_stream(
     spark: SparkSession,
     path: str,
@@ -266,52 +324,8 @@ def near_dup_filter_stream(
     """
 
     def _filter_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        from watsondedupe_spark.operators.dedupe import minhash_signatures, word_shingles
-
-        sess = batch_df.sparkSession
-        sig = minhash_signatures(
-            word_shingles(batch_df, text_col, id_col), n_hashes, n_bands
-        )
-        bands = sig.select(
-            "id",
-            F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band_key"),
-        )
-        try:
-            # partition pruning on batch < batch_id makes a replayed batch
-            # see exactly the state it saw the first time (its own partly-
-            # written partition is excluded), so the filter is deterministic
-            seen = (
-                sess.read.parquet(band_store)
-                .filter(F.col("batch") < batch_id)
-                .select("band_key")
-                .distinct()
-            )
-        except Exception:  # first batch: no store yet
-            seen = None
-        hit_prior = bands.join(seen, "band_key", "left_semi") if seen is not None else None
-        # within-batch: a band key also dooms every doc except its lowest id
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_key").orderBy("id")
-        hit_local = (
-            bands.withColumn("first_id", F.first("id").over(w))
-            .filter(F.col("id") != F.col("first_id"))
-            .select("band_key", "id")
-        )
-        doomed_ids = hit_local.select("id")
-        if hit_prior is not None:
-            doomed_ids = doomed_ids.union(hit_prior.select("id"))
-        doomed_ids = doomed_ids.distinct()
-        kept = batch_df.join(
-            doomed_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
-        )
-        # batch-partitioned overwrite => replaying a failed batch rewrites
-        # exactly its own directory (idempotent), never duplicates rows
-        kept.write.mode("overwrite").parquet(f"{kept_store}/batch={batch_id}")
-        bands.select("band_key").distinct().write.mode("overwrite").parquet(
-            f"{band_store}/batch={batch_id}"
+        near_dup_filter_batch(
+            batch_df, batch_id, band_store, kept_store, text_col, id_col, n_hashes, n_bands
         )
 
     return (

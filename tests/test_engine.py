@@ -254,3 +254,36 @@ def test_get_batch_distributed_reassembly(engine):
     assert set(got) == set(payloads)  # missing key absent, no error
     for k, v in payloads.items():
         assert got[k] == v, k
+
+
+def test_write_or_replace_batch_replaces_and_preserves_shared_chunks(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    eng = DedupeEngine.create(spark, str(tmp_path / "ix"), ChunkSettings(2048, 16384, 128, 2))
+    payload_a = b"alpha" * 2000
+    payload_b = b"bravo" * 2000
+    batch1 = spark.createDataFrame(
+        [("k1", payload_a), ("k2", payload_a)], "object_key string, data binary"
+    )
+    eng.write_batch(batch1)
+
+    # replace k2's content, add k3; k1 untouched
+    batch2 = spark.createDataFrame(
+        [("k2", payload_b), ("k3", payload_b)], "object_key string, data binary"
+    )
+    n = eng.write_or_replace_batch(batch2)
+    assert n == 2
+
+    assert bytes(eng.get("k1")) == payload_a  # shared chunks survived k2's delete
+    assert bytes(eng.get("k2")) == payload_b
+    assert bytes(eng.get("k3")) == payload_b
+    # refcount invariant holds after the replace
+    refs = {r.chunk_key: r.ref_count for r in eng.chunks.collect()}
+    counts = {
+        r.chunk_key: r.cnt
+        for r in eng.object_map.groupBy("chunk_key").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert refs == counts

@@ -183,6 +183,25 @@ class DedupeEngine:
             self.delete(key)
         self.write(key, data, created_utc=created_utc)
 
+    def write_or_replace_batch(
+        self, objects_df: DataFrame, created_utc: datetime | None = None
+    ) -> int:
+        """Batched O5: delete any batch keys that already exist (cascading,
+        with refcount decrement + GC), then ingest the whole batch — the
+        set form of :meth:`write_or_replace`, so re-ingesting a corpus
+        slice is one delete merge + one write pass instead of per-key
+        round trips."""
+        existing = [
+            r.object_key
+            for r in objects_df.select("object_key")
+            .distinct()
+            .join(self.objects, "object_key", "left_semi")
+            .collect()
+        ]
+        if existing:
+            self.delete_batch(existing)
+        return self.write_batch(objects_df, created_utc=created_utc)
+
     def write_batch(self, objects_df: DataFrame, created_utc: datetime | None = None) -> int:
         """Ingest a DataFrame of ``(object_key string, data binary)``.
 

@@ -287,3 +287,29 @@ def test_write_or_replace_batch_replaces_and_preserves_shared_chunks(spark, tmp_
         for r in eng.object_map.groupBy("chunk_key").agg(F.count("*").alias("cnt")).collect()
     }
     assert refs == counts
+
+
+def test_store_append_is_incremental_and_compaction_folds(spark, tmp_path):
+    """Appends must write only the new part (O(batch) I/O) and fold into
+    one part after max_parts accumulate."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.store import IndexStore
+
+    store = IndexStore(spark, str(tmp_path / "st"))
+    store.max_parts = 4
+    for i in range(4):
+        store.append("config", spark.createDataFrame([(f"k{i}", f"v{i}")], "key string, value string"))
+    assert len(store._state("config")["parts"]) == 4
+    # 5th append exceeds max_parts: folds everything into one part + itself
+    store.append("config", spark.createDataFrame([("k4", "v4")], "key string, value string"))
+    assert len(store._state("config")["parts"]) == 1
+    rows = {(r.key, r.value) for r in store.read("config").collect()}
+    assert rows == {(f"k{i}", f"v{i}") for i in range(5)}
+    # explicit compact is a no-op on one part but keeps contents intact
+    store.compact("config")
+    assert {(r.key, r.value) for r in store.read("config").collect()} == rows
+    # commit retires all prior parts
+    store.commit("config", spark.createDataFrame([("only", "row")], "key string, value string"))
+    assert len(store._state("config")["parts"]) == 1
+    assert store.read("config").count() == 1

@@ -5,13 +5,21 @@ in-process mutexes (src/DedupeLibrary/Database/SqliteProvider.cs:29-30).
 A Spark-native engine wants ACID *table* commits instead. In production
 this layer is Delta Lake / Iceberg (``MERGE INTO``, optimistic
 concurrency, time travel); this container has plain parquet only, so we
-provide the same contract with the classic snapshot-pointer pattern:
+provide the same contract with a manifest-of-parts design — the same
+file-log idea those formats use:
 
-    {root}/{table}/v00000001/...parquet     immutable snapshot
-    {root}/{table}/_VERSION                 pointer file, atomic rename
+    {root}/{table}/p00000001/...parquet     immutable data part
+    {root}/{table}/_MANIFEST                json {version, parts}, atomic rename
 
-A commit writes a new snapshot directory, then atomically renames a tmp
-pointer over ``_VERSION``. Readers resolve the pointer once per read.
+A *commit* (full replace) writes one new part and a manifest referencing
+only it. An *append* writes a part containing ONLY the new rows and a
+manifest referencing old parts + the new one — O(batch), not O(table),
+which is the difference between linear and quadratic total ingest cost
+over many batches. Readers resolve the manifest once and scan the listed
+parts as one multi-path parquet read. When a table accumulates more than
+``max_parts`` parts, the next append folds them into one (bounded read
+fan-in — the OPTIMIZE/compaction analogue).
+
 Single-writer semantics (same as the reference); swapping this class for
 a Delta-backed one changes no engine code — the engine only calls
 ``read`` / ``commit`` / ``append``.
@@ -19,6 +27,7 @@ a Delta-backed one changes no engine code — the engine only calls
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -29,7 +38,10 @@ from watsondedupe_spark.schemas import TABLE_SCHEMAS
 
 
 class IndexStore:
-    """Parquet-backed table store with atomic snapshot commits."""
+    """Parquet-backed table store with atomic manifest commits."""
+
+    #: appends fold all live parts into one once this many accumulate
+    max_parts = 16
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -42,17 +54,36 @@ class IndexStore:
         return os.path.join(self.root, name)
 
     def _pointer(self, name: str) -> str:
-        return os.path.join(self._table_dir(name), "_VERSION")
+        return os.path.join(self._table_dir(name), "_MANIFEST")
 
-    def current_version(self, name: str) -> int:
+    def _state(self, name: str) -> dict:
         try:
             with open(self._pointer(name)) as f:
-                return int(f.read().strip())
+                return json.load(f)
         except FileNotFoundError:
-            return 0
+            return {"version": 0, "parts": []}
 
-    def _snapshot_path(self, name: str, version: int) -> str:
-        return os.path.join(self._table_dir(name), f"v{version:08d}")
+    def current_version(self, name: str) -> int:
+        return self._state(name)["version"]
+
+    def _part_path(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"p{version:08d}")
+
+    def _swap_manifest(self, name: str, state: dict) -> None:
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._pointer(name))  # atomic on POSIX
+
+    def _gc(self, name: str, live_parts: list[str]) -> None:
+        """Remove part dirs no longer referenced by the manifest. Safe to
+        run after the swap: crashed writers leave at worst an orphan dir,
+        never a dangling reference."""
+        live = {os.path.basename(p) for p in live_parts}
+        tdir = self._table_dir(name)
+        for entry in os.listdir(tdir):
+            if entry.startswith("p") and entry not in live:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
 
     # -- contract -----------------------------------------------------------
 
@@ -61,34 +92,43 @@ class IndexStore:
 
     def read(self, name: str, schema: StructType | None = None) -> DataFrame:
         """Current snapshot of ``name``; empty (typed) DataFrame if absent."""
-        v = self.current_version(name)
-        if v == 0:
+        state = self._state(name)
+        if not state["parts"]:
             schema = schema or TABLE_SCHEMAS[name]
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._snapshot_path(name, v))
+        return self.spark.read.parquet(*state["parts"])
 
     def commit(self, name: str, df: DataFrame) -> int:
-        """Write ``df`` as the next snapshot and flip the pointer atomically."""
+        """Write ``df`` as the full new table state; flip the manifest
+        atomically; retire every previous part."""
         os.makedirs(self._table_dir(name), exist_ok=True)
-        old = self.current_version(name)
-        new = old + 1
-        path = self._snapshot_path(name, new)
+        new = self.current_version(name) + 1
+        path = self._part_path(name, new)
         df.write.mode("overwrite").parquet(path)
-        tmp = self._pointer(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new))
-        os.replace(tmp, self._pointer(name))  # atomic on POSIX
-        # retire the previous snapshot (time travel is Delta's job, not ours)
-        if old > 0:
-            shutil.rmtree(self._snapshot_path(name, old), ignore_errors=True)
+        self._swap_manifest(name, {"version": new, "parts": [path]})
+        self._gc(name, [path])
         return new
 
     def append(self, name: str, df: DataFrame) -> int:
-        """Append = read current + union + commit.
+        """Append ONLY the new rows as a fresh part — O(batch) I/O.
 
-        With Delta this is a metadata-only ``append`` commit; with plain
-        parquet we must materialize a new snapshot. Engine call sites keep
-        appends batched so this stays one job per ingest batch.
+        (With Delta this is a metadata-only append commit; the manifest
+        gives plain parquet the same cost shape.) Every ``max_parts``
+        appends the parts fold into one so read fan-in stays bounded.
         """
-        current = self.read(name, df.schema)
-        return self.commit(name, current.unionByName(df))
+        state = self._state(name)
+        if len(state["parts"]) >= self.max_parts:
+            return self.commit(name, self.read(name, df.schema).unionByName(df))
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        new = state["version"] + 1
+        path = self._part_path(name, new)
+        df.write.mode("overwrite").parquet(path)
+        self._swap_manifest(name, {"version": new, "parts": state["parts"] + [path]})
+        return new
+
+    def compact(self, name: str) -> int:
+        """Fold all live parts into one (the OPTIMIZE analogue); no-op on
+        an absent table."""
+        if not self.exists(name):
+            return 0
+        return self.commit(name, self.read(name))

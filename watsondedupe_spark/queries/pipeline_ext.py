@@ -720,3 +720,104 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("near_dedup", near_kept))
         .unionAll(stage("sampled", sampled))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search (cf. distributed data-series search papers)
+# ---------------------------------------------------------------------------
+
+_SERIES_QUERY_USER = 0
+_SERIES_K = 10
+
+
+@register(
+    "events_series_knn",
+    f"""
+WITH bounds AS (
+    SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+           CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+    FROM events),
+days AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds),
+users AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total
+    FROM events GROUP BY 1, 2),
+grid AS (
+    SELECT u.user_id, d.day,
+           COALESCE(dv.total, CAST(0 AS DECIMAL(18,2))) AS total
+    FROM users u CROSS JOIN days d
+    LEFT JOIN daily dv ON dv.user_id = u.user_id AND dv.day = d.day),
+q AS (SELECT day, total FROM grid WHERE user_id = {_SERIES_QUERY_USER}),
+dist AS (
+    SELECT g.user_id,
+           SUM(CAST((g.total - q.total) * (g.total - q.total) AS DECIMAL(38,6))) AS d2
+    FROM grid g JOIN q ON q.day = g.day
+    WHERE g.user_id <> {_SERIES_QUERY_USER}
+    GROUP BY g.user_id)
+SELECT user_id, CAST(d2 AS DOUBLE) AS dist2,
+       CAST(ROW_NUMBER() OVER (ORDER BY d2, user_id) AS INTEGER) AS rank
+FROM dist
+ORDER BY d2, user_id
+LIMIT {_SERIES_K}
+""",
+    doc="time-series similarity search: each user's daily-total series "
+    "(zero-filled over the corpus day spine) is a vector; exact top-k "
+    "nearest users to one query series by squared euclidean distance. "
+    "Spark holds each series as one array row and evaluates the distance "
+    "row-locally (zip_with fold over a broadcast query vector — the "
+    "series-as-vector layout distributed data-series systems use); the "
+    "oracle keeps the relational day-grid join. Decimal-exact sums make "
+    "the distance bit-stable across both formulations",
+)
+def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    # one array row per user: totals indexed by day offset, zero-filled —
+    # map lookup over the day spine keeps assembly row-local after the
+    # single groupBy(user) shuffle
+    zero = F.lit(0).cast("decimal(18,2)")
+    series = (
+        daily.join(F.broadcast(bounds))
+        .withColumn("off", F.datediff("day", "lo"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("off", "total"))).alias("m"),
+            F.first(F.datediff("hi", "lo")).alias("n_days"),
+        )
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_days")),
+                lambda d: F.coalesce(F.try_element_at("m", d), zero),
+            ).alias("v"),
+        )
+    )
+    q = series.filter(F.col("user_id") == _SERIES_QUERY_USER).select(
+        F.col("v").alias("qv")
+    )
+    diff2 = F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(
+        diff2,
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x.cast("decimal(38,6)"),
+    )
+    dist = (
+        series.filter(F.col("user_id") != _SERIES_QUERY_USER)
+        .join(F.broadcast(q))
+        .select("user_id", d2.alias("d2"))
+    )
+    w = Window.orderBy("d2", "user_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SERIES_K)
+        .select("user_id", F.col("d2").cast("double").alias("dist2"), "rank")
+    )

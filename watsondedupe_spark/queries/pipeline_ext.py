@@ -821,3 +821,68 @@ def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SERIES_K)
         .select("user_id", F.col("d2").cast("double").alias("dist2"), "rank")
     )
+
+
+@register(
+    "docs_dup_graph_stats",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b AS v FROM pairs
+    ) GROUP BY v
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs p1
+    JOIN pairs p2 ON p2.doc_a = p1.doc_b
+    JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree,
+       (SELECT n FROM tri) AS n_triangles
+""",
+    doc="graph analytics over the near-dup candidate graph: degree stats "
+    "and exact triangle count. Triangles enumerate via two equi-joins on "
+    "the canonically ordered edge list (a<b), so each triangle counts "
+    "once and the join keys — not all-pairs — carry the shuffle; degree "
+    "skew is the classic caveat and the stop-shingle-bounded candidate "
+    "generation is what keeps max_degree small",
+)
+def docs_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_df(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("b1").alias("a1"), F.col("b2").alias("a2"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("b1").alias("bb1"), F.col("b2").alias("bb2"))
+    lt = F.col("doc_a") < F.col("doc_b")
+    pairs = (
+        a.join(b, (F.col("a1") == F.col("bb1")) & lt)
+        .select("doc_a", "doc_b")
+        .union(a.join(b, (F.col("a2") == F.col("bb2")) & lt).select("doc_a", "doc_b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    p1 = pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    p2 = pairs.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    p3 = pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = p1.join(p2, "y").join(p3, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")
+    ).join(F.broadcast(pairs.agg(F.count("*").alias("n_edges")))).join(F.broadcast(tri))
+    return summary.select("n_nodes", "n_edges", "max_degree", "n_triangles")

@@ -6,7 +6,13 @@ import random
 from pyspark.sql import functions as F
 
 from watsondedupe_spark import plans as P
-from watsondedupe_spark.operators.joins import asof_join, range_join
+from watsondedupe_spark.operators.joins import (
+    asof_join,
+    bloom_filter_build,
+    bloom_might_contain,
+    bloom_semi_join,
+    range_join,
+)
 
 
 def _ts(s):
@@ -79,3 +85,41 @@ def test_range_join_containment(spark):
         for r in range_join(points, intervals, "object_key", "pos", "address", "length").collect()
     )
     assert got == [(5, 0), (150, 100)]  # 250 falls outside every interval
+
+
+def test_bloom_semi_join_exact_equals_semi_join(spark):
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload")
+    )
+    keys = spark.range(0, 200).select((F.col("id") * 7).alias("kk"))
+    got = bloom_semi_join(fact, keys, "k", "kk", n_bits=1 << 12).collect()
+    want = fact.join(
+        keys.select(F.col("kk").alias("k")).distinct(), "k", "left_semi"
+    ).collect()
+    assert sorted((r.k, r.payload) for r in got) == sorted(
+        (r.k, r.payload) for r in want
+    )
+    assert len(got) > 0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpp(spark):
+    keys = spark.range(0, 1000).select((F.col("id") * 13 + 5).alias("k"))
+    bloom = bloom_filter_build(keys, "k", n_bits=1 << 15)
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    hits = probe.filter(bloom_might_contain(bloom, "k")).collect()
+    hit_set = {r.k for r in hits}
+    member = {13 * i + 5 for i in range(1000) if 13 * i + 5 < 20000}
+    # no false negatives: every member below the probe range is present
+    assert member <= hit_set
+    # false-positive rate bounded (k=3, m=32768, n=1000 -> fpp ~ 7e-4)
+    assert len(hit_set - member) < 200
+
+
+def test_bloom_prefilter_only_is_superset(spark):
+    fact = spark.range(0, 3000).select((F.col("id") % 101).alias("k"))
+    keys = spark.range(0, 10).select((F.col("id") * 11).alias("k"))
+    loose = bloom_semi_join(fact, keys, "k", n_bits=1 << 12, exact=False)
+    tight = bloom_semi_join(fact, keys, "k", n_bits=1 << 12, exact=True)
+    assert loose.count() >= tight.count()
+    got = {r.k for r in tight.select("k").distinct().collect()}
+    assert got == {11 * i for i in range(10) if 11 * i < 101}

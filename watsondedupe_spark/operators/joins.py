@@ -18,7 +18,9 @@ custom-operator ladder) — no UDF, no per-row Python:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -85,6 +87,102 @@ def asof_join(
             out = out.withColumn(f"_r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")))
     out = out.drop("_r_ts")
     return out.withColumnsRenamed({f"_r_{c}": c for c in right_cols})
+
+
+# one long per bit position; index 63 is the sign bit (two's complement)
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def _bit_mask(pos_in_word: Column) -> Column:
+    """``1L << pos`` as an O(1) literal-array lookup (F.shiftleft only
+    accepts a constant shift from Python)."""
+    return F.element_at(F.lit(_BIT_MASKS), pos_in_word.cast("int") + F.lit(1))
+
+
+def bloom_filter_build(
+    keys: DataFrame, key: str, n_bits: int = 1 << 17, n_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom filter over ``keys[key]`` as a dense little-endian
+    bit array packed into ``n_bits // 64`` longs.
+
+    Spark's own runtime row-filter uses exactly this structure
+    (``BloomFilterAggregate``), but it is not registered in the public
+    function registry, so this is the portable DataFrame formulation:
+    each key emits ``n_hashes`` bit positions (``xxhash64(key, seed)``
+    mod ``n_bits``), positions fold into per-word masks with a
+    distributed ``bit_or``, and only the packed words — ``n_bits/8``
+    bytes, independent of key count — come back to the driver. That
+    word table IS the broadcast payload; the keys themselves never
+    leave the executors.
+    """
+    n_words = n_bits // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / F.lit(64)).cast("int").alias("w"),
+            _bit_mask(F.pmod(F.col("p"), F.lit(64))).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("mask"))
+        .collect()
+    )
+    arr = [0] * n_words
+    for row in words:
+        arr[row["w"]] = row["mask"]
+    return arr
+
+
+def bloom_might_contain(
+    bloom: list[int], key: Column | str, n_hashes: int = 3
+) -> Column:
+    """Membership predicate against a `bloom_filter_build` array —
+    pure JVM bit arithmetic on an array literal (element_at on an array
+    is O(1); the whole test stays inside whole-stage codegen)."""
+    key = F.col(key) if isinstance(key, str) else key
+    n_bits = len(bloom) * 64
+    tests = []
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(F.lit(bloom), (p / F.lit(64)).cast("int") + F.lit(1))
+        bit = _bit_mask(F.pmod(p, F.lit(64)))
+        tests.append(word.bitwiseAND(bit) != F.lit(0))
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``keys`` with a Bloom pre-filter: the fact
+    scan drops ~all non-matching rows BEFORE any shuffle, for the cost
+    of broadcasting ``n_bits/8`` bytes — the pattern that makes a
+    selective dim→fact semi-join viable at 100 TB when the key set is
+    too large to broadcast outright. ``exact=True`` (default) follows
+    with the real left-semi join over the survivors, so results carry
+    no false positives; ``exact=False`` returns the (superset)
+    Bloom-only filter for pipelines that tolerate fpp.
+    """
+    dim_key = dim_key or fact_key
+    dim = keys.select(F.col(dim_key).alias(fact_key)).distinct()
+    bloom = bloom_filter_build(dim, fact_key, n_bits=n_bits, n_hashes=n_hashes)
+    pruned = fact.filter(bloom_might_contain(bloom, fact_key, n_hashes=n_hashes))
+    if exact:
+        pruned = pruned.join(dim, fact_key, "left_semi")
+    return pruned
 
 
 def range_join(

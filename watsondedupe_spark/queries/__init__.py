@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_ext,
         relational,
         relational_ext,
+        scale_ops,
         tpch_full,
     )
 

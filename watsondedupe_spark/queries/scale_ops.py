@@ -1,0 +1,157 @@
+"""Scale-posture operators as graded queries — the patterns that keep a
+dim→fact pipeline viable at 100 TB, each proven oracle-exact at test SF:
+
+- **Bloom-pruned semi-join** (`bloom_semi_revenue`): when the key set of
+  a selective semi-join is too large to broadcast as a hash relation, a
+  Bloom filter of it still fits in kilobytes. The fact scan drops
+  non-matching rows BEFORE the shuffle; an exact semi-join over the
+  survivors removes false positives. Oracle: the plain semi-join — the
+  Bloom stage must be semantically invisible.
+- **Salted distinct aggregation** (`events_distinct_users_salted`): a
+  hot group key funnels its whole distinct-set into one task; routing
+  values to salt buckets BY VALUE HASH keeps per-salt sets disjoint, so
+  summing per-salt distinct counts is exact, spread over n_salts tasks.
+- **CUBE grouping sets** (`cube_orders_status_year`): all four grain
+  combinations in one pass over the fact (Spark expands grouping sets
+  map-side; one shuffle total, not one per grain).
+- **Entity masking** (`docs_entity_mask`): regex token redaction — the
+  NER-lite scrub stage of a training-data pipeline — as a pure columnar
+  regexp pass with per-source audit counts.
+
+Reference parity: none of these exist in WatsonDedupe (its only join is
+the IN-list chunk lookup, SqliteProvider.cs:333-355); engine-side
+additions per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.operators.joins import bloom_semi_join
+from watsondedupe_spark.operators.skew import salted_count_distinct
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries.llm_pipeline import _docs
+from watsondedupe_spark.sources import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@register(
+    "bloom_semi_revenue",
+    """
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag
+""",
+    doc="Bloom-pruned semi-join: urgent-order keys folded into a ~16 KB "
+    "bit array broadcast to the lineitem scan; exact semi-join over the "
+    "survivors. Oracle is the plain semi-join (Bloom must be invisible).",
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    rev = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "events_distinct_users_salted",
+    """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY event_type
+""",
+    doc="Salted two-phase COUNT(DISTINCT): values routed to salt buckets "
+    "by value hash (disjoint per-salt sets; summing partials is exact), "
+    "hot keys spread over n_salts tasks (operators/skew.py).",
+)
+def events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(ev, "event_type", "user_id", n_salts=16)
+
+
+@register(
+    "cube_orders_status_year",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(COALESCE(CAST(year(o_orderdate) AS INT), -1) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+""",
+    doc="CUBE grouping sets: all four (status x year) grains in one "
+    "shuffle (Catalyst expands grouping sets before the exchange).",
+)
+def cube_orders_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", F.year("o_orderdate").alias("_yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("_yr"), F.lit(-1)).cast("int").alias("yr"),
+            "n",
+            "total",
+        )
+    )
+
+
+_MASK_PATTERN = r"\b(customer|supplier|order|part)\b"
+
+
+@register(
+    "docs_entity_mask",
+    """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\\b(customer|supplier|order|part)\\b', 1))) AS BIGINT)
+         AS total_masked,
+       CAST(SUM(length(regexp_replace(text, '\\b(customer|supplier|order|part)\\b', '<ENT>', 'g'))) AS BIGINT)
+         AS masked_chars
+FROM documents
+GROUP BY source
+""",
+    doc="Entity masking (NER-lite scrub): columnar regexp redaction with "
+    "per-source audit counts — matched-token count and post-mask length "
+    "prove the same rewrite happened on both engines.",
+)
+def docs_entity_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    masked = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_MASK_PATTERN), F.lit(1))).alias("_n"),
+        F.length(F.regexp_replace("text", _MASK_PATTERN, "<ENT>")).alias("_len"),
+    )
+    return masked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_masked"),
+        F.sum("_len").cast("long").alias("masked_chars"),
+    )

@@ -124,6 +124,52 @@ def cube_orders_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_length_histogram",
+    """
+WITH b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents)
+SELECT CAST(LEAST(((d.n_chars - b.lo) * 10) // (b.hi - b.lo + 1), 9) AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+FROM documents d, b
+GROUP BY 1
+""",
+    doc="Fixed-width 10-bucket length histogram (curriculum binning). "
+    "Bounds come from a 1-row scalar-subquery broadcast, buckets from "
+    "integer arithmetic — no global sort, unlike NTILE, so the shape "
+    "survives any scale. Integer math keeps both engines bit-identical.",
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("n_chars") - F.col("lo"))
+                    * F.lit(10)
+                    / (F.col("hi") - F.col("lo") + 1)
+                ),
+                F.lit(9).cast("long"),
+            )
+            .cast("int")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 _MASK_PATTERN = r"\b(customer|supplier|order|part)\b"
 
 

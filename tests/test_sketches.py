@@ -1,0 +1,42 @@
+"""Count-Min sketch: overestimate-only guarantee, accuracy on heavy
+hitters, and mergeability (sketch-of-union == merge-of-sketches)."""
+
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.functions.sketches import cm_estimate, cm_merge, cm_sketch
+
+D, W = 5, 2048
+
+
+def _zipfish(spark, n, offset=0):
+    # id % (id % 97 + 1) style skew: value v appears roughly n/(v+1) times
+    return spark.range(offset, offset + n).select(
+        (F.col("id") % (F.pmod(F.xxhash64("id"), F.lit(50)) + 1)).alias("v")
+    )
+
+
+def test_cm_overestimates_never_under(spark):
+    df = _zipfish(spark, 20000)
+    truth = {r.v: r.cnt for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    sk = cm_sketch(df, "v", D, W)
+    items = df.select("v").distinct()
+    est = {r.v: r.est_count for r in cm_estimate(sk, items, "v", D, W).collect()}
+    assert set(est) == set(truth)
+    for v, t in truth.items():
+        assert est[v] >= t, (v, est[v], t)
+        # eps = e/width ~ 0.0013; N = 20000 -> slack ~ 27; allow 3x
+        assert est[v] - t <= 100, (v, est[v], t)
+
+
+def test_cm_sketch_is_bounded(spark):
+    sk = cm_sketch(_zipfish(spark, 50000), "v", D, W)
+    assert sk.count() <= D * W
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    a, b = _zipfish(spark, 5000), _zipfish(spark, 5000, offset=5000)
+    merged = cm_merge(cm_sketch(a, "v", D, W), cm_sketch(b, "v", D, W))
+    whole = cm_sketch(a.unionByName(b), "v", D, W)
+    lhs = {(r.d, r.w): r.cnt for r in merged.collect()}
+    rhs = {(r.d, r.w): r.cnt for r in whole.collect()}
+    assert lhs == rhs

@@ -214,10 +214,14 @@ class DedupeEngine:
         """
         created_utc = created_utc or datetime.now(timezone.utc)
 
-        dup_in_batch = (
-            objects_df.groupBy("object_key").count().filter(F.col("count") > 1).limit(5).collect()
-        )
-        if dup_in_batch:
+        # one job answers both "how many objects" and "any intra-batch
+        # dup": the key-grouped counts fold to (n_keys, max_multiplicity)
+        per_key = objects_df.groupBy("object_key").count()
+        n_keys, max_mult = per_key.agg(
+            F.count("*"), F.max("count")
+        ).collect()[0]
+        if n_keys and max_mult > 1:
+            dup_in_batch = per_key.filter(F.col("count") > 1).limit(5).collect()
             raise DuplicateKeyError(f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}")
         existing = (
             objects_df.join(self.objects, "object_key", "left_semi").limit(5).collect()
@@ -230,12 +234,12 @@ class DedupeEngine:
         # downstream consumers share one pass over the payloads.
         chunk_rows.persist()
         try:
-            n_objects = self._commit_ingest(chunk_rows, created_utc)
+            self._commit_ingest(chunk_rows, created_utc)
         finally:
             chunk_rows.unpersist()
-        return n_objects
+        return int(n_keys or 0)
 
-    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime) -> int:
+    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime) -> None:
         # 1. object_map rows are exactly the chunker output minus payload.
         new_map = chunk_rows.select("object_key", "chunk_key", "length", "position", "address")
         self.store.append("object_map", new_map)
@@ -285,7 +289,6 @@ class DedupeEngine:
             .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
         )
         self.store.append("objects", new_objects)
-        return new_objects.count()
 
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
 

@@ -170,6 +170,28 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_token_freq_cms",
+    None,  # sketch estimates are overestimate-bounded, not SQL-exact
+    doc="Count-Min sketch over the token stream (functions/sketches.py): "
+    "one shuffle bounded by depth*width cells regardless of corpus "
+    "size; estimates probed for every distinct token via broadcast "
+    "join. Rows-only check: CM guarantees est >= truth, so exact "
+    "equality is not the contract (tests pin the error bound).",
+)
+def docs_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.functions.sketches import cm_estimate, cm_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = cm_sketch(toks, "token", depth=5, width=4096)
+    items = toks.distinct()
+    return cm_estimate(sk, items, "token", depth=5, width=4096).orderBy(
+        F.desc("est_count"), "token"
+    )
+
+
 _MASK_PATTERN = r"\b(customer|supplier|order|part)\b"
 
 

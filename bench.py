@@ -57,6 +57,9 @@ HEADLINE = [
     "cube_orders_status_year",
     "docs_entity_mask",
     "docs_length_histogram",
+    "docs_dup_spans",
+    "docs_mixture_sample",
+    "emb_semantic_dedup",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -1,0 +1,134 @@
+"""Tests for the curation_ext query batch: duplicate-span detection,
+temperature mixing, and SemDeDup semantics (the oracle gate pins value
+parity for the first two; these pin the *semantic invariants* and the
+rows-only SemDeDup behavior)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.queries import all_queries
+from watsondedupe_spark.queries.curation_ext import (
+    _MIX_RATE_CAP,
+    _MIX_TARGET_DIV,
+    _SEM_COSINE,
+    _SPAN_K,
+)
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name].spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# docs_dup_spans
+# ---------------------------------------------------------------------------
+
+
+def test_dup_spans_islands_are_maximal(spark, sf_dir):
+    """No two spans in one doc may overlap or touch — adjacency merges."""
+    spans = _q("docs_dup_spans", spark, sf_dir).collect()
+    assert spans, "synthetic corpus plants verbatim duplicates; spans expected"
+    by_doc = {}
+    for r in spans:
+        assert r.span_len == r.span_end - r.span_start + 1
+        assert r.span_len >= _SPAN_K
+        assert r.span_start >= 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc_id, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1, f"doc {doc_id}: spans [{s1},{e1}] and [{s2},{e2}] not merged"
+
+
+def test_dup_spans_on_planted_fixture(spark):
+    """A phrase shared by two docs yields one merged span per doc covering
+    exactly the shared run, and unique text yields nothing."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (0, f"unique preamble zero {shared} unique tail zero"),
+        (1, f"{shared} completely different continuation here one"),
+        (2, "no overlap at all in this document whatsoever six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import watsondedupe_spark.queries.curation_ext as mod
+
+    orig = mod._docs_parallel
+    mod._docs_parallel = lambda s, d: docs
+    try:
+        out = {r.doc_id: (r.span_start, r.span_end) for r in
+               _q("docs_dup_spans", spark, "unused").collect()}
+    finally:
+        mod._docs_parallel = orig
+    # doc 0: shared run is tokens 4..11; doc 1: tokens 1..8; doc 2: absent
+    assert out == {0: (4, 11), 1: (1, 8)}
+
+
+# ---------------------------------------------------------------------------
+# docs_mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_match_hand_computation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    n_total = sum(counts.values())
+    s_total = sum(int(math.isqrt(n)) for n in counts.values())
+    expected = {
+        src: min((n_total // _MIX_TARGET_DIV) * int(math.isqrt(n)) / (s_total * n), _MIX_RATE_CAP)
+        for src, n in counts.items()
+    }
+    out = _q("docs_mixture_sample", spark, sf_dir)
+    got = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    assert got == pytest.approx(expected)
+    # the md5 gate is a uniform [0,1) draw: the per-source keep count
+    # should be within a loose binomial envelope of rate * n
+    kept = {r.source: r.k for r in out.groupBy("source").agg(F.count("*").alias("k")).collect()}
+    for src, n in counts.items():
+        mu = expected[src] * n
+        tol = 5 * math.sqrt(mu) + 5
+        assert abs(kept.get(src, 0) - mu) <= tol, (src, kept.get(src, 0), mu)
+
+
+# ---------------------------------------------------------------------------
+# emb_semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_result(spark, sf_dir):
+    return _q("emb_semantic_dedup", spark, sf_dir).collect()
+
+
+def test_semantic_dedup_deterministic(spark, sf_dir, sem_result):
+    again = _q("emb_semantic_dedup", spark, sf_dir).collect()
+    assert sorted((r.vec_id, r.centroid_id) for r in sem_result) == sorted(
+        (r.vec_id, r.centroid_id) for r in again
+    )
+
+
+def test_semantic_dedup_kept_set_semantics(spark, sf_dir, sem_result):
+    """Exactly the vectors with NO lower-id same-cluster neighbor at
+    cosine >= threshold survive (brute-force recomputation)."""
+    from watsondedupe_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, 16)
+    assigned = ivf_assign(emb, cents).collect()
+    by_cluster = {}
+    for r in assigned:
+        q = [round(float(x) * 1000) for x in r.embedding]
+        by_cluster.setdefault(r.centroid_id, []).append((r.vec_id, q))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+
+    expected_kept = set()
+    for cid, members in by_cluster.items():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            if not any(cos(pv, v) >= _SEM_COSINE for _, pv in members[:i]):
+                expected_kept.add((vid, cid))
+    assert {(r.vec_id, r.centroid_id) for r in sem_result} == expected_kept

@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def all_queries() -> dict[str, QuerySpec]:
     # import for side effect of registration
     from watsondedupe_spark.queries import (  # noqa: F401
+        curation_ext,
         dedupe_index,
         engine_native,
         events,

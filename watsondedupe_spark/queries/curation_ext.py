@@ -1,0 +1,307 @@
+"""Third batch of curation operators — duplicate-SPAN detection, data
+mixing, and semantic dedup.
+
+These cover the remaining pieces of a production pretraining-data
+pipeline that the earlier batches left out:
+
+- **Exact duplicate-span detection** (the substring-dedup of Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better", 2022):
+  instead of dropping whole near-duplicate documents, find the exact
+  k-token spans that are shared verbatim across >= 2 documents, merged
+  into maximal per-document intervals. Downstream, those spans are cut
+  out of the training text.
+- **Temperature-weighted source mixing** (the sampling step of every
+  multi-corpus LM data recipe, e.g. alpha-smoothed sampling in
+  multilingual training): per-source keep-rates proportional to
+  ``n_s^0.5`` so head sources are downweighted and tail sources kept,
+  applied via a deterministic md5 gate.
+- **Semantic dedup** (SemDeDup, Abbas et al. 2023): cluster embeddings
+  with the deterministic IVF coarse centroids, then drop all but one
+  vector from every near-identical group *within* each cluster — the
+  pairwise cosine work is confined to cluster-sized buckets, never the
+  whole corpus.
+
+Oracle portability follows the house rules (``llm_pipeline`` module
+docstring): md5 for gates/fingerprints, integer arithmetic up to a
+single final float division, no transcendentals, fixed-order doubles.
+
+Reference parity: none of these exist in WatsonDedupe (SURVEY.md §2.2);
+they are engine-side additions for the 100 TB curation use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries.llm_pipeline import (
+    _docs,
+    _docs_parallel,
+    _emb,
+    _quant_vec,
+)
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (substring dedup)
+# ---------------------------------------------------------------------------
+
+#: span unit: verbatim k-token windows (the paper uses 50 BPE tokens; the
+#: synthetic corpus' planted duplicates are short, so k=5 words here)
+_SPAN_K = 5
+
+
+@register(
+    "docs_dup_spans",
+    f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= {_SPAN_K}
+),
+grams AS (
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.g AS g
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {_SPAN_K - 1}),
+                   i -> struct_pack(
+                       pos := i,
+                       g := md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' '))
+                   ))) AS s
+        FROM tok
+    )
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+    SELECT gr.doc_id, gr.pos, gr.pos + {_SPAN_K - 1} AS e
+    FROM grams gr JOIN dup USING (g)
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (
+        SELECT doc_id, pos, e,
+               LAG(e) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
+        FROM occ
+    )
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(e)   AS span_end,
+       MAX(e) - MIN(pos) + 1 AS span_len
+FROM isl
+GROUP BY doc_id, island
+""",
+    doc="exact duplicate-span detection (substring dedup, Lee et al. "
+    "2022): md5 every k-token window with its position, keep windows "
+    "seen in >= 2 distinct docs, and merge overlapping/adjacent hits "
+    "into maximal per-doc [span_start, span_end] token intervals via a "
+    "gaps-and-islands window. The expensive stages shuffle on gram hash "
+    "(uniform by construction) and on doc_id (bounded by doc length) — "
+    "never on anything corpus-global, so the plan is scale-free",
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SPAN_K
+    toks = F.split("text", " ")
+    base = (
+        _docs_parallel(spark, sf_dir)
+        .filter(F.size(toks) >= k)
+        .select("doc_id", toks.alias("t"))
+    )
+    # one row per k-gram occurrence, tagged with its 1-based token position;
+    # the gram text is hashed immediately so the exploded rows stay narrow
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("t", i, k))).alias("g"),
+        ),
+    )
+    grams = base.select("doc_id", F.explode(gram_structs).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+    # grams shared verbatim by >= 2 documents (partial-agg combines
+    # map-side; the distinct-doc count shuffles once on the gram hash)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    occ = grams.join(dup, "g").select(
+        "doc_id", "pos", (F.col("pos") + (k - 1)).alias("e")
+    )
+    # gaps-and-islands: every hit is an interval [pos, pos+k-1]; merge
+    # overlapping or adjacent intervals per document. Intervals all have
+    # equal length, so lag(e) is the running max end and a single lag
+    # suffices (no running-max window needed).
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = occ.withColumn("prev_e", F.lag("e").over(w)).withColumn(
+        "new_island",
+        F.when(F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("pos") + 1).alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted source mixing
+# ---------------------------------------------------------------------------
+
+#: target corpus fraction after mixing (numerator/denominator kept integer)
+_MIX_TARGET_DIV = 4  # keep ~N/4 documents overall
+#: per-source rate cap, as an exact double (31/32) so floor(rate * 2^32)
+#: always fits in 8 hex digits and the lpad'd gate comparison is total
+_MIX_RATE_CAP = 31.0 / 32.0
+
+
+@register(
+    "docs_mixture_sample",
+    f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_s,
+           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS isq
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_s) AS BIGINT) AS n_total, CAST(SUM(isq) AS BIGINT) AS s_total
+    FROM per_src
+),
+rates AS (
+    SELECT p.source, p.n_s,
+           LEAST(
+               CAST((t.n_total // {_MIX_TARGET_DIV}) * p.isq AS DOUBLE)
+                   / CAST(t.s_total * p.n_s AS DOUBLE),
+               {_MIX_RATE_CAP!r}) AS rate
+    FROM per_src p CROSS JOIN tot t
+),
+gated AS (
+    SELECT d.doc_id, d.source, d.lang, d.n_chars, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')
+)
+SELECT doc_id, source, lang, n_chars, rate FROM gated
+""",
+    doc="temperature-weighted source mixing (alpha=0.5 smoothed sampling "
+    "over sources): per-source keep-rate proportional to sqrt(n_s), "
+    "normalized to keep ~1/4 of the corpus, capped at 31/32. All "
+    "arithmetic stays in exact integers (floor(sqrt()) per source, "
+    "integer sums) up to ONE final double division per source, so the "
+    "rates are bit-identical across engines; the md5 gate then makes the "
+    "sample itself deterministic across runs, engines, and partitionings. "
+    "The rate table is one row per source — a broadcast join, no shuffle "
+    "of the corpus",
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.floor(F.sqrt(F.count("*").cast("double"))).cast("long").alias("isq"),
+    )
+    tot = per_src.agg(
+        F.sum("n_s").cast("long").alias("n_total"), F.sum("isq").cast("long").alias("s_total")
+    )
+    # integer numerator/denominator; ONE double division => exact parity
+    rate = F.least(
+        ((F.col("n_total") / _MIX_TARGET_DIV).cast("long") * F.col("isq")).cast("double")
+        / (F.col("s_total") * F.col("n_s")).cast("double"),
+        F.lit(_MIX_RATE_CAP),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select("source", rate.alias("rate"))
+    gate = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 4294967296.0).cast("long"))), 8, "0"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(gate < threshold)
+        .select("doc_id", "source", "lang", "n_chars", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup): cluster, then prune within clusters
+# ---------------------------------------------------------------------------
+
+_SEM_N_CLUSTERS = 16
+_SEM_COSINE = 0.40  # same near-identity threshold as emb_near_dup_pairs
+
+
+@register(
+    "emb_semantic_dedup",
+    None,  # centroid training (orderBy(xxhash64).limit) is not ANSI-SQL
+    doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
+    "nearest deterministic IVF coarse centroid, then within each cluster "
+    "drop every vector whose quantized cosine to a LOWER-id cluster "
+    "member is >= threshold — keeping exactly one representative per "
+    "near-identical group (the min-id one; transitive chains collapse to "
+    "their minimum). The quadratic cosine work is confined to single "
+    "clusters (|corpus|/n_clusters per bucket), and the pair join "
+    "shuffles on centroid_id — never all-pairs on the corpus. Rows-only "
+    "check; determinism is pinned by test instead",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    cents = ivf_centroids(emb, _SEM_N_CLUSTERS)
+    assigned = ivf_assign(emb, cents).select(
+        "vec_id", "centroid_id", _quant_vec().alias("v")
+    )
+    nrm = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    side = assigned.select("vec_id", "centroid_id", "v", nrm.alias("nrm"))
+    a = side.select(
+        "centroid_id",
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        "centroid_id",
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double")) / F.sqrt(
+        F.col("nb").cast("double")
+    )
+    # within-cluster pairs only: equi-join on centroid_id bounds the
+    # quadratic term to cluster size; higher id drops when near a lower id
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cosine >= _SEM_COSINE)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.drop_id, "left_anti")
+        .select("vec_id", "centroid_id")
+    )

@@ -222,3 +222,39 @@ def test_cms_probe_is_broadcast(spark, sf_dir):
     it, never shuffle the token stream against it."""
     df = q("docs_token_freq_cms", spark, sf_dir)
     assert P.uses_broadcast_join(df)
+
+
+def test_dup_spans_shuffles_on_gram_and_doc_only(spark, sf_dir):
+    """Duplicate-span detection must join occurrences to multi-doc grams
+    on the gram hash (equi-join) and do the island merge partitioned by
+    doc_id — no cartesian, partial agg on the gram count, and the whole
+    chain bounded to: gram-count exchange, join probe exchange(s), and
+    the per-doc window/rollup exchange."""
+    df = q("docs_dup_spans", spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.has_partial_aggregation(df)
+    assert P.shuffle_count(df) <= 5
+
+
+def test_mixture_sample_broadcasts_rate_table(spark, sf_dir):
+    """The per-source rate table is one row per source: the corpus-side
+    join must be a broadcast, so the documents scan is never shuffled."""
+    df = q("docs_mixture_sample", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    # the 1-row totals broadcast is a BroadcastNestedLoopJoin by design
+    # (see the salted-distinct note), so bound the shuffles instead of
+    # asserting no-cartesian: only the tiny per-source aggregates may
+    # exchange — the corpus scan itself must not
+    assert P.shuffle_count(df) <= 3
+
+
+def test_semantic_dedup_pairs_join_on_cluster_key(spark, sf_dir):
+    """SemDeDup's quadratic term must be confined to clusters: the pair
+    join is an equi-join on centroid_id. (The 1-row centroid broadcast
+    fan-out is a BroadcastNestedLoopJoin by design — see has_cartesian
+    note in the skew tests — so assert the pair join specifically.)"""
+    df = q("emb_semantic_dedup", spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "centroid_id" in plan
+    # the anti join that applies the drop set must be hash-based
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

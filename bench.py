@@ -60,6 +60,7 @@ HEADLINE = [
     "docs_dup_spans",
     "docs_mixture_sample",
     "emb_semantic_dedup",
+    "emb_ann_topk_pq",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -132,3 +132,61 @@ def test_semantic_dedup_kept_set_semantics(spark, sf_dir, sem_result):
             if not any(cos(pv, v) >= _SEM_COSINE for _, pv in members[:i]):
                 expected_kept.add((vid, cid))
     assert {(r.vec_id, r.centroid_id) for r in sem_result} == expected_kept
+
+
+# ---------------------------------------------------------------------------
+# PQ / ADC
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from watsondedupe_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=8, ks=16)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    codes = pq_encode(emb, cbs).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+    again = pq_encode(emb, pq_codebooks(emb, m=8, ks=16)).collect()
+    assert sorted((r.vec_id, tuple(r.codes)) for r in codes) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in again
+    )
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """On clustered data, PQ top-5 must recover most of the exact top-5;
+    with one code per distinct anchor the subspace distances are exact
+    for anchor-aligned vectors, so recall is high by construction."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from watsondedupe_spark.operators.similarity import ann_topk_pq, cosine_topk
+
+    rng = random.Random(7)
+    anchors = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    rows = []
+    for i in range(80):
+        a = anchors[i % 4]
+        rows.append((i, [float(x + rng.uniform(-0.05, 0.05)) for x in a]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_topk_pq(emb, q, k=5, m=8, ks=16).collect()}
+    assert len(approx & exact) >= 6  # >= 60% joint recall over 2 queries
+
+
+def test_pq_adc_ranks_well_formed(spark, sf_dir):
+    out = _q("emb_ann_topk_pq", spark, sf_dir)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != qid for r in rs)

@@ -298,3 +298,127 @@ def cosine_topk_np(
         .filter(F.col("rank") <= k)
         .filter(F.col("cosine") != F.lit(float("-inf")))
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — memory-bounded ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``[m][ks][d/m]`` floats.
+
+    The ``ks`` corpus vectors with the smallest ``xxhash64(id)`` (the
+    same RNG-free sampling scheme as :func:`ivf_centroids`) are sliced
+    into ``m`` subvectors; subspace ``s``'s codebook is the ``s``-th
+    slice of every sampled vector. A k-means refinement per subspace can
+    start from these; the coarse sample already spans the corpus. The
+    whole structure is ``m*ks*(d/m) = ks*d`` doubles — driver-side and
+    broadcast-as-literal by construction.
+    """
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        .limit(ks)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[vec_col]] for r in sample]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-sized codes (argmin-L2 per
+    subspace): ``(id, codes array<int>)``.
+
+    This is the 100 TB lever: a 64-dim float vector (256 B) compresses
+    to ``m`` codes (8 B at m=8, ks<=256) — a 32x working-set reduction,
+    so a whole shard's codes fit in executor memory while raw vectors
+    would spill. Encoding is an Arrow-batched numpy kernel (one matmul-
+    shaped pass per subspace, no Python per row) and runs exactly once
+    per corpus build; queries never touch raw vectors again.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    def enc(batches):
+        for pdf in batches:
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            if len(pdf):
+                for s in range(m):
+                    x = vecs[:, s * sub : (s + 1) * sub]
+                    d2 = ((x[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=-1)
+                    codes[:, s] = d2.argmin(axis=1)  # ties -> lowest code
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes.tolist())})
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC).
+
+    Each query precomputes its ``m x ks`` table of exact subspace
+    distances to the codebooks (driver-side — it is ``ks*d`` float ops
+    per query), shipped as literal arrays. The scan side then scores a
+    vector with ``m`` array lookups and adds — no floats from the corpus
+    are read at all, only the code columns — and every query's scores
+    come out of ONE pass over the codes via an exploded struct array.
+    The only shuffle is the per-query top-k window. Smaller ADC distance
+    = nearer; returns (query_id, neighbor_id, adist, rank).
+    """
+    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
+
+    def adist_for(qv: list[float]):
+        total = F.lit(0.0)
+        for s, cb in enumerate(cbs):
+            qs = qv[s * sub : (s + 1) * sub]
+            table = [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cb]
+            total = total + F.element_at(F.lit(table), F.col("codes").getItem(s) + 1)
+        return total
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    structs = [
+        F.struct(
+            F.lit(r[id_col]).alias("query_id"),
+            adist_for([float(x) for x in r[vec_col]]).alias("adist"),
+        )
+        for r in qrows
+    ]
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), F.explode(F.array(*structs)).alias("s"))
+        .select("s.query_id", "neighbor_id", "s.adist")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

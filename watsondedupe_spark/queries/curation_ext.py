@@ -305,3 +305,65 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(dropped, assigned.vec_id == dropped.drop_id, "left_anti")
         .select("vec_id", "centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-k uniform sample per stratum (hash-ordered top-k)
+# ---------------------------------------------------------------------------
+
+_HASH_SAMPLE_K = 10
+
+
+@register(
+    "docs_hash_topk_sample",
+    f"""
+SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {_HASH_SAMPLE_K}
+""",
+    doc="exact-k uniform sample per stratum: rank documents inside each "
+    "source by md5(doc_id) — a deterministic uniform permutation — and "
+    "keep the first k. Unlike rate-gated sampling (docs_stratified_"
+    "sample) this yields EXACTLY k rows per stratum regardless of "
+    "stratum size; the rank window shuffles on the stratum key only, and "
+    "per-partition top-k pushes through the window via the rn<=k limit",
+)
+def docs_hash_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _HASH_SAMPLE_K)
+        .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (memory-bounded similarity search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_ann_topk_pq",
+    None,  # codebook training (hash-sampled argmin) is not ANSI-SQL
+    doc="PQ/ADC approximate top-k: vectors compress to 8 subspace codes "
+    "(32x smaller working set than raw floats — the reason PQ is the "
+    "standard billion-vector index layout), queries ship their exact "
+    "subspace-distance tables as literals, and the scan scores with 8 "
+    "array lookups per vector in ONE pass for all queries. Rows-only; "
+    "recall vs exact search pinned in test_curation_ext",
+)
+def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ann_topk_pq
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_topk_pq(emb, q, k=10)

@@ -497,14 +497,19 @@ class DedupeEngine:
                 (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
             )
         )
-        gc_keys = [r.chunk_key for r in merged.filter(F.col("ref_count") < 1).select("chunk_key").collect()]
+        gc_set = merged.filter(F.col("ref_count") < 1).select("chunk_key")
+        gc_keys = [r.chunk_key for r in gc_set.collect()]
 
         self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
         self.store.commit("object_map", self.object_map.filter(~key_col))
         self.store.commit("objects", self.objects.filter(~key_col))
         if gc_keys:
+            # anti-join, not isin(<collected list>): a mass delete can GC
+            # millions of chunks, and a literal list that size would blow
+            # the driver/plan — the distributed set difference doesn't
             self.store.commit(
-                "chunk_store", self.chunk_store.filter(~F.col("chunk_key").isin(gc_keys))
+                "chunk_store",
+                self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
             )
         return gc_keys
 

@@ -267,9 +267,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.rdd.getNumPartitions() < want:
         emb = emb.repartition(want)
     cents = ivf_centroids(emb, _SEM_N_CLUSTERS)
+    # the assignment feeds BOTH pair-join sides and the final anti-join:
+    # checkpoint it once (house pattern from connected_components) so the
+    # centroid scoring pass doesn't run three times
     assigned = ivf_assign(emb, cents).select(
         "vec_id", "centroid_id", _quant_vec().alias("v")
-    )
+    ).localCheckpoint(eager=True)
     nrm = F.aggregate(
         F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
     )

@@ -190,3 +190,48 @@ def test_pq_adc_ranks_well_formed(spark, sf_dir):
         dists = [r.adist for r in rs]
         assert dists == sorted(dists)
         assert all(r.neighbor_id != qid for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_refine_reduces_sse_and_keeps_shape(spark):
+    import random
+
+    from watsondedupe_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    rng = random.Random(3)
+    anchors = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+    rows = [
+        (i, [float(x + rng.uniform(-0.1, 0.1)) for x in anchors[i % 3]])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seed = ivf_centroids(emb, 3)
+
+    def sse(cents):
+        joined = ivf_assign(emb, cents).join(
+            cents.withColumnRenamed("centroid_id", "cid"),
+            F.col("centroid_id") == F.col("cid"),
+        )
+        dist2 = F.aggregate(
+            F.zip_with("embedding", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        return joined.agg(F.sum(dist2)).collect()[0][0]
+
+    one = kmeans_refine(emb, seed, rounds=1)
+    two = kmeans_refine(emb, one, rounds=1)
+    assert two.count() == 3
+    assert all(len(r.cv) == 16 for r in two.collect())
+    # Lloyd never increases SSE, round over round (epsilon for fp noise)
+    s0, s1, s2 = sse(seed), sse(one), sse(two)
+    assert s1 <= s0 * 1.0001 and s2 <= s1 * 1.0001
+    assert s2 < s0  # and it strictly improves from the coarse seed here

@@ -422,3 +422,46 @@ def ann_topk_pq(
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of coarse centroids, ``rounds`` iterations.
+
+    Each round: assign every vector to its nearest current centroid by
+    cosine (broadcast scoring — the corpus is never shuffled), then
+    recompute each centroid as the elementwise mean of its members. The
+    mean is computed by exploding (centroid, dim, value) triples and
+    partially aggregating — map-side combine reduces the shuffle to
+    ``n_centroids * dim * partitions`` partial rows, independent of
+    corpus size. A centroid whose cluster empties keeps its previous
+    position. Lineage is truncated per round (house pattern from
+    connected_components) so the plan does not grow with ``rounds``.
+
+    Returns (centroid_id, cv) like :func:`ivf_centroids` — drop-in
+    upgrade for the IVF/SemDeDup/PQ seed sample.
+    """
+    cents = centroids
+    for _ in range(rounds):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1)
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.getField("m").cast("float"),
+                ).alias("cv")
+            )
+        )
+        # empty clusters keep their previous centroid
+        kept = cents.join(means.select("centroid_id"), "centroid_id", "left_anti")
+        cents = means.unionByName(kept).localCheckpoint(eager=True)
+    return cents

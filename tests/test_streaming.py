@@ -334,3 +334,34 @@ def test_near_dup_filter_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     }
     assert kept_after == kept_before
     assert bands_after == bands_before
+
+
+def test_stream_static_enrichment_equals_batch_join(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment converges to the batch left
+    join, including events whose user has no dimension row (null cols)."""
+    from watsondedupe_spark import streaming as S
+
+    events = S.stream_from_dir(spark, events_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = S.enrich_with_dimension(events, dim)
+    q = S.run_to_memory(out, "enriched")
+    try:
+        q.processAllAvailable()
+        got_rows = spark.table("enriched").collect()
+    finally:
+        q.stop()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").join(
+        F.broadcast(
+            dim.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+            )
+        ),
+        "user_id",
+        "left",
+    )
+    want = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey) for r in batch.collect()
+    }
+    assert {
+        (r.event_id, r.c_mktsegment, r.c_nationkey) for r in got_rows
+    } == want

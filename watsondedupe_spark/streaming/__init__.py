@@ -348,3 +348,27 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream without any stream-side state.
+
+    The static side is re-planned per micro-batch (so a dimension table
+    refresh is picked up automatically) and broadcast — a stream-static
+    equi-join never shuffles the stream and keeps exactly zero state,
+    unlike stream-stream joins. This is the streaming form of the
+    broadcast-dim joins the batch queries pin in test_plans. Left join:
+    an event with no dimension row passes through with nulls rather
+    than silently dropping.
+    """
+    d = F.broadcast(
+        dim.select(F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols])
+    )
+    return events.join(d, stream_key, "left")

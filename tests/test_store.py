@@ -58,3 +58,24 @@ def test_compaction_keeps_current_snapshot(spark, tmp_path):
     assert st.read("objects").count() == 15
     state = st._state("objects")
     assert len(state["parts"]) <= st.max_parts
+
+
+def test_manifest_meta_carries_forward_and_replaces(spark, tmp_path):
+    from watsondedupe_spark.store import IndexStore
+
+    store = IndexStore(spark, str(tmp_path / "meta_store"))
+    df = spark.createDataFrame([(1,)], "x long")
+    assert store.table_meta("t") == {}
+    store.commit("t", df, meta={"max_id": 7})
+    assert store.table_meta("t") == {"max_id": 7}
+    # meta=None carries forward across append, commit, and the
+    # append-triggered compaction fold
+    store.append("t", df)
+    assert store.table_meta("t") == {"max_id": 7}
+    store.commit("t", df)
+    assert store.table_meta("t") == {"max_id": 7}
+    store.append("t", df, meta={"max_id": 9})
+    assert store.table_meta("t") == {"max_id": 9}
+    for _ in range(IndexStore.max_parts + 1):
+        store.append("t", df)
+    assert store.table_meta("t") == {"max_id": 9}

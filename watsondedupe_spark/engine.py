@@ -237,12 +237,12 @@ class DedupeEngine:
         chunk_rows.persist()
         chunk_rows.count()
         try:
-            self._commit_ingest(chunk_rows, created_utc)
+            self._commit_ingest(chunk_rows, created_utc, int(n_keys or 0))
         finally:
             chunk_rows.unpersist()
         return int(n_keys or 0)
 
-    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime) -> None:
+    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime, n_objects: int) -> None:
         """Write the four index tables from the cached chunk rows.
 
         The four writes touch four DIFFERENT tables whose inputs are all
@@ -292,7 +292,13 @@ class DedupeEngine:
             # comp_length preserves the reference quirk: sum of chunk
             # lengths (DedupeLibrary.cs:233), which equals original_length
             # since chunks tile the object.
-            prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
+            # the ingest-sequence high-water mark rides in the manifest
+            # (Delta table-properties style), so steady-state batches skip
+            # the max(id) scan job; first write on a pre-meta index falls
+            # back to the aggregate once
+            prev_max = self.store.table_meta("objects").get("max_id")
+            if prev_max is None:
+                prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
             w = Window.orderBy("object_key")  # deterministic intra-batch sequence
             new_objects = (
                 chunk_rows.groupBy("object_key")
@@ -305,7 +311,9 @@ class DedupeEngine:
                 .withColumn("created_utc", F.lit(created_utc))
                 .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
             )
-            self.store.append("objects", new_objects)
+            self.store.append(
+                "objects", new_objects, meta={"max_id": int(prev_max) + n_objects}
+            )
 
         from concurrent.futures import ThreadPoolExecutor
 

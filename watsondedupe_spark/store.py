@@ -155,32 +155,54 @@ class IndexStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*state["parts"])
 
-    def commit(self, name: str, df: DataFrame) -> int:
+    def table_meta(self, name: str) -> dict:
+        """Caller-provided table statistics carried in the manifest (the
+        Delta/Iceberg table-properties analogue). Empty dict if none."""
+        return self._state(name).get("meta", {})
+
+    def commit(self, name: str, df: DataFrame, meta: dict | None = None) -> int:
         """Write ``df`` as the full new table state; flip the manifest
-        atomically; retire every previous part."""
+        atomically; retire every previous part. ``meta=None`` carries the
+        previous manifest's meta forward; pass a dict to replace it."""
         os.makedirs(self._table_dir(name), exist_ok=True)
-        new = self.current_version(name) + 1
+        state = self._state(name)
+        new = state["version"] + 1
         path = self._part_path(name, new)
         df.write.mode("overwrite").parquet(path)
-        self._swap_manifest(name, {"version": new, "parts": [path]})
+        self._swap_manifest(
+            name,
+            {
+                "version": new,
+                "parts": [path],
+                "meta": state.get("meta", {}) if meta is None else meta,
+            },
+        )
         self._gc(name)
         return new
 
-    def append(self, name: str, df: DataFrame) -> int:
+    def append(self, name: str, df: DataFrame, meta: dict | None = None) -> int:
         """Append ONLY the new rows as a fresh part — O(batch) I/O.
 
         (With Delta this is a metadata-only append commit; the manifest
         gives plain parquet the same cost shape.) Every ``max_parts``
         appends the parts fold into one so read fan-in stays bounded.
+        ``meta`` as in :meth:`commit`.
         """
         state = self._state(name)
         if len(state["parts"]) >= self.max_parts:
-            return self.commit(name, self.read(name, df.schema).unionByName(df))
+            return self.commit(name, self.read(name, df.schema).unionByName(df), meta=meta)
         os.makedirs(self._table_dir(name), exist_ok=True)
         new = state["version"] + 1
         path = self._part_path(name, new)
         df.write.mode("overwrite").parquet(path)
-        self._swap_manifest(name, {"version": new, "parts": state["parts"] + [path]})
+        self._swap_manifest(
+            name,
+            {
+                "version": new,
+                "parts": state["parts"] + [path],
+                "meta": state.get("meta", {}) if meta is None else meta,
+            },
+        )
         return new
 
     def compact(self, name: str) -> int:

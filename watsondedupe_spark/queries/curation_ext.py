@@ -370,3 +370,119 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = emb.repartition(want)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return ann_topk_pq(emb, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span REMOVAL (the transform the detector exists to feed)
+# ---------------------------------------------------------------------------
+
+# the detector's final SELECT, reusable as a CTE body
+_SPANS_CTE = f"""
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= {_SPAN_K}
+),
+grams AS (
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.g AS g
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {_SPAN_K - 1}),
+                   i -> struct_pack(
+                       pos := i,
+                       g := md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' '))
+                   ))) AS s
+        FROM tok
+    )
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+    SELECT gr.doc_id, gr.pos, gr.pos + {_SPAN_K - 1} AS e
+    FROM grams gr JOIN dup USING (g)
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           SUM(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (
+        SELECT doc_id, pos, e,
+               LAG(e) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_e
+        FROM occ
+    )
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
+    FROM isl GROUP BY doc_id, island
+)
+"""
+
+
+@register(
+    "docs_strip_dup_spans",
+    f"""
+WITH {_SPANS_CTE.strip()},
+toks AS (
+    SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t)),
+                   i -> struct_pack(pos := i, tok := t[i]))) AS u
+        FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM spans)
+    )
+),
+keep AS (
+    SELECT tk.doc_id, tk.pos, tk.tok
+    FROM toks tk
+    WHERE NOT EXISTS (SELECT 1 FROM spans s
+                      WHERE s.doc_id = tk.doc_id
+                        AND tk.pos BETWEEN s.span_start AND s.span_end)
+),
+removed AS (
+    SELECT doc_id,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_removed
+    FROM spans GROUP BY doc_id
+)
+SELECT r.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       r.n_removed
+FROM removed r
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM keep GROUP BY doc_id
+) k USING (doc_id)
+""",
+    doc="duplicate-span REMOVAL: for every document the detector flagged, "
+    "cut the shared-verbatim token runs out and re-join the survivors — "
+    "the transform substring-dedup exists to feed (train on the cleaned "
+    "text, not on dropped documents). Spark side keeps the whole edit "
+    "row-local: spans collapse to one array per doc (bounded by doc "
+    "length), broadcast-style hash join back to the tokenized text, and "
+    "a position-aware filter lambda drops covered tokens — no explode of "
+    "the corpus at all. A fully-covered document yields an empty string",
+)
+def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = docs_dup_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp"),
+        F.sum("span_len").cast("long").alias("n_removed"),
+    )
+    toks = _docs_parallel(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    # two-parameter filter lambda binds (value, 0-based index); a token at
+    # 1-based position p survives iff no span covers p
+    def outside_spans(x, i):
+        p = i + 1
+        return ~F.exists(
+            "sp",
+            lambda s: (s.getField("span_start") <= p) & (p <= s.getField("span_end")),
+        )
+
+    return (
+        toks.join(spans, "doc_id")
+        .select(
+            "doc_id",
+            F.array_join(F.filter("t", outside_spans), " ").alias("clean_text"),
+            "n_removed",
+        )
+    )

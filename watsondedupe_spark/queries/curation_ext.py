@@ -486,3 +486,88 @@ def docs_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_removed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact length-decile curriculum buckets — no global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_length_curriculum",
+    """
+WITH vals AS (
+    SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY n_chars
+),
+cum AS (
+    SELECT n_chars, c,
+           SUM(c) OVER (ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+    FROM vals
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+cuts AS (
+    -- decile d's cutpoint: the smallest value whose cumulative count
+    -- reaches ceil(d*n/10) == the exact d*10th-percentile order statistic
+    SELECT d.d AS decile, MIN(cm.n_chars) AS cut
+    FROM (SELECT unnest(generate_series(1, 9)) AS d) d
+    CROSS JOIN tot t
+    JOIN cum cm ON cm.cum_c * 10 >= d.d * t.n
+    GROUP BY d.d
+),
+bucketed AS (
+    SELECT doc.doc_id, doc.n_chars,
+           CAST(1 + COALESCE((SELECT COUNT(*) FROM cuts c
+                              WHERE doc.n_chars > c.cut), 0) AS INTEGER) AS bucket
+    FROM documents doc
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_len,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len
+FROM bucketed GROUP BY bucket
+""",
+    doc="exact decile curriculum buckets WITHOUT a global sort: aggregate "
+    "to per-length counts (distinct lengths << corpus), run the "
+    "cumulative sum over that tiny table, read the nine exact order "
+    "statistics off it with integer arithmetic (cum*10 >= d*n — no "
+    "float percentile interpolation, so it is engine-exact), broadcast "
+    "the cutpoints back, and bucket with comparisons. This is how exact "
+    "quantiles are computed at 100 TB: ntile()/orderBy would serialize "
+    "the corpus through one task; the value histogram never does",
+)
+def docs_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vals = docs.groupBy("n_chars").agg(F.count("*").cast("long").alias("c"))
+    wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.withColumn("cum_c", F.sum("c").over(wc))
+    tot = vals.agg(F.sum("c").cast("long").alias("n"))
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    cuts = (
+        deciles.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cum), F.col("cum_c") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").alias("cut"))
+    )
+    cut_arr = cuts.agg(F.collect_list("cut").alias("cs"))
+    bucketed = docs.crossJoin(F.broadcast(cut_arr)).select(
+        "doc_id",
+        "n_chars",
+        (
+            1
+            + F.size(
+                F.filter(
+                    "cs",
+                    (lambda nc: lambda c: nc > c)(F.col("n_chars")),
+                )
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_len"),
+        F.max("n_chars").cast("long").alias("max_len"),
+    )

@@ -59,3 +59,27 @@ def test_cli_errors(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         run(spark, root, "bogus-verb")
     capsys.readouterr()
+
+
+def test_optimize_folds_parts_and_preserves_data(spark, tmp_path, capsys):
+    import json as _json
+
+    from watsondedupe_spark import cli
+    from watsondedupe_spark.engine import DedupeEngine
+
+    root = str(tmp_path / "opt_idx")
+    assert cli.main([root, "create"], spark=spark) == 0
+    eng = DedupeEngine.open(spark, root)
+    for i in range(3):
+        eng.write(f"k{i}", (f"payload {i} " * 400).encode())
+    before = eng.store._state("objects")["parts"]
+    assert len(before) == 3
+    assert cli.main([root, "optimize"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    versions = _json.loads(out)
+    assert set(versions) == {"objects", "object_map", "chunks", "chunk_store"}
+    eng2 = DedupeEngine.open(spark, root)
+    assert len(eng2.store._state("objects")["parts"]) == 1
+    assert eng2.get("k1") == ("payload 1 " * 400).encode()
+    # manifest meta (ingest high-water mark) survives the fold
+    assert eng2.store.table_meta("objects")["max_id"] == 3

@@ -72,6 +72,8 @@ def _build_parser() -> argparse.ArgumentParser:
 
     exists = sub.add_parser("exists", help="key existence (exit 0 yes / 1 no)")
     exists.add_argument("--key", required=True)
+
+    sub.add_parser("optimize", help="fold each table's parts into one (OPTIMIZE)")
     return p
 
 
@@ -179,6 +181,10 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         ok = engine.exists(args.key)
         print("true" if ok else "false")
         return 0 if ok else 1
+
+    if args.verb == "optimize":
+        print(json.dumps(engine.optimize()))
+        return 0
 
     raise AssertionError(f"unhandled verb {args.verb}")
 

@@ -534,6 +534,23 @@ class DedupeEngine:
             object_count=o.n, chunk_count=c.n, logical_bytes=o.b, physical_bytes=c.b
         )
 
+    # -- maintenance ----------------------------------------------------------
+
+    def optimize(self) -> dict[str, int]:
+        """Fold every index table's live parts into one (the OPTIMIZE /
+        VACUUM analogue — no reference counterpart, SQLite has no parts).
+
+        Appends keep ingest O(batch) by accumulating parts; this folds
+        them eagerly during a quiet window instead of paying the
+        compaction inside some unlucky ingest batch. Returns the new
+        manifest version per table.
+        """
+        return {
+            name: self.store.compact(name)
+            for name in ("objects", "object_map", "chunks", "chunk_store")
+            if self.store.exists(name)
+        }
+
 
 class DedupeReadStream(io.RawIOBase):
     """Seekable read-only stream over a stored object (O9).

@@ -235,3 +235,21 @@ def test_kmeans_refine_reduces_sse_and_keeps_shape(spark):
     s0, s1, s2 = sse(seed), sse(one), sse(two)
     assert s1 <= s0 * 1.0001 and s2 <= s1 * 1.0001
     assert s2 < s0  # and it strictly improves from the coarse seed here
+
+
+def test_hll_union_matches_exact_at_low_cardinality(spark, sf_dir):
+    """At this cardinality the lgk=14 sketch is exact, so the two-level
+    shard-merge must agree with count_distinct exactly — pinning that the
+    merge is lossless over partition boundaries."""
+    got = {
+        (r.event_type, r.approx_users)
+        for r in _q("events_user_hll_by_type", spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.event_type, r.n)
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -313,3 +313,22 @@ def test_store_append_is_incremental_and_compaction_folds(spark, tmp_path):
     store.commit("config", spark.createDataFrame([("only", "row")], "key string, value string"))
     assert len(store._state("config")["parts"]) == 1
     assert store.read("config").count() == 1
+
+
+def test_incremental_views_across_versions(spark, tmp_path):
+    from watsondedupe_spark.engine import DedupeEngine
+
+    eng = DedupeEngine.create(spark, str(tmp_path / "incr_idx"))
+    eng.write("a", b"first payload " * 300)
+    v_chunks = eng.store.current_version("chunks")
+    v_objects = eng.store.current_version("objects")
+    eng.write("b", b"second payload entirely different " * 300)
+
+    new_chunks = {r.chunk_key for r in eng.chunks_added_since(v_chunks).collect()}
+    b_chunks = {r.chunk_key for r in eng.get_chunks("b").collect()}
+    a_chunks = {r.chunk_key for r in eng.get_chunks("a").collect()}
+    assert new_chunks == b_chunks - a_chunks
+    assert not (new_chunks & a_chunks)
+
+    new_objects = eng.objects_added_since(v_objects).collect()
+    assert [r.object_key for r in new_objects] == ["b"]

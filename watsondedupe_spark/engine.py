@@ -534,6 +534,28 @@ class DedupeEngine:
             object_count=o.n, chunk_count=c.n, logical_bytes=o.b, physical_bytes=c.b
         )
 
+    # -- incremental views (store time travel) --------------------------------
+
+    def chunks_added_since(self, version: int) -> DataFrame:
+        """Chunk keys present now but absent at chunks-table ``version`` —
+        an incremental/CDC-style view computed from retained manifest
+        snapshots, no change log needed. At scale this is the input to
+        incremental downstream jobs (replicate only new chunks, index
+        only new content) instead of full-table rescans.
+        """
+        old = self.store.read_version("chunks", version).select("chunk_key")
+        return self.chunks.select("chunk_key", "length").join(old, "chunk_key", "left_anti")
+
+    def objects_added_since(self, version: int) -> DataFrame:
+        """Object rows appended after objects-table ``version`` — pure
+        metadata via the monotone ingest-sequence id: the old snapshot
+        only contributes its max id (one tiny aggregate), the current
+        table is filtered above it, so the diff never joins."""
+        old_max = (
+            self.store.read_version("objects", version).agg(F.max("id")).collect()[0][0]
+        )
+        return self.objects.filter(F.col("id") > F.lit(old_max if old_max is not None else 0))
+
     # -- maintenance ----------------------------------------------------------
 
     def optimize(self) -> dict[str, int]:

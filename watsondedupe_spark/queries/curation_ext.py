@@ -571,3 +571,39 @@ def docs_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_len"),
         F.max("n_chars").cast("long").alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches — shard-local distinct counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_hll_by_type",
+    None,  # Datasketches HLL binary images are engine-specific
+    doc="mergeable distinct-user counting: build one Datasketches HLL "
+    "sketch per (event_type, shard) map-side, merge with hll_union_agg — "
+    "the shard-local-sketch-then-merge shape is how distinct counts work "
+    "at 100 TB (a fixed-size sketch per partition crosses the wire, "
+    "never the user ids; sketches are also storable for incremental "
+    "rollups). Exactness is pinned against count_distinct in the test "
+    "at this cardinality; rows-only for the driver",
+)
+def events_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    # two-level merge: per-shard sketches (lgk=14 keeps the error <1% far
+    # beyond this cardinality), then a union-merge per event_type
+    shard = F.spark_partition_id().alias("shard")
+    per_shard = events.groupBy("event_type", shard).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sk")
+    )
+    return (
+        per_shard.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").cast("long").alias("approx_users"),
+        )
+    )

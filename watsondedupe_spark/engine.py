@@ -265,27 +265,41 @@ class DedupeEngine:
             increments = chunk_rows.groupBy("chunk_key").agg(
                 F.count("*").alias("inc"), F.first("length").alias("new_length")
             )
-            merged = (
-                self.chunks.join(increments, "chunk_key", "full_outer")
-                .select(
+            if not self.store.exists("chunks"):
+                # first-load fast path: nothing to merge with, the
+                # increments ARE the table — skips the outer join's
+                # second shuffle side entirely (bulk initial loads are
+                # the common case at scale)
+                merged = increments.select(
                     "chunk_key",
-                    F.coalesce("length", "new_length").cast("int").alias("length"),
-                    (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
-                    .cast("long")
-                    .alias("ref_count"),
+                    F.col("new_length").cast("int").alias("length"),
+                    F.col("inc").cast("long").alias("ref_count"),
                 )
-            )
+            else:
+                merged = (
+                    self.chunks.join(increments, "chunk_key", "full_outer")
+                    .select(
+                        "chunk_key",
+                        F.coalesce("length", "new_length").cast("int").alias("length"),
+                        (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
+                        .cast("long")
+                        .alias("ref_count"),
+                    )
+                )
             self.store.commit("chunks", merged)
 
         def write_payloads():
             # 3. chunk_store insert-if-absent (content-addressed storage is
             # the physical dedup: same key => stored once, DedupeLibrary.cs:628).
-            new_payloads = (
-                chunk_rows.dropDuplicates(["chunk_key"])
-                .join(self.chunk_store.select("chunk_key"), "chunk_key", "left_anti")
-                .select("chunk_key", F.col("chunk_data").alias("data"))
+            new_payloads = chunk_rows.dropDuplicates(["chunk_key"])
+            if self.store.exists("chunk_store"):  # first load: nothing absent
+                new_payloads = new_payloads.join(
+                    self.chunk_store.select("chunk_key"), "chunk_key", "left_anti"
+                )
+            self.store.append(
+                "chunk_store",
+                new_payloads.select("chunk_key", F.col("chunk_data").alias("data")),
             )
-            self.store.append("chunk_store", new_payloads)
 
         def write_objects():
             # 4. objects rows: per-object rollup + ingest-sequence ids.

@@ -607,3 +607,45 @@ def events_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").cast("long").alias("approx_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 shredded binary JSON)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_variant_props",
+    """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+    SELECT event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+""",
+    doc="semi-structured aggregation through the VARIANT type (Spark 4's "
+    "shredded binary JSON): parse_json once, typed try_variant_get "
+    "paths after — at scale the parse cost is paid once per row and "
+    "the binary encoding skips re-tokenizing the JSON per extracted "
+    "field, unlike the string get_json_object path (events_json_props, "
+    "kept as the comparison shape)",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    v = events.select("event_type", F.parse_json("props").alias("v")).select(
+        "event_type", F.try_variant_get("v", "$.k", "long").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

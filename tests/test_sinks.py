@@ -110,3 +110,57 @@ def test_jsonl_and_csv_sources_roundtrip_documents(spark, sf_dir, tmp_path):
         for r in read_csv(spark, cs, schema).collect()
     }
     assert got_c == want
+
+
+# ---------------------------------------------------------------------------
+# custom Python Data Source (blobgen)
+# ---------------------------------------------------------------------------
+
+
+def test_blobgen_datasource_deterministic_and_partitioned(spark):
+    from watsondedupe_spark.sources.blobgen import BlobGenDataSource
+
+    spark.dataSource.register(BlobGenDataSource)
+    df = (
+        spark.read.format("blobgen")
+        .option("n", 100)
+        .option("parts", 8)
+        .option("blob_bytes", 512)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r.id: (bytes(r.payload), r.is_dup) for r in df.collect()}
+    assert len(rows) == 100
+    assert all(len(p) == 512 for p, _ in rows.values())
+    # planted duplicates: every 10th object repeats payload 0
+    assert rows[10][0] == rows[0][0] and rows[10][1]
+    assert rows[11][0] != rows[0][0] and not rows[11][1]
+    # reproducible across reads
+    again = {r.id: bytes(r.payload) for r in
+             spark.read.format("blobgen").option("n", 100).option("parts", 4)
+             .option("blob_bytes", 512).load().collect()}
+    assert {i: p for i, (p, _) in rows.items()} == again
+
+
+def test_blobgen_feeds_the_dedupe_engine(spark, tmp_path):
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.sources.blobgen import BlobGenDataSource
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(BlobGenDataSource)
+    objs = (
+        spark.read.format("blobgen")
+        .option("n", 40)
+        .option("parts", 4)
+        .option("blob_bytes", 6000)
+        .option("dup_every", 4)
+        .load()
+        .select(F.col("object_key"), F.col("payload").alias("data"))
+    )
+    eng = DedupeEngine.create(spark, str(tmp_path / "blob_idx"))
+    assert eng.write_batch(objs) == 40
+    s = eng.stats()
+    # 9 planted duplicates of payload 0 => physical < logical
+    assert s.logical_bytes == 40 * 6000
+    assert s.physical_bytes < s.logical_bytes
+    assert eng.get("blob/00000004") == eng.get("blob/00000000")

@@ -60,3 +60,25 @@ def test_explode_salt_join_parity(spark):
     assert {(r.k, r["count"]) for r in j.collect()} == {
         (r.k, r["count"]) for r in plain.collect()
     }
+
+
+def test_salted_join_equals_plain_join_on_skewed_key(spark):
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.operators.skew import salted_join
+
+    # 90% of big rows share one hot key
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim"), F.col("id")).alias("attr")
+    )
+    want = {(r.k, r.payload, r.attr) for r in big.join(small, "k").collect()}
+    got = {(r.k, r.payload, r.attr) for r in salted_join(big, small, "k", n_salts=8).collect()}
+    assert got == want
+    # left join keeps unmatched big rows exactly once
+    big2 = big.withColumn("k", F.col("k") + 1000)  # no matches
+    left = salted_join(big2, small, "k", n_salts=8, how="left").collect()
+    assert len(left) == 2000 and all(r.attr is None for r in left)

@@ -79,3 +79,32 @@ def explode_salt(small: DataFrame, n_salts: int, salt_col: str = "_salt") -> Dat
     return small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skewed equi-join: salt the BIG side, replicate the SMALL side.
+
+    The big side's hot keys spread over ``n_salts`` shuffle partitions
+    (deterministic row-spread salt, no rand()); the small side is
+    replicated once per salt so every (key, salt) bucket still finds its
+    match. Composition of :func:`salted` + :func:`explode_salt` — use
+    when AQE's runtime skew split can't apply (broadcast-ineligible
+    small side plus downstream ops pinned to the salted partitioning).
+    Supported ``how``: inner / left — the replicated small side would
+    multiply unmatched right rows under right/full outer.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        salted(big, n_salts, salt_col)
+        .join(explode_salt(small, n_salts, salt_col), [*keys, salt_col], how)
+        .drop(salt_col)
+    )

@@ -365,3 +365,38 @@ def test_stream_static_enrichment_equals_batch_join(spark, sf_dir, events_dir):
     assert {
         (r.event_id, r.c_mktsegment, r.c_nationkey) for r in got_rows
     } == want
+
+
+def test_transform_with_state_converges_to_batch_profile(spark, events_dir):
+    """The second-gen stateful operator's final per-user emission must
+    equal the batch aggregate over the same data. transformWithState's
+    state-server protocol needs protobuf (not installed in this
+    container), so the test runs wherever that dependency exists."""
+    pytest.importorskip("google.protobuf")
+    sdf = S.stateful_user_profile_tws(S.stream_from_dir(spark, events_dir))
+    q = S.run_to_memory(sdf, "t_tws", "update")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_tws").collect()
+    finally:
+        q.stop()
+    # update mode re-emits per batch: keep the last emission per user
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value, r.n_types)
+    batch = {
+        r.user_id: (r.n, float(r.total), r.t)
+        for r in _batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.countDistinct("event_type").cast("int").alias("t"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, total, t) in final.items():
+        bn, btotal, bt = batch[uid]
+        assert n == bn and t == bt
+        assert abs(total - btotal) < 1e-6

@@ -372,3 +372,65 @@ def enrich_with_dimension(
         dim.select(F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols])
     )
     return events.join(d, stream_key, "left")
+
+
+def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user running profile via ``transformWithStateInPandas`` —
+    Spark 4's second-generation arbitrary-state API (SPARK-46815),
+    the successor to ``applyInPandasWithState`` above.
+
+    What the new API buys at scale: typed state primitives (ValueState /
+    ListState / MapState) individually addressable in the state store
+    (no whole-tuple rewrite per key per batch), explicit schema
+    evolution, and first-class timers. State here is one fixed-size
+    ValueState row per user — memory is O(distinct users), independent
+    of stream length.
+
+    Emits (user_id, n_events, total_value, n_types) every update.
+
+    Dependency note: the API's state-server protocol requires
+    ``protobuf`` at runtime (its import happens inside Spark's driver
+    worker, not here); the convergence test importorskips on it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType.fromDDL(
+        "user_id long, n_events long, total_value double, n_types integer"
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total double, types string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, types = 0, 0.0, set()
+            if self._agg.exists():
+                pn, ptotal, ptypes = self._agg.get()
+                n, total = pn, ptotal
+                types = set(ptypes.split(",")) if ptypes else set()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                types.update(pdf["event_type"].unique().tolist())
+            self._agg.update((n, total, ",".join(sorted(types))))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [len(types)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Profile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

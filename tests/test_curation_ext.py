@@ -253,3 +253,18 @@ def test_hll_union_matches_exact_at_low_cardinality(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_minhash_accuracy_within_estimator_envelope(spark, sf_dir):
+    """Mean |estimate - exact| over candidate pairs must sit inside a few
+    standard errors of the k-slot MinHash estimator (sigma <= 1/(2*sqrt(k)))."""
+    rows = _q("docs_minhash_accuracy", spark, sf_dir).collect()
+    assert rows, "candidate pairs exist in the synthetic corpus"
+    for r in rows:
+        assert 0.0 <= r.minhash_estimate <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+    from watsondedupe_spark.queries.llm_pipeline import minhash_sig_df
+
+    k = sum(1 for c in minhash_sig_df(spark, sf_dir).columns if c.startswith("m"))
+    mean_err = sum(r.abs_error for r in rows) / len(rows)
+    assert mean_err <= 3.0 / (2.0 * math.sqrt(k)), (mean_err, k)

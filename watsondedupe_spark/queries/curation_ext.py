@@ -649,3 +649,88 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-transition matrix (path analysis over per-user event order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    """
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="event-transition matrix: per-user chronological LEAD pairs "
+    "aggregated into (prev, next) counts — the path-analysis primitive "
+    "behind funnels and Markov attribution. One shuffle on user_id for "
+    "the window (bounded by per-user history), one partial-agg'd "
+    "rollup on the (prev, next) pair; the event_id tiebreak makes the "
+    "ordering total, so results are engine-exact",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch-accuracy audit: MinHash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_minhash_accuracy",
+    None,  # compares a sketch estimate against truth; inherently rows-only
+    doc="sketch-accuracy audit: for every LSH candidate pair, the "
+    "MinHash signature agreement (fraction of matching hash slots = the "
+    "Jaccard estimator) next to the exact rare-shingle Jaccard, with "
+    "the absolute error. This is the evaluation loop a production "
+    "dedupe pipeline runs before trusting a sketch configuration — the "
+    "test asserts the mean error stays inside the 1/sqrt(k) envelope. "
+    "Joins are the already-bounded candidate pairs; nothing quadratic",
+)
+def docs_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_jaccard_pairs, minhash_sig_df
+
+    sigs = minhash_sig_df(spark, sf_dir)
+    slots = sorted(c for c in sigs.columns if c.startswith("m"))
+    est = docs_jaccard_pairs(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in slots]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in slots]
+    )
+    agree = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in slots
+    )
+    return (
+        est.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            (agree / F.lit(len(slots))).alias("minhash_estimate"),
+        )
+        .withColumn(
+            "abs_error", F.abs(F.col("exact_jaccard") - F.col("minhash_estimate"))
+        )
+    )

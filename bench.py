@@ -58,9 +58,13 @@ HEADLINE = [
     "docs_entity_mask",
     "docs_length_histogram",
     "docs_dup_spans",
+    "docs_strip_dup_spans",
     "docs_mixture_sample",
+    "docs_length_curriculum",
     "emb_semantic_dedup",
     "emb_ann_topk_pq",
+    "events_transition_matrix",
+    "events_variant_props",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -65,6 +65,9 @@ HEADLINE = [
     "emb_ann_topk_pq",
     "events_transition_matrix",
     "events_variant_props",
+    "docs_profile",
+    "dq_expectations",
+    "events_mad_outliers",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from watsondedupe_spark.queries import (  # noqa: F401
         curation_ext,
         dedupe_index,
+        dq_ops,
         engine_native,
         events,
         llm_pipeline,

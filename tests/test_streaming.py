@@ -400,3 +400,43 @@ def test_transform_with_state_converges_to_batch_profile(spark, events_dir):
         bn, btotal, bt = batch[uid]
         assert n == bn and t == bt
         assert abs(total - btotal) < 1e-6
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """The streamed Count-Min sketch must be CELL-IDENTICAL to the
+    one-shot batch sketch over the same corpus (cell counts are exact
+    sums, so mergeability is an equality contract, not an approximation),
+    and batch replay must not change a single cell."""
+    import time as _time
+
+    from watsondedupe_spark.functions.sketches import cm_sketch
+    from watsondedupe_spark.streaming import cms_update_batch, read_cms
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream_in = str(tmp_path / "in")
+    for lo, hi in [(0, 150), (150, 400), (400, 10**9)]:
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stream_in)
+        )
+        _time.sleep(1.1)
+
+    store = str(tmp_path / "cms")
+    q = S.token_freq_cms_stream(spark, stream_in, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {(r.d, r.w): r.cnt for r in read_cms(spark, store).collect()}
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    expect = {
+        (r.d, r.w): r.cnt for r in cm_sketch(toks, "token", depth=5, width=4096).collect()
+    }
+    assert merged == expect
+
+    # replay one micro-batch (same batch_id) -> store unchanged
+    cms_update_batch(docs.filter(F.col("doc_id") < 150), 0, store)
+    after = {(r.d, r.w): r.cnt for r in read_cms(spark, store).collect()}
+    assert after == expect

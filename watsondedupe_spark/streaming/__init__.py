@@ -338,6 +338,80 @@ def near_dup_filter_stream(
     )
 
 
+def cms_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_store: str,
+    text_col: str = "text",
+    depth: int = 5,
+    width: int = 4096,
+) -> None:
+    """One micro-batch of the streaming Count-Min maintenance: fold the
+    batch's token stream into a per-batch sketch partition.
+
+    The batch compresses to at most ``depth * width`` cell rows before
+    anything is written — the store grows by O(sketch) per batch, never
+    O(tokens). The batch-partitioned overwrite makes replay idempotent:
+    a restarted batch rewrites exactly its own directory, so no token is
+    ever double-counted (cell counts are exact sums, so the merged
+    sketch is bit-identical to the one-shot batch sketch over the same
+    corpus)."""
+    if batch_df.isEmpty():
+        return
+    from watsondedupe_spark.functions.sketches import cm_sketch
+
+    toks = batch_df.select(
+        F.explode(F.split(text_col, " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = cm_sketch(toks, "token", depth=depth, width=width)
+    sk.write.mode("overwrite").parquet(f"{sketch_store}/batch={batch_id}")
+
+
+def token_freq_cms_stream(
+    spark: SparkSession,
+    path: str,
+    sketch_store: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    depth: int = 5,
+    width: int = 4096,
+):
+    """Streaming corpus-frequency maintenance: keep a Count-Min sketch of
+    the token stream continuously up to date as document files arrive.
+
+    This is the streaming form of ``docs_token_freq_cms``: the sketch's
+    cell-wise-addition mergeability means per-batch sketches simply
+    accumulate as store partitions, and :func:`read_cms` folds them on
+    read. State is a table (restarts/retries safe via the checkpoint +
+    batch-partitioned overwrite), executor memory holds only one batch's
+    partial cells — the 100 TB posture for "running corpus statistics"
+    (stopword discovery, hot-token skew detection) without a stateful
+    operator or a full-token shuffle."""
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        cms_update_batch(batch_df, batch_id, sketch_store, text_col, depth, width)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, sketch_store: str) -> DataFrame:
+    """Fold every per-batch sketch partition into the current corpus-wide
+    sketch (cell-wise sum; ``<= depth * width`` result rows)."""
+    return (
+        spark.read.parquet(sketch_store)
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
     """Start the stream into an in-memory sink table ``name`` and return
     the query handle (caller: ``q.processAllAvailable()`` then

@@ -465,3 +465,67 @@ def kmeans_refine(
         kept = cents.join(means.select("centroid_id"), "centroid_id", "left_anti")
         cents = means.unionByName(kept).localCheckpoint(eager=True)
     return cents
+
+
+def cosine_pairs_np(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """Exact all-pairs cosine-threshold join, Arrow/numpy formulation.
+
+    The full (quantized int64) matrix ships to every task as a closure
+    capture; each Arrow batch of the streamed side computes one
+    ``batch x corpus`` integer matmul and keeps only (a < b, cosine >=
+    threshold) survivors. Arithmetic is bit-identical to the JVM
+    higher-order-function form (and the DuckDB oracle): floor(x*1000 +
+    0.5) int64 quantization, exact integer dot/norm, then the same
+    dot / sqrt(na) / sqrt(nb) double-division order — but the inner loop
+    is one BLAS call per batch instead of interpreted per-element
+    lambdas (~10x at sf0.1).
+
+    Scale posture: this is the exact-verify BASELINE, viable while the
+    broadcast matrix fits (n * dim * 8 bytes — ~50M vectors x 64 dims
+    per 32 GB executor). Beyond that the candidate set must come from
+    the sublinear paths (sign-LSH / IVF / PQ) and only candidates pay
+    the dot product (`operators.dedupe.embedding_near_dups`).
+    """
+    import numpy as np  # noqa: F401 — lazy so executors resolve it themselves
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    mat = [list(r[1]) for r in rows]
+
+    spark = emb.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    side = emb.select(id_col, vec_col)
+    if side.rdd.getNumPartitions() < want:
+        side = side.repartition(want)
+
+    def _pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.floor(np.asarray(mat, dtype=np.float64) * quantize + 0.5).astype(np.int64)
+        bid = np.asarray(ids, dtype=np.int64)
+        bnrm = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.floor(
+                np.asarray(list(pdf[vec_col]), dtype=np.float64) * quantize + 0.5
+            ).astype(np.int64)
+            aid = pdf[id_col].to_numpy(dtype=np.int64)
+            anrm = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            S = (A @ B.T).astype(np.float64)
+            S = S / anrm[:, None]
+            S = S / bnrm[None, :]
+            keep = (aid[:, None] < bid[None, :]) & (S >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": bid[bj], "cosine": S[ai, bj]}
+            )
+
+    return side.mapInPandas(_pairs, schema="vec_a long, vec_b long, cosine double")

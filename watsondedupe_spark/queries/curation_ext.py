@@ -273,36 +273,29 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(emb, cents).select(
         "vec_id", "centroid_id", _quant_vec().alias("v")
     ).localCheckpoint(eager=True)
-    nrm = F.aggregate(
-        F.zip_with("v", "v", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    side = assigned.select("vec_id", "centroid_id", "v", nrm.alias("nrm"))
-    a = side.select(
-        "centroid_id",
-        F.col("vec_id").alias("keep_id"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = side.select(
-        "centroid_id",
-        F.col("vec_id").alias("drop_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double")) / F.sqrt(
-        F.col("nb").cast("double")
-    )
-    # within-cluster pairs only: equi-join on centroid_id bounds the
-    # quadratic term to cluster size; higher id drops when near a lower id
+    # within-cluster pairs only, as ONE numpy matmul per cluster group:
+    # the shuffle key stays centroid_id (bounding the quadratic term to
+    # cluster size exactly as the former pair equi-join did), but the
+    # cosine work runs vectorized in the Arrow worker instead of through
+    # interpreted per-element JVM lambdas. Same quantized-int arithmetic
+    # and dot / sqrt / sqrt division order, so the drop set is identical.
+    threshold = _SEM_COSINE
+
+    def _drop_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.asarray(list(pdf["v"]), dtype=np.int64)
+        nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        S = (V @ V.T).astype(np.float64) / nrm[:, None] / nrm[None, :]
+        doomed = ((ids[:, None] < ids[None, :]) & (S >= threshold)).any(axis=0)
+        return pd.DataFrame({"drop_id": ids[doomed]})
+
     dropped = (
-        a.join(b, "centroid_id")
-        .filter(F.col("keep_id") < F.col("drop_id"))
-        .filter(cosine >= _SEM_COSINE)
-        .select("drop_id")
-        .distinct()
+        assigned.select("centroid_id", "vec_id", "v")
+        .groupBy("centroid_id")
+        .applyInPandas(_drop_group, "drop_id long")
     )
     return (
         assigned.join(dropped, assigned.vec_id == dropped.drop_id, "left_anti")

@@ -69,6 +69,7 @@ HEADLINE = [
     "docs_profile",
     "dq_expectations",
     "events_mad_outliers",
+    "docs_heavy_hitters",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -40,3 +40,48 @@ def test_cm_merge_equals_sketch_of_union(spark):
     lhs = {(r.d, r.w): r.cnt for r in merged.collect()}
     rhs = {(r.d, r.w): r.cnt for r in whole.collect()}
     assert lhs == rhs
+
+
+def test_cm_prune_heavy_never_drops_true_heavy_hitters(spark, sf_dir):
+    """Soundness under heavy collision pressure: even at width=16 (every
+    cell wildly over-counted), pruning must keep every token that truly
+    meets the threshold — CM only over-counts, so the exact result after
+    the prune equals the naive exact result."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.functions.sketches import cm_prune_heavy, cm_sketch
+    from watsondedupe_spark.sources import read_table
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    naive = {
+        (r.token, r.cnt)
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(toks.agg(F.count("*").alias("n"))))
+        .filter(F.col("cnt") * 100 >= F.col("n"))
+        .select("token", "cnt")
+        .collect()
+    }
+    for width in (16, 256):
+        sk = cm_sketch(toks, "token", depth=3, width=width)
+        tot = sk.filter(F.col("d") == 0).agg(F.sum("cnt").cast("long").alias("n_total"))
+        pruned = cm_prune_heavy(
+            toks.crossJoin(F.broadcast(tot)),
+            "token",
+            sk,
+            F.expr("(n_total + 99) div 100"),
+            width=width,
+        )
+        got = {
+            (r.token, r.cnt)
+            for r in pruned.groupBy("token")
+            .agg(F.count("*").alias("cnt"), F.any_value("n_total").alias("n"))
+            .filter(F.col("cnt") * 100 >= F.col("n"))
+            .select("token", "cnt")
+            .collect()
+        }
+        assert got == naive and len(naive) > 0

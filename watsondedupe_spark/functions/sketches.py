@@ -90,3 +90,38 @@ def cm_estimate(
         joined.groupBy(*[c for c in items.columns])
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
+
+
+def cm_prune_heavy(
+    items: DataFrame,
+    col: str | Column,
+    sketch: DataFrame,
+    min_count_expr,
+    width: int = 2048,
+) -> DataFrame:
+    """Map-side heavy-hitter pruning: keep only rows whose item COULD
+    reach ``min_count_expr`` occurrences, judged by one Count-Min row.
+
+    Because a CM cell only ever over-counts, ``cell < threshold`` proves
+    the item is below threshold — dropping it is exact (no false
+    negatives). The probe is a broadcast join against the ``d = 0`` cell
+    row of ``sketch`` (<= ``width`` rows), evaluated before any shuffle
+    of ``items``, so the expensive exact aggregation downstream only
+    sees survivors. This is the sketch-guided exact pattern: sketch for
+    the prune, exact arithmetic for the answer.
+
+    ``min_count_expr`` is a Column evaluated against ``items``'s columns,
+    so callers can derive the threshold from the sketch itself (e.g. a
+    share of total mass cross-joined in) without an extra data pass.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    d0 = sketch.filter(F.col("d") == 0).select(
+        F.col("w").alias("__cw"), F.col("cnt").alias("__cell_cnt")
+    )
+    probed = items.withColumn(
+        "__w", F.pmod(F.xxhash64(col, F.lit(0)), F.lit(width))
+    ).join(F.broadcast(d0), F.col("__w") == F.col("__cw"), "left")
+    return (
+        probed.filter(F.coalesce(F.col("__cell_cnt"), F.lit(0)) >= min_count_expr)
+        .drop("__w", "__cw", "__cell_cnt")
+    )

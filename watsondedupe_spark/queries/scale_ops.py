@@ -223,3 +223,53 @@ def docs_entity_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").cast("long").alias("total_masked"),
         F.sum("_len").cast("long").alias("masked_chars"),
     )
+
+
+@register(
+    "docs_heavy_hitters",
+    """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+counted AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token
+)
+SELECT c.token, c.cnt, tot.n_total
+FROM counted c CROSS JOIN tot
+WHERE c.cnt * 100 >= tot.n_total
+""",
+    doc="sketch-guided EXACT heavy hitters (tokens with >= 1% of stream "
+    "mass): a Count-Min pass compresses the stream to a bounded cell "
+    "table (one depth*width shuffle), the total mass is read off the "
+    "sketch's d=0 row (no separate COUNT pass), and a broadcast probe "
+    "of that row drops every token whose cell can't reach threshold "
+    "BEFORE the exact groupBy — sound because CM only over-counts, so "
+    "no true heavy hitter is ever pruned. The exact aggregate then runs "
+    "on survivors only. At 100 TB this turns a full-vocabulary shuffle "
+    "(billions of distinct n-grams, most of them singletons) into a "
+    "shuffle of just the plausibly-heavy tail. Oracle is the naive "
+    "GROUP BY ... HAVING form.",
+)
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.functions.sketches import cm_prune_heavy, cm_sketch
+    from watsondedupe_spark.queries.llm_pipeline import _docs_parallel
+
+    toks = (
+        _docs_parallel(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sk = cm_sketch(toks, "token", depth=5, width=2048)
+    tot = sk.filter(F.col("d") == 0).agg(F.sum("cnt").cast("long").alias("n_total"))
+    items = toks.crossJoin(F.broadcast(tot))
+    # ceil(n/100) <= cell  <=>  cell * 100 >= n  (integers)
+    pruned = cm_prune_heavy(
+        items, "token", sk, F.expr("(n_total + 99) div 100"), width=2048
+    )
+    return (
+        pruned.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"), F.any_value("n_total").alias("n_total"))
+        .filter(F.col("cnt") * 100 >= F.col("n_total"))
+    )

@@ -440,3 +440,48 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     cms_update_batch(docs.filter(F.col("doc_id") < 150), 0, store)
     after = {(r.d, r.w): r.cnt for r in read_cms(spark, store).collect()}
     assert after == expect
+
+def test_incremental_mv_equals_batch_and_survives_compaction(spark, events_dir, tmp_path):
+    """The ledger-of-partials materialized view must equal the one-shot
+    batch aggregate after every file is processed, keep that equality
+    across compaction (view-preserving fold), and stay idempotent under
+    batch replay before compaction."""
+    from watsondedupe_spark.streaming import (
+        compact_keyed_agg,
+        keyed_agg_update_batch,
+        read_keyed_agg,
+        user_totals_stream_mv,
+    )
+
+    store = str(tmp_path / "mv")
+    q = user_totals_stream_mv(spark, events_dir, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    batch_events = spark.read.parquet(events_dir)
+    expect = {
+        (r.user_id, r.n, r.sum_cents)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_cents"),
+        )
+        .collect()
+    }
+    got = {(r.user_id, r.n, r.sum_cents) for r in read_keyed_agg(spark, store).collect()}
+    assert got == expect
+
+    # replay of an already-applied batch changes nothing (partition overwrite)
+    import glob as _glob
+
+    first_file = sorted(_glob.glob(f"{events_dir}/*.parquet"), key=os.path.getmtime)[0]
+    keyed_agg_update_batch(spark.read.parquet(first_file), 0, store)
+    assert {(r.user_id, r.n, r.sum_cents) for r in read_keyed_agg(spark, store).collect()} == expect
+
+    # compaction folds the ledger to one partition, view unchanged
+    n_parts_before = len([e for e in os.listdir(store) if e.startswith("batch=")])
+    assert n_parts_before > 1
+    compact_keyed_agg(spark, store)
+    n_parts_after = len([e for e in os.listdir(store) if e.startswith("batch=")])
+    assert n_parts_after == 1
+    assert {(r.user_id, r.n, r.sum_cents) for r in read_keyed_agg(spark, store).collect()} == expect

@@ -17,6 +17,8 @@ state cannot grow unboundedly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -400,6 +402,101 @@ def token_freq_cms_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def keyed_agg_update_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> None:
+    """One micro-batch of the incremental materialized aggregate: write
+    the batch's per-key partial (count, integer-cents sum) as a store
+    partition. Decomposable aggregates make the store a sum-to-merge
+    ledger: the view at any moment is one groupBy over the partials,
+    and a replayed batch overwrites exactly its own partition."""
+    if batch_df.isEmpty():
+        return
+    partial = batch_df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).cast("long").alias("sum_cents"),
+    )
+    partial.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+
+def user_totals_stream_mv(
+    spark: SparkSession,
+    path: str,
+    store: str,
+    checkpoint: str,
+    schema: str | StructType = EVENTS_SCHEMA,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Incrementally-maintained materialized view of per-user totals.
+
+    The stateless-foreachBatch alternative to
+    :func:`stateful_user_totals`: instead of executor-held state, each
+    micro-batch appends an O(keys-in-batch) partial-aggregate partition
+    and :func:`read_keyed_agg` folds the ledger on read. State lives in
+    a table (restart-safe, shared, queryable mid-stream); the fold cost
+    grows with batch count until :func:`compact_keyed_agg` folds the
+    ledger back to one partition. This is the incremental-view shape
+    that scales to 100 TB of history: per-batch work is proportional to
+    the batch, never to history."""
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        keyed_agg_update_batch(batch_df, batch_id, store, key_col, value_col)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_keyed_agg(spark: SparkSession, store: str, key_col: str = "user_id") -> DataFrame:
+    """Fold the partial-aggregate ledger into the current view."""
+    return (
+        spark.read.parquet(store)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def compact_keyed_agg(spark: SparkSession, store: str, key_col: str = "user_id") -> None:
+    """Fold all ledger partitions into the single highest-batch partition
+    (run while the stream is quiesced, like any OPTIMIZE): the view is
+    unchanged, but subsequent reads fold one partition instead of many.
+    Keeping the max batch id preserves the replay contract — the stream's
+    next batch id is strictly greater, so no folded partition can be
+    overwritten by a later replay."""
+    import shutil
+
+    cur = spark.read.parquet(store)
+    top = cur.agg(F.max(F.col("batch"))).collect()[0][0]
+    folded = (
+        cur.groupBy(key_col)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    tmp = f"{store}.compact.tmp"
+    folded.write.mode("overwrite").parquet(tmp)
+    confirmed = spark.read.parquet(tmp)
+    assert confirmed.count() >= 0
+    for entry in os.listdir(store):
+        if entry.startswith("batch="):
+            shutil.rmtree(os.path.join(store, entry))
+    os.rename(tmp, os.path.join(store, f"batch={top}"))
 
 
 def read_cms(spark: SparkSession, sketch_store: str) -> DataFrame:

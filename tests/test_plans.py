@@ -258,3 +258,39 @@ def test_semantic_dedup_pairs_join_on_cluster_key(spark, sf_dir):
     assert "centroid_id" in plan
     # the anti join that applies the drop set must be hash-based
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_profile_is_single_scan_single_expand(spark, sf_dir):
+    """The profiler's contract is ONE pass: one parquet scan of
+    documents feeding one Expand-based multi-distinct aggregation — not
+    a scan per column."""
+    df = q("docs_profile", spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert P.scan_count(df) == 1
+    assert "Expand" in plan
+    assert P.has_partial_aggregation(df)
+
+
+def test_mad_outliers_scan_raw_events_once(spark, sf_dir):
+    """Median, MAD, and the outlier count all derive from one value
+    histogram: the raw events table must be scanned exactly once, and
+    the med/mad joins back onto the histogram must broadcast."""
+    df = q("events_mad_outliers", spark, sf_dir)
+    df.collect()
+    assert P.executed_scan_count(df) == 1
+    assert P.count_occurrences(df, r"ReusedExchange|ReusedQueryStage") >= 1
+    assert P.uses_broadcast_join(df)
+
+
+def test_heavy_hitters_prune_probe_is_broadcast(spark, sf_dir):
+    """The sketch-guided prune must reach the token stream as a
+    broadcast probe (no shuffle of tokens to meet the cell table), and
+    the only exchanges that run are bounded aggregations (sketch cells,
+    n_total scalar, surviving-cell list, final token counts) plus the
+    scan-parallelism repartition — the token stream itself is exploded
+    once and its exchange reused by the sketch-build side."""
+    df = q("docs_heavy_hitters", spark, sf_dir)
+    df.collect()
+    assert P.uses_broadcast_join(df)
+    assert P.executed_scan_count(df) == 1
+    assert P.executed_shuffle_count(df) <= 5

@@ -85,11 +85,15 @@ def max_scan_width(df: DataFrame) -> int:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """HashAggregate appears in both partial (map-side) and final mode —
-    i.e. combining happens before the shuffle, so shuffle volume is
-    |groups|, not |rows|."""
+    """An aggregate operator appears in both partial (map-side) and final
+    mode — i.e. combining happens before the shuffle, so shuffle volume
+    is |groups|, not |rows|. Any aggregate flavor counts: HashAggregate,
+    ObjectHashAggregate, or SortAggregate (Catalyst falls back to the
+    sort-based operator when an agg function isn't hash-capable, e.g.
+    ``first`` on the Expand multi-distinct path — the map-side combine
+    still happens)."""
     plan = physical_plan(df)
-    return bool(re.search(r"HashAggregate", plan)) and bool(
+    return bool(re.search(r"HashAggregate|SortAggregate", plan)) and bool(
         re.search(r"partial_|Partial", plan)
     )
 
@@ -106,6 +110,40 @@ def codegen_span_count(df: DataFrame) -> int:
     ids = set(re.findall(r"codegen id : (\d+)", plan))
     ids.update(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     return len(ids)
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of source scans in the plan. Formatted mode prints each
+    node twice (tree line + detail header) — count only the numbered
+    detail headers, falling back to the simple plan's inline form."""
+    plan = physical_plan(df)
+    formatted = len(re.findall(r"\(\d+\) Scan ", plan))
+    if formatted:
+        return formatted
+    return len(re.findall(r"Scan ", simple_plan(df)))
+
+
+def executed_scan_count(df: DataFrame) -> int:
+    """Source scans that actually RUN. A DAG whose branches share a
+    subtree prints one scan per branch in the initial plan, but AQE's
+    exchange reuse collapses them at runtime into ReusedQueryStage
+    references — so count tree-level scans in the Final Plan section
+    only, after the caller has executed the DataFrame (``df.collect()``).
+    Falls back to the whole plan when AQE hasn't finalized one."""
+    plan = physical_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    return len(re.findall(r"Scan (?:parquet|csv|json|orc|text|ExistingRDD)", final))
+
+
+def executed_shuffle_count(df: DataFrame) -> int:
+    """Shuffle Exchanges that actually RUN, post-AQE: tree-level Exchange
+    nodes in the Final Plan section, excluding BroadcastExchange (not a
+    shuffle of the big side) and ReusedExchange / ReusedQueryStage
+    (computed once elsewhere). Call after ``df.collect()``; before the
+    plan finalizes this degrades to counting the whole initial plan."""
+    plan = physical_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    return len(re.findall(r"(?:^|[:+\-] )Exchange \(\d+\)", final, re.MULTILINE))
 
 
 def shuffle_count(df: DataFrame) -> int:

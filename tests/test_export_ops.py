@@ -1,0 +1,93 @@
+"""Export-stage operators: benchmark decontamination and deterministic
+training shards. Contracts: the corpus side of decontamination never
+shuffles unmatched rows (broadcast prune), shard membership is a pure
+function of the key (stable across partitionings and re-runs), and the
+written layout is one file per shard with a manifest that matches the
+graded ``docs_shard_manifest`` query."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from watsondedupe_spark import plans as P
+from watsondedupe_spark.queries import all_queries
+from watsondedupe_spark.sinks.shards import (
+    read_training_shards,
+    shard_col,
+    write_training_shards,
+)
+from watsondedupe_spark.sources import read_table
+
+
+def q(name, spark, sf_dir):
+    return all_queries()[name].spark(spark, sf_dir)
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval shingle set must reach the corpus as a broadcast build
+    side; the train shingle stream must not be corpus-wide deduped or
+    self-joined before the prune."""
+    df = q("docs_decontaminate", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_decontaminate_flags_planted_duplicates(spark, sf_dir):
+    """Eval docs with near/exact duplicates in the train slice must
+    surface; no eval doc may flag itself."""
+    rows = q("docs_decontaminate", spark, sf_dir).collect()
+    assert all(r.doc_id % 19 != 0 for r in rows)
+    assert all(r.n_shared >= 3 for r in rows)
+
+
+def test_shard_assignment_is_partitioning_invariant(spark, sf_dir):
+    """Same keys -> same shards no matter how the input arrives."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", shard_col().alias("s"))
+    b = docs.repartition(7).select("doc_id", shard_col().alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    stats = a.agg(F.min("s"), F.max("s"), F.count_distinct("s")).first()
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] > 1
+
+
+def test_shard_col_general_count_covers_range(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.select(shard_col(n_shards=5).alias("s"))
+    lo, hi = s.agg(F.min("s"), F.max("s")).first()
+    assert 0 <= lo and hi <= 4
+
+
+def test_write_training_shards_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "shards")
+    docs = read_table(spark, sf_dir, "documents")
+    manifest = write_training_shards(docs, out)
+
+    # one parquet file per shard directory — a trainer's stream list is
+    # exactly the shard list
+    for d in glob.glob(f"{out}/data/shard_id=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
+
+    back = read_training_shards(spark, out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+
+    # manifest totals must equal the corpus totals
+    m = manifest.agg(F.sum("n_docs"), F.sum("n_tokens")).first()
+    want_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("t")
+    ).first()[0]
+    assert m[0] == docs.count() and m[1] == want_tokens
+
+    # and the graded manifest query agrees with the written manifest on
+    # per-shard doc counts (same assignment rule by construction)
+    graded = {r.shard_id: r.n_docs for r in q("docs_shard_manifest", spark, sf_dir).collect()}
+    written = {r.shard_id: r.n_docs for r in manifest.collect()}
+    assert written == graded
+
+
+def test_rewrite_is_deterministic(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents")
+    m1 = write_training_shards(docs, str(tmp_path / "a")).collect()
+    m2 = write_training_shards(docs.repartition(3), str(tmp_path / "b")).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))

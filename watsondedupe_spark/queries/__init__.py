@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dq_ops,
         engine_native,
         events,
+        export_ops,
         llm_pipeline,
         pipeline_ext,
         relational,

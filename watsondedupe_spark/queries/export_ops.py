@@ -1,0 +1,140 @@
+"""Training-set export operators: benchmark decontamination and
+deterministic shard assignment.
+
+The last mile of a 100 TB curation pipeline — after filtering and
+dedup, the corpus must be (a) scrubbed of evaluation-benchmark overlap
+(Brown et al. 2020 §4 style n-gram decontamination) and (b) laid out as
+a fixed set of balanced, reproducible shards a training job can stream.
+Both are expressed so the corpus-side plan never takes an avoidable
+shuffle:
+
+- **Decontamination** (`docs_decontaminate`): the eval set's distinct
+  shingles are tiny (benchmarks are MBs against a 100 TB corpus) —
+  broadcast them and stream the corpus's shingle stream past the hash
+  map. Only MATCHED shingles continue to the per-doc distinct count, so
+  the corpus-wide (doc, shingle) distinct shuffle LSH dedup needs is
+  skipped entirely here; the one real shuffle carries hits only.
+- **Shard manifest** (`docs_shard_manifest`): shard assignment is a
+  pure hash of the stable doc key (first md5 hex nibble -> 16 shards),
+  so it needs no coordination, no global sort, and re-runs produce the
+  same shards on any partitioning/engine; the manifest is one bounded
+  partial aggregation (16 groups).
+
+Reference parity: none — WatsonDedupe has no export stage; engine-side
+additions per SURVEY.md §2. The physical writer lives in
+``sinks/shards.py``; these queries are the driver-gradable logical
+forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries.llm_pipeline import _docs_parallel, shingles_df
+
+#: eval-benchmark membership: a deterministic 1-in-19 slice of doc ids
+#: stands in for the held-out benchmark corpus
+_EVAL_MOD = 19
+#: shared distinct shingles at/above which a train doc is contaminated
+_CONTAM_MIN_SHARED = 3
+
+# non-distinct shingle stream (the per-doc dedup happens AFTER the
+# broadcast prune, on matched rows only — see module docstring)
+_SHINGLE_STREAM_SQL = """
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+shs AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM tok
+)
+"""
+
+_DECON_ORACLE = f"""
+WITH {_SHINGLE_STREAM_SQL},
+eval_sh AS (
+    SELECT DISTINCT shingle FROM shs WHERE doc_id % {_EVAL_MOD} = 0
+)
+SELECT s.doc_id,
+       CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared
+FROM shs s JOIN eval_sh e ON s.shingle = e.shingle
+WHERE s.doc_id % {_EVAL_MOD} <> 0
+GROUP BY s.doc_id
+HAVING COUNT(DISTINCT s.shingle) >= {_CONTAM_MIN_SHARED}
+"""
+
+
+@register(
+    "docs_decontaminate",
+    _DECON_ORACLE,
+    doc="benchmark decontamination (train/eval n-gram overlap, GPT-3 "
+    "appendix-C shape): a deterministic 1-in-19 doc slice plays the "
+    "held-out benchmark; its distinct word-3-gram shingles broadcast to "
+    "every executor, the train corpus's shingle stream is pruned against "
+    "that map in-place, and only the surviving (matched) shingles take "
+    "the per-doc COUNT(DISTINCT) shuffle. Train docs sharing >= 3 "
+    "distinct shingles with the benchmark are flagged. At 100 TB the "
+    "benchmark set is MBs — the corpus is never shuffled, never "
+    "self-joined, and never per-doc deduped corpus-wide",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = shingles_df(spark, sf_dir, distinct=False)
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = stream.filter(is_eval).select("shingle").distinct()
+    return (
+        stream.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
+
+
+_N_SHARDS = 16
+
+#: engine-portable shard hash: first md5 hex nibble of the stable doc key
+_SHARD_SQL = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1"
+
+_SHARD_ORACLE = f"""
+SELECT CAST({_SHARD_SQL} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "docs_shard_manifest",
+    _SHARD_ORACLE,
+    doc="deterministic training-shard manifest: every doc hashes to one "
+    "of 16 shards by its first md5 hex nibble (uniform, engine-portable, "
+    "reproducible on any partitioning — no global sort, no coordination), "
+    "and the manifest rolls up per-shard doc/token/char volume and "
+    "source diversity in ONE partial aggregation over 16 groups. This is "
+    "the shard-balance audit a training job reads before streaming; the "
+    "physical writer (sinks/shards.py) uses the same assignment so the "
+    "manifest stays true of the files",
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_parallel(spark, sf_dir)
+    shard = (
+        F.expr(f"instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1))")
+        - 1
+    ).cast("long")
+    return (
+        docs.groupBy(shard.alias("shard_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+    )

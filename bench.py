@@ -70,6 +70,8 @@ HEADLINE = [
     "dq_expectations",
     "events_mad_outliers",
     "docs_heavy_hitters",
+    "docs_decontaminate",
+    "docs_shard_manifest",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -294,3 +294,12 @@ def test_heavy_hitters_prune_probe_is_broadcast(spark, sf_dir):
     assert P.uses_broadcast_join(df)
     assert P.executed_scan_count(df) == 1
     assert P.executed_shuffle_count(df) <= 5
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
+    """The new-arrivals band keys must reach the corpus signature stream
+    as broadcast build sides — the corpus is never shuffled on band keys
+    and never self-joined, so cost scales with the increment."""
+    df = q("docs_incremental_dedup", spark, sf_dir)
+    assert P.count_occurrences(df, r"BroadcastHashJoin") >= 2
+    assert not P.has_cartesian(df)

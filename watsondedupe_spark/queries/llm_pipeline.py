@@ -948,3 +948,68 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.text import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), _PACK_CAP)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup: a small new batch against the standing corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic ~10% slice of doc ids plays the "new arrivals" batch
+_INCR_MOD = 10
+_INCR_REM = 7
+
+_INCR_EST_SQL = (
+    "CAST(("
+    + " + ".join(f"CASE WHEN n.m{j} = c.m{j} THEN 1 ELSE 0 END" for j in range(1, _N_HASHES + 1))
+    + ") AS DOUBLE) / 6.0"
+)
+
+
+@register(
+    "docs_incremental_dedup",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+new_sig AS (SELECT * FROM sig WHERE doc_id % {_INCR_MOD} = {_INCR_REM}),
+corp_sig AS (SELECT * FROM sig WHERE doc_id % {_INCR_MOD} <> {_INCR_REM}),
+cand AS (
+    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc, {_INCR_EST_SQL} AS est_sim
+    FROM corp_sig c JOIN new_sig n ON c.b1 = n.b1
+    UNION
+    SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc, {_INCR_EST_SQL} AS est_sim
+    FROM corp_sig c JOIN new_sig n ON c.b2 = n.b2
+)
+SELECT new_doc, corpus_doc, est_sim FROM cand WHERE est_sim >= 0.5
+""",
+    doc="incremental near-dedup (the daily-increment pipeline shape): a "
+    "deterministic ~10% doc slice plays the newly-arrived batch; its "
+    "MinHash band keys BROADCAST to every executor and the standing "
+    "corpus's signature stream probes them in place — the corpus is "
+    "never shuffled on band keys and never self-joined, so the join cost "
+    "scales with the increment, not the corpus. (At production scale the "
+    "corpus signatures are a maintained table — the streaming module's "
+    "near_dup_filter_stream keeps exactly that — so the one corpus pass "
+    "here is the signature backfill, not a per-increment cost.) Matches "
+    "with >= 3 of 6 agreeing minhashes (est_sim >= 0.5) are reported",
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_sig_df(spark, sf_dir)
+    is_new = F.col("doc_id") % _INCR_MOD == _INCR_REM
+    new_sig = sig.filter(is_new)
+    corp_sig = sig.filter(~is_new)
+    est = (
+        sum(
+            F.when(F.col(f"n.m{j}") == F.col(f"c.m{j}"), 1).otherwise(0)
+            for j in range(1, _N_HASHES + 1)
+        ).cast("double")
+        / 6.0
+    ).alias("est_sim")
+    sel = [
+        F.col("n.doc_id").alias("new_doc"),
+        F.col("c.doc_id").alias("corpus_doc"),
+        est,
+    ]
+    c = corp_sig.alias("c")
+    p1 = c.join(F.broadcast(new_sig.alias("n")), F.col("c.b1") == F.col("n.b1")).select(*sel)
+    p2 = c.join(F.broadcast(new_sig.alias("n")), F.col("c.b2") == F.col("n.b2")).select(*sel)
+    return p1.unionAll(p2).distinct().filter(F.col("est_sim") >= 0.5)

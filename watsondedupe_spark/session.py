@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's parquet stores timestamps with isAdjustedToUTC=false,
+        # which Spark 4 would otherwise infer as TIMESTAMP_NTZ — a type that
+        # rejects unix_micros()/epoch arithmetic (DATATYPE_MISMATCH). The
+        # session timezone is pinned UTC below, so reading them as ordinary
+        # TIMESTAMP preserves the exact instants DuckDB's epoch_us() sees.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # deliberate defaults, A/B-measured at sf0.1: runtime Bloom
         # filter injection stays at its default ON (neutral here, wins
         # on large selective joins); parquet.aggregatePushdown stays at

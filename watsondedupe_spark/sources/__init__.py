@@ -26,14 +26,28 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nano timestamps to TimestampType."""
+    """Read one testdata table, normalizing timestamp flavors to TimestampType.
+
+    Two normalizations, both JVM-side (no UDF):
+
+    - Nano-precision columns read as longs (see module docstring) become
+      TimestampType via integer division.
+    - Micro-precision columns stored with ``isAdjustedToUTC=false`` arrive
+      as TIMESTAMP_NTZ under Spark 4's default inference, and NTZ rejects
+      ``unix_micros`` / epoch arithmetic outright. The session timezone is
+      pinned UTC (session.py), so casting NTZ -> TIMESTAMP is wall-clock
+      identical to DuckDB's ``epoch_us`` view of the same parquet — and the
+      cast is a scan-level no-op, not a per-row conversion.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nano_cols = _NANO_TS_COLS.get(name, ())
-    if not nano_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     for c in nano_cols:
         if dtypes.get(c) == "bigint":
             # nanos -> micros with integer division (values ~1.7e18 exceed

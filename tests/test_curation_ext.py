@@ -240,12 +240,20 @@ def test_kmeans_refine_reduces_sse_and_keeps_shape(spark):
 def test_hll_union_matches_exact_at_low_cardinality(spark, sf_dir):
     """At this cardinality the lgk=14 sketch is exact, so the two-level
     shard-merge must agree with count_distinct exactly — pinning that the
-    merge is lossless over partition boundaries."""
+    merge is lossless over partition boundaries. (The registered query
+    exposes the contract form exact_users/within_2pct; the raw estimate
+    is rebuilt here to keep the stronger exactness pin.)"""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shard = F.spark_partition_id().alias("shard")
+    per_shard = events.groupBy("event_type", shard).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sk")
+    )
     got = {
         (r.event_type, r.approx_users)
-        for r in _q("events_user_hll_by_type", spark, sf_dir).collect()
+        for r in per_shard.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_users"))
+        .collect()
     }
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     want = {
         (r.event_type, r.n)
         for r in events.groupBy("event_type")
@@ -253,6 +261,9 @@ def test_hll_union_matches_exact_at_low_cardinality(spark, sf_dir):
         .collect()
     }
     assert got == want
+    rows = _q("events_user_hll_by_type", spark, sf_dir).collect()
+    assert {(r.event_type, r.exact_users) for r in rows} == want
+    assert all(r.within_2pct for r in rows)
 
 
 def test_minhash_accuracy_within_estimator_envelope(spark, sf_dir):

@@ -225,6 +225,73 @@ def simhash_candidates(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def simhash60_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Portable 60-bit SimHash: token hash = first 15 hex chars of md5.
+
+    Same bit-majority semantics as :func:`simhash64`, but the token hash
+    is derivable in ANSI SQL (``conv(substr(md5(t),1,15),16,10)``), so a
+    DuckDB oracle can recompute the fingerprint bit-for-bit — and 60
+    bits keep the value strictly positive in a signed int64, so shifts
+    and band slicing behave identically across engines. The plan shape
+    is unchanged: one explode + one groupBy(id) with 60 conditional
+    sums, all JVM-side.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(60)
+    ]
+    tallied = tok.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(60):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: xor == or
+    return tallied.select("id", fp.alias("simhash"))
+
+
+def simhash60_candidates(fp: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Hamming-near pairs over 60-bit fingerprints via 4x15-bit bands.
+
+    Pigeonhole guarantee is full recall for hamming <= 3; larger
+    thresholds are probed with partial recall (the standard LSH
+    trade-off). Same band-equijoin shape as :func:`simhash_candidates`.
+    """
+    sliced = fp.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(0x7FFF)).alias(f"s{k}")
+            for k in range(4)
+        ],
+    )
+    a, b = sliced.alias("a"), sliced.alias("b")
+    lt = F.col("a.id") < F.col("b.id")
+    parts = [
+        a.join(b, (F.col(f"a.s{k}") == F.col(f"b.s{k}")) & lt).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        for k in range(4)
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

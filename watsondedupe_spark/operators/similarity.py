@@ -172,17 +172,20 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic coarse centroids: the ``n_centroids`` corpus vectors
-    with the smallest ``xxhash64(id)`` — a uniform pseudo-random sample
-    that needs no RNG state and is reproducible across runs/engines.
+    with the smallest md5-derived key — a uniform pseudo-random sample
+    that needs no RNG state and is reproducible across runs AND engines
+    (``conv(substr(md5(id),1,15),16,10)`` is ANSI-SQL-derivable, which is
+    what lets the IVF queries carry a DuckDB oracle).
     (A k-means refinement loop can start from these; for IVF routing a
     fixed coarse sample already buys the |corpus|/n_centroids probe
     reduction.) ``orderBy().limit()`` executes as a distributed
     TakeOrdered — per-partition top-n then a driver merge of n rows —
     never a global sort.
     """
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        .orderBy(key, id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
     )
@@ -491,14 +494,27 @@ def cosine_pairs_np(
     per 32 GB executor). Beyond that the candidate set must come from
     the sublinear paths (sign-LSH / IVF / PQ) and only candidates pay
     the dot product (`operators.dedupe.embedding_near_dups`).
-    """
-    import numpy as np  # noqa: F401 — lazy so executors resolve it themselves
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = [r[0] for r in rows]
-    mat = [list(r[1]) for r in rows]
+    The build side reaches the driver as ONE Arrow table (``toArrow``,
+    columnar — no Python Row objects, whose ~10x per-value overhead is
+    what kills drivers at scale), is converted straight to packed numpy
+    arrays, and ships to executors via ``sparkContext.broadcast`` (one
+    torrent-distributed copy per executor) rather than a closure capture
+    re-pickled into every task.
+    """
+    import numpy as np
+
+    tbl = emb.select(id_col, vec_col).toArrow()
+    bid_np = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = tbl.column(vec_col).combine_chunks()
+    # ListArray.flatten() yields the packed values buffer (offset-aware);
+    # fixed-width vectors reshape to (n, dim) with zero Python objects
+    mat_np = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat_np = mat_np.reshape(len(bid_np), -1)
+    B_np = np.floor(mat_np * quantize + 0.5).astype(np.int64)
 
     spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((bid_np, B_np))
     want = spark.sparkContext.defaultParallelism
     side = emb.select(id_col, vec_col)
     if side.rdd.getNumPartitions() < want:
@@ -508,8 +524,7 @@ def cosine_pairs_np(
         import numpy as np
         import pandas as pd
 
-        B = np.floor(np.asarray(mat, dtype=np.float64) * quantize + 0.5).astype(np.int64)
-        bid = np.asarray(ids, dtype=np.int64)
+        bid, B = bc.value
         bnrm = np.sqrt((B * B).sum(axis=1).astype(np.float64))
         for pdf in batches:
             if not len(pdf):

@@ -37,6 +37,10 @@ from pyspark.sql.window import Window
 
 from watsondedupe_spark.queries import register
 from watsondedupe_spark.queries.llm_pipeline import (
+    _EST_SQL,
+    _SHINGLES_SQL,
+    _SIG_SQL,
+    _STOP_SHINGLE_MAX,
     _docs,
     _docs_parallel,
     _emb,
@@ -246,9 +250,68 @@ _SEM_N_CLUSTERS = 16
 _SEM_COSINE = 0.40  # same near-identity threshold as emb_near_dup_pairs
 
 
+_IVF_CENT_KEY = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_FOLD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+_IFOLD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_FOLD_DOT.format(a=a, b=b)} / sqrt({_FOLD_DOT.format(a=a, b=a)})"
+        f" / sqrt({_FOLD_DOT.format(a=b, b=b)})"
+    )
+
+
+def _icos_sql(a: str, b: str) -> str:
+    """Quantized-int cosine: integer dot/norms are exact (< 2^53), so the
+    double divisions see identical operands on every engine."""
+    return (
+        f"CAST({_IFOLD_DOT.format(a=a, b=b)} AS DOUBLE)"
+        f" / sqrt(CAST({_IFOLD_DOT.format(a=a, b=a)} AS DOUBLE))"
+        f" / sqrt(CAST({_IFOLD_DOT.format(a=b, b=b)} AS DOUBLE))"
+    )
+
+
 @register(
     "emb_semantic_dedup",
-    None,  # centroid training (orderBy(xxhash64).limit) is not ANSI-SQL
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_cos_sql('e.embedding', 'c.cv')} AS csim
+    FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored)
+    WHERE rn = 1
+),
+qv AS (
+    SELECT vec_id, centroid_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+    FROM assigned
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id AS drop_id
+    FROM qv a JOIN qv b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_icos_sql('a.v', 'b.v')} >= 0.40
+)
+SELECT vec_id, centroid_id FROM qv
+WHERE vec_id NOT IN (SELECT drop_id FROM dropped)
+""",
     doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
     "nearest deterministic IVF coarse centroid, then within each cluster "
     "drop every vector whose quantized cosine to a LOWER-id cluster "
@@ -256,8 +319,10 @@ _SEM_COSINE = 0.40  # same near-identity threshold as emb_near_dup_pairs
     "near-identical group (the min-id one; transitive chains collapse to "
     "their minimum). The quadratic cosine work is confined to single "
     "clusters (|corpus|/n_clusters per bucket), and the pair join "
-    "shuffles on centroid_id — never all-pairs on the corpus. Rows-only "
-    "check; determinism is pinned by test instead",
+    "shuffles on centroid_id — never all-pairs on the corpus. Fully "
+    "oracle-checked: the md5 centroid key is SQL-derivable, the float "
+    "assignment cosine is a left fold on both engines, and the "
+    "within-cluster cosine is quantized-integer exact.",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ivf_assign, ivf_centroids
@@ -573,21 +638,27 @@ def docs_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_hll_by_type",
-    None,  # Datasketches HLL binary images are engine-specific
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_2pct
+FROM events GROUP BY event_type
+""",
     doc="mergeable distinct-user counting: build one Datasketches HLL "
     "sketch per (event_type, shard) map-side, merge with hll_union_agg — "
     "the shard-local-sketch-then-merge shape is how distinct counts work "
     "at 100 TB (a fixed-size sketch per partition crosses the wire, "
     "never the user ids; sketches are also storable for incremental "
-    "rollups). Exactness is pinned against count_distinct in the test "
-    "at this cardinality; rows-only for the driver",
+    "rollups). HLL binary images are engine-specific, so the oracle "
+    "checks the sketch's accuracy CONTRACT: the exact distinct count "
+    "plus a flag that the merged estimate landed within 2% (lgk=14 "
+    "keeps the expected error ~0.8% far beyond this cardinality).",
 )
 def events_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.sources import read_table
 
     events = read_table(spark, sf_dir, "events")
-    # two-level merge: per-shard sketches (lgk=14 keeps the error <1% far
-    # beyond this cardinality), then a union-merge per event_type
+    # two-level merge: per-shard sketches, then a union-merge per type
     shard = F.spark_partition_id().alias("shard")
     per_shard = events.groupBy("event_type", shard).agg(
         F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sk")
@@ -595,9 +666,19 @@ def events_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_shard.groupBy("event_type")
         .agg(F.hll_union_agg("sk").alias("merged"))
+        .join(
+            events.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact_users")
+            ),
+            "event_type",
+        )
         .select(
             "event_type",
-            F.hll_sketch_estimate("merged").cast("long").alias("approx_users"),
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("merged").cast("long") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("within_2pct"),
         )
     )
 
@@ -690,7 +771,35 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_minhash_accuracy",
-    None,  # compares a sketch estimate against truth; inherently rows-only
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
+)
+SELECT p.doc_a, p.doc_b,
+       p.jaccard AS exact_jaccard,
+       {_EST_SQL} AS minhash_estimate,
+       abs(p.jaccard - {_EST_SQL}) AS abs_error
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+""",
     doc="sketch-accuracy audit: for every LSH candidate pair, the "
     "MinHash signature agreement (fraction of matching hash slots = the "
     "Jaccard estimator) next to the exact rare-shingle Jaccard, with "

@@ -1,17 +1,30 @@
-"""Engine-native queries with no SQL oracle (driver does rows-only checks).
+"""Engine-native queries: CDC chunking, SimHash, float vector search,
+multimodal plumbing.
 
-These exercise operators that are genuinely not ANSI-SQL-expressible —
-the CDC chunker UDF, xxhash64-based SimHash, float-exact vector search,
-and the multimodal mapInPandas plumbing. Their correctness is covered by
-the pytest invariants (tests/test_engine.py, tests/test_operators.py);
-registration here makes them part of the graded surface with the weaker
-rows-only check the driver records for oracle-less entries.
+Where round 1 recorded these as rows-only, round 2 gives the
+oracle-able ones real DuckDB oracles:
+
+- ``docs_simhash`` / ``docs_simhash_candidates`` now use the portable
+  60-bit md5-derived SimHash (operators/dedupe.py:simhash60_md5) whose
+  fingerprint DuckDB recomputes bit-for-bit;
+- ``emb_cosine_topk_float`` exploits that Spark's ``aggregate`` fold and
+  DuckDB's ``list_reduce`` are both strict left folds: identical operand
+  order means identical IEEE-754 doubles, no quantization needed;
+- ``cdc_chunk_index`` / ``cdc_chunk_index_segmented`` return the chunk
+  invariants SQL can predict (SURVEY.md §5 invariant 1: chunks exactly
+  tile the object) instead of the raw chunk-count accounting only the
+  chunker itself knows.
+
+Still rows-only: the multimodal seams (decoder stubs) and the xxhash64
+paths — their correctness is pytest-pinned (tests/test_engine.py,
+tests/test_operators.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from watsondedupe_spark.queries import register
 
@@ -20,12 +33,51 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _chunk_invariants(chunks: DataFrame) -> DataFrame:
+    """Per-object invariant summary of a chunk index: the properties a SQL
+    oracle can predict without running the chunker (DedupeLibrary.cs:640-713
+    semantics): chunks tile the payload contiguously from byte 0, positions
+    are the ordinal of that tiling, and every chunk length is in bounds."""
+    from watsondedupe_spark.chunking import SMALL_FILE_PROFILE
+
+    max_chunk = SMALL_FILE_PROFILE[1]
+    w = Window.partitionBy("object_key").orderBy("address")
+    prev_end = F.lag(F.col("address") + F.col("length")).over(w)
+    link_ok = F.when(prev_end.isNull(), F.col("address") == 0).otherwise(
+        F.col("address") == prev_end
+    )
+    pos_ok = (F.row_number().over(w) - 1) == F.col("position")
+    len_ok = (F.col("length") >= 1) & (F.col("length") <= max_chunk)
+    return (
+        chunks.select("object_key", "length", link_ok.alias("l"), pos_ok.alias("p"), len_ok.alias("b"))
+        .groupBy("object_key")
+        .agg(
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.bool_and("l").alias("contiguous"),
+            F.bool_and("p").alias("positions_ok"),
+            F.bool_and("b").alias("lengths_ok"),
+        )
+    )
+
+
+_CDC_INVARIANT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS object_key,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS total_bytes,
+       TRUE AS contiguous,
+       TRUE AS positions_ok,
+       TRUE AS lengths_ok
+FROM documents
+"""
+
+
 @register(
     "cdc_chunk_index",
-    None,
+    _CDC_INVARIANT_SQL,
     doc="O1/O2: content-defined chunking of the documents corpus (payloads "
-    "inflated past min_chunk_size); per-object chunk accounting. The real "
-    "engine write path (DedupeLibrary.cs:605-717 semantics).",
+    "inflated 20x past min_chunk_size) with the SQL-predictable coverage "
+    "invariants: chunk bytes sum to the payload size, addresses tile "
+    "contiguously from 0, positions are the tiling ordinals, lengths "
+    "within bounds (DedupeLibrary.cs:605-717 semantics, SURVEY §5 inv 1).",
 )
 def cdc_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE, chunk_objects
@@ -34,43 +86,108 @@ def cdc_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("object_key"),
         F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
     )
-    chunks = chunk_objects(objs, ChunkSettings(*SMALL_FILE_PROFILE))
-    return chunks.groupBy("object_key").agg(
-        F.count("*").cast("long").alias("chunk_count"),
-        F.sum("length").cast("long").alias("total_bytes"),
-        F.count_distinct("chunk_key").alias("distinct_chunks"),
+    return _chunk_invariants(chunk_objects(objs, ChunkSettings(*SMALL_FILE_PROFILE)))
+
+
+def _simhash60_sql(with_candidates: bool) -> str:
+    """Generate the DuckDB mirror of simhash60_md5 (+ band candidates)."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(60))
+    base = f"""
+WITH tok AS (
+    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+th AS (
+    SELECT id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+    SELECT id,
+           {votes}
+    FROM th GROUP BY id
+),
+fp AS (
+    SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes
+)"""
+    if not with_candidates:
+        return base + "\nSELECT id, simhash FROM fp"
+    bands = " OR ".join(
+        f"((a.simhash >> {15 * k}) & 32767) = ((b.simhash >> {15 * k}) & 32767)" for k in range(4)
+    )
+    return (
+        base
+        + f""",
+cand AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id AND ({bands})
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12"""
     )
 
 
 @register(
     "docs_simhash",
-    None,
-    doc="SimHash-64 fingerprints (xxhash64 token hashes, bit-majority "
-    "aggregation) + Hamming<=8 candidate pair count per doc.",
+    _simhash60_sql(with_candidates=False),
+    doc="portable SimHash-60 fingerprints: md5-derived token hashes, "
+    "bit-majority aggregation — DuckDB recomputes the fingerprint "
+    "bit-for-bit (the xxhash64-based simhash64 stays as the "
+    "engine-native variant, pytest-pinned).",
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.dedupe import simhash64
+    from watsondedupe_spark.operators.dedupe import simhash60_md5
 
-    return simhash64(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash60_md5(_docs(spark, sf_dir), "text", "doc_id")
 
 
 @register(
     "docs_simhash_candidates",
-    None,
-    doc="SimHash Hamming-near pairs via the 4x16-bit band pigeonhole join.",
+    _simhash60_sql(with_candidates=True),
+    doc="SimHash Hamming-near pairs via the 4x15-bit band pigeonhole join "
+    "over the portable 60-bit fingerprint.",
 )
 def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.dedupe import simhash64, simhash_candidates
+    from watsondedupe_spark.operators.dedupe import simhash60_candidates, simhash60_md5
 
-    fp = simhash64(_docs(spark, sf_dir), "text", "doc_id")
-    return simhash_candidates(fp, max_hamming=12)
+    fp = simhash60_md5(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash60_candidates(fp, max_hamming=12)
+
+
+# Spark's aggregate() and DuckDB's list_reduce() are both strict left
+# folds; seeding with 0.0 costs nothing (0.0 + x == x), so identical
+# operand order gives bit-identical IEEE-754 doubles on both engines.
+_FOLD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_FOLD_DOT.format(a=a, b=b)} / sqrt({_FOLD_DOT.format(a=a, b=a)})"
+        f" / sqrt({_FOLD_DOT.format(a=b, b=b)})"
+    )
 
 
 @register(
     "emb_cosine_topk_float",
-    None,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+sims AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_cos_sql('qv', 'embedding')} AS cosine
+    FROM embeddings e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+""",
     doc="float-exact brute-force cosine top-k (zip_with/aggregate JVM fold) — "
-    "the production form of emb_knn_cosine without oracle quantization.",
+    "oracle-checkable without quantization because Spark aggregate() and "
+    "DuckDB list_reduce() are both strict left folds over the same "
+    "operands (identical IEEE-754 accumulation order).",
 )
 def emb_cosine_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import cosine_topk
@@ -80,10 +197,47 @@ def emb_cosine_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10)
 
 
+def _lsh_bucket_sql(vec: str, n_planes: int = 6, n_dims: int = 64) -> str:
+    """DuckDB mirror of sign_lsh_bucket: same ±1 hyperplane literals
+    (from the same _plane_sign md5 derivation), same left-fold
+    projection, so the bucket assignment is bit-identical."""
+    from watsondedupe_spark.operators.similarity import _plane_sign
+
+    bits = []
+    for j in range(1, n_planes + 1):
+        signs = ", ".join(
+            f"{float(_plane_sign(j, i))}" for i in range(1, n_dims + 1)
+        )
+        proj = (
+            f"list_reduce(list_transform(list_zip({vec}, [{signs}]), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (j - 1)} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 @register(
     "emb_ann_topk_lsh",
-    None,
-    doc="LSH-bucketed approximate top-k: probe only the query's sign bucket.",
+    f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 3),
+sims AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('qv', 'c.embedding')} AS cosine
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+""",
+    doc="LSH-bucketed approximate top-k: probe only the query's sign "
+    "bucket. Oracle-checkable end to end: hyperplane ±1 components are "
+    "md5-derived literals shared with the SQL, and both engines fold "
+    "projections/cosines left-to-right (bit-identical doubles).",
 )
 def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_lsh
@@ -93,12 +247,47 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, q, k=10, n_planes=6)
 
 
+_IVF_CENT_KEY = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
 @register(
     "emb_ann_topk_ivf",
-    None,
-    doc="IVF approximate top-k: deterministic coarse centroids, corpus "
-    "listed per centroid, queries probe n_probe nearest lists (the "
-    "partition-pruned scale path alongside sign-LSH).",
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_cos_sql('e.embedding', 'c.cv')} AS csim
+    FROM embeddings e CROSS JOIN cents c
+),
+assign1 AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored)
+    WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored WHERE vec_id < 3)
+    WHERE rn <= 4
+),
+sims AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_cos_sql('p.qv', 'a.embedding')} AS cosine
+    FROM assign1 a JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+""",
+    doc="IVF approximate top-k: deterministic coarse centroids (md5-keyed "
+    "sample, SQL-derivable), corpus listed per centroid, queries probe "
+    "n_probe=4 nearest lists — the partition-pruned scale path alongside "
+    "sign-LSH, now with a full DuckDB oracle.",
 )
 def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_ivf
@@ -110,10 +299,11 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_chunk_index_segmented",
-    None,
+    _CDC_INVARIANT_SQL,
     doc="segment-framed CDC (SURVEY §7.3): objects split into frames "
     "JVM-side, frames chunked in parallel, addresses rebased — the "
-    "within-object parallelism path for multi-GB objects.",
+    "within-object parallelism path for multi-GB objects. Same coverage "
+    "invariants as cdc_chunk_index: rebasing must still tile the object.",
 )
 def cdc_chunk_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.chunking import (
@@ -129,11 +319,7 @@ def cdc_chunk_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_objects_segmented(
         objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=32768
     )
-    return chunks.groupBy("object_key").agg(
-        F.count("*").cast("long").alias("chunk_count"),
-        F.sum("length").cast("long").alias("total_bytes"),
-        F.count_distinct("chunk_key").alias("distinct_chunks"),
-    )
+    return _chunk_invariants(chunks)
 
 
 @register(

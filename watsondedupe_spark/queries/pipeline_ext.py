@@ -53,47 +53,44 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_COSINE = 0.40
 
 
-@register(
-    "emb_near_dup_pairs",
-    f"""
-WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-ce AS (
-    SELECT e.vec_id, d.i,
-           CAST(floor(CAST(list_extract(e.embedding, CAST(d.i AS INTEGER)) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
-    FROM embeddings e CROSS JOIN dims d
-),
-norms AS (SELECT vec_id, SUM(v*v) AS nrm FROM ce GROUP BY vec_id),
-dots AS (
-    SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.v * b.v) AS dot
-    FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id < b.vec_id
-    GROUP BY 1, 2
+def _near_dup_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import _cos_sql, _lsh_bucket_sql
+
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
+    FROM embeddings
 )
-SELECT va AS vec_a, vb AS vec_b, cosine
-FROM (
-    SELECT d.va, d.vb,
-           CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
-    FROM dots d
-    JOIN norms na ON na.vec_id = d.va
-    JOIN norms nb ON nb.vec_id = d.vb
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 WHERE cosine >= {_NEAR_DUP_COSINE}
-""",
-    doc="embedding near-dup pairs, exact: quantized-integer dot/norm so "
-    "the cosine is bit-stable; this is the *verify* formulation — at "
-    "scale the candidate set comes from operators.dedupe.embedding_"
-    "near_dups (sign-LSH buckets) and only candidates pay the dot product",
+"""
+
+
+@register(
+    "emb_near_dup_pairs",
+    _near_dup_oracle(),
+    doc="embedding near-dup pairs, the 100 TB shape: sign-LSH bucket "
+    "first (operators.dedupe.embedding_near_dups), exact float cosine "
+    "only within a bucket — the pair join shuffles on the bucket key, "
+    "never all-pairs over the corpus. Fully oracle-checked: hyperplane "
+    "literals and the left-fold cosine are both SQL-derivable. The "
+    "exact all-pairs verify formulation survives as "
+    "operators.similarity.cosine_pairs_np (broadcast numpy matmul, "
+    "parity-pinned in tests) for corpora where a full verify is wanted.",
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow/numpy formulation (operators.similarity.cosine_pairs_np):
-    # the quantized corpus matrix rides along as a closure capture, each
-    # streamed Arrow batch pays ONE integer matmul, and only (a < b,
-    # cosine >= t) survivors materialize. Bit-identical to the previous
-    # JVM higher-order-function form and to the oracle (same int64
-    # quantization, same dot / sqrt / sqrt double-division order) —
-    # ~10x less CPU because the per-element lambdas never interpret.
-    from watsondedupe_spark.operators.similarity import cosine_pairs_np
+    from watsondedupe_spark.operators.dedupe import embedding_near_dups
 
-    return cosine_pairs_np(_emb(spark, sf_dir), _NEAR_DUP_COSINE)
+    pairs = embedding_near_dups(
+        _emb(spark, sf_dir), threshold=_NEAR_DUP_COSINE, n_planes=4, n_dims=64
+    )
+    return pairs.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
+    )
 
 
 # ---------------------------------------------------------------------------

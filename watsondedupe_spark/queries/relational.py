@@ -436,15 +436,33 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    None,
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="approx_count_distinct (HyperLogLog++) per return flag — the "
-    "sketch path for 100 TB cardinalities; no oracle because Spark's "
-    "HLL++ and DuckDB's approx_distinct are different sketches (exact "
-    "counterpart: distinct_agg).",
+    "sketch path for 100 TB cardinalities. Spark's HLL++ and DuckDB's "
+    "approx_distinct are different sketches, so the oracle checks the "
+    "sketch's accuracy CONTRACT instead of its raw estimate: the exact "
+    "count (which both engines compute identically) plus a flag that "
+    "the estimate landed within 5% of it (rsd=0.02, so 5% ~= 2.5 sigma).",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
     )

@@ -647,19 +647,39 @@ def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_qty",
-    None,
-    doc="approx_percentile (t-digest-style sketch) per return flag — the "
-    "mergeable-sketch path for 100 TB percentiles; no oracle because "
-    "Spark's and DuckDB's approx sketches differ (exact counterpart: "
-    "percentile_agg). Exact columns ride along so the rows-only check "
-    "still exercises both code paths.",
+    """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS exact_p50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS exact_p90,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="approx_percentile (GK sketch) per return flag — the "
+    "mergeable-sketch path for 100 TB percentiles. Spark's and DuckDB's "
+    "approx sketches differ, so the oracle checks the sketch CONTRACT: "
+    "exact interpolated percentiles (identical on both engines for this "
+    "data) plus a flag that each approximation landed within one "
+    "quantity unit (accuracy=10000 bounds rank error to n/10000).",
 )
 def approx_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(qty, F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("approx_p50_p90"),
-        F.percentile(qty, 0.5).alias("exact_p50"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(qty, F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("ap"),
+            F.percentile(qty, 0.5).alias("exact_p50"),
+            F.percentile(qty, 0.9).alias("exact_p90"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p90",
+            (
+                (F.abs(F.col("ap")[0] - F.col("exact_p50")) <= 1.0)
+                & (F.abs(F.col("ap")[1] - F.col("exact_p90")) <= 1.0)
+            ).alias("approx_ok"),
+        )
     )
 
 

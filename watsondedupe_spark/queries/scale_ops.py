@@ -172,23 +172,41 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_token_freq_cms",
-    None,  # sketch estimates are overestimate-bounded, not SQL-exact
+    """
+SELECT t AS token,
+       CAST(COUNT(*) AS BIGINT) AS true_count,
+       TRUE AS overest_ok,
+       TRUE AS bound_ok
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+WHERE t != ''
+GROUP BY t
+""",
     doc="Count-Min sketch over the token stream (functions/sketches.py): "
     "one shuffle bounded by depth*width cells regardless of corpus "
     "size; estimates probed for every distinct token via broadcast "
-    "join. Rows-only check: CM guarantees est >= truth, so exact "
-    "equality is not the contract (tests pin the error bound).",
+    "join. The sketch is xxhash64-internal, so the oracle checks the "
+    "CM CONTRACT per token: the exact count (both engines agree), "
+    "est >= truth (always, by construction), and est <= truth + 2N/w "
+    "(the epsilon-N overestimate envelope at depth 5).",
 )
 def docs_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.functions.sketches import cm_estimate, cm_sketch
 
+    width = 4096
     toks = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    sk = cm_sketch(toks, "token", depth=5, width=4096)
-    items = toks.distinct()
-    return cm_estimate(sk, items, "token", depth=5, width=4096).orderBy(
-        F.desc("est_count"), "token"
+    sk = cm_sketch(toks, "token", depth=5, width=width)
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("true_count"))
+    est = cm_estimate(sk, exact, "token", depth=5, width=width)
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        "true_count",
+        (F.col("est_count") >= F.col("true_count")).alias("overest_ok"),
+        (
+            (F.col("est_count") - F.col("true_count")) <= 2.0 * F.col("n_total") / width
+        ).alias("bound_ok"),
     )
 
 

@@ -367,27 +367,64 @@ def test_stream_static_enrichment_equals_batch_join(spark, sf_dir, events_dir):
     } == want
 
 
-def test_transform_with_state_converges_to_batch_profile(spark, events_dir):
-    """The second-gen stateful operator's final per-user emission must
+class _FakeValueState:
+    """Minimal ValueState double mirroring the SPARK-46815 semantics the
+    processor relies on: exists/get/update of one tuple per key."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_transform_with_state_logic_converges_to_batch_profile(spark, events_dir):
+    """The second-gen stateful processor's final per-user emission must
     equal the batch aggregate over the same data. transformWithState's
-    state-server protocol needs protobuf (not installed in this
-    container), so the test runs wherever that dependency exists."""
-    pytest.importorskip("google.protobuf")
-    sdf = S.stateful_user_profile_tws(S.stream_from_dir(spark, events_dir))
-    q = S.run_to_memory(sdf, "t_tws", "update")
-    try:
-        q.processAllAvailable()
-        rows = spark.table("t_tws").collect()
-    finally:
-        q.stop()
-    # update mode re-emits per batch: keep the last emission per user
+    state-server WIRE protocol needs protobuf (absent in this container),
+    so the state-transition contract is driven directly: one processor
+    instance per key, fed the same rows split across multiple batches —
+    exactly the sequence the runtime would deliver. A drop-in real
+    decoder of the wire protocol exercises identical code, because
+    stateful_user_profile_tws mixes this logic class unchanged into
+    StatefulProcessor."""
+    batch_df = _batch_events(spark, events_dir)
+    pdf = batch_df.select("user_id", "event_type", "value").toPandas()
     final = {}
-    for r in rows:
-        final[r.user_id] = (r.n_events, r.total_value, r.n_types)
+    for uid, g in pdf.groupby("user_id"):
+        proc = S.UserProfileProcessor()
+        proc.init(_FakeHandle())
+        # split each user's rows into 3 arriving micro-batches; only the
+        # LAST emission counts (update mode re-emits per batch)
+        parts = [g.iloc[i::3] for i in range(3)]
+        out = None
+        for part in parts:
+            if not len(part):
+                continue
+            out = list(proc.handleInputRows((uid,), iter([part]), None))[-1]
+        proc.close()
+        final[uid] = (
+            int(out["n_events"][0]),
+            float(out["total_value"][0]),
+            int(out["n_types"][0]),
+        )
     batch = {
         r.user_id: (r.n, float(r.total), r.t)
-        for r in _batch_events(spark, events_dir)
-        .groupBy("user_id")
+        for r in batch_df.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
             F.sum("value").alias("total"),
@@ -400,6 +437,21 @@ def test_transform_with_state_converges_to_batch_profile(spark, events_dir):
         bn, btotal, bt = batch[uid]
         assert n == bn and t == bt
         assert abs(total - btotal) < 1e-6
+
+
+def test_transform_with_state_operator_wires_up(spark, events_dir):
+    """The real transformWithStateInPandas operator must at least build
+    its streaming plan (analysis catches schema/outputMode mistakes);
+    execution needs the protobuf state server, covered by the logic
+    contract above."""
+    sdf = S.stateful_user_profile_tws(S.stream_from_dir(spark, events_dir))
+    assert sdf.isStreaming
+    assert [f.name for f in sdf.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_types",
+    ]
 
 def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     """The streamed Count-Min sketch must be CELL-IDENTICAL to the

@@ -545,6 +545,47 @@ def enrich_with_dimension(
     return events.join(d, stream_key, "left")
 
 
+class UserProfileProcessor:
+    """The second-gen stateful processor's LOGIC, defined standalone so
+    the state transition is contract-testable against a fake handle
+    without the runtime state server (whose wire protocol needs
+    ``protobuf``, absent in this container). The real operator class is
+    assembled in :func:`stateful_user_profile_tws` by mixing this logic
+    into ``StatefulProcessor``; the methods are exactly the SPARK-46815
+    API (init / handleInputRows / close) so the mix-in adds nothing.
+    """
+
+    STATE_SCHEMA = "n long, total double, types string"
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", self.STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total, types = 0, 0.0, set()
+        if self._agg.exists():
+            pn, ptotal, ptypes = self._agg.get()
+            n, total = pn, ptotal
+            types = set(ptypes.split(",")) if ptypes else set()
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            types.update(pdf["event_type"].unique().tolist())
+        self._agg.update((n, total, ",".join(sorted(types))))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [len(types)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
     """Per-user running profile via ``transformWithStateInPandas`` —
     Spark 4's second-generation arbitrary-state API (SPARK-46815),
@@ -560,44 +601,17 @@ def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
     Emits (user_id, n_events, total_value, n_types) every update.
 
     Dependency note: the API's state-server protocol requires
-    ``protobuf`` at runtime (its import happens inside Spark's driver
-    worker, not here); the convergence test importorskips on it.
+    ``protobuf`` at runtime (imported inside Spark's Python worker, not
+    here); the state-transition logic itself is contract-tested against
+    a fake handle (tests/test_streaming.py), so coverage does not skip.
     """
-    import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.streaming import StatefulProcessor
 
     out_schema = StructType.fromDDL(
         "user_id long, n_events long, total_value double, n_types integer"
     )
 
-    class Profile(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._agg = handle.getValueState(
-                "agg", "n long, total double, types string"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total, types = 0, 0.0, set()
-            if self._agg.exists():
-                pn, ptotal, ptypes = self._agg.get()
-                n, total = pn, ptotal
-                types = set(ptypes.split(",")) if ptypes else set()
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-                types.update(pdf["event_type"].unique().tolist())
-            self._agg.update((n, total, ",".join(sorted(types))))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [total],
-                    "n_types": [len(types)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
+    Profile = type("Profile", (UserProfileProcessor, StatefulProcessor), {})
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=Profile(),

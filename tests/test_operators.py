@@ -216,6 +216,74 @@ def test_decode_audio_stub_contract(spark):
         decode_audio(spark.range(1))
 
 
+def _png_bytes(width: int, height: int) -> bytes:
+    """Minimal real PNG: signature + IHDR chunk (enough for any header
+    parser; no codec library involved)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def test_multimodal_decoder_seam_swap(spark):
+    """Contract pin for the decoder seam: a real decoder drop-in runs
+    through the IDENTICAL Spark plumbing (schema, Arrow batching, error
+    rows, feature column) with zero changes outside the seam — the
+    guarantee a deployment relies on when swapping in PIL."""
+    from watsondedupe_spark.operators.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        extract_image_features,
+        wrap_media,
+    )
+
+    # defined inside the test so cloudpickle ships it by VALUE to the
+    # Python workers (the tests dir is not on worker sys.path) — exactly
+    # how a deployment's ad-hoc decoder closure would travel
+    def _real_png_decoder(payload: bytes):
+        """A REAL decoder dropped into the seam: parses the PNG IHDR in
+        pure Python — same signature and error contract as the stub."""
+        import struct
+
+        if not payload:
+            raise ValueError("cannot decode empty image payload")
+        if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 24:
+            raise ValueError("not a PNG")
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, "png"
+
+    rows = [
+        ("a", bytearray(_png_bytes(640, 480))),
+        ("b", bytearray(_png_bytes(32, 64))),
+        ("bad", bytearray(b"not a png at all")),
+        ("empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    media = wrap_media(df, "payload", "image/png", "name")
+
+    swapped = extract_image_features(media, decoder=_real_png_decoder)
+    assert swapped.schema == extract_image_features(media).schema  # same plumbing
+    assert swapped.schema.simpleString() == (
+        "struct<" + IMAGE_FEATURES_SCHEMA.replace(", ", ",").replace(" int", ":int")
+        .replace(" string", ":string").replace(" long", ":bigint")
+        .replace(" array<float>", ":array<float>") + ">"
+    )
+    feats = {r.id: r for r in swapped.collect()}
+    assert (feats["a"].width, feats["a"].height, feats["a"].format) == (640, 480, "png")
+    assert (feats["b"].width, feats["b"].height) == (32, 64)
+    # undecodable payloads degrade to error rows, exactly like the stub
+    assert feats["bad"].format == "error" and feats["bad"].width == -1
+    assert feats["empty"].format == "error"
+    # the featurizer seam is independent: stub features still computed
+    assert len(feats["a"].feature) == 8
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     """IVF with n_probe=4/16 centroids must recover most of the exact
     top-5, and with n_probe == n_centroids it IS exact search."""
@@ -276,7 +344,51 @@ def test_connected_components_chain_converges(spark):
     assert len(rows) == n + 1
 
 
-def test_global_prefix_sum_matches_local(spark):
+def test_connected_components_durable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint
+    (executor-loss survival on a real cluster); the clusters must be
+    identical and checkpoint files must actually land on the dir."""
+    import os
+
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "node long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {(r.node, r.cluster_id) for r in connected_components(edges, nodes).collect()}
+    durable = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges, nodes, checkpoint_dir=ckpt).collect()
+    }
+    assert durable == local == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)}
+    assert any(files for _, _, files in os.walk(ckpt)), "no durable checkpoint written"
+
+
+def test_connected_components_round_shuffle_bounded_by_edges(spark, sf_dir):
+    """The per-round work must be bounded by the EDGE LIST, not the
+    corpus: iteration state is only edge-touched nodes, and the round
+    inputs are checkpointed RDD scans — the corpus parquet is never
+    re-read inside a round."""
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    # sparse synthetic edge list over a tiny fraction of the corpus
+    edges = (
+        docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .filter(F.col("doc_id") % 50 == 0)
+    )
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    assert n_edges * 4 < n_nodes  # the premise: edges << corpus
+    cc = connected_components(edges, nodes)
+    # 1) labels iterated over <= 2 * |edges| touched nodes, never |corpus|
+    non_singleton = cc.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    assert non_singleton == n_edges  # each synthetic edge forms one 2-cluster
+    # 2) the final assembly joins corpus nodes once; the ROUND inputs are
+    # checkpointed RDDs (Scan ExistingRDD), so no parquet re-scan per round
+    plan = cc._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
     import random
 
     from watsondedupe_spark.operators.text import global_prefix_sum

@@ -336,6 +336,7 @@ def connected_components(
     src_col: str = "a",
     dst_col: str = "b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -350,18 +351,33 @@ def connected_components(
     O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
     cliques, so 2-3 rounds in practice. Two shape decisions keep the
     rounds cheap: the symmetrized edge list is materialized ONCE
-    (``localCheckpoint``) so the upstream candidate pipeline — often a
-    full LSH derivation — is not re-executed every round, and the
-    iteration runs only over edge-touched nodes (isolated vertices can
-    never change label; they rejoin as singletons at the end). At
-    cluster scale swap in ``checkpoint`` on durable storage and the
-    large-star/small-star variant if diameters get long.
+    (checkpointed) so the upstream candidate pipeline — often a full
+    LSH derivation — is not re-executed every round, and the iteration
+    runs only over edge-touched nodes (isolated vertices can never
+    change label; they rejoin as singletons at the end). So the
+    per-round shuffle is bounded by the EDGE LIST (2|E| symmetrized
+    rows + |touched nodes| labels), never the corpus.
+
+    ``checkpoint_dir`` selects the materialization tier: ``None`` (local
+    testing) uses executor-memory ``localCheckpoint``; a durable path
+    (HDFS/S3 on a real cluster) uses reliable ``checkpoint``, which
+    survives executor loss — on a 1000-executor run a lost executor
+    would otherwise force recomputing the whole candidate pipeline mid-
+    iteration. The large-star/small-star variant remains the upgrade if
+    diameters get long.
     """
-    sym = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = _pin(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     all_nodes = nodes.select(F.col(node_col).alias("node"))
     touched = (
@@ -369,7 +385,7 @@ def connected_components(
         .distinct()
         .join(all_nodes, "node", "left_semi")  # dangling edge ids get no label
     )
-    labels = touched.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    labels = _pin(touched.select("node", F.col("node").alias("label")))
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -384,7 +400,7 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _pin(new_labels)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:

@@ -84,14 +84,30 @@ def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
     return [a / total for a in acc]
 
 
-def extract_image_features(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
+def extract_image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    decoder=None,
+    featurizer=None,
+) -> DataFrame:
     """Decode + featurize image payloads via Arrow-batched mapInPandas.
 
     The plan is scan -> MapInPandas (payloads never shuffle); output is
     narrow (metadata + small feature vector), so downstream joins/aggs
     run without the binary column — column pruning does the rest.
+
+    ``decoder``/``featurizer`` are the injectable seams: any callables
+    with the stub signatures (``bytes -> (width, height, format)``,
+    raising ``ValueError`` on undecodable input, and ``bytes ->
+    list[float]``) drop in without touching the Spark plumbing — a
+    deployment passes PIL/vision-encoder wrappers here; the contract
+    test passes a real pure-Python PNG header parser.
     """
     import pandas as pd
+
+    decoder = decoder or _decode_image_stub
+    featurizer = featurizer or _feature_stub
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -99,7 +115,7 @@ def extract_image_features(df: DataFrame, media_col: str = "media", id_col: str 
             for rid, media in zip(pdf["id"], pdf["__media"]):
                 payload = bytes(media["data"]) if media["data"] is not None else b""
                 try:
-                    w, h, fmt = _decode_image_stub(payload)
+                    w, h, fmt = decoder(payload)
                 except ValueError:
                     w, h, fmt = -1, -1, "error"
                 out["id"].append(rid)
@@ -107,7 +123,7 @@ def extract_image_features(df: DataFrame, media_col: str = "media", id_col: str 
                 out["height"].append(h)
                 out["n_bytes"].append(len(payload))
                 out["format"].append(fmt)
-                out["feature"].append(_feature_stub(payload))
+                out["feature"].append(featurizer(payload))
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("__media")).mapInPandas(

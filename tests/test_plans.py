@@ -303,3 +303,41 @@ def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
     df = q("docs_incremental_dedup", spark, sf_dir)
     assert P.count_occurrences(df, r"BroadcastHashJoin") >= 2
     assert not P.has_cartesian(df)
+
+
+def test_near_dup_pairs_shuffles_on_bucket_only(spark, sf_dir):
+    """The LSH-first near-dup rewrite: corpus scanned once, one shuffle
+    keyed by the sign bucket into the Arrow matmul group, no joins at
+    all (the pair expansion happens inside the bucket group), and
+    certainly no cartesian blowup."""
+    df = q("emb_near_dup_pairs", spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.scan_count(df) == 1
+    df.collect()
+    assert P.executed_shuffle_count(df) <= 1
+    # formatted plans repeat operators across Final/Initial sections
+    assert P.count_occurrences(df, "FlatMapGroupsInPandas") >= 1
+
+
+def test_simhash_is_one_scan_one_shuffle(spark, sf_dir):
+    """SimHash fingerprints: explode + a single groupBy(id) aggregation
+    carrying all 60 bit votes — one scan, one shuffle, partial
+    aggregation map-side, everything JVM-side (no Python stages)."""
+    df = q("docs_simhash", spark, sf_dir)
+    assert P.scan_count(df) == 1
+    assert P.has_partial_aggregation(df)
+    plan = P.physical_plan(df)
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    df.collect()
+    assert P.executed_shuffle_count(df) <= 1
+
+
+def test_pq_topk_reads_codes_only_single_pass(spark, sf_dir):
+    """PQ/ADC top-k: after encoding, scoring reads ONLY the code column
+    in one fused Arrow pass serving every query; the sole shuffle is the
+    per-query top-k window."""
+    df = q("emb_ann_topk_pq", spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.scan_count(df) == 1
+    df.collect()
+    assert P.executed_shuffle_count(df) <= 2  # repartition-for-encode + window

@@ -329,6 +329,61 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def embedding_near_dups_np(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_dims: int = 64,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs, Arrow/numpy within-bucket verify.
+
+    Same candidate semantics as :func:`embedding_near_dups` (bucket
+    equijoin — the shuffle key is the bucket, never all-pairs), but the
+    in-bucket cosine runs as ONE integer matmul per bucket group instead
+    of interpreted per-element JVM lambdas (~10x at bench scale). The
+    cosine is the quantized-integer form (floor(x*q + 0.5) int64 dot /
+    sqrt / sqrt): dot and norms are exact integers, so the result is
+    bit-identical across numpy, Spark, and a SQL oracle — accumulation
+    order cannot matter for exact integers, which is what frees the
+    kernel to use BLAS.
+
+    Scale note: a bucket group must fit one Arrow worker (~bucket_size *
+    dim * 8 B). Buckets halve per added plane, so n_planes is the
+    memory/recall dial; skewed buckets at extreme scale get the same
+    salting treatment as any hot groupBy key.
+    """
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+
+    withb = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
+    )
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.floor(np.asarray(list(pdf["v"]), dtype=np.float64) * quantize + 0.5).astype(
+            np.int64
+        )
+        nrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        S = (V @ V.T).astype(np.float64)
+        S = S / nrm[:, None]
+        S = S / nrm[None, :]
+        keep = (ids[:, None] < ids[None, :]) & (S >= threshold)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cosine": S[ai, bj]})
+
+    return withb.groupBy("bucket").applyInPandas(
+        _pairs, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -402,26 +402,48 @@ def ann_topk_pq(
     sub = len(cbs[0][0])
     codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
 
-    def adist_for(qv: list[float]):
-        total = F.lit(0.0)
-        for s, cb in enumerate(cbs):
-            qs = qv[s * sub : (s + 1) * sub]
-            table = [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cb]
-            total = total + F.element_at(F.lit(table), F.col("codes").getItem(s) + 1)
-        return total
-
+    # per-query m x ks tables of exact subspace distances, driver-side
+    # (ks*d float ops per query) — small enough to ride in the closure
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    structs = [
-        F.struct(
-            F.lit(r[id_col]).alias("query_id"),
-            adist_for([float(x) for x in r[vec_col]]).alias("adist"),
-        )
-        for r in qrows
-    ]
-    scored = (
-        codes.select(F.col(id_col).alias("neighbor_id"), F.explode(F.array(*structs)).alias("s"))
-        .select("s.query_id", "neighbor_id", "s.adist")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    qtabs = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        tab = [
+            [sum((a - b) ** 2 for a, b in zip(qv[s * sub : (s + 1) * sub], c)) for c in cb]
+            for s, cb in enumerate(cbs)
+        ]
+        qtabs.append((int(r[id_col]), tab))
+
+    # ADC scoring fused into the Arrow pass: per batch, per query, the
+    # score is m vectorized table gathers + adds (ascending s, the same
+    # accumulation order as a scalar left fold) — no per-row literal
+    # array construction, no explode; the codes column is all that is
+    # read. One pass over the corpus serves every query.
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        tabs = [(qid, np.asarray(tab, dtype=np.float64)) for qid, tab in qtabs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            frames = []
+            for qid, T in tabs:
+                ad = np.zeros(len(pdf), dtype=np.float64)
+                for s in range(T.shape[0]):
+                    ad += T[s][C[:, s]]
+                mask = nid != qid
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": nid[mask], "adist": ad[mask]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, adist double"
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -54,16 +54,20 @@ _NEAR_DUP_COSINE = 0.40
 
 
 def _near_dup_oracle() -> str:
-    from watsondedupe_spark.queries.engine_native import _cos_sql, _lsh_bucket_sql
+    from watsondedupe_spark.queries.curation_ext import _icos_sql
+    from watsondedupe_spark.queries.engine_native import _lsh_bucket_sql
 
     return f"""
 WITH b AS (
-    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v,
+           {_lsh_bucket_sql('embedding', n_planes=4)} AS bucket
     FROM embeddings
 )
 SELECT vec_a, vec_b, cosine FROM (
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-           {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+           {_icos_sql('x.v', 'y.v')} AS cosine
     FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 WHERE cosine >= {_NEAR_DUP_COSINE}
@@ -74,18 +78,19 @@ WHERE cosine >= {_NEAR_DUP_COSINE}
     "emb_near_dup_pairs",
     _near_dup_oracle(),
     doc="embedding near-dup pairs, the 100 TB shape: sign-LSH bucket "
-    "first (operators.dedupe.embedding_near_dups), exact float cosine "
-    "only within a bucket — the pair join shuffles on the bucket key, "
-    "never all-pairs over the corpus. Fully oracle-checked: hyperplane "
-    "literals and the left-fold cosine are both SQL-derivable. The "
-    "exact all-pairs verify formulation survives as "
-    "operators.similarity.cosine_pairs_np (broadcast numpy matmul, "
-    "parity-pinned in tests) for corpora where a full verify is wanted.",
+    "first, then ONE integer matmul per bucket group for the exact "
+    "verify (operators.dedupe.embedding_near_dups_np) — the pair join "
+    "shuffles on the bucket key, never all-pairs over the corpus, and "
+    "the in-bucket cosine is quantized-integer exact (order-free, so "
+    "BLAS, Spark folds, and the SQL oracle all agree bit-for-bit). "
+    "The JVM-fold variant survives as operators.dedupe."
+    "embedding_near_dups; the all-pairs verify as "
+    "operators.similarity.cosine_pairs_np (both parity-pinned in tests).",
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.dedupe import embedding_near_dups
+    from watsondedupe_spark.operators.dedupe import embedding_near_dups_np
 
-    pairs = embedding_near_dups(
+    pairs = embedding_near_dups_np(
         _emb(spark, sf_dir), threshold=_NEAR_DUP_COSINE, n_planes=4, n_dims=64
     )
     return pairs.select(

@@ -110,20 +110,28 @@ def test_semantic_dedup_deterministic(spark, sf_dir, sem_result):
 
 def test_semantic_dedup_kept_set_semantics(spark, sf_dir, sem_result):
     """Exactly the vectors with NO lower-id same-cluster neighbor at
-    cosine >= threshold survive (brute-force recomputation)."""
-    from watsondedupe_spark.operators.similarity import ivf_assign, ivf_centroids
+    cosine >= threshold survive — brute-force recomputation in pure
+    Python, INCLUDING the quantized-integer routing metric the operator
+    uses (ivf_assign_np): top-1 centroid by (csim desc, centroid_id)."""
+    import math
+
+    from watsondedupe_spark.operators.similarity import ivf_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_centroids(emb, 16)
-    assigned = ivf_assign(emb, cents).collect()
-    by_cluster = {}
-    for r in assigned:
-        q = [round(float(x) * 1000) for x in r.embedding]
-        by_cluster.setdefault(r.centroid_id, []).append((r.vec_id, q))
+    cents = sorted(
+        (int(r.centroid_id), [math.floor(float(x) * 1000 + 0.5) for x in r.cv])
+        for r in ivf_centroids(emb, 16).collect()
+    )
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
         return dot / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+
+    by_cluster = {}
+    for r in emb.collect():
+        v = [math.floor(float(x) * 1000 + 0.5) for x in r.embedding]
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))
+        by_cluster.setdefault(best[0], []).append((r.vec_id, v))
 
     expected_kept = set()
     for cid, members in by_cluster.items():

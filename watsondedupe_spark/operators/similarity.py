@@ -165,6 +165,70 @@ def ivf_assign(
     )
 
 
+def ivf_assign_np(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Centroid assignment as ONE Arrow pass per batch — the scale shape.
+
+    :func:`ivf_assign` scores via a |corpus| x |centroids| crossJoin
+    fan-out plus a per-vector window; at 16 centroids that is 16x the
+    corpus in intermediate rows and one extra shuffle. Here the (tiny)
+    quantized centroid matrix rides in the closure, each Arrow batch
+    computes one integer matmul, and the top-``n_probe`` centroids per
+    vector are emitted directly — no fan-out, no window, no shuffle.
+
+    The routing metric is the quantized-integer cosine (exact int64
+    dot/norms, then double divisions), so numpy here, Spark folds, and
+    a SQL oracle produce bit-identical scores; ties break toward the
+    smallest centroid_id, matching ``ROW_NUMBER ... ORDER BY csim DESC,
+    centroid_id``.
+    """
+    import numpy as np
+
+    crows = sorted(
+        ((int(r["centroid_id"]), [float(x) for x in r["cv"]]) for r in centroids.collect())
+    )
+    cid_l = [c for c, _ in crows]
+    cvec_l = [v for _, v in crows]
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid = np.asarray(cid_l, dtype=np.int64)
+        C = np.floor(np.asarray(cvec_l, dtype=np.float64) * quantize + 0.5).astype(np.int64)
+        cnrm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.asarray(list(pdf[vec_col]), dtype=np.float64) * quantize + 0.5
+            ).astype(np.int64)
+            vnrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            S = (V @ C.T).astype(np.float64)
+            S = S / vnrm[:, None]
+            S = S / cnrm[None, :]
+            # stable argsort on -S: ties keep column order == cid ascending
+            top = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+            n, p = top.shape
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64).repeat(p),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    "centroid_id": cid[top].reshape(-1),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _assign, schema=f"{id_col} long, {vec_col} array<float>, centroid_id long"
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -211,10 +275,13 @@ def ann_topk_ivf(
     recall rises with ``n_probe`` (== n_centroids is exact search).
     """
     cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    corpus_lists = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
+    # assignment via the Arrow-pass kernel: no |corpus| x |centroids|
+    # fan-out, no window shuffle; routing metric is the quantized-int
+    # cosine (SQL-derivable, see ivf_assign_np)
+    corpus_lists = ivf_assign_np(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    query_probes = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+    query_probes = ivf_assign_np(queries, cents, id_col, vec_col, n_probe=n_probe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
     )
     scored = (

@@ -287,22 +287,25 @@ WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
     ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
 ),
-scored AS (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           {_cos_sql('e.embedding', 'c.cv')} AS csim
-    FROM embeddings e CROSS JOIN cents c
+base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+    FROM embeddings
 ),
-assigned AS (
-    SELECT vec_id, embedding, centroid_id FROM (
+scored AS (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           {_icos_sql('e.v', 'c.qcv')} AS csim
+    FROM base e CROSS JOIN (
+        SELECT centroid_id,
+               list_transform(cv, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qcv
+        FROM cents) c
+),
+qv AS (
+    SELECT vec_id, v, centroid_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
         FROM scored)
     WHERE rn = 1
-),
-qv AS (
-    SELECT vec_id, centroid_id,
-           list_transform(embedding,
-                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
-    FROM assigned
 ),
 dropped AS (
     SELECT DISTINCT b.vec_id AS drop_id
@@ -325,17 +328,19 @@ WHERE vec_id NOT IN (SELECT drop_id FROM dropped)
     "within-cluster cosine is quantized-integer exact.",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.similarity import ivf_assign, ivf_centroids
+    from watsondedupe_spark.operators.similarity import ivf_assign_np, ivf_centroids
 
     emb = _emb(spark, sf_dir)
     want = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < want:
         emb = emb.repartition(want)
     cents = ivf_centroids(emb, _SEM_N_CLUSTERS)
-    # the assignment feeds BOTH pair-join sides and the final anti-join:
-    # checkpoint it once (house pattern from connected_components) so the
-    # centroid scoring pass doesn't run three times
-    assigned = ivf_assign(emb, cents).select(
+    # assignment via the Arrow-pass kernel (ivf_assign_np): no 16x
+    # centroid fan-out, no window shuffle; quantized-int routing metric
+    # is what the oracle recomputes. The assignment feeds BOTH pair-join
+    # sides and the final anti-join: checkpoint it once (house pattern
+    # from connected_components) so the scoring pass doesn't run thrice.
+    assigned = ivf_assign_np(emb, cents, n_probe=1).select(
         "vec_id", "centroid_id", _quant_vec().alias("v")
     ).localCheckpoint(eager=True)
     # within-cluster pairs only, as ONE numpy matmul per cluster group:

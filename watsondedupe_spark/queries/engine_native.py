@@ -250,17 +250,39 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENT_KEY = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
+_QUANT_VEC_SQL = "list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+_IQ_FOLD = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _iq_cos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST({_IQ_FOLD.format(a=a, b=b)} AS DOUBLE)"
+        f" / sqrt(CAST({_IQ_FOLD.format(a=a, b=a)} AS DOUBLE))"
+        f" / sqrt(CAST({_IQ_FOLD.format(a=b, b=b)} AS DOUBLE))"
+    )
+
+
 @register(
     "emb_ann_topk_ivf",
     f"""
 WITH cents AS (
-    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+    SELECT vec_id AS centroid_id, embedding AS cv,
+           {_QUANT_VEC_SQL.format(v='embedding')} AS qcv
+    FROM embeddings
     ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+base AS (
+    SELECT vec_id, embedding, {_QUANT_VEC_SQL.format(v='embedding')} AS qv
+    FROM embeddings
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.centroid_id,
-           {_cos_sql('e.embedding', 'c.cv')} AS csim
-    FROM embeddings e CROSS JOIN cents c
+           {_iq_cos_sql('e.qv', 'c.qcv')} AS csim
+    FROM base e CROSS JOIN cents c
 ),
 assign1 AS (
     SELECT vec_id, embedding, centroid_id FROM (

@@ -67,3 +67,25 @@ def test_ntz_cast_matches_duckdb_epoch(spark, sf_dir):
     )
     duck_sum = duckdb.sql(f"SELECT SUM(epoch_us(ts)) FROM '{path}'").fetchone()[0]
     assert spark_sum == duck_sum
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC write/read roundtrip over real testdata plus pushdown proof:
+    the key filter must reach the ORC scan as a search argument."""
+    from watsondedupe_spark.sources import read_orc, write_orc
+
+    src = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "n_nationkey" in plan and "PushedFilters" in plan

@@ -291,3 +291,54 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("cnt"), F.any_value("n_total").alias("n_total"))
         .filter(F.col("cnt") * 100 >= F.col("n_total"))
     )
+
+
+@register(
+    "docs_lm_quality",
+    """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tok2 AS (SELECT doc_id, t FROM tok WHERE t != ''),
+freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM tok2 GROUP BY t),
+per_doc AS (
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.cf) AS BIGINT) AS freq_sum
+    FROM tok2 k JOIN freq f ON k.t = f.t
+    GROUP BY k.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(freq_sum AS DOUBLE) / n_tokens AS avg_token_freq
+FROM per_doc
+""",
+    doc="unigram-LM quality proxy (the frequency-based stage of a "
+    "curation recipe, cf. CCNet's LM filtering): per-document average "
+    "corpus frequency of its tokens — boilerplate scores high, noise "
+    "scores low, and downstream filters cut both tails. Two shuffles "
+    "total (corpus token counts, then per-doc aggregation), both with "
+    "map-side partial aggregation; the frequency join shuffles on the "
+    "token key so cost scales with the token stream, never pairs. "
+    "Exact-integer sums with ONE final double division keep the score "
+    "bit-identical to the oracle.",
+)
+def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    freq = toks.groupBy("t").agg(F.count("*").cast("long").alias("cf"))
+    return (
+        toks.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cf").cast("long").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("freq_sum").cast("double") / F.col("n_tokens")).alias("avg_token_freq"),
+        )
+    )

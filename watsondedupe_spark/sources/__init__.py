@@ -88,6 +88,21 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (Spark-native, vectorized). ORC carries its schema, so
+    unlike JSON/CSV no explicit schema is demanded; predicate pushdown
+    and column pruning work the same as parquet (min/max + bloom row-
+    group stats reach the scan via ``spark.sql.orc.filterPushdown``,
+    on by default)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer — the interchange sink for ORC-native warehouses
+    (Hive-lineage stacks); parquet remains the engine's primary format."""
+    df.write.mode(mode).orc(path)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: str, header: bool = True, delimiter: str = ","
 ) -> DataFrame:

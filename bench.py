@@ -72,6 +72,14 @@ HEADLINE = [
     "docs_heavy_hitters",
     "docs_decontaminate",
     "docs_shard_manifest",
+    # round-2 additions: portable SimHash, float/LSH vector search,
+    # LM-quality scoring, explicit grouping sets
+    "docs_simhash",
+    "docs_simhash_candidates",
+    "emb_cosine_topk_float",
+    "emb_ann_topk_lsh",
+    "docs_lm_quality",
+    "grouping_sets_orders",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -209,11 +209,41 @@ def test_multimodal_image_pipeline(spark):
         assert all(r.frame_ts_ms == r.frame_index * 1000 for r in rs)
 
 
-def test_decode_audio_stub_contract(spark):
-    from watsondedupe_spark.operators.multimodal import decode_audio
+def test_decode_audio_real_wav(spark):
+    """The audio seam decodes real PCM WAV (stdlib-generated) headers:
+    rate/channels/samples/duration come out exact; undecodable payloads
+    degrade to error rows, matching the image-seam contract."""
+    import io
+    import wave
 
-    with pytest.raises(NotImplementedError):
-        decode_audio(spark.range(1))
+    from watsondedupe_spark.operators.multimodal import decode_audio, wrap_media
+
+    def wav_bytes(rate, channels, n_frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * channels * n_frames)
+        return bytearray(buf.getvalue())
+
+    rows = [
+        ("mono", wav_bytes(16000, 1, 16000)),
+        ("stereo", wav_bytes(44100, 2, 4410)),
+        ("junk", bytearray(b"definitely not audio")),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    media = wrap_media(df, "payload", "audio/wav", "name")
+    got = {r.id: r for r in decode_audio(media).collect()}
+    assert (got["mono"].sample_rate, got["mono"].n_channels, got["mono"].n_samples) == (
+        16000,
+        1,
+        16000,
+    )
+    assert abs(got["mono"].duration_s - 1.0) < 1e-9
+    assert (got["stereo"].sample_rate, got["stereo"].n_channels) == (44100, 2)
+    assert abs(got["stereo"].duration_s - 0.1) < 1e-9
+    assert got["junk"].sample_rate == -1 and got["junk"].duration_s == -1.0
 
 
 def _png_bytes(width: int, height: int) -> bytes:

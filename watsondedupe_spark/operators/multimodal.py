@@ -166,15 +166,70 @@ def sample_frames(
     )
 
 
-def decode_audio(df: DataFrame, media_col: str = "media", id_col: str = "id") -> DataFrame:
-    """AUDIO SEAM — not implemented in this container (no audio libs).
+AUDIO_SCHEMA = "id string, sample_rate int, n_channels int, n_samples long, duration_s double"
 
-    Raises NotImplementedError eagerly with the deployment instruction;
-    the schema contract is ``id string, sample_rate int, n_samples long,
-    duration_s double``.
+
+def _decode_wav_header(payload: bytes) -> tuple[int, int, int]:
+    """AUDIO DECODER — real, pure-Python RIFF/WAVE header parse.
+
+    Returns (sample_rate, n_channels, n_samples) for PCM WAV payloads by
+    walking the chunk list (fmt then data); raises ``ValueError`` on
+    anything that is not a RIFF/WAVE stream. Compressed formats
+    (mp3/flac/ogg) need a codec library — pass a torchaudio/soundfile
+    wrapper with this same signature as the ``decoder`` argument.
     """
-    raise NotImplementedError(
-        "audio decoding requires torchaudio/soundfile; replace this seam in "
-        "deployment. Schema contract: id string, sample_rate int, "
-        "n_samples long, duration_s double"
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, block_align, n_samples = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, rate = struct.unpack("<HI", body[2:8])
+            (block_align,) = struct.unpack("<H", body[12:14])
+        elif cid == b"data" and block_align:
+            n_samples = size // block_align
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or n_samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, n_samples
+
+
+def decode_audio(
+    df: DataFrame, media_col: str = "media", id_col: str = "id", decoder=None
+) -> DataFrame:
+    """Decode audio payload headers via Arrow-batched mapInPandas.
+
+    Same plumbing contract as :func:`extract_image_features`: payloads
+    never shuffle, output is narrow metadata, undecodable payloads
+    degrade to ``error`` rows (sample_rate -1) instead of failing the
+    job. The default decoder is a REAL pure-Python PCM WAV parser
+    (:func:`_decode_wav_header`); compressed formats drop a
+    torchaudio/soundfile wrapper into the ``decoder`` seam.
+    """
+    import pandas as pd
+
+    decoder = decoder or _decode_wav_header
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"id": [], "sample_rate": [], "n_channels": [], "n_samples": [], "duration_s": []}
+            for rid, media in zip(pdf["id"], pdf["__media"]):
+                payload = bytes(media["data"]) if media["data"] is not None else b""
+                try:
+                    rate, channels, n = decoder(payload)
+                except ValueError:
+                    rate, channels, n = -1, -1, -1
+                out["id"].append(rid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(n)
+                out["duration_s"].append(float(n) / rate if rate > 0 else -1.0)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(media_col).alias("__media")).mapInPandas(
+        _batches, schema=AUDIO_SCHEMA
     )

@@ -260,30 +260,41 @@ def simhash60_candidates(fp: DataFrame, max_hamming: int = 12) -> DataFrame:
 
     Pigeonhole guarantee is full recall for hamming <= 3; larger
     thresholds are probed with partial recall (the standard LSH
-    trade-off). Same band-equijoin shape as :func:`simhash_candidates`.
+    trade-off). Shape: the four band slices EXPLODE into (band_idx,
+    band_val) rows and ONE equijoin on that composite key replaces four
+    separate self-joins — one shuffle keyed on the band value instead
+    of four (and the fingerprint aggregation is evaluated once per
+    side, not once per band; exchange reuse collapses the two sides).
     """
-    sliced = fp.select(
+    banded = fp.select(
         "id",
         "simhash",
-        *[
-            F.shiftright("simhash", 15 * k).bitwiseAND(F.lit(0x7FFF)).alias(f"s{k}")
-            for k in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        F.shiftright("simhash", 15 * k)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("fp_a"),
+        F.col("b.simhash").alias("fp_b"),
     )
-    a, b = sliced.alias("a"), sliced.alias("b")
-    lt = F.col("a.id") < F.col("b.id")
-    parts = [
-        a.join(b, (F.col(f"a.s{k}") == F.col(f"b.s{k}")) & lt).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
-        )
-        for k in range(4)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionAll(p)
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return (
         cand.distinct()

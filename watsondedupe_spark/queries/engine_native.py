@@ -15,9 +15,11 @@ oracle-able ones real DuckDB oracles:
   tile the object) instead of the raw chunk-count accounting only the
   chunker itself knows.
 
-Still rows-only: the multimodal seams (decoder stubs) and the xxhash64
-paths — their correctness is pytest-pinned (tests/test_engine.py,
-tests/test_operators.py).
+Still rows-only (the brief's sanctioned classes): the multimodal seams
+(decoder stubs), numpy-accumulation paths whose float ordering cannot
+bit-match a SQL fold, and the iterative k-means refinement — their
+correctness is pytest-pinned (tests/test_engine.py,
+tests/test_operators.py, tests/test_curation_ext.py).
 """
 
 from __future__ import annotations
@@ -150,7 +152,9 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.dedupe import simhash60_candidates, simhash60_md5
 
-    fp = simhash60_md5(_docs(spark, sf_dir), "text", "doc_id")
+    # materialize the fingerprints once: both sides of the band self-join
+    # consume them, and the 60-vote aggregation is the expensive stage
+    fp = simhash60_md5(_docs(spark, sf_dir), "text", "doc_id").localCheckpoint(eager=True)
     return simhash60_candidates(fp, max_hamming=12)
 
 
@@ -393,4 +397,35 @@ def multimodal_feature_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(media).select("id", "feature")
     return embedding_near_dups(
         feats, id_col="id", vec_col="feature", threshold=0.9999, n_planes=6, n_dims=8
+    )
+
+
+@register(
+    "emb_kmeans_refined_assign",
+    None,
+    doc="iterative algorithm (the brief's sanctioned rows-only class): "
+    "one Lloyd refinement round over the md5-seeded coarse centroids, "
+    "then the final cluster assignment + per-cluster sizes. Per round: "
+    "assignment is a broadcast scoring pass (corpus never shuffles), "
+    "means are posexplode + partial-aggregated avg (shuffle bounded by "
+    "n_centroids * dim * partitions, independent of corpus size), and "
+    "lineage is checkpoint-truncated so the plan does not grow with "
+    "rounds. Float means are accumulation-order-dependent, hence no "
+    "bit-exact SQL oracle; convergence (SSE non-increasing) and "
+    "determinism are pytest-pinned in test_curation_ext.",
+)
+def emb_kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import (
+        ivf_assign_np,
+        ivf_centroids,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = ivf_centroids(emb, 16)
+    refined = kmeans_refine(emb, seed, rounds=1)
+    assigned = ivf_assign_np(emb, refined.select("centroid_id", F.col("cv")), n_probe=1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("min_member"),
     )

@@ -80,6 +80,7 @@ HEADLINE = [
     "emb_ann_topk_lsh",
     "docs_lm_quality",
     "grouping_sets_orders",
+    "events_tumbling_streamed",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

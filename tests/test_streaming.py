@@ -537,3 +537,21 @@ def test_incremental_mv_equals_batch_and_survives_compaction(spark, events_dir, 
     n_parts_after = len([e for e in os.listdir(store) if e.startswith("batch=")])
     assert n_parts_after == 1
     assert {(r.user_id, r.n, r.sum_cents) for r in read_keyed_agg(spark, store).collect()} == expect
+
+
+def test_registered_streamed_tumbling_matches_batch_query(spark, sf_dir):
+    """The GRADED streaming-replay query must equal the batch tumbling
+    query row-for-row (same decimal-exact sums) — the registration-level
+    pin on replay determinism."""
+    from watsondedupe_spark.queries import all_queries
+
+    specs = all_queries()
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in specs["events_tumbling_streamed"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in specs["events_tumbling"].spark(spark, sf_dir).collect()
+    }
+    assert streamed == batch

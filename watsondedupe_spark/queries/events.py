@@ -187,3 +187,48 @@ def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views, on="user_id", ts="ts", tie_cols=["view_id"]).select(
         "user_id", "ts", "click_id", "view_id"
     )
+
+
+@register(
+    "events_tumbling_streamed",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="the REAL Structured Streaming execution, graded: events replayed "
+    "through a file-source stream (micro-batched, watermarked tumbling "
+    "window, complete-mode memory sink) must converge to exactly the "
+    "batch answer DuckDB computes — the replay-determinism contract a "
+    "production streaming job relies on. Decimal-exact sums keep the "
+    "streamed accumulation hash-identical to the one-shot aggregate.",
+)
+def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from watsondedupe_spark import streaming as S
+
+    # the file stream source lists a DIRECTORY; stage the (read-only)
+    # events file behind a stable symlink dir keyed by sf_dir
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    stream = S.stream_from_dir(spark, stage)
+    agg = S.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = S.run_to_memory(agg, "graded_tumbling_sink", "complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("graded_tumbling_sink").select(
+        "window_start", "event_type", "n_events", "total_value"
+    )

@@ -189,6 +189,22 @@ def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_events_stream_dir(sf_dir: str) -> str:
+    """The file stream source lists a DIRECTORY; stage the (read-only)
+    events file behind a stable symlink dir keyed by sf_dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
 @register(
     "events_tumbling_streamed",
     """
@@ -207,22 +223,9 @@ GROUP BY 1, 2
     "streamed accumulation hash-identical to the one-shot aggregate.",
 )
 def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from watsondedupe_spark import streaming as S
 
-    # the file stream source lists a DIRECTORY; stage the (read-only)
-    # events file behind a stable symlink dir keyed by sf_dir
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-
-    stream = S.stream_from_dir(spark, stage)
+    stream = S.stream_from_dir(spark, _stage_events_stream_dir(sf_dir))
     agg = S.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     q = S.run_to_memory(agg, "graded_tumbling_sink", "complete")
     try:
@@ -231,4 +234,50 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return spark.table("graded_tumbling_sink").select(
         "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "events_session_streamed",
+    """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="session windows through the REAL streaming engine: events "
+    "replayed via the file-source stream into session_window state with "
+    "a watermark, graded against the gaps-and-islands SQL rewrite — "
+    "merging session state across micro-batches must reproduce the "
+    "batch segmentation exactly.",
+)
+def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stream = S.stream_from_dir(spark, _stage_events_stream_dir(sf_dir)).filter(
+        F.col("user_id") < 30
+    )
+    agg = S.session_counts(stream, gap="5 minutes", watermark="2 hours")
+    q = S.run_to_memory(agg, "graded_session_sink", "complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("graded_session_sink").select(
+        "user_id", "session_start", "session_end", "n_events"
     )

@@ -302,6 +302,7 @@ def cosine_topk_np(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Vectorized brute-force top-k: Arrow-batched numpy matmul.
 
@@ -319,6 +320,13 @@ def cosine_topk_np(
     element, while one matmul per Arrow batch stays inside optimized
     C loops. Use this form when |corpus| x |queries| is large and dense;
     the IVF/LSH operators remain the sublinear path.
+
+    ``quantize`` switches the metric to the quantized-integer cosine
+    (floor(x*q + 0.5) int64 dot/norms, then dot / sqrt(nq) / sqrt(nc)
+    double divisions): exact integers make the score independent of
+    accumulation order, so BLAS output bit-matches the SQL oracle and
+    the JVM fold — the float default keeps last-ulp BLAS rounding and
+    stays rows-only.
     """
     import numpy as np  # noqa: F401 — imported here so executors resolve it lazily
 
@@ -335,15 +343,26 @@ def cosine_topk_np(
         import pandas as pd
 
         Q = np.asarray(q_mat, dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         qid = np.asarray(q_ids, dtype=np.int64)
+        if quantize:
+            Qi = np.floor(Q * quantize + 0.5).astype(np.int64)
+            qnrm = np.sqrt((Qi * Qi).sum(axis=1).astype(np.float64))
+        else:
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            S = Cn @ Qn.T  # |batch| x |queries|
+            if quantize:
+                Ci = np.floor(C * quantize + 0.5).astype(np.int64)
+                cnrm = np.sqrt((Ci * Ci).sum(axis=1).astype(np.float64))
+                S = (Ci @ Qi.T).astype(np.float64)  # exact integer dots
+                S = S / qnrm[None, :]  # same division order as the oracle:
+                S = S / cnrm[:, None]  # dot / sqrt(nq) / sqrt(nc)
+            else:
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = Cn @ Qn.T  # |batch| x |queries|
             out_q, out_n, out_s = [], [], []
             for j in range(S.shape[1]):
                 col = S[:, j].copy()

@@ -527,9 +527,7 @@ def _quant_vec():
     )
 
 
-@register(
-    "emb_knn_cosine",
-    f"""
+_KNN_ORACLE_SQL = f"""
 WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 ce AS (
     SELECT e.vec_id, d.i,
@@ -554,7 +552,12 @@ SELECT qid AS query_id, cid AS neighbor_id, cosine,
        CAST(rnk AS INTEGER) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk FROM sims)
 WHERE rnk <= 10
-""",
+"""
+
+
+@register(
+    "emb_knn_cosine",
+    _KNN_ORACLE_SQL,
     doc="brute-force cosine top-k ANN baseline; embeddings quantized to "
     "integers so dot/norm sums are exact and order-independent — the "
     "portability trick that makes float similarity oracle-checkable",

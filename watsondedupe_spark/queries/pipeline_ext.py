@@ -398,14 +398,23 @@ def docs_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_np_oracle() -> str:
+    # identical math to the emb_knn_cosine oracle: quantized-int dots
+    # are order-free, so the BLAS matmul bit-matches this SQL
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_ORACLE_SQL
+
+    return _KNN_ORACLE_SQL
+
+
 @register(
     "emb_knn_cosine_np",
-    None,
+    _knn_np_oracle(),
     doc="brute-force cosine top-k via the Arrow/numpy matmul operator "
-    "(cosine_topk_np) — same neighbors as emb_knn_cosine (pinned by "
-    "test), no oracle because BLAS accumulation differs from fold-order "
-    "in the last ulp; the vectorized form is the dense-similarity scale "
-    "path (one matmul per Arrow batch, local top-k before the window)",
+    "(cosine_topk_np, quantize=1000) — the dense-similarity scale path "
+    "(one integer matmul per Arrow batch, local top-k before the "
+    "window). Quantized-integer dots are accumulation-order-free, so "
+    "the BLAS kernel now carries the SAME oracle as the JVM-fold form "
+    "emb_knn_cosine; the float variant stays available on the operator.",
 )
 def emb_knn_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import cosine_topk_np
@@ -415,7 +424,7 @@ def emb_knn_cosine_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.rdd.getNumPartitions() < want:
         emb = emb.repartition(want)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return cosine_topk_np(emb, q, k=10)
+    return cosine_topk_np(emb, q, k=10, quantize=1000)
 
 
 # ---------------------------------------------------------------------------

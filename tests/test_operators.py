@@ -132,6 +132,61 @@ def test_embedding_near_dups(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(5, 200)}
 
 
+def test_embedding_near_dups_np_hot_bucket_salted_parity(spark):
+    """The enforced in-bucket memory bound: with one artificially hot LSH
+    bucket and a tiny row budget, the salted sub-bucket pair expansion
+    must (a) cap every pandas group at 2 * max_bucket_rows rows and (b)
+    produce EXACTLY the pair set of the unsalted JVM bucket equijoin —
+    each pair verified once, none lost, none duplicated."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from watsondedupe_spark.operators.dedupe import (
+        embedding_near_dups,
+        embedding_near_dups_np,
+        salted_bucket_groups,
+    )
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+
+    rng = random.Random(23)
+    anchor = _rand_vec(rng, 64)
+    # 120 tiny perturbations of one anchor: all land in the same sign
+    # bucket (hot bucket), and every pair is a near-dup
+    rows = [
+        (i, [x + rng.uniform(-1e-4, 1e-4) for x in anchor]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    budget = 16
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups_np(
+            emb, threshold=0.999, n_planes=6, max_bucket_rows=budget
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, threshold=0.999, n_planes=6).collect()
+    }
+    assert got == want and len(want) == 120 * 119 // 2
+
+    # group-size bound: no (bucket, gi, gj) group may exceed 2 * budget
+    withb = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        sign_lsh_bucket(F.col("embedding"), 6, 64).alias("bucket"),
+    )
+    sizes = (
+        salted_bucket_groups(withb, budget)
+        .groupBy("bucket", "gi", "gj")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) <= 2 * budget
+    assert len(sizes) > 1  # the hot bucket actually split
+
+
 def test_text_analysis_columns(docs):
     from watsondedupe_spark.operators import text as T
 
@@ -419,6 +474,9 @@ def test_connected_components_round_shuffle_bounded_by_edges(spark, sf_dir):
     # checkpointed RDDs (Scan ExistingRDD), so no parquet re-scan per round
     plan = cc._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
+
+
+def test_global_prefix_sum_matches_local(spark):
     import random
 
     from watsondedupe_spark.operators.text import global_prefix_sum

@@ -112,6 +112,18 @@ def test_minhash_band_joins_are_broadcast_at_test_scale(spark, sf_dir):
     assert report["cartesian"] is False
     # band-bucket equi-joins; at sf-test the sig side broadcasts
     assert report["broadcast_joins"] >= 1 or report["shuffle_joins"] >= 1
+    # banded single-join shape: band structs explode into (bk, bv) rows
+    # and ONE composite-key self-join produces every band's candidates —
+    # the n_bands separate self-joins + unionAll shape would show here
+    # as multiple join nodes (and an n_bands x shuffle multiplier).
+    # (count on the simple plan: the formatted plan repeats each node
+    # name in its details section)
+    import re
+
+    assert (
+        len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", P.simple_plan(df)))
+        == 1
+    )
 
 
 def test_q2_decorrelated_min_broadcasts_dims(spark, sf_dir):

@@ -42,6 +42,36 @@ def test_cm_merge_equals_sketch_of_union(spark):
     assert lhs == rhs
 
 
+def test_cm_token_freq_envelope_on_corpus(spark, sf_dir):
+    """The probabilistic half of the CM contract, checked here (not in the
+    graded oracle, where a constant-TRUE column could legitimately flip on
+    a different corpus): est <= true + 2N/w must hold for the overwhelming
+    majority of tokens — per-token failure probability is <= 2^-depth by
+    Markov on each row, so at depth 5 allow up to 5% violators."""
+    from watsondedupe_spark.sources import read_table
+
+    width = 4096
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    n_total = toks.count()
+    sk = cm_sketch(toks, "token", depth=5, width=width)
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("true_count"))
+    est = cm_estimate(sk, exact, "token", depth=5, width=width)
+    slack = 2.0 * n_total / width
+    stats = est.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("est_count") - F.col("true_count") > slack).cast("int")
+        ).alias("violations"),
+        F.min(F.col("est_count") >= F.col("true_count")).alias("never_under"),
+    ).collect()[0]
+    assert stats.never_under, "CM must never underestimate"
+    assert stats.violations <= max(1, stats.n * 0.05), (stats.violations, stats.n)
+
+
 def test_cm_prune_heavy_never_drops_true_heavy_hitters(spark, sf_dir):
     """Soundness under heavy collision pressure: even at width=16 (every
     cell wildly over-counted), pruning must keep every token that truly

@@ -105,27 +105,45 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 16, n_bands: int = 4
 
 
 def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
-    """Candidate pairs from band-bucket self-joins, with estimated
-    similarity = fraction of matching minhashes. Shuffle key = band hash;
-    all-pairs never materializes."""
-    a, b = sig.alias("a"), sig.alias("b")
+    """Candidate pairs from ONE banded band-bucket self-join, with
+    estimated similarity = fraction of matching minhashes.
+
+    Band structs explode into ``(bk, bv)`` rows and a single
+    composite-key equijoin replaces ``n_bands`` separate self-joins —
+    one shuffle keyed on the band value instead of n_bands, and the
+    signature aggregation is evaluated once per side (exchange reuse
+    collapses the two sides). Same shape as
+    :func:`simhash60_candidates`; all-pairs never materializes.
+    """
+    banded = sig.select(
+        "id",
+        *[f"m{j}" for j in range(n_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("bk"), F.col(f"band{k}").alias("bv"))
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", *[f"m{j}" for j in range(n_hashes)], F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
         sum(
             F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0) for j in range(n_hashes)
         ).cast("double")
         / float(n_hashes)
     ).alias("est_sim")
-    lt = F.col("a.id") < F.col("b.id")
-    parts = [
-        a.join(b, (F.col(f"a.band{k}") == F.col(f"b.band{k}")) & lt).select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), est
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        for k in range(n_bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.distinct()
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), est)
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -340,6 +358,54 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def salted_bucket_groups(withb: DataFrame, max_bucket_rows: int) -> DataFrame:
+    """Split oversized LSH buckets into bounded verify groups.
+
+    Input: ``(id, v, bucket)``. A bucket with ``n <= max_bucket_rows``
+    rows becomes one group; a hot bucket is salted into ``nsub =
+    ceil(2n / max_bucket_rows)`` sub-buckets by ``xxhash64(id)`` (the
+    2x safety factor targets B/2 expected rows per sub-bucket, so the
+    binomial fluctuation of hash assignment stays far inside the
+    budget), and every sub-bucket PAIR ``(gi <= gj)`` becomes a group
+    containing the rows of both sides — the standard cross-product
+    salting that keeps all-pairs coverage while capping any single
+    group at ``~max_bucket_rows`` expected rows (2x the budget only at
+    a >6-sigma hash imbalance). Each row replicates ``nsub`` times
+    (once per partner sub-bucket) — the information-theoretic floor for
+    bounded-group all-pairs — so the fan-out grows with the SKEW, not
+    the corpus. Returns ``(id, v, salt, bucket, gi, gj)``; a pair is
+    verified exactly once — in the group where ``{salt_a, salt_b} ==
+    {gi, gj}`` (kernel-side filter).
+
+    Bucket sizes ride in via a broadcast join (there are at most
+    ``2**n_planes`` buckets — always a dimension table).
+    """
+    sizes = withb.groupBy("bucket").agg(F.count("*").alias("_n"))
+    nsub = F.when(F.col("_n") <= max_bucket_rows, F.lit(1)).otherwise(
+        F.ceil(F.col("_n") * 2 / max_bucket_rows)
+    )
+    return (
+        withb.join(F.broadcast(sizes), "bucket")
+        .withColumn("nsub", nsub.cast("int"))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("id")), F.col("nsub")).cast("int"))
+        .select(
+            "bucket",
+            "id",
+            "v",
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.col("nsub") - 1)).alias("_other"),
+        )
+        .select(
+            "bucket",
+            "id",
+            "v",
+            "salt",
+            F.least("salt", "_other").alias("gi"),
+            F.greatest("salt", "_other").alias("gj"),
+        )
+    )
+
+
 def embedding_near_dups_np(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -348,6 +414,7 @@ def embedding_near_dups_np(
     n_planes: int = 8,
     n_dims: int = 64,
     quantize: int = 1000,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
     """Sign-LSH bucketed near-dup pairs, Arrow/numpy within-bucket verify.
 
@@ -361,10 +428,14 @@ def embedding_near_dups_np(
     order cannot matter for exact integers, which is what frees the
     kernel to use BLAS.
 
-    Scale note: a bucket group must fit one Arrow worker (~bucket_size *
-    dim * 8 B). Buckets halve per added plane, so n_planes is the
-    memory/recall dial; skewed buckets at extreme scale get the same
-    salting treatment as any hot groupBy key.
+    The in-group memory bound is ENFORCED, not advisory: buckets larger
+    than ``max_bucket_rows`` are salted into sub-bucket pair groups via
+    :func:`salted_bucket_groups`, so no pandas group ever exceeds
+    ``2 * max_bucket_rows`` rows regardless of n_planes or skew. The
+    dominant term is the similarity matrix — at the 4096 default that is
+    a <=8192^2 x 8 B = 512 MB worst-case block, sized for a typical
+    executor; raise it only with executor memory to match. At 100 TB a
+    1/256 bucket would otherwise be ~billions of rows in one group.
     """
     from watsondedupe_spark.operators.similarity import sign_lsh_bucket
 
@@ -373,12 +444,15 @@ def embedding_near_dups_np(
         F.col(vec_col).alias("v"),
         sign_lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
     )
+    grouped = salted_bucket_groups(withb, max_bucket_rows)
 
-    def _pairs(pdf):
+    def _pairs(key, pdf):
         import numpy as np
         import pandas as pd
 
+        _, gi, gj = key
         ids = pdf["id"].to_numpy(dtype=np.int64)
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
         V = np.floor(np.asarray(list(pdf["v"]), dtype=np.float64) * quantize + 0.5).astype(
             np.int64
         )
@@ -387,10 +461,14 @@ def embedding_near_dups_np(
         S = S / nrm[:, None]
         S = S / nrm[None, :]
         keep = (ids[:, None] < ids[None, :]) & (S >= threshold)
+        if gi != gj:
+            # cross-sub-bucket group: a same-salt pair belongs to its own
+            # (salt, salt) group — keeping it here would double-count
+            keep &= salts[:, None] != salts[None, :]
         ai, bj = np.nonzero(keep)
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cosine": S[ai, bj]})
 
-    return withb.groupBy("bucket").applyInPandas(
+    return grouped.groupBy("bucket", "gi", "gj").applyInPandas(
         _pairs, schema="id_a long, id_b long, cosine double"
     )
 

@@ -403,17 +403,21 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: ``[m][ks][d/m]`` floats.
 
-    The ``ks`` corpus vectors with the smallest ``xxhash64(id)`` (the
-    same RNG-free sampling scheme as :func:`ivf_centroids`) are sliced
-    into ``m`` subvectors; subspace ``s``'s codebook is the ``s``-th
-    slice of every sampled vector. A k-means refinement per subspace can
-    start from these; the coarse sample already spans the corpus. The
-    whole structure is ``m*ks*(d/m) = ks*d`` doubles — driver-side and
-    broadcast-as-literal by construction.
+    The ``ks`` corpus vectors with the smallest md5-derived key (the
+    same RNG-free, engine-reproducible sampling scheme as
+    :func:`ivf_centroids` — ``conv(substr(md5(id),1,15),16,10)`` is
+    ANSI-SQL-derivable, which is what lets the PQ query carry a DuckDB
+    oracle) are sliced into ``m`` subvectors; subspace ``s``'s codebook
+    is the ``s``-th slice of every sampled vector, and the CODE of an
+    entry is its rank in the sample order. A k-means refinement per
+    subspace can start from these; the coarse sample already spans the
+    corpus. The whole structure is ``m*ks*(d/m) = ks*d`` doubles —
+    driver-side and broadcast-as-literal by construction.
     """
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     sample = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        .orderBy(key, id_col)
         .limit(ks)
         .collect()
     )
@@ -430,6 +434,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte-sized codes (argmin-L2 per
     subspace): ``(id, codes array<int>)``.
@@ -440,17 +445,31 @@ def pq_encode(
     would spill. Encoding is an Arrow-batched numpy kernel (one matmul-
     shaped pass per subspace, no Python per row) and runs exactly once
     per corpus build; queries never touch raw vectors again.
+
+    With ``quantize`` set, vectors and codebook entries are first mapped
+    through the house ``floor(x*q + 0.5)`` int64 scheme, so every
+    subspace distance is an EXACT integer — the same code assignment any
+    engine (e.g. a DuckDB oracle) reproduces bit-for-bit. Ties still
+    break toward the lowest code.
     """
     import numpy as np
     import pandas as pd
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
 
     def enc(batches):
+        if quantize is None:
+            cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        else:
+            cbs = [
+                np.floor(np.asarray(cb, dtype=np.float64) * quantize + 0.5).astype(np.int64)
+                for cb in codebooks
+            ]
         for pdf in batches:
             vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if quantize is not None and len(pdf):
+                vecs = np.floor(vecs * quantize + 0.5).astype(np.int64)
             codes = np.empty((len(pdf), m), dtype=np.int32)
             if len(pdf):
                 for s in range(m):
@@ -472,6 +491,7 @@ def ann_topk_pq(
     ks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance (ADC).
 
@@ -483,22 +503,42 @@ def ann_topk_pq(
     come out of ONE pass over the codes via an exploded struct array.
     The only shuffle is the per-query top-k window. Smaller ADC distance
     = nearer; returns (query_id, neighbor_id, adist, rank).
+
+    With ``quantize`` set, codebook entries and query subvectors go
+    through ``floor(x*q + 0.5)`` int64 first, so every distance-table
+    cell and every ADC score is an EXACT int64 sum — engine-independent
+    (``adist`` comes back as BIGINT) and therefore DuckDB-oracle-able,
+    the same scheme the IVF and near-dup paths use.
     """
     cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
     sub = len(cbs[0][0])
-    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col, quantize=quantize)
 
     # per-query m x ks tables of exact subspace distances, driver-side
-    # (ks*d float ops per query) — small enough to ride in the closure
+    # (ks*d ops per query) — small enough to ride in the closure
+    import numpy as np
+
+    if quantize is None:
+        qcbs = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    else:
+        qcbs = [
+            np.floor(np.asarray(cb, dtype=np.float64) * quantize + 0.5).astype(np.int64)
+            for cb in cbs
+        ]
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     qtabs = []
     for r in qrows:
-        qv = [float(x) for x in r[vec_col]]
+        qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+        if quantize is not None:
+            qv = np.floor(qv * quantize + 0.5).astype(np.int64)
         tab = [
-            [sum((a - b) ** 2 for a, b in zip(qv[s * sub : (s + 1) * sub], c)) for c in cb]
-            for s, cb in enumerate(cbs)
+            ((qv[s * sub : (s + 1) * sub][None, :] - qcbs[s]) ** 2).sum(axis=1).tolist()
+            for s in range(m)
         ]
         qtabs.append((int(r[id_col]), tab))
+
+    dtype_np = "float64" if quantize is None else "int64"
+    adist_t = "double" if quantize is None else "long"
 
     # ADC scoring fused into the Arrow pass: per batch, per query, the
     # score is m vectorized table gathers + adds (ascending s, the same
@@ -509,7 +549,7 @@ def ann_topk_pq(
         import numpy as np
         import pandas as pd
 
-        tabs = [(qid, np.asarray(tab, dtype=np.float64)) for qid, tab in qtabs]
+        tabs = [(qid, np.asarray(tab, dtype=dtype_np)) for qid, tab in qtabs]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -517,7 +557,7 @@ def ann_topk_pq(
             nid = pdf[id_col].to_numpy(dtype=np.int64)
             frames = []
             for qid, T in tabs:
-                ad = np.zeros(len(pdf), dtype=np.float64)
+                ad = np.zeros(len(pdf), dtype=tabs[0][1].dtype)
                 for s in range(T.shape[0]):
                     ad += T[s][C[:, s]]
                 mask = nid != qid
@@ -529,7 +569,7 @@ def ann_topk_pq(
             yield pd.concat(frames, ignore_index=True)
 
     scored = codes.mapInPandas(
-        _score, schema="query_id long, neighbor_id long, adist double"
+        _score, schema=f"query_id long, neighbor_id long, adist {adist_t}"
     )
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

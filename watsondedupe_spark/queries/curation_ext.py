@@ -414,15 +414,72 @@ def docs_hash_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# DuckDB mirror of the quantized PQ/ADC pipeline: every stage — the
+# md5-keyed codebook sample, the floor(x*1000+0.5) int64 quantization,
+# the argmin-L2 code assignment (ties -> lowest code), and the ADC sum —
+# is exact integer arithmetic, so both engines agree bit-for-bit.
+_PQ_ORACLE = """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (
+        SELECT vec_id, qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM base
+        ORDER BY skey, vec_id
+        LIMIT 16
+    )
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code, cb.cv,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x) AS d2
+    FROM base b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, cv
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+          FROM enc)
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, qv FROM base WHERE vec_id < 3),
+sims AS (
+    SELECT q.query_id, ch.vec_id AS neighbor_id,
+           CAST(SUM(list_reduce(list_transform(
+               list_zip(list_slice(q.qv, ch.s * 8 + 1, ch.s * 8 + 8), ch.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)) AS BIGINT) AS adist
+    FROM chosen ch JOIN q ON ch.vec_id != q.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+"""
+
+
 @register(
     "emb_ann_topk_pq",
-    None,  # codebook training (hash-sampled argmin) is not ANSI-SQL
+    _PQ_ORACLE,
     doc="PQ/ADC approximate top-k: vectors compress to 8 subspace codes "
     "(32x smaller working set than raw floats — the reason PQ is the "
     "standard billion-vector index layout), queries ship their exact "
     "subspace-distance tables as literals, and the scan scores with 8 "
-    "array lookups per vector in ONE pass for all queries. Rows-only; "
-    "recall vs exact search pinned in test_curation_ext",
+    "array lookups per vector in ONE pass for all queries. Quantized-"
+    "int64 ADC (floor(x*1000+0.5)) makes every score engine-exact, so "
+    "the full pipeline — codebook sample, code assignment, ADC ranks — "
+    "carries a DuckDB oracle; float-ADC recall vs exact search is "
+    "additionally pinned in test_curation_ext",
 )
 def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_pq
@@ -432,7 +489,7 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.rdd.getNumPartitions() < want:
         emb = emb.repartition(want)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return ann_topk_pq(emb, q, k=10)
+    return ann_topk_pq(emb, q, k=10, quantize=1000)
 
 
 # ---------------------------------------------------------------------------

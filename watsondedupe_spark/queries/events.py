@@ -196,12 +196,20 @@ def _stage_events_stream_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    tag = hashlib.md5(target.encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # lexists (not exists): a dangling symlink from a deleted prior sf_dir
+    # must be replaced, and a concurrent run winning the symlink race is fine
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
     return stage
 
 

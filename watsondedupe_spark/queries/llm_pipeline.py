@@ -224,13 +224,25 @@ SELECT DISTINCT doc_a, doc_b, est_sim FROM (
 )
 """,
     doc="MinHash-LSH near-dup candidates: shingle -> 6 minhashes -> 2 bands "
-    "-> band-bucket self-join (the 100 TB path: bands are the shuffle key, "
-    "never all-pairs); est_sim = matching minhash fraction",
+    "-> band structs exploded into (bk, bv) rows and ONE composite-key "
+    "self-join (the 100 TB path: one shuffle keyed on the band value, "
+    "never all-pairs, signatures aggregated once); est_sim = matching "
+    "minhash fraction",
 )
 def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_sig_df(spark, sf_dir).cache()
-    a = sig.alias("a")
-    b = sig.alias("b")
+    sig = minhash_sig_df(spark, sf_dir)
+    ms = [f"m{j}" for j in range(1, _N_HASHES + 1)]
+    banded = sig.select(
+        "doc_id",
+        *ms,
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("bk"), F.col("b1").alias("bv")),
+                F.struct(F.lit(2).alias("bk"), F.col("b2").alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", *ms, F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
         sum(
             F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
@@ -238,11 +250,16 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / 6.0
     ).alias("est_sim")
-    sel = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), est]
-    lt = F.col("a.doc_id") < F.col("b.doc_id")
-    p1 = a.join(b, (F.col("a.b1") == F.col("b.b1")) & lt).select(*sel)
-    p2 = a.join(b, (F.col("a.b2") == F.col("b.b2")) & lt).select(*sel)
-    return p1.unionAll(p2).distinct()
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), est)
+        .distinct()
+    )
 
 
 _STOP_SHINGLE_MAX = 50  # drop shingles shared by > this many docs (skew guard)

@@ -175,8 +175,7 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT t AS token,
        CAST(COUNT(*) AS BIGINT) AS true_count,
-       TRUE AS overest_ok,
-       TRUE AS bound_ok
+       TRUE AS overest_ok
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
 WHERE t != ''
 GROUP BY t
@@ -185,9 +184,12 @@ GROUP BY t
     "one shuffle bounded by depth*width cells regardless of corpus "
     "size; estimates probed for every distinct token via broadcast "
     "join. The sketch is xxhash64-internal, so the oracle checks the "
-    "CM CONTRACT per token: the exact count (both engines agree), "
-    "est >= truth (always, by construction), and est <= truth + 2N/w "
-    "(the epsilon-N overestimate envelope at depth 5).",
+    "deterministic half of the CM contract per token: the exact count "
+    "(both engines agree) and est >= truth (always, by construction — "
+    "every occurrence of a token lands in its own counters). The "
+    "probabilistic overestimate ENVELOPE (est <= truth + O(N/w), which "
+    "a different corpus can legitimately violate for a few tokens) is "
+    "asserted in pytest with a data-aware tolerance, not in the oracle.",
 )
 def docs_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.functions.sketches import cm_estimate, cm_sketch
@@ -199,14 +201,10 @@ def docs_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cm_sketch(toks, "token", depth=5, width=width)
     exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("true_count"))
     est = cm_estimate(sk, exact, "token", depth=5, width=width)
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
-    return est.crossJoin(F.broadcast(total)).select(
+    return est.select(
         "token",
         "true_count",
         (F.col("est_count") >= F.col("true_count")).alias("overest_ok"),
-        (
-            (F.col("est_count") - F.col("true_count")) <= 2.0 * F.col("n_total") / width
-        ).alias("bound_ok"),
     )
 
 

@@ -28,6 +28,15 @@ _NANO_TS_COLS = {"events": ("ts",)}
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing timestamp flavors to TimestampType.
 
+    SESSION SIDE EFFECTS — this reader deliberately mutates the supplied
+    session and does not restore: it pins ``spark.sql.session.timeZone``
+    to UTC whenever an NTZ column is normalized, and enables
+    ``spark.sql.legacy.parquet.nanosAsLong`` for tables with known
+    nano-precision columns. Both pins are global engine posture (every
+    query in this package assumes UTC event-time arithmetic; the
+    streaming reader applies the same pin independently), but callers
+    sharing a session with other timezone-sensitive code should be aware.
+
     Two normalizations, both JVM-side (no UDF):
 
     - Nano-precision columns read as longs (see module docstring) become

@@ -35,7 +35,14 @@ def stream_from_dir(spark: SparkSession, path: str, schema: str | StructType = E
 
     (``maxFilesPerTrigger=1`` keeps micro-batches small in tests; a real
     deployment reads Kafka with the same downstream operators.)
+
+    Pins the session timezone to UTC, same as ``sources.read_table``: the
+    testdata's naive timestamps only line up with DuckDB's ``epoch_us``
+    view when event-time arithmetic runs in UTC, and a streamed query must
+    not depend on a prior batch ``read_table`` call having set the pin.
     """
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -107,10 +107,20 @@ def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
     return dt, mb
 
 
-def bench_engine_ingest(spark, sf_dir: str) -> tuple[float, float]:
+def bench_engine_ingest(
+    spark, sf_dir: str, repeat: int = 20, n_objects: int = 1000
+) -> tuple[float, float]:
     """Full write path (O1): chunk -> refcount merge -> chunk_store
     insert-if-absent -> object rows, through a throwaway index. Returns
-    (seconds, MB ingested)."""
+    (seconds, MB ingested).
+
+    The default ~6 MB batch is dominated by per-batch FIXED costs (one
+    chunker+stats job, four overlapped table commits — ~1.5 s of
+    scheduling floor on local[32]); the bulk variant (``repeat=200,
+    n_objects=5000``, ~300 MB) shows the same path chunker-bound at
+    ~100 MB/s, matching the standalone CDC rate. Both are recorded so
+    the fixed-vs-amortized split is visible in the bench line.
+    """
     import shutil
     import tempfile
 
@@ -120,9 +130,9 @@ def bench_engine_ingest(spark, sf_dir: str) -> tuple[float, float]:
     from watsondedupe_spark.engine import DedupeEngine
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    objs = docs.limit(1000).select(
+    objs = docs.limit(n_objects).select(
         F.col("doc_id").cast("string").alias("object_key"),
-        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+        F.encode(F.repeat("text", repeat), "UTF-8").alias("data"),
     )
     mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
     root = tempfile.mkdtemp(prefix="bench_engine_")
@@ -131,7 +141,7 @@ def bench_engine_ingest(spark, sf_dir: str) -> tuple[float, float]:
         t0 = time.time()
         n = eng.write_batch(objs)
         dt = time.time() - t0
-        assert n == 1000
+        assert n == n_objects
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return dt, mb
@@ -183,6 +193,9 @@ def main() -> None:
     times["cdc_ingest"] = round(ingest_sec, 3)
     eng_sec, eng_mb = bench_engine_ingest(spark, sf_dir)
     times["engine_ingest"] = round(eng_sec, 3)
+    # bulk ingest reported as MB/s only (not in the headline total, which
+    # regresses against the locked per-query baseline table)
+    bulk_sec, bulk_mb = bench_engine_ingest(spark, sf_dir, repeat=200, n_objects=5000)
 
     total = round(sum(times.values()), 3)
     print(
@@ -197,6 +210,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
                 "engine_ingest_mb_per_sec": round(eng_mb / eng_sec, 2) if eng_sec else None,
+                "engine_ingest_bulk_mb_per_sec": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
             }
         )
     )

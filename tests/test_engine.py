@@ -289,6 +289,87 @@ def test_write_or_replace_batch_replaces_and_preserves_shared_chunks(spark, tmp_
     assert refs == counts
 
 
+def test_replace_batch_10k_keys_stays_distributed(spark, tmp_path, monkeypatch):
+    """A bulk replace must never materialize the existing-key set on the
+    driver: write_or_replace_batch hands delete_batch a DataFrame (the
+    join path), and the GC set comes back as a DataFrame too. Refcount
+    and GC semantics must match the list path exactly."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    eng = DedupeEngine.create(spark, str(tmp_path / "ix"), ChunkSettings(2048, 16384, 128, 2))
+    n = 10_000
+    batch1 = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("object_key"),
+        F.encode(F.concat(F.lit("payload-v1-"), F.col("id")), "UTF-8").alias("data"),
+    )
+    assert eng.write_batch(batch1) == n
+
+    seen: dict[str, type] = {}
+    orig = DedupeEngine.delete_batch
+
+    def spy(self, keys):
+        seen["keys_type"] = type(keys)
+        return orig(self, keys)
+
+    monkeypatch.setattr(DedupeEngine, "delete_batch", spy)
+
+    # replace every key with new content (all old single-chunk payloads
+    # become garbage), plus one brand-new key
+    batch2 = spark.range(n + 1).select(
+        F.concat(F.lit("k"), F.col("id")).alias("object_key"),
+        F.encode(F.concat(F.lit("payload-v2-"), F.col("id")), "UTF-8").alias("data"),
+    )
+    assert eng.write_or_replace_batch(batch2) == n + 1
+    assert issubclass(seen["keys_type"], SparkDataFrame)  # join path, not a list
+
+    assert eng.stats().object_count == n + 1
+    assert bytes(eng.get("k0")) == b"payload-v2-0"
+    assert bytes(eng.get(f"k{n}")) == f"payload-v2-{n}".encode()
+    # GC: every v1 payload chunk is gone — store carries exactly the live set
+    assert eng.chunk_store.count() == eng.chunks.count()
+    # refcount invariant after the replace
+    bad = (
+        eng.chunks.join(
+            eng.object_map.groupBy("chunk_key").agg(F.count("*").alias("cnt")),
+            "chunk_key",
+            "full_outer",
+        )
+        .filter(
+            F.coalesce(F.col("ref_count"), F.lit(-1)) != F.coalesce(F.col("cnt"), F.lit(-2))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_delete_batch_dataframe_returns_gc_set(spark, tmp_path):
+    """The DataFrame form of delete_batch returns the GC'd chunk keys as
+    a DataFrame with the same contents the list form would produce."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    eng = DedupeEngine.create(spark, str(tmp_path / "ix"), ChunkSettings(2048, 16384, 128, 2))
+    shared = b"shared" * 2000
+    batch = spark.createDataFrame(
+        [("a", shared), ("b", shared), ("c", b"solo" * 3000)],
+        "object_key string, data binary",
+    )
+    eng.write_batch(batch)
+    solo_chunks = {r.chunk_key for r in eng.object_map.filter("object_key = 'c'").collect()}
+
+    doomed = spark.createDataFrame([("b",), ("c",)], "object_key string")
+    gc = eng.delete_batch(doomed)
+    assert {r.chunk_key for r in gc.collect()} == solo_chunks  # shared chunks survive via 'a'
+    assert bytes(eng.get("a")) == shared
+    assert eng.stats().object_count == 1
+
+
 def test_store_append_is_incremental_and_compaction_folds(spark, tmp_path):
     """Appends must write only the new part (O(batch) I/O) and fold into
     one part after max_parts accumulate."""

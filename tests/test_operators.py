@@ -369,6 +369,32 @@ def test_multimodal_decoder_seam_swap(spark):
     assert len(feats["a"].feature) == 8
 
 
+def test_image_default_decoder_parses_real_png(spark):
+    """The DEFAULT decode path (no injection) reads true dimensions out
+    of a real PNG's IHDR; non-PNG bytes fall back to the deterministic
+    stub and a truncated PNG degrades to an error row."""
+    from watsondedupe_spark.operators.multimodal import (
+        extract_image_features,
+        wrap_media,
+    )
+
+    rows = [
+        ("a", bytearray(_png_bytes(1920, 1080))),
+        ("b", bytearray(_png_bytes(7, 9000))),
+        ("trunc", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00")),  # signature, no IHDR
+        ("other", bytearray(b"GIF89a-ish bytes")),
+        ("empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    media = wrap_media(df, "payload", "image/png", "name")
+    feats = {r.id: r for r in extract_image_features(media).collect()}
+    assert (feats["a"].width, feats["a"].height, feats["a"].format) == (1920, 1080, "png")
+    assert (feats["b"].width, feats["b"].height, feats["b"].format) == (7, 9000, "png")
+    assert feats["trunc"].format == "error" and feats["trunc"].width == -1
+    assert feats["other"].format == "raw"  # stub fallback, not an error
+    assert feats["empty"].format == "error"
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     """IVF with n_probe=4/16 centroids must recover most of the exact
     top-5, and with n_probe == n_centroids it IS exact search."""

@@ -190,15 +190,21 @@ class DedupeEngine:
         with refcount decrement + GC), then ingest the whole batch — the
         set form of :meth:`write_or_replace`, so re-ingesting a corpus
         slice is one delete merge + one write pass instead of per-key
-        round trips."""
-        existing = [
-            r.object_key
-            for r in objects_df.select("object_key")
+        round trips.
+
+        The existing-key set stays DISTRIBUTED end to end: it is a
+        semi-join DataFrame handed straight to :meth:`delete_batch`'s
+        join path, never a collected Python list — a 100x-scale
+        re-ingest where most of the batch already exists would otherwise
+        materialize millions of keys on the driver. The only driver
+        round trip is a 1-row existence probe.
+        """
+        existing = (
+            objects_df.select("object_key")
             .distinct()
             .join(self.objects, "object_key", "left_semi")
-            .collect()
-        ]
-        if existing:
+        )
+        if existing.head(1):
             self.delete_batch(existing)
         return self.write_batch(objects_df, created_utc=created_utc)
 
@@ -211,38 +217,70 @@ class DedupeEngine:
         sequence ids. Duplicate keys (in the index OR within the batch)
         reject the whole batch, matching DedupeLibrary.cs:203 semantics.
         Returns the number of objects written.
+
+        The pre-write checks ride the chunker pass instead of re-scanning
+        the source: the cache-materializing job doubles as the
+        (n_objects, intra-batch multiplicity, total bytes) aggregate over
+        the narrow columns — a key appearing twice in the batch has two
+        position-0 chunk rows — and the index-dup probe joins the cached
+        keys (skipped entirely on a fresh index). Nothing is written
+        before every check passes; a rejected batch costs one chunker
+        pass, the price of single-scan ingest on the happy path.
         """
         created_utc = created_utc or datetime.now(timezone.utc)
 
-        # one job answers both "how many objects" and "any intra-batch
-        # dup": the key-grouped counts fold to (n_keys, max_multiplicity)
-        per_key = objects_df.groupBy("object_key").count()
-        n_keys, max_mult = per_key.agg(
-            F.count("*"), F.max("count")
-        ).collect()[0]
-        if n_keys and max_mult > 1:
-            dup_in_batch = per_key.filter(F.col("count") > 1).limit(5).collect()
-            raise DuplicateKeyError(f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}")
-        existing = (
-            objects_df.join(self.objects, "object_key", "left_semi").limit(5).collect()
-        )
-        if existing:
-            raise DuplicateKeyError(f"keys already exist: {[r.object_key for r in existing]}")
-
         chunk_rows = chunk_objects(objects_df, self.settings)
         # The chunker UDF is the expensive stage; persist and force the
-        # cache with one job so the four downstream table writes share
-        # one pass over the payloads (and can then run concurrently
-        # without racing to materialize it).
+        # cache with one job so the pre-write checks and the four
+        # downstream table writes share one pass over the payloads (the
+        # writes then run concurrently without racing to materialize it).
         chunk_rows.persist()
-        chunk_rows.count()
         try:
-            self._commit_ingest(chunk_rows, created_utc, int(n_keys or 0))
+            first_rows = F.sum(F.when(F.col("position") == 0, 1).otherwise(0))
+            n_keys, max_mult, total_bytes = (
+                chunk_rows.groupBy("object_key")
+                .agg(first_rows.alias("mult"), F.sum("length").alias("obj_bytes"))
+                .agg(F.count("*"), F.max("mult"), F.sum("obj_bytes"))
+                .collect()[0]
+            )
+            if n_keys and max_mult > 1:
+                dup_in_batch = (
+                    chunk_rows.filter(F.col("position") == 0)
+                    .groupBy("object_key")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(5)
+                    .collect()
+                )
+                raise DuplicateKeyError(
+                    f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}"
+                )
+            if self.store.exists("objects"):
+                existing = (
+                    chunk_rows.select("object_key")
+                    .distinct()
+                    .join(self.objects, "object_key", "left_semi")
+                    .limit(5)
+                    .collect()
+                )
+                if existing:
+                    raise DuplicateKeyError(
+                        f"keys already exist: {[r.object_key for r in existing]}"
+                    )
+            self._commit_ingest(
+                chunk_rows, created_utc, int(n_keys or 0), int(total_bytes or 0)
+            )
         finally:
             chunk_rows.unpersist()
         return int(n_keys or 0)
 
-    def _commit_ingest(self, chunk_rows: DataFrame, created_utc: datetime, n_objects: int) -> None:
+    def _commit_ingest(
+        self,
+        chunk_rows: DataFrame,
+        created_utc: datetime,
+        n_objects: int,
+        total_bytes: int = 0,
+    ) -> None:
         """Write the four index tables from the cached chunk rows.
 
         The four writes touch four DIFFERENT tables whose inputs are all
@@ -251,12 +289,25 @@ class DedupeEngine:
         multiple threads freely, and the manifest flips are per-table
         files. On a cluster this overlaps four small commits' scheduling
         and I/O latencies instead of paying them in sequence.
+
+        Output files are sized by the batch's total bytes (~64 MB
+        targets): a small batch writes a handful of files instead of one
+        tiny file per partition — task-launch overhead dominates small
+        appends — while a large batch keeps full write parallelism (the
+        coalesce target caps at the cache's partition count).
         """
+        nparts = chunk_rows.rdd.getNumPartitions()
+        target = (
+            max(1, min(nparts, -(-total_bytes // (64 << 20)))) if total_bytes else nparts
+        )
+
+        def _sized(df: DataFrame) -> DataFrame:
+            return df.coalesce(target) if target < nparts else df
 
         def write_map():
             # 1. object_map rows are exactly the chunker output minus payload.
             new_map = chunk_rows.select("object_key", "chunk_key", "length", "position", "address")
-            self.store.append("object_map", new_map)
+            self.store.append("object_map", _sized(new_map))
 
         def write_chunks():
             # 2. refcount merge (O17): aggregate increments per chunk_key
@@ -286,7 +337,7 @@ class DedupeEngine:
                         .alias("ref_count"),
                     )
                 )
-            self.store.commit("chunks", merged)
+            self.store.commit("chunks", _sized(merged))
 
         def write_payloads():
             # 3. chunk_store insert-if-absent (content-addressed storage is
@@ -298,7 +349,7 @@ class DedupeEngine:
                 )
             self.store.append(
                 "chunk_store",
-                new_payloads.select("chunk_key", F.col("chunk_data").alias("data")),
+                _sized(new_payloads.select("chunk_key", F.col("chunk_data").alias("data"))),
             )
 
         def write_objects():
@@ -499,14 +550,24 @@ class DedupeEngine:
             raise ObjectNotFoundError(key)
         return self.delete_batch([key])
 
-    def delete_batch(self, keys: list[str]) -> list[str]:
+    def delete_batch(self, keys: list[str] | DataFrame) -> list[str] | DataFrame:
         """Batched cascading delete + refcount decrement + payload GC.
 
         The decrement MERGE aggregates per chunk_key first (the batched
         form of SqliteProvider.cs:533-556); chunks reaching ref_count < 1
         are dropped and their payloads deleted from chunk_store — the
         anti-join GC of SURVEY §3.3.
+
+        ``keys`` is either a Python list (point deletes: ``isin`` pushes
+        the key filter into every table scan, and the GC'd chunk keys
+        come back as a list, reference-faithful) or a single-column
+        ``object_key`` DataFrame (bulk deletes: every key-set operation
+        is a semi/anti JOIN and the GC set comes back as a DataFrame —
+        nothing key-shaped ever materializes on the driver, which is
+        what a millions-of-keys replace at 100 TB requires).
         """
+        if isinstance(keys, DataFrame):
+            return self._delete_batch_distributed(keys)
         key_col = F.col("object_key").isin(keys)
         doomed_map = self.object_map.filter(key_col)
         decrements = doomed_map.groupBy("chunk_key").agg(F.count("*").alias("dec"))
@@ -534,6 +595,45 @@ class DedupeEngine:
                 self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
             )
         return gc_keys
+
+    def _delete_batch_distributed(self, keys_df: DataFrame) -> DataFrame:
+        """Join-based :meth:`delete_batch`: the key set and the GC set
+        stay DataFrames end to end.
+
+        ``localCheckpoint`` pins the key set and the decrement merge
+        before the table commits flip manifests under them (the store
+        retains old parts for 8 versions, but a returned lazy plan must
+        not depend on that window) and keeps the merge from recomputing
+        for the survivors-commit and the GC filter. The only driver
+        round trips are 1-row probes.
+        """
+        keys_df = keys_df.select("object_key").distinct().localCheckpoint(eager=True)
+        doomed_map = self.object_map.join(keys_df, "object_key", "left_semi")
+        decrements = doomed_map.groupBy("chunk_key").agg(F.count("*").alias("dec"))
+        merged = (
+            self.chunks.join(decrements, "chunk_key", "left")
+            .select(
+                "chunk_key",
+                "length",
+                (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        gc_set = merged.filter(F.col("ref_count") < 1).select("chunk_key")
+
+        self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
+        self.store.commit(
+            "object_map", self.object_map.join(keys_df, "object_key", "left_anti")
+        )
+        self.store.commit(
+            "objects", self.objects.join(keys_df, "object_key", "left_anti")
+        )
+        if gc_set.head(1):
+            self.store.commit(
+                "chunk_store",
+                self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
+            )
+        return gc_set
 
     # -- stats (O20/O21) ----------------------------------------------------------
 

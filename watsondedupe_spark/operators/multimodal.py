@@ -1,11 +1,14 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing here is real and tested — schema conventions,
-Arrow-batched ``mapInPandas`` transforms, partition sizing — while the
-actual codecs are stubbed (this container ships no image/audio
-libraries). Each decoder seam is a single clearly-marked function that a
-deployment replaces with PIL/torchaudio/ffmpeg calls; everything around
-it (batch iteration, schema, null handling) is production-shaped.
+Arrow-batched ``mapInPandas`` transforms, partition sizing — and the
+header-level decoders for container formats with stable layouts are
+real pure-Python parsers (PNG IHDR for images, RIFF/WAVE for audio).
+Compressed codec work (jpeg/webp pixels, mp3/flac frames, video
+keyframes) needs libraries this container doesn't ship; each such seam
+is a single clearly-marked function that a deployment replaces with
+PIL/torchaudio/ffmpeg calls — everything around it (batch iteration,
+schema, null handling) is production-shaped.
 
 Schema convention::
 
@@ -59,18 +62,40 @@ def wrap_media(df: DataFrame, data_col: str, mime: str, id_col: str) -> DataFram
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
-    """DECODER SEAM — replace with PIL in deployment.
-
-    Deterministic fake so pipelines are testable end-to-end: 'decodes'
-    the payload into (width, height, format) from its length and first
-    bytes. Raises on empty payloads like a real decoder would.
+    """Fallback for formats with no pure-Python parser (jpeg/webp need a
+    codec library): deterministic fake 'decode' of (width, height,
+    format) from the payload's length and first bytes, so non-PNG
+    pipelines stay testable end-to-end. Raises on empty payloads like a
+    real decoder would.
     """
     if not payload:
         raise ValueError("cannot decode empty image payload")
     width = 16 + payload[0] % 64
     height = 16 + (payload[-1] if len(payload) > 1 else payload[0]) % 64
-    fmt = "png" if payload[:1] == b"\x89" else "raw"
-    return width, height, fmt
+    return width, height, "raw"
+
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, str]:
+    """IMAGE DECODER — real, pure-Python PNG IHDR parse by default.
+
+    PNG payloads (the signature is unambiguous) return their true
+    (width, height, 'png') straight from the IHDR chunk — no codec
+    library involved, same treatment as the audio path's RIFF/WAVE
+    parser. A truncated PNG raises; anything that is not a PNG falls
+    back to the deterministic stub. Deployments replace the whole seam
+    with a PIL wrapper of this same signature for jpeg/webp/etc.
+    """
+    if payload[:8] == _PNG_SIGNATURE:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG: no IHDR chunk")
+        import struct
+
+        width, height = struct.unpack(">II", payload[16:24])
+        return width, height, "png"
+    return _decode_image_stub(payload)
 
 
 def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
@@ -98,15 +123,16 @@ def extract_image_features(
     run without the binary column — column pruning does the rest.
 
     ``decoder``/``featurizer`` are the injectable seams: any callables
-    with the stub signatures (``bytes -> (width, height, format)``,
+    with the default signatures (``bytes -> (width, height, format)``,
     raising ``ValueError`` on undecodable input, and ``bytes ->
     list[float]``) drop in without touching the Spark plumbing — a
-    deployment passes PIL/vision-encoder wrappers here; the contract
-    test passes a real pure-Python PNG header parser.
+    deployment passes PIL/vision-encoder wrappers here. The DEFAULT
+    decoder already parses real PNG headers in pure Python
+    (:func:`_decode_image`); only non-PNG formats hit the stub.
     """
     import pandas as pd
 
-    decoder = decoder or _decode_image_stub
+    decoder = decoder or _decode_image
     featurizer = featurizer or _feature_stub
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -318,15 +318,22 @@ def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
 
 
 def test_near_dup_pairs_shuffles_on_bucket_only(spark, sf_dir):
-    """The LSH-first near-dup rewrite: corpus scanned once, one shuffle
-    keyed by the sign bucket into the Arrow matmul group, no joins at
-    all (the pair expansion happens inside the bucket group), and
-    certainly no cartesian blowup."""
+    """The LSH-first near-dup shape with the ENFORCED memory bound: the
+    corpus shuffles once into the Arrow matmul groups (keyed by bucket +
+    salted sub-bucket pair), the bucket-size side is a tiny aggregate
+    that BROADCASTS back (never a corpus shuffle), the pair expansion
+    happens inside the group (no joins on pair rows), and certainly no
+    cartesian blowup. The size pre-pass costs one extra narrow parquet
+    scan — deliberately cheaper at scale than the alternative (a second
+    full shuffle of the embedding column through a count window)."""
     df = q("emb_near_dup_pairs", spark, sf_dir)
     assert not P.has_cartesian(df)
-    assert P.scan_count(df) == 1
+    assert P.scan_count(df) <= 2
+    assert P.uses_broadcast_join(df)  # sizes ride back as a broadcast
     df.collect()
-    assert P.executed_shuffle_count(df) <= 1
+    # the corpus-weight shuffle is the applyInPandas grouping; the only
+    # other exchange is the tiny bucket-size aggregate
+    assert P.executed_shuffle_count(df) <= 2
     # formatted plans repeat operators across Final/Initial sections
     assert P.count_occurrences(df, "FlatMapGroupsInPandas") >= 1
 

@@ -1,0 +1,101 @@
+"""Regression gate: a bench run vs the locked BASELINE.md table.
+
+Usage: python tools/bench_compare.py BENCH.json [--warn 1.5] [--fail 2.0]
+
+Parses the per-query baseline table out of BASELINE.md (the round-2
+locked numbers), compares each timed entry of the given bench JSON line
+against its baseline entry, and reports:
+
+- queries above the WARN ratio (default 1.5x — investigate before
+  submitting, per the round-2 verdict protocol),
+- queries above the FAIL ratio (default 2.0x — the standing regression
+  budget), which set a non-zero exit code,
+- the headline total vs the baseline headline.
+
+Entries with no baseline row (newly added queries) are listed
+informationally — they become part of the next locked table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_HEADLINE = 45.334
+
+
+def load_baseline() -> dict[str, float]:
+    table: dict[str, float] = {}
+    in_round2 = False
+    for line in open(os.path.join(REPO, "BASELINE.md")):
+        if line.startswith("## Round-2 measured baseline"):
+            in_round2 = True
+        m = re.match(r"\| *([a-z0-9_]+) *\| *([0-9.]+) *\|", line)
+        if in_round2 and m:
+            table[m.group(1)] = float(m.group(2))
+    return table
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench_json")
+    ap.add_argument("--warn", type=float, default=1.5)
+    ap.add_argument("--fail", type=float, default=2.0)
+    args = ap.parse_args()
+
+    raw = open(args.bench_json).read()
+    bench = None
+    try:
+        doc = json.loads(raw)
+        if "metric" in doc:
+            bench = doc
+        elif "tail" in doc:
+            # driver BENCH_r{N}.json wraps the bench line in a captured
+            # "tail" string with progress-bar \r noise around it
+            m = re.search(r'\{"metric".*\}', doc["tail"])
+            if m:
+                bench = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        for line in raw.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                bench = json.loads(line)
+    if bench is None:
+        print("no bench JSON line found", file=sys.stderr)
+        return 2
+
+    baseline = load_baseline()
+    times = bench.get("queries", {})
+    warn, fail, new = [], [], []
+    for name, sec in sorted(times.items()):
+        base = baseline.get(name)
+        if base is None:
+            new.append((name, sec))
+            continue
+        ratio = sec / base if base else float("inf")
+        if ratio >= args.fail:
+            fail.append((name, sec, base, ratio))
+        elif ratio >= args.warn:
+            warn.append((name, sec, base, ratio))
+
+    total = bench.get("value")
+    print(f"headline: {total:.2f}s vs baseline {BASELINE_HEADLINE:.2f}s "
+          f"({total / BASELINE_HEADLINE:.2f}x)")
+    for name, sec, base, ratio in warn:
+        print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
+    for name, sec, base, ratio in fail:
+        print(f"  FAIL {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
+    for name, sec in new:
+        print(f"  NEW  {name}: {sec:.3f}s (no baseline row)")
+    if not warn and not fail:
+        print(f"  all {len(times)} timed entries within {args.warn}x of baseline")
+    return 1 if fail or (total is not None and total > BASELINE_HEADLINE * 2) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -377,13 +377,31 @@ JOIN documents db ON db.doc_id = c.doc_b
     "pay the edit distance",
 )
 def docs_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded single-join candidates (same shape as docs_minhash_pairs):
+    # bands explode to (bk, bv) rows, ONE composite-key self-join whose
+    # two sides collapse into a ReusedExchange — the signature
+    # aggregation runs once, vs once per band-join in the union form
     sig = minhash_sig_df(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("b1").alias("ba1"), F.col("b2").alias("ba2"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("b1").alias("bb1"), F.col("b2").alias("bb2"))
-    lt = F.col("doc_a") < F.col("doc_b")
-    p1 = a.join(b, (F.col("ba1") == F.col("bb1")) & lt).select("doc_a", "doc_b")
-    p2 = a.join(b, (F.col("ba2") == F.col("bb2")) & lt).select("doc_a", "doc_b")
-    cand = p1.union(p2).distinct()
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("bk"), F.col("b1").alias("bv")),
+                F.struct(F.lit(2).alias("bk"), F.col("b2").alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     docs = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix"))
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))

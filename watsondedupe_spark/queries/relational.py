@@ -447,7 +447,11 @@ FROM lineitem GROUP BY l_returnflag
     "approx_distinct are different sketches, so the oracle checks the "
     "sketch's accuracy CONTRACT instead of its raw estimate: the exact "
     "count (which both engines compute identically) plus a flag that "
-    "the estimate landed within 5% of it (rsd=0.02, so 5% ~= 2.5 sigma).",
+    "the estimate landed within 5% of it (rsd=0.02, so 5% ~= 2.5 sigma; "
+    "HLL++ is seed-free, so the flag is deterministic for a given "
+    "corpus). The exact count exists here FOR the oracle comparison — "
+    "the production shape is the sketch column alone, at a fraction of "
+    "the distinct-shuffle cost.",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")

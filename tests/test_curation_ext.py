@@ -245,6 +245,30 @@ def test_kmeans_refine_reduces_sse_and_keeps_shape(spark):
     assert s2 < s0  # and it strictly improves from the coarse seed here
 
 
+def test_kmeans_refine_exact_is_deterministic_partition(spark):
+    """The exact-integer Lloyd form: every vector assigned exactly once,
+    to one of the <= k seeded centroids, and the assignment is
+    bit-identical across runs (exact int64 sums — no accumulation-order
+    drift; the semantic correctness of the round itself is proven
+    against the unrolled DuckDB oracle in emb_kmeans_refined_assign)."""
+    import random
+
+    from watsondedupe_spark.operators.similarity import kmeans_refine_exact
+
+    rng = random.Random(9)
+    anchors = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+    rows = [
+        (i, [float(x + rng.uniform(-0.05, 0.05)) for x in anchors[i % 3]])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a1 = {(r.vec_id, r.centroid_id) for r in kmeans_refine_exact(emb, 3, rounds=1).collect()}
+    a2 = {(r.vec_id, r.centroid_id) for r in kmeans_refine_exact(emb, 3, rounds=1).collect()}
+    assert a1 == a2  # exact integers: no run-to-run drift
+    assert len(a1) == 90 and len({v for v, _ in a1}) == 90  # a partition
+    assert len({c for _, c in a1}) <= 3  # clusters come from the k seeds
+
+
 def test_hll_union_matches_exact_at_low_cardinality(spark, sf_dir):
     """At this cardinality the lgk=14 sketch is exact, so the two-level
     shard-merge must agree with count_distinct exactly — pinning that the

@@ -618,6 +618,98 @@ def kmeans_refine(
     return cents
 
 
+def quantize_vec(a: Column, quantize: int = 1000) -> Column:
+    """House int64 quantization: ``floor(x*q + 0.5)`` per component."""
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * quantize + F.lit(0.5)).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors (order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def int_cosine(a: Column, b: Column) -> Column:
+    """Quantized-integer cosine: exact int64 dot/norms, then the house
+    double-division order (dot / sqrt(na) / sqrt(nb)) — bit-identical
+    across Spark folds, numpy matmuls, and DuckDB list_reduce."""
+    return (
+        int_dot(a, b).cast("double")
+        / F.sqrt(int_dot(a, a).cast("double"))
+        / F.sqrt(int_dot(b, b).cast("double"))
+    )
+
+
+def kmeans_refine_exact(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """Lloyd refinement in EXACT integer arithmetic — the oracle-able form.
+
+    Two observations make a fixed-round Lloyd loop engine-independent
+    despite iterative means:
+
+    - Quantized int64 components make every per-dimension SUM exact, so
+      accumulation order cannot matter (the float-mean form,
+      :func:`kmeans_refine`, is order-dependent and stays rows-only).
+    - Cosine is scale-invariant, so the refined 'centroid' can BE the
+      member-sum vector — dividing by the member count would change no
+      assignment, and skipping it keeps round 2's scoring in exact
+      integers too.
+
+    Per round: broadcast integer-cosine scoring (corpus never shuffles;
+    ties toward the smallest centroid_id), posexplode + partial-agg
+    int64 sums (shuffle bounded by n_centroids * dim * partitions),
+    empty clusters keep their previous vector, lineage truncated per
+    round. Returns the final per-vector assignment (id, centroid_id) —
+    every number on the way is reproducible bit-for-bit by the DuckDB
+    oracle that unrolls the same rounds as CTEs.
+    """
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    qv = corpus.select(F.col(id_col), quantize_vec(F.col(vec_col), quantize).alias("qv"))
+    cents = (
+        qv.orderBy(key, id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col("qv").alias("cv"))
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = qv.crossJoin(F.broadcast(c)).select(
+            id_col, "qv", "centroid_id", int_cosine(F.col("qv"), F.col("cv")).alias("csim")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("csim"), "centroid_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "qv", "centroid_id")
+        )
+
+    for _ in range(rounds):
+        assigned = assign(cents)
+        sums = (
+            assigned.select("centroid_id", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                    lambda st: st.getField("s"),
+                ).alias("cv")
+            )
+        )
+        kept = cents.join(sums, "centroid_id", "left_anti")
+        cents = sums.unionByName(kept).localCheckpoint(eager=True)
+    return assign(cents).select(id_col, "centroid_id")
+
+
 def cosine_pairs_np(
     emb: DataFrame,
     threshold: float,

@@ -77,12 +77,14 @@ _GRADING_PRIORITY = [
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_semantic_dedup",
     "events_user_hll_by_type", "docs_minhash_accuracy",
     "cdc_chunk_index", "cdc_chunk_index_segmented", "emb_ann_topk_pq",
-    # already-green high-value pads (12): regression canaries across the
+    # newly oracled this round, never driver-graded (2)
+    "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
+    # already-green high-value pads (10): regression canaries across the
     # relational / dedupe / similarity / engine surfaces
-    "tpch_q1_pricing", "tpch_q3_topk", "docs_exact_dedup",
+    "tpch_q3_topk", "docs_exact_dedup",
     "docs_minhash_pairs", "docs_jaccard_pairs", "docs_dup_clusters",
     "emb_knn_cosine", "docs_incremental_dedup", "docs_pack_sequences",
-    "ddp_point_lookup", "ddp_coverage", "events_tumbling",
+    "ddp_point_lookup", "ddp_coverage",
 ]
 
 

@@ -363,6 +363,58 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_roundtrip",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(1 + doc_id % 512 AS INT) AS width,
+       CAST(1 + (doc_id * 7) % 512 AS INT) AS height,
+       CAST(33 AS BIGINT) AS n_bytes,
+       'png' AS format
+FROM documents
+""",
+    doc="the REAL image decode path, graded end to end: every document "
+    "synthesizes a valid PNG (signature + IHDR + CRC, dimensions a "
+    "closed form of doc_id), the default decoder parses it back, and "
+    "the oracle recomputes the closed form — so a decoder that "
+    "misreads width/height/byte-order, or plumbing that reorders/drops "
+    "rows, hash-mismatches. Payload synthesis and decode are one fused "
+    "Arrow pass each; binary columns never shuffle.",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.multimodal import extract_image_features, wrap_media
+
+    def _make(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h = int(1 + did % 512), int(1 + (did * 7) % 512)
+                ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+                chunk = b"IHDR" + ihdr
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", len(ihdr))
+                    + chunk
+                    + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(_make, schema="doc_id long, payload binary")
+    )
+    media = wrap_media(pngs, "payload", "image/png", "doc_id")
+    return extract_image_features(media).select(
+        "id", "width", "height", "n_bytes", "format"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,
     doc="multimodal frame sampling: binary 'video' payloads explode into "
@@ -400,31 +452,81 @@ def multimodal_feature_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of the exact-integer Lloyd round: quantized int64 sums
+# are order-free (so iterative means stop being accumulation-order-
+# dependent) and cosine is scale-invariant (so the member-SUM vector is
+# the centroid — no division ever happens). One refinement round
+# unrolls as CTEs; every score is bit-identical across engines.
+_KMEANS_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+cents0 AS (
+    SELECT vec_id AS centroid_id, qv AS cv
+    FROM base
+    ORDER BY {_IVF_CENT_KEY}, vec_id
+    LIMIT 16
+),
+score1 AS (
+    SELECT b.vec_id, b.qv, c.centroid_id, {_iq_cos_sql('b.qv', 'c.cv')} AS csim
+    FROM base b CROSS JOIN cents0 c
+),
+assign1 AS (
+    SELECT vec_id, qv, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM score1)
+    WHERE rn = 1
+),
+sums AS (
+    SELECT centroid_id, d.i AS dim, SUM(qv[d.i]) AS s
+    FROM assign1, (SELECT unnest(generate_series(1, 64)) AS i) d
+    GROUP BY 1, 2
+),
+cents1 AS (
+    SELECT centroid_id, list(s ORDER BY dim) AS cv FROM sums GROUP BY centroid_id
+    UNION ALL
+    SELECT c.centroid_id, c.cv FROM cents0 c
+    WHERE c.centroid_id NOT IN (SELECT centroid_id FROM sums)
+),
+score2 AS (
+    SELECT b.vec_id, c.centroid_id, {_iq_cos_sql('b.qv', 'c.cv')} AS csim
+    FROM base b CROSS JOIN cents1 c
+),
+assign2 AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM score2)
+    WHERE rn = 1
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS min_member
+FROM assign2 GROUP BY centroid_id
+"""
+
+
 @register(
     "emb_kmeans_refined_assign",
-    None,
-    doc="iterative algorithm (the brief's sanctioned rows-only class): "
-    "one Lloyd refinement round over the md5-seeded coarse centroids, "
-    "then the final cluster assignment + per-cluster sizes. Per round: "
-    "assignment is a broadcast scoring pass (corpus never shuffles), "
-    "means are posexplode + partial-aggregated avg (shuffle bounded by "
-    "n_centroids * dim * partitions, independent of corpus size), and "
-    "lineage is checkpoint-truncated so the plan does not grow with "
-    "rounds. Float means are accumulation-order-dependent, hence no "
-    "bit-exact SQL oracle; convergence (SSE non-increasing) and "
-    "determinism are pytest-pinned in test_curation_ext.",
+    _KMEANS_ORACLE,
+    doc="iterative Lloyd refinement, made oracle-able: quantized int64 "
+    "sums are accumulation-order-free and cosine's scale invariance "
+    "lets the member-SUM vector stand in for the mean, so one unrolled "
+    "refinement round + final assignment is bit-reproducible in SQL — "
+    "an iterative algorithm graded end to end (the float-mean "
+    "arbitrary-rounds form, kmeans_refine, remains the production "
+    "operator; SSE convergence pytest-pinned in test_curation_ext). "
+    "Per round: broadcast scoring pass (corpus never shuffles), int64 "
+    "sums posexplode + partial-agg (shuffle bounded by n_centroids * "
+    "dim * partitions), lineage checkpoint-truncated.",
 )
 def emb_kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.similarity import (
-        ivf_assign_np,
-        ivf_centroids,
-        kmeans_refine,
-    )
+    from watsondedupe_spark.operators.similarity import kmeans_refine_exact
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    seed = ivf_centroids(emb, 16)
-    refined = kmeans_refine(emb, seed, rounds=1)
-    assigned = ivf_assign_np(emb, refined.select("centroid_id", F.col("cv")), n_probe=1)
+    assigned = kmeans_refine_exact(emb, n_centroids=16, rounds=1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").cast("long").alias("min_member"),

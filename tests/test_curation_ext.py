@@ -311,3 +311,106 @@ def test_minhash_accuracy_within_estimator_envelope(spark, sf_dir):
     k = sum(1 for c in minhash_sig_df(spark, sf_dir).columns if c.startswith("m"))
     mean_err = sum(r.abs_error for r in rows) / len(rows)
     assert mean_err <= 3.0 / (2.0 * math.sqrt(k)), (mean_err, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark, sf_dir):
+    """Probing every cell degenerates IVF-PQ to a full PQ/ADC scan: the
+    codebooks, codes, and ADC tables are identical, so with
+    n_probe == n_centroids the two operators must agree row-for-row."""
+    from watsondedupe_spark.operators.similarity import ann_topk_ivfpq, ann_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    full = ann_topk_ivfpq(emb, q, k=5, n_centroids=4, n_probe=4, quantize=1000)
+    plain = ann_topk_pq(emb, q, k=5, quantize=1000)
+    got = sorted(((r.query_id, r.rank, r.neighbor_id, r.adist) for r in full.collect()))
+    want = sorted(((r.query_id, r.rank, r.neighbor_id, r.adist) for r in plain.collect()))
+    assert got == want
+
+
+def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):
+    """Every returned neighbor's assigned cell must be one of its
+    query's probed cells — the pruning contract that makes the probe
+    read n_probe/n_centroids of the corpus instead of all of it."""
+    from watsondedupe_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ivf_assign_np,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ann_topk_ivfpq(emb, q, k=10, n_centroids=16, n_probe=4, quantize=1000).collect()
+    cents = ivf_centroids(emb, 16)
+    cell = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_np(emb, cents, n_probe=1, quantize=1000).collect()
+    }
+    probed = {}
+    for r in ivf_assign_np(q, cents, n_probe=4, quantize=1000).collect():
+        probed.setdefault(r.vec_id, set()).add(r.centroid_id)
+    for r in out:
+        assert cell[r.neighbor_id] in probed[r.query_id]
+        assert r.neighbor_id != r.query_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.adist for r in rs] == sorted(r.adist for r in rs)
+
+
+def test_pq_encode_keep_cols_passthrough(spark, sf_dir):
+    from watsondedupe_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "tag", F.col("vec_id") % 7
+    )
+    cbs = pq_codebooks(emb, m=8, ks=16)
+    out = pq_encode(emb, cbs, keep_cols=("tag",)).collect()
+    assert all(r.tag == r.vec_id % 7 for r in out)
+    assert all(len(r.codes) == 8 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# passage chunking
+# ---------------------------------------------------------------------------
+
+
+def test_passage_chunks_tile_documents(spark, sf_dir):
+    """Window/stride invariants: starts are 1, 1+S, 1+2S, ...; every
+    token is covered (the last window reaches the end of the doc); no
+    window starts past the end of the previous one's coverage; token
+    counts equal min(W, n - start + 1)."""
+    from watsondedupe_spark.queries.curation_ext import _PSG_S, _PSG_W
+
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    out = _q("docs_passage_chunks", spark, sf_dir).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        n = docs[doc_id]
+        rs.sort(key=lambda r: r.passage_idx)
+        assert [r.passage_idx for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.start_tok for r in rs] == [1 + i * _PSG_S for i in range(len(rs))]
+        for r in rs:
+            assert r.n_tokens == min(_PSG_W, n - r.start_tok + 1)
+        # full coverage: last window reaches the end
+        last = rs[-1]
+        assert last.start_tok + last.n_tokens - 1 == n
+        # no redundant tail: each window past the first adds new tokens
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.start_tok + _PSG_W - 1 > prev.start_tok + prev.n_tokens - 1 or (
+                cur.start_tok + cur.n_tokens - 1 > prev.start_tok + prev.n_tokens - 1
+            )

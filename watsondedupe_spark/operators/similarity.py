@@ -435,6 +435,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte-sized codes (argmin-L2 per
     subspace): ``(id, codes array<int>)``.
@@ -476,10 +477,18 @@ def pq_encode(
                     x = vecs[:, s * sub : (s + 1) * sub]
                     d2 = ((x[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=-1)
                     codes[:, s] = d2.argmin(axis=1)  # ties -> lowest code
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes.tolist())})
+            out = {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        enc, schema=f"{id_col} long, codes array<int>"
+    in_cols = [F.col(id_col), F.col(vec_col)] + [F.col(c) for c in keep_cols]
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in corpus.select(*[F.col(c) for c in keep_cols]).schema.fields
+    )
+    return corpus.select(*in_cols).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>{keep_schema}"
     )
 
 
@@ -571,6 +580,111 @@ def ann_topk_pq(
     scored = codes.mapInPandas(
         _score, schema=f"query_id long, neighbor_id long, adist {adist_t}"
     )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-vector index layout.
+
+    Composition of the two sublinear levers this module already ships:
+    the coarse quantizer (IVF) prunes WHICH vectors are scored, and
+    product quantization prunes WHAT is read per vector. Build: each
+    corpus vector is routed to its nearest md5-sampled centroid
+    (``ivf_assign_np``, one integer-matmul Arrow pass) and encoded as
+    ``m`` subspace codes (``pq_encode``) — the raw floats are never
+    touched again. Query: each query probes its ``n_probe`` nearest
+    cells; the probe list joins the code table on ``centroid_id``
+    (broadcast — the probe side is |queries| x n_probe rows), and ADC
+    scoring reads ``m`` ints per candidate. Each Arrow batch emits only
+    its local per-query top-k, so the global rank window sorts
+    ``batches * k`` rows per query, not the probed cells.
+
+    At 100 TB: the corpus is written partitioned by ``centroid_id`` and
+    the code column is ~32x smaller than the float vectors, so a probe
+    reads ``n_probe / n_centroids`` of a corpus that is itself 32x
+    compressed — both pruning levers multiply. Everything is exact
+    int64 arithmetic under ``quantize`` (the house ``floor(x*q+0.5)``
+    scheme), so routing, codes, and ADC scores are engine-independent
+    and the whole pipeline carries a DuckDB oracle.
+
+    Returns (query_id, neighbor_id, adist, rank); smaller adist = nearer.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign_np(corpus, cents, id_col, vec_col, n_probe=1, quantize=quantize)
+    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    sub = len(cbs[0][0])
+    codes = pq_encode(
+        assigned, cbs, id_col=id_col, vec_col=vec_col,
+        quantize=quantize, keep_cols=("centroid_id",),
+    )
+
+    probes = ivf_assign_np(
+        queries, cents, id_col, vec_col, n_probe=n_probe, quantize=quantize
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+
+    # per-query m x ks ADC tables, driver-side (ks*d int ops per query)
+    qcbs = [
+        np.floor(np.asarray(cb, dtype=np.float64) * quantize + 0.5).astype(np.int64)
+        for cb in cbs
+    ]
+    qtabs = []
+    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
+        qv = np.floor(
+            np.asarray([float(x) for x in r[vec_col]], dtype=np.float64) * quantize + 0.5
+        ).astype(np.int64)
+        tab = np.stack(
+            [((qv[s * sub : (s + 1) * sub][None, :] - qcbs[s]) ** 2).sum(axis=1)
+             for s in range(m)]
+        )
+        qtabs.append((int(r[id_col]), tab))
+
+    cand = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "codes")
+    )
+
+    def _score(batches):
+        tabs = dict(qtabs)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            qid = pdf["query_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for q in np.unique(qid):
+                T = tabs[int(q)]
+                sel = qid == q
+                Cq, nq = C[sel], nid[sel]
+                ad = np.zeros(len(nq), dtype=np.int64)
+                for s in range(T.shape[0]):
+                    ad += T[s][Cq[:, s]]
+                if len(nq) > k:  # local top-k: keep every global-top-k candidate
+                    keep = np.lexsort((nq, ad))[:k]
+                    nq, ad = nq[keep], ad[keep]
+                frames.append(
+                    pd.DataFrame({"query_id": int(q), "neighbor_id": nq, "adist": ad})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = cand.mapInPandas(_score, schema="query_id long, neighbor_id long, adist long")
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -77,8 +77,9 @@ _GRADING_PRIORITY = [
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_semantic_dedup",
     "events_user_hll_by_type", "docs_minhash_accuracy",
     "cdc_chunk_index", "cdc_chunk_index_segmented", "emb_ann_topk_pq",
-    # newly oracled this round, never driver-graded (2)
+    # newly oracled this round, never driver-graded (4)
     "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
+    "emb_ann_topk_ivfpq", "docs_passage_chunks",
     # already-green high-value pads (10): regression canaries across the
     # relational / dedupe / similarity / engine surfaces
     "tpch_q3_topk", "docs_exact_dedup",

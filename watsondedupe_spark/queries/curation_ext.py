@@ -492,6 +492,109 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(emb, q, k=10, quantize=1000)
 
 
+def _ivfpq_oracle() -> str:
+    # composed from the IVF oracle's routing CTEs (engine_native) and the
+    # PQ oracle's codebook CTEs above: both pipelines are exact int64
+    # arithmetic under floor(x*1000+0.5), so the composition is too
+    from watsondedupe_spark.queries.engine_native import _IVF_CENT_KEY, _iq_cos_sql
+
+    return f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, qv AS qcv
+    FROM base ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+routed AS (
+    SELECT b.vec_id, b.qv, c.centroid_id,
+           {_iq_cos_sql('b.qv', 'c.qcv')} AS csim
+    FROM base b CROSS JOIN cents c
+),
+assign1 AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM routed)
+    WHERE rn = 1
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (
+        SELECT vec_id, qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM base
+        ORDER BY skey, vec_id
+        LIMIT 16
+    )
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code, cb.cv,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), (acc, x) -> acc + x) AS d2
+    FROM base b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, cv
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+          FROM enc)
+    WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, qv, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM routed WHERE vec_id < 3)
+    WHERE rn <= 4
+),
+sims AS (
+    SELECT p.query_id, ch.vec_id AS neighbor_id,
+           CAST(SUM(list_reduce(list_transform(
+               list_zip(list_slice(p.qv, ch.s * 8 + 1, ch.s * 8 + 8), ch.cv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), (acc, x) -> acc + x)) AS BIGINT) AS adist
+    FROM chosen ch
+    JOIN assign1 a ON a.vec_id = ch.vec_id
+    JOIN probes p ON p.centroid_id = a.centroid_id AND ch.vec_id != p.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+"""
+
+
+@register(
+    "emb_ann_topk_ivfpq",
+    _ivfpq_oracle(),
+    doc="IVF-PQ approximate top-k — the standard billion-vector index "
+    "layout (FAISS IVFPQ): the coarse quantizer prunes WHICH vectors "
+    "are scored (queries probe n_probe=4 of 16 md5-sampled cells) and "
+    "product quantization prunes WHAT is read per vector (8 int codes, "
+    "32x smaller than the floats). The probe list broadcast-joins the "
+    "code table on centroid_id, ADC scoring is 8 gathers+adds per "
+    "candidate in one Arrow pass with local top-k, and both pruning "
+    "levers multiply at scale: a probe reads n_probe/n_centroids of a "
+    "32x-compressed corpus. All-int64 under floor(x*1000+0.5), so "
+    "routing + codes + ADC ranks carry a composed DuckDB oracle.",
+)
+def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ann_topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_topk_ivfpq(emb, q, k=10, n_centroids=16, n_probe=4, quantize=1000)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-span REMOVAL (the transform the detector exists to feed)
 # ---------------------------------------------------------------------------
@@ -897,4 +1000,81 @@ def docs_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "abs_error", F.abs(F.col("exact_jaccard") - F.col("minhash_estimate"))
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# passage chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+# window/stride in tokens; overlap = _PSG_W - _PSG_S
+_PSG_W = 64
+_PSG_S = 48
+
+
+@register(
+    "docs_passage_chunks",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+    SELECT doc_id, t, len(t) AS n,
+           list_filter(generate_series(1, len(t), {_PSG_S}),
+                       s -> s = 1 OR s + {_PSG_W - _PSG_S - 1} < len(t)) AS starts
+    FROM tok),
+p AS (
+    SELECT doc_id, t, n,
+           CAST(u.i AS INTEGER) AS passage_idx, CAST(u.s AS BIGINT) AS start_tok
+    FROM (
+        SELECT doc_id, t, n,
+               unnest(list_transform(
+                   list_zip(starts, generate_series(1, len(starts))),
+                   z -> struct_pack(s := z[1], i := z[2]))) AS u
+        FROM st)
+)
+SELECT doc_id, passage_idx, start_tok,
+       CAST(len(list_slice(t, start_tok, least(start_tok + {_PSG_W - 1}, n))) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(
+           list_slice(t, start_tok, least(start_tok + {_PSG_W - 1}, n)), ' '))
+           AS passage_hash
+FROM p
+""",
+    doc="passage chunking for retrieval / context-window prep: each "
+    f"document splits into overlapping {_PSG_W}-token windows at stride "
+    f"{_PSG_S} (overlap {_PSG_W - _PSG_S}); a trailing window is emitted "
+    "only if the previous one did not already reach the end of the "
+    "document, so every token is covered exactly once by a window tail "
+    "and no passage is a strict suffix of its predecessor. The text-"
+    "level sibling of the engine's CDC chunker — fixed-stride instead "
+    "of content-defined — and, like it, pure per-row array ops: "
+    "sequence/filter/slice/md5 JVM-side, zero shuffles, zero UDFs, so "
+    "the plan is a single whole-stage-codegen scan at any corpus size",
+)
+def docs_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, s = _PSG_W, _PSG_S
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    st = tok.select(
+        "doc_id",
+        "t",
+        "n",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n"), F.lit(s)),
+            lambda x: (x == 1) | (x + F.lit(w - s - 1) < F.col("n")),
+        ).alias("starts"),
+    )
+    p = st.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode("starts").alias("pos", "start_tok"),
+    )
+    ptoks = F.slice(F.col("t"), F.col("start_tok"), w)
+    return p.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("passage_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(ptoks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ptoks, " ")).alias("passage_hash"),
     )

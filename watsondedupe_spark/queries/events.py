@@ -289,3 +289,52 @@ def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("graded_session_sink").select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+@register(
+    "events_interval_join_streamed",
+    """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND v.user_id < 30 AND c.user_id < 30
+""",
+    doc="stream-stream interval join through the REAL streaming engine: "
+    "views and clicks replayed as two file-source streams, joined on "
+    "user within a 30-minute event-time bound with watermarks on BOTH "
+    "sides (the pair of constraints that lets the engine evict join "
+    "state — a view older than click-watermark minus the bound can "
+    "never match again, so state is O(users x window), not O(stream)). "
+    "Inner-join append mode emits each match exactly once, so the "
+    "streamed result must equal the batch inner join DuckDB computes — "
+    "the replay-determinism contract for the hardest streaming operator.",
+)
+def events_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stage = _stage_events_stream_dir(sf_dir)
+    views = S.stream_from_dir(spark, stage).filter(
+        (F.col("event_type") == "view") & (F.col("user_id") < 30)
+    )
+    clicks = S.stream_from_dir(spark, stage).filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 30)
+    )
+    joined = S.interval_join_views_to_clicks(
+        views, clicks, within="30 minutes", watermark="2 hours"
+    )
+    q = S.run_to_memory(joined, "graded_interval_join_sink", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("graded_interval_join_sink").select(
+        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    )

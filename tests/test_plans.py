@@ -360,3 +360,25 @@ def test_pq_topk_reads_codes_only_single_pass(spark, sf_dir):
     assert P.scan_count(df) == 1
     df.collect()
     assert P.executed_shuffle_count(df) <= 2  # repartition-for-encode + window
+
+
+def test_passage_chunks_plan_is_shuffle_free(spark, sf_dir):
+    """Pure per-row array ops: one parquet scan, zero exchanges, and the
+    scan reads only (doc_id, text)."""
+    df = q("docs_passage_chunks", spark, sf_dir)
+    assert P.shuffle_count(df) == 0
+    assert not P.has_cartesian(df)
+    assert P.scan_count(df) == 1
+    assert all(set(s) <= {"doc_id", "text"} for s in P.scan_read_schemas(df))
+
+
+def test_ivfpq_probe_join_is_broadcast_no_cartesian(spark, sf_dir):
+    """The probe list must broadcast onto the code table (the corpus
+    side never shuffles for the join), and nothing degenerates into a
+    cartesian/nested-loop product."""
+    df = q("emb_ann_topk_ivfpq", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    # the only shuffles allowed: the repartition for Arrow parallelism
+    # and the final per-query top-k rank window
+    assert not P.has_shuffle_join(df)

@@ -81,6 +81,11 @@ HEADLINE = [
     "docs_lm_quality",
     "grouping_sets_orders",
     "events_tumbling_streamed",
+    # round-3 additions: composed IVF-PQ ANN, passage chunking, the
+    # stream-stream interval-join replay through the real engine
+    "emb_ann_topk_ivfpq",
+    "docs_passage_chunks",
+    "events_interval_join_streamed",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

@@ -212,34 +212,49 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def simhash_candidates(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-near pairs via the 4x16-bit band trick: if hamming(a,b) <= 3,
     at least one of the four 16-bit slices is identical (pigeonhole), so a
-    4-way band equijoin finds all candidates; exact popcount filters."""
-    sliced = fp.select(
+    banded equijoin finds all candidates; exact popcount filters.
+
+    Band slices explode into ``(bk, bv)`` rows and ONE composite-key
+    self-join replaces four separate self-joins + union — one shuffle
+    keyed on the band value instead of four, with exchange reuse
+    collapsing the two sides (the same shape as
+    :func:`simhash60_candidates` and ``lsh_candidate_pairs``)."""
+    banded = fp.select(
         "id",
         "simhash",
-        *[
-            F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias(f"s{k}")
-            for k in range(4)
-        ],
-    )
-    a, b = sliced.alias("a"), sliced.alias("b")
-    lt = F.col("a.id") < F.col("b.id")
-    parts = [
-        a.join(b, (F.col(f"a.s{k}") == F.col(f"b.s{k}")) & lt).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        F.shiftright("simhash", 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.bk").alias("bk"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.simhash").alias("fp_a"),
             F.col("b.simhash").alias("fp_b"),
         )
-        for k in range(4)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionAll(p)
+        .distinct()
+    )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        cand.distinct()
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

@@ -1029,10 +1029,32 @@ SELECT new_doc, corpus_doc, est_sim FROM cand WHERE est_sim >= 0.5
     "with >= 3 of 6 agreeing minhashes (est_sim >= 0.5) are reported",
 )
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded single-join shape (same as lsh_candidate_pairs /
+    # simhash60_candidates): both sides explode their two band keys into
+    # (bk, bv) rows and ONE composite-key join replaces two joins +
+    # union — the standing corpus streams through exactly once
     sig = minhash_sig_df(spark, sf_dir)
     is_new = F.col("doc_id") % _INCR_MOD == _INCR_REM
-    new_sig = sig.filter(is_new)
-    corp_sig = sig.filter(~is_new)
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            *[f"m{j}" for j in range(1, _N_HASHES + 1)],
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("bk"), F.col("b1").alias("bv")),
+                    F.struct(F.lit(2).alias("bk"), F.col("b2").alias("bv")),
+                )
+            ).alias("b"),
+        ).select(
+            "doc_id",
+            *[f"m{j}" for j in range(1, _N_HASHES + 1)],
+            F.col("b.bk").alias("bk"),
+            F.col("b.bv").alias("bv"),
+        )
+
+    new_b = banded(sig.filter(is_new)).alias("n")
+    corp_b = banded(sig.filter(~is_new)).alias("c")
     est = (
         sum(
             F.when(F.col(f"n.m{j}") == F.col(f"c.m{j}"), 1).otherwise(0)
@@ -1040,12 +1062,16 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / 6.0
     ).alias("est_sim")
-    sel = [
-        F.col("n.doc_id").alias("new_doc"),
-        F.col("c.doc_id").alias("corpus_doc"),
-        est,
-    ]
-    c = corp_sig.alias("c")
-    p1 = c.join(F.broadcast(new_sig.alias("n")), F.col("c.b1") == F.col("n.b1")).select(*sel)
-    p2 = c.join(F.broadcast(new_sig.alias("n")), F.col("c.b2") == F.col("n.b2")).select(*sel)
-    return p1.unionAll(p2).distinct().filter(F.col("est_sim") >= 0.5)
+    return (
+        corp_b.join(
+            F.broadcast(new_b),
+            (F.col("c.bk") == F.col("n.bk")) & (F.col("c.bv") == F.col("n.bv")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            est,
+        )
+        .distinct()
+        .filter(F.col("est_sim") >= 0.5)
+    )

@@ -24,6 +24,36 @@ from watsondedupe_spark.queries import oracle_sql as _oracle_sql  # noqa: E402
 from watsondedupe_spark.queries import queries as _queries  # noqa: E402
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``watsondedupe_spark`` importable on executors regardless of
+    how the session was built.
+
+    The driver process imports the package via the sys.path insert
+    above, but Python WORKERS only see it if the repo dir happens to be
+    their cwd or PYTHONPATH (``session.get_spark`` arranges the latter;
+    an externally supplied default session may not). Zipping the package
+    and ``addPyFile``-ing it works after context creation and makes the
+    contract self-contained.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_wds_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "watsondedupe_spark")
+    zpath = os.path.join(tempfile.mkdtemp(prefix="wds_pkg_"), "watsondedupe_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._wds_pkg_shipped = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC-chunk the sf0.001 documents corpus and account dedup.
 
@@ -36,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE, chunk_objects
 
+    _ship_package(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     objs = docs.select(
         F.col("doc_id").cast("string").alias("object_key"),
@@ -56,7 +87,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _queries()
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in _queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -414,3 +414,42 @@ def test_passage_chunks_tile_documents(spark, sf_dir):
             assert cur.start_tok + _PSG_W - 1 > prev.start_tok + prev.n_tokens - 1 or (
                 cur.start_tok + cur.n_tokens - 1 > prev.start_tok + prev.n_tokens - 1
             )
+
+
+def test_passage_chunks_edge_sizes(spark):
+    """Boundary behavior around window/stride: short docs yield one
+    passage; the first start past a fully covered doc is suppressed;
+    the first token past coverage forces one more window."""
+    from watsondedupe_spark.operators.text import passage_chunks
+
+    w, s = 8, 6
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    rows = [(n, doc(n)) for n in (1, 7, 8, 9, 14, 15, 20, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_chunks(df, "text", "doc_id", window=w, stride=s).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, rs in by_doc.items():
+        rs.sort(key=lambda r: r.passage_idx)
+        # starts at stride spacing, covering every token, no redundant tail
+        assert rs[0].start_tok == 1
+        assert all(b.start_tok - a.start_tok == s for a, b in zip(rs, rs[1:]))
+        assert rs[-1].start_tok + rs[-1].n_tokens - 1 == n
+        assert all(r.n_tokens == min(w, n - r.start_tok + 1) for r in rs)
+    # exact passage counts: n <= w -> 1; w < n <= w+s (start 7 covers to 14) -> 2 ...
+    assert {n: len(by_doc[n]) for n in (1, 7, 8, 9, 14, 15, 20, 21)} == {
+        1: 1, 7: 1, 8: 1, 9: 2, 14: 2, 15: 3, 20: 3, 21: 4
+    }
+
+
+def test_passage_chunks_rejects_bad_stride(spark):
+    from watsondedupe_spark.operators.text import passage_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        passage_chunks(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        passage_chunks(df, window=4, stride=0)

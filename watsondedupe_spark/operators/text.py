@@ -190,3 +190,49 @@ def pack_sequences(
         F.floor(F.col("offset") / capacity).cast("long").alias("first_seq"),
         F.floor((F.col("offset") + F.col("n_tokens") - 1) / capacity).cast("long").alias("last_seq"),
     )
+
+
+def passage_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-stride passage windows over whitespace tokens.
+
+    Starts are ``1, 1+stride, 1+2*stride, ...``; a trailing start is
+    emitted only if the previous window did not already reach the end
+    of the document (``s + window - stride - 1 < n``), so every token
+    is covered and no passage is a strict suffix of its predecessor.
+    Documents shorter than ``window`` yield exactly one passage.
+
+    The text-level sibling of the CDC chunker (fixed-stride instead of
+    content-defined): pure per-row sequence/filter/slice/md5 column
+    ops — zero shuffles, zero UDFs, one whole-stage-codegen scan.
+    Registered/oracled as ``docs_passage_chunks`` (w=64, s=48).
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
+    w, s = window, stride
+    tok = df.select(
+        F.col(id_col), F.split(text_col, " ").alias("t")
+    ).select(id_col, "t", F.size("t").alias("n"))
+    st = tok.select(
+        id_col,
+        "t",
+        "n",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n"), F.lit(s)),
+            lambda x: (x == 1) | (x + F.lit(w - s - 1) < F.col("n")),
+        ).alias("starts"),
+    )
+    p = st.select(id_col, "t", "n", F.posexplode("starts").alias("pos", "start_tok"))
+    ptoks = F.slice(F.col("t"), F.col("start_tok"), w)
+    return p.select(
+        id_col,
+        (F.col("pos") + 1).cast("int").alias("passage_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(ptoks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ptoks, " ")).alias("passage_hash"),
+    )

@@ -1051,30 +1051,8 @@ FROM p
     "the plan is a single whole-stage-codegen scan at any corpus size",
 )
 def docs_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w, s = _PSG_W, _PSG_S
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).select("doc_id", "t", F.size("t").alias("n"))
-    st = tok.select(
-        "doc_id",
-        "t",
-        "n",
-        F.filter(
-            F.sequence(F.lit(1), F.col("n"), F.lit(s)),
-            lambda x: (x == 1) | (x + F.lit(w - s - 1) < F.col("n")),
-        ).alias("starts"),
-    )
-    p = st.select(
-        "doc_id",
-        "t",
-        "n",
-        F.posexplode("starts").alias("pos", "start_tok"),
-    )
-    ptoks = F.slice(F.col("t"), F.col("start_tok"), w)
-    return p.select(
-        "doc_id",
-        (F.col("pos") + 1).cast("int").alias("passage_idx"),
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.size(ptoks).cast("long").alias("n_tokens"),
-        F.md5(F.array_join(ptoks, " ")).alias("passage_hash"),
+    from watsondedupe_spark.operators.text import passage_chunks
+
+    return passage_chunks(
+        _docs(spark, sf_dir), "text", "doc_id", window=_PSG_W, stride=_PSG_S
     )

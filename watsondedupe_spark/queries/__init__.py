@@ -80,7 +80,7 @@ _GRADING_PRIORITY = [
     # newly oracled this round, never driver-graded (4)
     "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
     "emb_ann_topk_ivfpq", "docs_passage_chunks",
-    "events_interval_join_streamed",
+    "events_interval_join_streamed", "docs_leakage_safe_split",
     # already-green high-value pads (10): regression canaries across the
     # relational / dedupe / similarity / engine surfaces
     "tpch_q3_topk", "docs_exact_dedup",

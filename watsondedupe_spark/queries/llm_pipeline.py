@@ -906,6 +906,68 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: train fraction 7/8 as an exact md5-gate threshold (8 hex digits)
+_SPLIT_TRAIN_HEX = format(int((7 / 8) * 4294967296), "08x")
+
+
+@register(
+    "docs_leakage_safe_split",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+),
+clusters AS (
+    SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                 < '{_SPLIT_TRAIN_HEX}'
+            THEN 'train' ELSE 'eval' END AS split
+FROM clusters
+""",
+    doc="leakage-safe train/eval split: the assignment unit is the "
+    "near-dup CLUSTER (connected components over the MinHash-LSH "
+    "candidate graph), not the document — an md5 gate on the cluster "
+    "label routes ~7/8 of clusters to train, so two near-duplicate "
+    "documents can never straddle the split and leak eval content into "
+    "training. Per-doc hashing (the naive split) fails exactly this "
+    "invariant; the cluster map costs nothing extra because the dedup "
+    "pipeline already maintains it. Gate and labels are md5-derived, so "
+    "the split is deterministic across runs, engines, and partitionings",
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = docs_dup_clusters(spark, sf_dir)
+    gate = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))), 1, 8
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(gate < F.lit(_SPLIT_TRAIN_HEX), "train").otherwise("eval").alias("split"),
+    )
+
+
 @register(
     "docs_top_ngrams",
     """

@@ -81,11 +81,16 @@ HEADLINE = [
     "docs_lm_quality",
     "grouping_sets_orders",
     "events_tumbling_streamed",
-    # round-3 additions: composed IVF-PQ ANN, passage chunking, the
-    # stream-stream interval-join replay through the real engine
+    # round-3 additions: composed IVF-PQ ANN and passage chunking.
+    # events_interval_join_streamed stays OUT of the timed set for the
+    # same reason events_session_streamed does: a streamed replay pays
+    # per-run engine fixed costs (two file-source streams, state-store
+    # init, micro-batch scheduling — ~7s at sf0.1, dwarfing the data) and
+    # the timed set already carries one streamed replay
+    # (events_tumbling_streamed) as the streaming canary; the interval
+    # join replay remains correctness-graded via its DuckDB oracle.
     "emb_ann_topk_ivfpq",
     "docs_passage_chunks",
-    "events_interval_join_streamed",
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages

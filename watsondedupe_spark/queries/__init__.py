@@ -77,12 +77,15 @@ _GRADING_PRIORITY = [
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_semantic_dedup",
     "events_user_hll_by_type", "docs_minhash_accuracy",
     "cdc_chunk_index", "cdc_chunk_index_segmented", "emb_ann_topk_pq",
-    # newly oracled this round, never driver-graded (4)
+    # newly built/oracled this round, never driver-graded (6)
     "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
     "emb_ann_topk_ivfpq", "docs_passage_chunks",
     "events_interval_join_streamed", "docs_leakage_safe_split",
-    # already-green high-value pads (10): regression canaries across the
-    # relational / dedupe / similarity / engine surfaces
+    # already-green high-value pads: regression canaries across the
+    # relational / dedupe / similarity / engine surfaces (the tail past
+    # slot 50 stays prioritized ahead of the rest of the oracled set,
+    # but falls outside the driver's graded window — all were graded
+    # green in rounds 1-2)
     "tpch_q3_topk", "docs_exact_dedup",
     "docs_minhash_pairs", "docs_jaccard_pairs", "docs_dup_clusters",
     "emb_knn_cosine", "docs_incremental_dedup", "docs_pack_sequences",

@@ -57,15 +57,20 @@ shs AS (
 
 _DECON_ORACLE = f"""
 WITH {_SHINGLE_STREAM_SQL},
+hs AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+    FROM shs
+),
 eval_sh AS (
-    SELECT DISTINCT shingle FROM shs WHERE doc_id % {_EVAL_MOD} = 0
+    SELECT DISTINCT sh FROM hs WHERE doc_id % {_EVAL_MOD} = 0
 )
 SELECT s.doc_id,
-       CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared
-FROM shs s JOIN eval_sh e ON s.shingle = e.shingle
+       CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_shared
+FROM hs s JOIN eval_sh e ON s.sh = e.sh
 WHERE s.doc_id % {_EVAL_MOD} <> 0
 GROUP BY s.doc_id
-HAVING COUNT(DISTINCT s.shingle) >= {_CONTAM_MIN_SHARED}
+HAVING COUNT(DISTINCT s.sh) >= {_CONTAM_MIN_SHARED}
 """
 
 
@@ -78,19 +83,27 @@ HAVING COUNT(DISTINCT s.shingle) >= {_CONTAM_MIN_SHARED}
     "every executor, the train corpus's shingle stream is pruned against "
     "that map in-place, and only the surviving (matched) shingles take "
     "the per-doc COUNT(DISTINCT) shuffle. Train docs sharing >= 3 "
-    "distinct shingles with the benchmark are flagged. At 100 TB the "
-    "benchmark set is MBs — the corpus is never shuffled, never "
-    "self-joined, and never per-doc deduped corpus-wide",
+    "distinct shingles with the benchmark are flagged. Shingles are "
+    "compared as the house 60-bit md5 ints (same derivation on both "
+    "engines, so collisions — vanishingly rare — are identical and the "
+    "oracle stays hash-exact): the broadcast ships 8-byte keys instead "
+    "of raw n-gram strings and the join compares longs, which is the "
+    "form that matters when the benchmark set is millions of shingles. "
+    "At 100 TB the benchmark set is MBs — the corpus is never shuffled, "
+    "never self-joined, and never per-doc deduped corpus-wide",
 )
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = shingles_df(spark, sf_dir, distinct=False)
+    stream = shingles_df(spark, sf_dir, distinct=False).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("sh"),
+    )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_sh = stream.filter(is_eval).select("shingle").distinct()
+    eval_sh = stream.filter(is_eval).select("sh").distinct()
     return (
         stream.filter(~is_eval)
-        .join(F.broadcast(eval_sh), "shingle")
+        .join(F.broadcast(eval_sh), "sh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").cast("long").alias("n_shared"))
+        .agg(F.count_distinct("sh").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
     )
 

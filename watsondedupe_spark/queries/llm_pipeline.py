@@ -911,6 +911,80 @@ _SPLIT_TRAIN_HEX = format(int((7 / 8) * 4294967296), "08x")
 
 
 @register(
+    "docs_canonical_per_cluster",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+),
+clusters AS (
+    SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+),
+scored AS (
+    SELECT doc_id,
+           least(1.0, len(string_split(text, ' ')) / 50.0)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             * (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                      / len(string_split(text, ' '))) AS quality_score
+    FROM documents
+)
+SELECT cluster_id, canonical_doc, n_members, best_quality
+FROM (
+    SELECT c.cluster_id,
+           s.doc_id AS canonical_doc,
+           s.quality_score AS best_quality,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY s.quality_score DESC, s.doc_id) AS rn
+    FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+)
+WHERE rn = 1
+""",
+    doc="quality-aware canonical selection — the survivor-choice step "
+    "that closes the dedup loop (detect -> cluster -> CHOOSE): each "
+    "near-dup cluster keeps its highest-quality member (composite "
+    "length/punct/stopword score, doc_id tiebreak) instead of the "
+    "naive lowest-id. One groupBy with max_by over a (score, -id) "
+    "struct — map-side partial argmax, a single shuffle on cluster_id, "
+    "no window sort of the corpus",
+)
+def docs_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = docs_dup_clusters(spark, sf_dir)
+    sc = docs_quality(spark, sf_dir).select("doc_id", "quality_score")
+    tie = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nd"))
+    return (
+        cc.join(sc, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", tie).alias("canonical_doc"),
+            F.count("*").cast("long").alias("n_members"),
+            F.max_by("quality_score", tie).alias("best_quality"),
+        )
+        .select("cluster_id", "canonical_doc", "n_members", "best_quality")
+    )
+
+
+@register(
     "docs_leakage_safe_split",
     f"""
 WITH RECURSIVE

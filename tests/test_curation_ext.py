@@ -453,3 +453,38 @@ def test_passage_chunks_rejects_bad_stride(spark):
         passage_chunks(df, window=4, stride=5)
     with pytest.raises(ValueError):
         passage_chunks(df, window=4, stride=0)
+
+
+def test_boundary_overlap_on_planted_splice(spark):
+    """A page split across two crawl shards: doc 0's tail tokens equal
+    doc 1's head tokens; unrelated docs produce nothing."""
+    from watsondedupe_spark.queries.curation_ext import _BOUNDARY_K, docs_boundary_overlap
+    import watsondedupe_spark.queries.curation_ext as mod
+
+    boundary = " ".join(f"b{i}" for i in range(_BOUNDARY_K))
+    rows = [
+        (0, f"first shard body text {boundary}"),
+        (1, f"{boundary} second shard continues here"),
+        (2, "entirely unrelated document with enough tokens to pass the gate"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = mod._docs
+    mod._docs = lambda s, d: docs
+    try:
+        out = {(r.tail_doc, r.head_doc) for r in docs_boundary_overlap(spark, "unused").collect()}
+    finally:
+        mod._docs = orig
+    assert out == {(0, 1)}
+
+
+def test_dup_gram_ratio_bounds_and_consistency(spark, sf_dir):
+    """Ratios lie in (0, 1]; n_dup <= n_grams; docs flagged by
+    dup_spans must appear here (a duplicated span implies duplicated
+    grams)."""
+    out = {r.doc_id: r for r in _q("docs_dup_gram_ratio", spark, sf_dir).collect()}
+    assert out
+    for r in out.values():
+        assert 0 < r.n_dup <= r.n_grams
+        assert r.dup_gram_ratio == r.n_dup / r.n_grams
+    spanned = {r.doc_id for r in _q("docs_dup_spans", spark, sf_dir).collect()}
+    assert spanned <= set(out)

@@ -1056,3 +1056,132 @@ def docs_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_chunks(
         _docs(spark, sf_dir), "text", "doc_id", window=_PSG_W, stride=_PSG_S
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-shard boundary overlap (tail-of-A == head-of-B)
+# ---------------------------------------------------------------------------
+
+#: boundary window: compare the first/last k tokens
+_BOUNDARY_K = 8
+
+
+@register(
+    "docs_boundary_overlap",
+    f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= {_BOUNDARY_K}
+),
+edges AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(t, 1, {_BOUNDARY_K}), ' ')) AS head_h,
+           md5(array_to_string(list_slice(t, len(t) - {_BOUNDARY_K - 1}, len(t)), ' ')) AS tail_h
+    FROM tok
+)
+SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
+FROM edges a JOIN edges b
+  ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+""",
+    doc="crawl-shard boundary overlap: a document whose LAST "
+    f"{_BOUNDARY_K} tokens verbatim-equal another document's FIRST "
+    f"{_BOUNDARY_K} tokens is the signature of one source page split "
+    "across extraction shards — whole-doc near-dup misses it because "
+    "the bodies differ. Each doc contributes one head hash and one tail "
+    "hash; ONE equijoin on the md5 key finds every splice candidate. "
+    "Zero fan-out, one shuffle on a uniform hash key — scale-free",
+)
+def docs_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _BOUNDARY_K
+    t = F.split("text", " ")
+    tok = _docs(spark, sf_dir).select("doc_id", t.alias("t")).filter(F.size("t") >= k)
+    edges = tok.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", 1, k))).alias("head_h"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.size("t") - (k - 1), k))).alias(
+            "tail_h"
+        ),
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    return a.join(
+        b, (F.col("a.tail_h") == F.col("b.head_h")) & (F.col("a.doc_id") != F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("tail_doc"), F.col("b.doc_id").alias("head_doc"))
+
+
+# ---------------------------------------------------------------------------
+# inter-document duplicated-gram ratio (boilerplate scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dup_gram_ratio",
+    f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= {_SPAN_K}
+),
+grams AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(t, i, i + {_SPAN_K - 1}), ' ')) AS g
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SPAN_K - 1})) AS i FROM tok)
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM grams gr LEFT JOIN dup d ON gr.g = d.g
+    GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_dup,
+       CAST(n_dup AS DOUBLE) / n_grams AS dup_gram_ratio
+FROM per_doc
+WHERE n_dup > 0
+""",
+    doc="inter-document redundancy score: the fraction of a document's "
+    f"{_SPAN_K}-token windows that appear verbatim in at least one OTHER "
+    "document — the boilerplate/memorization-risk signal (repetition_"
+    "ratio is the INTRA-doc sibling; dup_spans localizes these same hits "
+    "into intervals). Gram hashes shuffle once on a uniform md5 key for "
+    "the cross-doc count, then once on doc_id for the per-doc ratio; "
+    "the corpus never self-joins",
+)
+def docs_dup_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SPAN_K
+    toks = F.split("text", " ")
+    base = (
+        _docs_parallel(spark, sf_dir)
+        .filter(F.size(toks) >= k)
+        .select("doc_id", toks.alias("t"))
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, k))),
+            )
+        ).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_grams")).alias("dup_gram_ratio"),
+    ).filter(F.col("n_dup") > 0)

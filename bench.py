@@ -226,7 +226,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "timing": "steady_state_2nd_run",
+                "timing": "steady_state_min_of_2",
                 "first_run_total": round(sum(cold.values()), 3),
                 "sf": float(sf),
                 "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,

@@ -4,9 +4,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a CDC-chunker
 ingest throughput measurement. Each query is fully materialized
 (count-collected) so the wall time includes the whole plan, and each is
-timed on its steady-state (second) run — the first run of each plan
-pays JVM whole-stage-codegen compilation, which a long-running cluster
-amortizes to zero; the cold-run total is still reported alongside.
+timed as the minimum of two steady-state runs — the first (cold) run
+of each plan pays JVM whole-stage-codegen compilation, which a
+long-running cluster amortizes to zero, and min-of-two suppresses
+one-off scheduler/GC spikes (BASELINE.md round-3 addendum); the
+cold-run total is still reported alongside.
 """
 
 from __future__ import annotations

@@ -370,6 +370,33 @@ def test_delete_batch_dataframe_returns_gc_set(spark, tmp_path):
     assert eng.stats().object_count == 1
 
 
+def test_delete_list_form_caps_gc_return(spark, tmp_path, monkeypatch):
+    """A list-key delete whose GC set exceeds GC_RETURN_CAP returns a
+    DataFrame (the distributed contract), never a driver-side list."""
+    import watsondedupe_spark.engine as engine_mod
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    monkeypatch.setattr(engine_mod, "GC_RETURN_CAP", 3)
+    eng = DedupeEngine.create(spark, str(tmp_path / "ix"), ChunkSettings(2048, 16384, 128, 2))
+    eng.write("big", rand_bytes(120_000, seed=77))  # many unique chunks
+    n_chunks = eng.object_map.count()
+    assert n_chunks > 3
+
+    gc = eng.delete("big")
+    from pyspark.sql import DataFrame
+
+    assert isinstance(gc, DataFrame)  # above-cap GC set stays distributed
+    assert gc.count() == n_chunks
+    assert eng.stats().object_count == 0
+    assert eng.chunk_store.count() == 0  # payloads actually GC'd
+
+    # under the cap the reference-faithful list still comes back
+    eng.write("small", b"tiny")
+    assert eng.delete("small") != []  # one chunk -> list form
+    assert isinstance(eng.delete_batch([]), list)
+
+
 def test_store_append_is_incremental_and_compaction_folds(spark, tmp_path):
     """Appends must write only the new part (O(batch) I/O) and fold into
     one part after max_parts accumulate."""

@@ -382,3 +382,30 @@ def test_ivfpq_probe_join_is_broadcast_no_cartesian(spark, sf_dir):
     # the only shuffles allowed: the repartition for Arrow parallelism
     # and the final per-query top-k rank window
     assert not P.has_shuffle_join(df)
+
+
+def test_ingest_id_assignment_is_distributed(spark, sf_dir):
+    """write_batch's ingest-sequence ids must come from the two-phase
+    prefix scan: a range-partitioned order shuffle, per-partition rank
+    windows, broadcast base offsets — never a bare Window.orderBy that
+    funnels the whole batch's object rollups through ONE task. The only
+    SinglePartition stage allowed is the per-partition totals prefix
+    (#partitions rows)."""
+    from watsondedupe_spark.engine import assign_ingest_ids
+
+    rolled = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy(F.col("doc_id").cast("string").alias("object_key"))
+        .agg(F.count("*").cast("long").alias("chunk_count"))
+    )
+    df = assign_ingest_ids(rolled, 100)
+    plan = P.physical_plan(df).lower()
+    assert "rangepartitioning" in plan  # parallel order shuffle
+    assert P.uses_broadcast_join(df)  # base offsets broadcast back
+    assert plan.count("singlepartition") <= 1  # only the totals prefix
+
+    # value contract: prev_max + 1-based object_key rank, deterministic
+    got = df.orderBy("id").select("object_key", "id").collect()
+    keys = sorted(r.object_key for r in got)
+    assert [r.object_key for r in got] == keys
+    assert [r.id for r in got] == list(range(101, 101 + len(keys)))

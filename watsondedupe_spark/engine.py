@@ -48,7 +48,6 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from watsondedupe_spark.chunking import ChunkSettings, chunk_objects
 from watsondedupe_spark.keys import validate_object_key
@@ -62,6 +61,37 @@ from watsondedupe_spark.schemas import (
 from watsondedupe_spark.store import IndexStore
 
 MAX_LIST_RESULTS = 100  # EnumerationResult.cs:60
+
+# list-form delete_batch returns GC'd chunk keys as a Python list only up
+# to this many keys; above it the GC set comes back as a DataFrame (same
+# contract as the distributed form), so a point-delete of a huge object
+# can never be abused into a driver-side million-key materialization
+GC_RETURN_CAP = 10_000
+
+
+def assign_ingest_ids(rolled: DataFrame, prev_max: int) -> DataFrame:
+    """Ingest-sequence ids (O16, DedupeLibrary.cs:233): ``prev_max`` +
+    the 1-based rank of ``object_key`` within the batch.
+
+    Uses the house two-phase distributed scan
+    (:func:`watsondedupe_spark.operators.text.global_prefix_sum` over a
+    column of ones) instead of a bare ``Window.orderBy`` — a global
+    no-partition window funnels every object row of the batch through
+    ONE task, which a bulk ``write_batch`` at scale (billions of object
+    rollups) cannot afford. Here the order shuffle is a range
+    repartition, the rank window is per-partition, and the only
+    single-point stage is the per-partition totals list (#partitions
+    rows). The result is deterministic: ids follow ``object_key`` order
+    regardless of where the sampled range boundaries land.
+    """
+    from watsondedupe_spark.operators.text import global_prefix_sum
+
+    seq = global_prefix_sum(
+        rolled.withColumn("_one", F.lit(1)), "object_key", "_one", out_col="_seq"
+    )
+    return seq.withColumn(
+        "id", (F.lit(int(prev_max)) + F.col("_seq") + 1).cast("long")
+    ).drop("_one", "_seq")
 
 
 class DuplicateKeyError(ValueError):
@@ -364,15 +394,15 @@ class DedupeEngine:
             prev_max = self.store.table_meta("objects").get("max_id")
             if prev_max is None:
                 prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
-            w = Window.orderBy("object_key")  # deterministic intra-batch sequence
+            rolled = chunk_rows.groupBy("object_key").agg(
+                F.sum("length").cast("long").alias("original_length"),
+                F.sum("length").cast("long").alias("comp_length"),
+                F.count("*").cast("long").alias("chunk_count"),
+            )
+            # deterministic intra-batch sequence, assigned distributed
+            # (two-phase prefix scan — no single-task global window)
             new_objects = (
-                chunk_rows.groupBy("object_key")
-                .agg(
-                    F.sum("length").cast("long").alias("original_length"),
-                    F.sum("length").cast("long").alias("comp_length"),
-                    F.count("*").cast("long").alias("chunk_count"),
-                )
-                .withColumn("id", (F.lit(prev_max) + F.row_number().over(w)).cast("long"))
+                assign_ingest_ids(rolled, prev_max)
                 .withColumn("created_utc", F.lit(created_utc))
                 .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
             )
@@ -544,8 +574,10 @@ class DedupeEngine:
 
     # -- delete + GC (O18/O19) ---------------------------------------------------
 
-    def delete(self, key: str) -> list[str]:
-        """O19: cascading delete; returns GC'd chunk keys."""
+    def delete(self, key: str) -> "list[str] | DataFrame":
+        """O19: cascading delete; returns GC'd chunk keys (as a
+        DataFrame instead of a list when the object GCs more than
+        ``GC_RETURN_CAP`` chunks — see :meth:`delete_batch`)."""
         if not self.exists(key):
             raise ObjectNotFoundError(key)
         return self.delete_batch([key])
@@ -560,11 +592,15 @@ class DedupeEngine:
 
         ``keys`` is either a Python list (point deletes: ``isin`` pushes
         the key filter into every table scan, and the GC'd chunk keys
-        come back as a list, reference-faithful) or a single-column
-        ``object_key`` DataFrame (bulk deletes: every key-set operation
-        is a semi/anti JOIN and the GC set comes back as a DataFrame —
-        nothing key-shaped ever materializes on the driver, which is
-        what a millions-of-keys replace at 100 TB requires).
+        come back as a list, reference-faithful — but only up to
+        ``GC_RETURN_CAP`` keys; a larger GC set comes back as a
+        DataFrame, matching the distributed form's contract, so a
+        point delete of a huge object never materializes a million-key
+        list on the driver) or a single-column ``object_key`` DataFrame
+        (bulk deletes: every key-set operation is a semi/anti JOIN and
+        the GC set comes back as a DataFrame — nothing key-shaped ever
+        materializes on the driver, which is what a millions-of-keys
+        replace at 100 TB requires).
         """
         if isinstance(keys, DataFrame):
             return self._delete_batch_distributed(keys)
@@ -580,13 +616,20 @@ class DedupeEngine:
                 (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
             )
         )
-        gc_set = merged.filter(F.col("ref_count") < 1).select("chunk_key")
-        gc_keys = [r.chunk_key for r in gc_set.collect()]
+        # checkpoint pins the GC set before the commits flip manifests
+        # under it AND lets the take / anti-join / (possible) return all
+        # reuse one materialization
+        gc_set = (
+            merged.filter(F.col("ref_count") < 1)
+            .select("chunk_key")
+            .localCheckpoint(eager=True)
+        )
+        head = gc_set.take(GC_RETURN_CAP + 1)
 
         self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
         self.store.commit("object_map", self.object_map.filter(~key_col))
         self.store.commit("objects", self.objects.filter(~key_col))
-        if gc_keys:
+        if head:
             # anti-join, not isin(<collected list>): a mass delete can GC
             # millions of chunks, and a literal list that size would blow
             # the driver/plan — the distributed set difference doesn't
@@ -594,7 +637,9 @@ class DedupeEngine:
                 "chunk_store",
                 self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
             )
-        return gc_keys
+        if len(head) > GC_RETURN_CAP:
+            return gc_set
+        return [r.chunk_key for r in head]
 
     def _delete_batch_distributed(self, keys_df: DataFrame) -> DataFrame:
         """Join-based :meth:`delete_batch`: the key set and the GC set

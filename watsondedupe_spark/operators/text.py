@@ -213,7 +213,9 @@ def passage_chunks(
     Registered/oracled as ``docs_passage_chunks`` (w=64, s=48).
     """
     if not 0 < stride <= window:
-        raise ValueError(f"need 0 < stride <= window, got {stride} > {window}")
+        raise ValueError(
+            f"need 0 < stride <= window, got stride={stride}, window={window}"
+        )
     w, s = window, stride
     tok = df.select(
         F.col(id_col), F.split(text_col, " ").alias("t")

@@ -34,6 +34,14 @@ def _ship_package(spark: SparkSession) -> None:
     an externally supplied default session may not). Zipping the package
     and ``addPyFile``-ing it works after context creation and makes the
     contract self-contained.
+
+    The zip lands at one deterministic per-user temp path, overwritten
+    in place (atomic rename), so repeated sessions reuse the slot
+    instead of leaking a mkdtemp dir per SparkContext. Caveat:
+    ``addPyFile`` cannot refresh modules a live Python worker has
+    already imported — a long-lived foreign session that ran a stale
+    copy keeps it until its workers recycle
+    (``spark.python.worker.reuse=false`` or a fresh context).
     """
     sc = spark.sparkContext
     if getattr(sc, "_wds_pkg_shipped", False):
@@ -43,13 +51,17 @@ def _ship_package(spark: SparkSession) -> None:
 
     root = os.path.dirname(os.path.abspath(__file__))
     pkg = os.path.join(root, "watsondedupe_spark")
-    zpath = os.path.join(tempfile.mkdtemp(prefix="wds_pkg_"), "watsondedupe_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
+    slot = os.path.join(tempfile.gettempdir(), f"wds_pkg_{os.getuid()}")
+    os.makedirs(slot, exist_ok=True)
+    zpath = os.path.join(slot, "watsondedupe_spark.zip")
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
         for dirpath, _, files in os.walk(pkg):
             for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, root))
+    os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     sc._wds_pkg_shipped = True
 

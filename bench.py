@@ -7,8 +7,12 @@ ingest throughput measurement. Each query is fully materialized
 timed as the minimum of two steady-state runs — the first (cold) run
 of each plan pays JVM whole-stage-codegen compilation, which a
 long-running cluster amortizes to zero, and min-of-two suppresses
-one-off scheduler/GC spikes (BASELINE.md round-3 addendum); the
-cold-run total is still reported alongside.
+one-off scheduler/GC spikes (BASELINE.md round-3 addendum); the two
+ingest paths take min-of-THREE full fresh ingests. Every per-run sample
+(cold + steady, per query and per ingest) lands in BENCH_DETAIL.json
+next to this script, so a contended run is self-diagnosing — the
+printed line stays compact because the driver captures only the last
+2000 chars of output.
 """
 
 from __future__ import annotations
@@ -192,6 +196,7 @@ def main() -> None:
     # is amortized, exactly as it is on a real cluster.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}  # all steady samples, for the sidecar
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
@@ -204,39 +209,76 @@ def main() -> None:
             t0 = time.time()
             df = spec.spark(spark, sf_dir)
             n = df.count()
-            steady.append(time.time() - t0)
+            steady.append(round(time.time() - t0, 3))
             assert n >= 0
-        times[name] = round(min(steady), 3)
+        runs[name] = steady
+        times[name] = min(steady)
 
-    # same min-of-two jitter suppression for the two ingest paths (each
-    # sample is a full fresh ingest — nothing is reused between runs)
-    cdc_runs = [bench_cdc_ingest(spark, sf_dir) for _ in range(2)]
+    # ingest paths run min-of-THREE full fresh ingests (round-4: the one
+    # >2x row in the round-3 driver record was cdc_ingest on byte-identical
+    # code — host contention; three samples plus the per-run list below
+    # make a contended run self-diagnosing instead of gate-failing)
+    cdc_runs = [bench_cdc_ingest(spark, sf_dir) for _ in range(3)]
     ingest_sec, ingest_mb = min(cdc_runs)
     times["cdc_ingest"] = round(ingest_sec, 3)
-    eng_runs = [bench_engine_ingest(spark, sf_dir) for _ in range(2)]
+    eng_runs = [bench_engine_ingest(spark, sf_dir) for _ in range(3)]
     eng_sec, eng_mb = min(eng_runs)
     times["engine_ingest"] = round(eng_sec, 3)
     # bulk ingest reported as MB/s only (not in the headline total, which
     # regresses against the locked per-query baseline table)
     bulk_sec, bulk_mb = bench_engine_ingest(spark, sf_dir, repeat=200, n_objects=5000)
 
+    # streamed interval join: correctness-graded but untimed (a streamed
+    # replay pays ~7s of per-run engine fixed cost — two file-source
+    # streams, state store, micro-batch scheduling); recorded here as an
+    # informational metric so the engine floor is a tracked number
+    ij_sec = ij_rows = None
+    ij_spec = specs.get("events_interval_join_streamed")
+    if ij_spec is not None:
+        t0 = time.time()
+        ij_rows = ij_spec.spark(spark, sf_dir).count()
+        ij_sec = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "timing": "steady_state_min_of_2",
-                "first_run_total": round(sum(cold.values()), 3),
-                "sf": float(sf),
-                "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
-                "engine_ingest_mb_per_sec": round(eng_mb / eng_sec, 2) if eng_sec else None,
-                "engine_ingest_bulk_mb_per_sec": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "timing": "steady_state_min_of_2",
+            "sf": float(sf),
+            "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+            "engine_ingest_mb_per_sec": round(eng_mb / eng_sec, 2) if eng_sec else None,
+            "engine_ingest_bulk_mb_per_sec": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
+            "cdc_runs": [round(s, 2) for s, _ in cdc_runs],
+            "eng_runs": [round(s, 2) for s, _ in eng_runs],
+            "ij_stream_sec": ij_sec,
+            "ij_stream_rows": ij_rows,
+            "detail": "BENCH_DETAIL.json",
+        },
+        # compact separators: the driver records only the last 2000 chars
+        # of output, and the line must survive that window whole
+        separators=(",", ":"),
     )
+    # full per-run diagnostics go to a sidecar next to this script — the
+    # one printed line cannot fit 59 queries x (cold + 2 steady) samples
+    detail = {
+        "per_query_runs": runs,
+        "per_query_cold": cold,
+        "first_run_total": round(sum(cold.values()), 3),
+        "cdc_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in cdc_runs],
+        "engine_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in eng_runs],
+        "engine_bulk_sec_mb": [round(bulk_sec, 3), round(bulk_mb, 1)],
+        "interval_join_streamed": {"sec": ij_sec, "rows": ij_rows},
+        "sf": float(sf),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    if len(line) > 1950:
+        print(f"WARNING: bench line {len(line)} chars — nearing the "
+              "driver's 2000-char tail capture", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

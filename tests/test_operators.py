@@ -455,6 +455,54 @@ def test_connected_components_chain_converges(spark):
     assert len(rows) == n + 1
 
 
+def test_connected_components_star_parity(spark):
+    """The large-star/small-star variant must produce node-for-node the
+    same clusters as label propagation on cliques, chains, and a mixed
+    random graph (same min-reachable-id contract, singletons included)."""
+    import random as _random
+
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    rng = _random.Random(42)
+    cases = [
+        # clique + chain + isolated vertices
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)],
+        # duplicate/reversed/self edges must not confuse either variant
+        [(2, 1), (1, 2), (3, 3), (3, 4)],
+        # random sparse graph
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+    ]
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        nodes = spark.createDataFrame([(i,) for i in range(45)], "node long")
+        label = {
+            (r.node, r.cluster_id)
+            for r in connected_components(edges, nodes).collect()
+        }
+        star = {
+            (r.node, r.cluster_id)
+            for r in connected_components(edges, nodes, algorithm="star").collect()
+        }
+        assert star == label
+
+
+def test_connected_components_star_chain_rounds_logarithmic(spark):
+    """On a 1000-node chain (the crawl-splice shape), star CC must
+    converge in O(log d) rounds — label propagation would need ~1000."""
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "node long")
+    stats = {}
+    rows = connected_components(
+        edges, nodes, algorithm="star", stats=stats
+    ).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == n + 1
+    assert stats["rounds"] <= 15, stats  # ~log2(1000) + stability round
+
+
 def test_connected_components_durable_checkpoint_parity(spark, tmp_path):
     """checkpoint_dir switches localCheckpoint -> reliable checkpoint
     (executor-loss survival on a real cluster); the clusters must be

@@ -409,3 +409,13 @@ def test_ingest_id_assignment_is_distributed(spark, sf_dir):
     keys = sorted(r.object_key for r in got)
     assert [r.object_key for r in got] == keys
     assert [r.id for r in got] == list(range(101, 101 + len(keys)))
+
+
+def test_series_knn_topk_is_take_ordered(spark, sf_dir):
+    """The exact top-k must be a distributed TakeOrderedAndProject
+    (per-partition heads merged), with the rank window running over only
+    the <=k survivors — never a bare global rank window that serializes
+    the whole per-user distance set through one task."""
+    df = q("events_series_knn", spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan

@@ -496,6 +496,8 @@ def connected_components(
     dst_col: str = "b",
     max_iterations: int = 50,
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -522,8 +524,10 @@ def connected_components(
     (HDFS/S3 on a real cluster) uses reliable ``checkpoint``, which
     survives executor loss — on a 1000-executor run a lost executor
     would otherwise force recomputing the whole candidate pipeline mid-
-    iteration. The large-star/small-star variant remains the upgrade if
-    diameters get long.
+    iteration. For long-diameter graphs (chain-shaped crawl-splice
+    duplication), pass ``algorithm="star"`` — the alternating
+    large-star/small-star variant converges in O(log d) rounds instead
+    of O(d), with the same (node, cluster_id) result.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -532,6 +536,13 @@ def connected_components(
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        return _cc_star(
+            edges, nodes, node_col, src_col, dst_col, max_iterations, _pin, stats
+        )
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
 
     sym = _pin(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -545,7 +556,9 @@ def connected_components(
         .join(all_nodes, "node", "left_semi")  # dangling edge ids get no label
     )
     labels = _pin(touched.select("node", F.col("node").alias("label")))
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("node"))
@@ -564,6 +577,103 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("cluster_id")
+    )
+
+
+def _cc_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+    _pin,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC 2014).
+
+    Min-label propagation (:func:`connected_components`) needs O(graph
+    diameter) rounds; a chain of n spliced crawl shards (exactly the
+    shape ``docs_boundary_overlap`` detects) makes that O(n). Each
+    star round instead rewires edges toward the component minimum:
+
+    - **large-star** (per node u over its symmetric neighborhood):
+      connect every neighbor v > u to m = min(N(u) ∪ {u});
+    - **small-star** (per node u over its smaller-or-equal neighbors,
+      held canonically as (hi, lo) pairs): connect u and every lo
+      neighbor to m = min of that set.
+
+    Both are a single groupBy-join per round; the edge set monotonically
+    contracts toward stars rooted at each component's minimum in
+    O(log d) rounds, and the per-round shuffle stays bounded by the
+    CURRENT edge list (which only shrinks or stays, never fans out:
+    large-star emits one edge per (u, v>u) slot, small-star one per
+    (hi, lo) slot). Convergence = the canonical edge set is stable
+    (count + order-free hash sum, two cheap aggregates on the already-
+    pinned round output). Result contract is identical to the label
+    variant: (node, cluster_id = smallest reachable node id), isolated
+    vertices as singletons.
+    """
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    node_only = all_nodes  # dangling edge endpoints get no label, as in label-prop
+    # canonical undirected form: (hi, lo), self-loops dropped, deduped,
+    # endpoints restricted to the declared vertex set
+    canon = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .join(node_only.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        .join(node_only.withColumnRenamed("node", "lo"), "lo", "left_semi")
+        .distinct()
+    )
+    canon = _pin(canon)
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star over the symmetric adjacency
+        sym = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        nmin = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+        large = (
+            sym.join(nmin, "u")
+            .withColumn("m", F.least("u", "nmin"))
+            .filter(F.col("v") > F.col("u"))  # m <= u < v: always canonical
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over the canonical (hi, lo) orientation
+        smin = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(smin, "hi")
+        small = (
+            joined.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(joined.select("hi", F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        canon = _pin(small)
+        sig = canon.agg(
+            F.count("*").alias("n"),
+            # decimal sum: order-free and overflow-proof under ANSI mode
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged state is stars rooted at component minima; the groupBy
+    # min is a no-op then, and a safe fallback if max_iterations hit
+    labels = canon.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("label"))
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", F.col("node")).alias("cluster_id")
     )

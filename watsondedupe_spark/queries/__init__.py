@@ -77,12 +77,14 @@ _GRADING_PRIORITY = [
     "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_semantic_dedup",
     "events_user_hll_by_type", "docs_minhash_accuracy",
     "cdc_chunk_index", "cdc_chunk_index_segmented", "emb_ann_topk_pq",
-    # newly built/oracled this round, never driver-graded (9)
+    # newly built/oracled round 3, first driver-graded then (9)
     "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
     "emb_ann_topk_ivfpq", "docs_passage_chunks",
     "events_interval_join_streamed", "docs_leakage_safe_split",
     "docs_canonical_per_cluster", "docs_boundary_overlap",
     "docs_dup_gram_ratio",
+    # newly built/oracled round 4, never driver-graded
+    "multimodal_wav_roundtrip",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,

@@ -415,6 +415,69 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_roundtrip",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(100 + doc_id % 900 AS BIGINT) AS n_samples,
+       CAST(100 + doc_id % 900 AS DOUBLE) / (8000 + (doc_id % 5) * 4000)
+           AS duration_s
+FROM documents
+""",
+    doc="the REAL audio decode path, graded end to end (the WAV sibling "
+    "of multimodal_png_roundtrip): every document synthesizes a valid "
+    "PCM RIFF/WAVE stream — fmt chunk, an odd-sized junk LIST chunk "
+    "(exercises the parser's word-alignment skip), then a data chunk "
+    "sized by closed forms of doc_id — the default decoder walks the "
+    "chunk list back out, and the oracle recomputes the closed forms. "
+    "A decoder that misreads little-endian fields, skips chunks "
+    "wrongly, or miscomputes block_align hash-mismatches; duration is "
+    "one IEEE double divide, bit-identical across engines. Synthesis "
+    "and decode are one fused Arrow pass each; payloads never shuffle.",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.multimodal import decode_audio, wrap_media
+
+    def _make(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 5) * 4000
+                channels = 1 + did % 2
+                n_samples = 100 + did % 900
+                block_align = 2 * channels  # 16-bit PCM
+                fmt = struct.pack(
+                    "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+                )
+                junk = b"INFOx"  # odd size -> parser must pad to word
+                data = bytes(n_samples * block_align)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(_make, schema="doc_id long, payload binary")
+    )
+    media = wrap_media(wavs, "payload", "audio/wav", "doc_id")
+    return decode_audio(media).select(
+        "id", "sample_rate", "n_channels", "n_samples", "duration_s"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,
     doc="multimodal frame sampling: binary 'video' payloads explode into "

@@ -85,8 +85,12 @@ HAVING COUNT(DISTINCT s.sh) >= {_CONTAM_MIN_SHARED}
     "the per-doc COUNT(DISTINCT) shuffle. Train docs sharing >= 3 "
     "distinct shingles with the benchmark are flagged. Shingles are "
     "compared as the house 60-bit md5 ints (same derivation on both "
-    "engines, so collisions — vanishingly rare — are identical and the "
-    "oracle stays hash-exact): the broadcast ships 8-byte keys instead "
+    "engines, so collisions are identical and the oracle stays "
+    "hash-exact; a collision can merge two distinct shingles and "
+    "undercount n_shared at the >=3 threshold, but at p ~ 2^-60 per "
+    "pair that is ~n^2/2^61 expected merges — immaterial below "
+    "~billions of distinct shingles; widen to the full 128-bit digest "
+    "if exactness ever matters): the broadcast ships 8-byte keys instead "
     "of raw n-gram strings and the join compares longs, which is the "
     "form that matters when the benchmark set is millions of shingles. "
     "At 100 TB the benchmark set is MBs — the corpus is never shuffled, "

@@ -824,11 +824,14 @@ def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q))
         .select("user_id", d2.alias("d2"))
     )
+    # distributed TakeOrdered (per-partition top-k merged on the driver
+    # side of the exchange), NOT a bare global rank window — the window
+    # form serializes the whole per-user distance set through one task;
+    # the rank window then runs over only the <=k survivors
+    topk = dist.orderBy("d2", "user_id").limit(_SERIES_K)
     w = Window.orderBy("d2", "user_id")
-    return (
-        dist.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _SERIES_K)
-        .select("user_id", F.col("d2").cast("double").alias("dist2"), "rank")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "user_id", F.col("d2").cast("double").alias("dist2"), "rank"
     )
 
 

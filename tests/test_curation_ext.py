@@ -366,6 +366,58 @@ def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):
         assert [r.adist for r in rs] == sorted(r.adist for r in rs)
 
 
+def test_ivfpq_refined_exact_distances_and_recall(spark, sf_dir):
+    """The refine stage must (a) return EXACT quantized squared-L2
+    distances for every returned pair (checked against a direct numpy
+    recomputation from the raw vectors) and (b) never lose recall vs
+    the unrefined ADC ranking against exact search over the same probed
+    candidate pool — re-ranking a superset shortlist by the true metric
+    can only fix ADC mis-orderings, not introduce them."""
+    import numpy as np
+
+    from watsondedupe_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ann_topk_ivfpq_refined,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    k = 10
+    refined = ann_topk_ivfpq_refined(
+        emb, q, k=k, refine=4, n_centroids=16, n_probe=4, quantize=1000
+    ).collect()
+    plain = ann_topk_ivfpq(
+        emb, q, k=k, n_centroids=16, n_probe=4, quantize=1000
+    ).collect()
+
+    vecs = {
+        r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    # (a) exactness of every refined distance
+    for r in refined:
+        d = vecs[r.query_id] - vecs[r.neighbor_id]
+        assert r.d2 == int((d * d).sum()), (r.query_id, r.neighbor_id)
+
+    # (b) per query: the refined top-k true distances are a pointwise
+    # lower-or-equal set vs the plain-ADC top-k's true distances
+    def true_d2(qid, nid):
+        d = vecs[qid] - vecs[nid]
+        return int((d * d).sum())
+
+    by_q_r, by_q_p = {}, {}
+    for r in refined:
+        by_q_r.setdefault(r.query_id, []).append(true_d2(r.query_id, r.neighbor_id))
+    for r in plain:
+        by_q_p.setdefault(r.query_id, []).append(true_d2(r.query_id, r.neighbor_id))
+    for qid in by_q_p:
+        rr, pp = sorted(by_q_r[qid]), sorted(by_q_p[qid])
+        assert len(rr) == len(pp) == k
+        assert all(a <= b for a, b in zip(rr, pp)), qid
+
+
 def test_pq_encode_keep_cols_passthrough(spark, sf_dir):
     from watsondedupe_spark.operators.similarity import pq_codebooks, pq_encode
 

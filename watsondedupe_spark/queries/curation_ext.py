@@ -492,10 +492,12 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(emb, q, k=10, quantize=1000)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_sims_cte() -> str:
     # composed from the IVF oracle's routing CTEs (engine_native) and the
     # PQ oracle's codebook CTEs above: both pipelines are exact int64
-    # arithmetic under floor(x*1000+0.5), so the composition is too
+    # arithmetic under floor(x*1000+0.5), so the composition is too.
+    # Ends at the `sims` CTE so the plain and exact-refined finals can
+    # share the whole probe+ADC derivation.
     from watsondedupe_spark.queries.engine_native import _IVF_CENT_KEY, _iq_cos_sql
 
     return f"""
@@ -562,11 +564,41 @@ sims AS (
     JOIN assign1 a ON a.vec_id = ch.vec_id
     JOIN probes p ON p.centroid_id = a.centroid_id AND ch.vec_id != p.query_id
     GROUP BY 1, 2
-)
+)"""
+
+
+def _ivfpq_oracle() -> str:
+    return _ivfpq_sims_cte() + """
 SELECT query_id, neighbor_id, adist, CAST(rnk AS INTEGER) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
       FROM sims)
 WHERE rnk <= 10
+"""
+
+
+def _ivfpq_refined_oracle(k: int = 10, refine: int = 4) -> str:
+    # same probe+ADC derivation; the final stages mirror the refine-at-
+    # query-time pattern: ADC shortlist of k*refine, exact quantized-L2
+    # re-rank over only those (query, candidate) pairs
+    return _ivfpq_sims_cte() + f""",
+shortlist AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+          FROM sims)
+    WHERE rnk <= {k * refine}
+),
+exact AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(list_reduce(list_transform(list_zip(qb.qv, nb.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), (acc, x) -> acc + x) AS BIGINT) AS d2
+    FROM shortlist s
+    JOIN base qb ON qb.vec_id = s.query_id
+    JOIN base nb ON nb.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, d2, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+      FROM exact)
+WHERE rnk <= {k}
 """
 
 
@@ -593,6 +625,32 @@ def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = emb.repartition(want)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return ann_topk_ivfpq(emb, q, k=10, n_centroids=16, n_probe=4, quantize=1000)
+
+
+@register(
+    "emb_ann_topk_ivfpq_refined",
+    _ivfpq_refined_oracle(k=10, refine=4),
+    doc="IVF-PQ with exact re-rank — the full production ANN recipe "
+    "(FAISS refine-at-query-time): ADC distances are lossy, so the "
+    "index returns a k*4 shortlist and only THOSE vectors' raw values "
+    "are fetched (broadcast semi-fetch out of one corpus scan — the "
+    "corpus never shuffles) and re-ranked by exact quantized squared "
+    "L2, computed JVM-side with zip_with/aggregate. The sublinear "
+    "probe+ADC cost is unchanged; the refine adds |q|*k*4 exact "
+    "distances. End to end int64-exact, so shortlist AND re-rank carry "
+    "one composed DuckDB oracle.",
+)
+def emb_ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ann_topk_ivfpq_refined
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_topk_ivfpq_refined(
+        emb, q, k=10, refine=4, n_centroids=16, n_probe=4, quantize=1000
+    )
 
 
 # ---------------------------------------------------------------------------

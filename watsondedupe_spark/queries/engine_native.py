@@ -479,20 +479,53 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,
-    doc="multimodal frame sampling: binary 'video' payloads explode into "
-    "bounded per-frame rows via Arrow-batched mapInPandas (splitter seam "
-    "is a deterministic fake; schema/fan-out contract is real).",
+    """
+WITH d AS (
+    SELECT doc_id, strlen(text) AS len
+    FROM documents WHERE doc_id % 7 = 0 AND strlen(text) > 0
+),
+s AS (
+    SELECT doc_id, len, GREATEST(1, len // 4) AS step FROM d
+),
+f AS (
+    SELECT doc_id, len, step,
+           unnest(generate_series(
+               0, LEAST(4, (len + step - 1) // step) - 1)) AS idx
+    FROM s
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(idx AS INT) AS frame_index,
+       CAST(idx * 500 AS BIGINT) AS frame_ts_ms,
+       CAST(LEAST((idx + 1) * step, len) - idx * step AS INT) AS frame_bytes
+FROM f
+""",
+    doc="multimodal frame sampling, graded end to end: binary 'video' "
+    "payloads (a deterministic 1-in-7 doc slice, UTF-8 text bytes) "
+    "explode into bounded per-frame rows via Arrow-batched mapInPandas. "
+    "The splitter seam is a deterministic fake (fixed-size byte slices "
+    "standing in for ffmpeg keyframe extraction) — which makes every "
+    "output column a CLOSED FORM of the payload byte length, so the "
+    "oracle recomputes the step/fan-out/slice arithmetic in SQL and a "
+    "splitter that mis-steps, over-fans, or drops tail bytes "
+    "hash-mismatches. The explode shape, timestamps, and bounded "
+    "fan-out are the real contract an ffmpeg drop-in inherits.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.multimodal import sample_frames, wrap_media
 
-    df = _docs(spark, sf_dir).limit(200).select(
+    # deterministic slice (not .limit(): row order off a parquet scan is
+    # not a contract either engine should be graded on)
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     media = wrap_media(df, "payload", "video/mp4", "doc_id")
     frames = sample_frames(media, every_ms=500, max_frames=4)
-    return frames.select("id", "frame_index", "frame_ts_ms", F.length("frame").alias("frame_bytes"))
+    return frames.select(
+        "id",
+        "frame_index",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.length("frame").alias("frame_bytes"),
+    )
 
 
 @register(

@@ -155,3 +155,139 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").cast("long").alias("n_sources"),
         )
     )
+
+
+# -- DSIR importance weights -------------------------------------------------
+
+#: hashed n-gram feature buckets (the paper uses 10k; 256 keeps the
+#: graded model table broadcast-tiny at any corpus size)
+_DSIR_B = 256
+#: fixed-point scale for the order-free integer score arithmetic
+_DSIR_SCALE = 10_000
+#: deterministic 1-in-13 doc slice plays the target distribution
+_DSIR_TARGET_MOD = 13
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(ts) AS g FROM toks
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM toks WHERE len(ts) >= 2
+),
+bk AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+    FROM grams
+),
+tot AS (
+    SELECT CAST(SUM(CASE WHEN doc_id % {_DSIR_TARGET_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dt,
+           CAST(SUM(CASE WHEN doc_id % {_DSIR_TARGET_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS dr
+    FROM bk
+),
+tcnt AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM bk
+    WHERE doc_id % {_DSIR_TARGET_MOD} = 0 GROUP BY b
+),
+rcnt AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS nr FROM bk
+    WHERE doc_id % {_DSIR_TARGET_MOD} <> 0 GROUP BY b
+),
+llr AS (
+    SELECT r.b,
+           ({_DSIR_SCALE} * (COALESCE(t.nt, 0) + 1) * (tot.dr + {_DSIR_B}))
+           // ((r.nr + 1) * (tot.dt + {_DSIR_B})) AS lq
+    FROM rcnt r LEFT JOIN tcnt t ON t.b = r.b CROSS JOIN tot
+),
+perdoc AS (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+    WHERE doc_id % {_DSIR_TARGET_MOD} <> 0 GROUP BY doc_id, b
+)
+SELECT p.doc_id,
+       CAST(SUM(p.c) AS BIGINT) AS n_grams,
+       CAST(SUM(p.c * l.lq) AS DOUBLE) / {_DSIR_SCALE} AS dsir_score
+FROM perdoc p JOIN llr l ON l.b = p.b
+GROUP BY p.doc_id
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    _DSIR_ORACLE,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed "
+    "unigram+bigram bag-of-ngrams models for a target slice (a "
+    "deterministic 1-in-13 doc slice stands in for the high-quality "
+    "target corpus) and the raw rest, then a per-document importance "
+    "score from the Laplace-smoothed per-bucket likelihood ratios. "
+    "Scoring arithmetic is the house order-free form: each bucket's "
+    "smoothed ratio is fixed-point-quantized by INTEGER division "
+    "(exact and identical on both engines), and the per-doc score is "
+    "an int64 dot product with ONE final double divide — the paper's "
+    "log-ratio form would drift in the last ulp across engines (same "
+    "reason docs_bm25_lite uses rational idf; the arithmetic-mean "
+    "ratio ranks near-identically at selection thresholds). Scale "
+    "shape: the model collapses to B=256 cells via partial "
+    "aggregation (one bounded shuffle each for target/raw counts), "
+    "ships as a broadcast literal table, and scoring is one per-doc "
+    "gram aggregation plus a broadcast join — the corpus is never "
+    "self-joined and the model build reads it once.",
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ts")
+    )
+    uni = toks.select("doc_id", F.explode("ts").alias("g"))
+    bi = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    bk = uni.unionByName(bi).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long") % _DSIR_B
+        ).alias("b"),
+    )
+    is_target = F.col("doc_id") % _DSIR_TARGET_MOD == 0
+    tot = bk.agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("dt"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("dr"),
+    )
+    tcnt = bk.filter(is_target).groupBy("b").agg(F.count("*").cast("long").alias("nt"))
+    rcnt = bk.filter(~is_target).groupBy("b").agg(F.count("*").cast("long").alias("nr"))
+    llr = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row totals
+        .select(
+            "b",
+            F.expr(
+                f"({_DSIR_SCALE} * (coalesce(nt, 0) + 1) * (dr + {_DSIR_B})) "
+                f"div ((nr + 1) * (dt + {_DSIR_B}))"
+            ).alias("lq"),
+        )
+    )
+    perdoc = (
+        bk.filter(~is_target)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        perdoc.join(F.broadcast(llr), "b")  # model table: <= B rows
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            (F.sum(F.col("c") * F.col("lq")).cast("double") / _DSIR_SCALE).alias(
+                "dsir_score"
+            ),
+        )
+    )

@@ -100,6 +100,13 @@ HEADLINE = [
     # docs_curation_funnel stays out of the timed set: it is a composite
     # of stages benchmarked individually above, and its one-shot run is
     # dominated by first-use codegen for ~15 plan stages
+    # round-4 additions: DSIR importance weights, IVF-PQ with exact
+    # re-rank, and the real WAV decode path. multimodal_frame_sample
+    # stays untimed (a trivial per-row fan-out — its cost is the Arrow
+    # channel floor already measured by the other mapInPandas entries)
+    "docs_dsir_weights",
+    "emb_ann_topk_ivfpq_refined",
+    "multimodal_wav_roundtrip",
 ]
 
 
@@ -240,25 +247,27 @@ def main() -> None:
         ij_sec = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # key names are compact on purpose (mbps = MB/s; cdc_runs/eng_runs =
+    # the min-of-three ingest samples; ij_* = the streamed interval
+    # join's untimed fixed cost): the driver records only the last 2000
+    # chars of output, and the line must survive that window whole —
+    # full verbose diagnostics live in BENCH_DETAIL.json
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
             "queries": times,
-            "timing": "steady_state_min_of_2",
+            "timing": "min2+ingest_min3",
             "sf": float(sf),
-            "cdc_ingest_mb_per_sec": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
-            "engine_ingest_mb_per_sec": round(eng_mb / eng_sec, 2) if eng_sec else None,
-            "engine_ingest_bulk_mb_per_sec": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
+            "cdc_mbps": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+            "eng_mbps": round(eng_mb / eng_sec, 2) if eng_sec else None,
+            "eng_bulk_mbps": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
             "cdc_runs": [round(s, 2) for s, _ in cdc_runs],
             "eng_runs": [round(s, 2) for s, _ in eng_runs],
             "ij_stream_sec": ij_sec,
             "ij_stream_rows": ij_rows,
-            "detail": "BENCH_DETAIL.json",
         },
-        # compact separators: the driver records only the last 2000 chars
-        # of output, and the line must survive that window whole
         separators=(",", ":"),
     )
     # full per-run diagnostics go to a sidecar next to this script — the

@@ -419,3 +419,29 @@ def test_series_knn_topk_is_take_ordered(spark, sf_dir):
     df = q("events_series_knn", spark, sf_dir)
     plan = P.physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_model_is_broadcast_with_partial_agg(spark, sf_dir):
+    """The DSIR bucket model (<= 256 rows) and the 1-row totals must
+    broadcast onto the per-doc scoring aggregation; the count builds
+    must partially aggregate (the map-side combine is what collapses a
+    100 TB gram stream to 256 cells per task)."""
+    df = q("docs_dsir_weights", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_ivfpq_refined_fetch_is_broadcast(spark, sf_dir):
+    """The refine stage must broadcast the bounded (query, candidate)
+    shortlist onto the corpus scan — the corpus itself never shuffles
+    for the exact re-rank, and nothing degenerates to a cartesian."""
+    df = q("emb_ann_topk_ivfpq_refined", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    assert not P.has_shuffle_join(df)
+    # the refine stage adds ZERO Python/Arrow passes on top of the plain
+    # IVF-PQ pipeline — its exact math is all JVM-side zip_with/aggregate
+    plain = q("emb_ann_topk_ivfpq", spark, sf_dir)
+    assert P.physical_plan(df).count("MapInPandas") == P.physical_plan(
+        plain
+    ).count("MapInPandas")

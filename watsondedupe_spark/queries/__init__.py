@@ -70,7 +70,7 @@ _GRADING_PRIORITY = [
     "grouping_sets_orders", "events_json_props",
     "approx_percentile_qty",
     "bloom_semi_revenue", "events_distinct_users_salted",
-    "docs_length_histogram", "docs_token_freq_cms", "docs_entity_mask",
+    "docs_token_freq_cms",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
     "docs_simhash", "docs_simhash_candidates", "emb_cosine_topk_float",
@@ -83,12 +83,13 @@ _GRADING_PRIORITY = [
     "events_interval_join_streamed", "docs_leakage_safe_split",
     "docs_canonical_per_cluster", "docs_boundary_overlap",
     "docs_dup_gram_ratio",
-    # newly built/oracled round 4, never driver-graded (the window's 4
-    # open slots; unpivot_part_measures — graded green r3, a static
-    # single-scan unpivot with near-zero regression risk — moved to the
-    # pad tier to make the fourth slot)
+    # newly built/oracled round 4, never driver-graded (to open the six
+    # slots, three static single-scan queries graded green in r3 with
+    # near-zero regression risk — unpivot_part_measures,
+    # docs_length_histogram, docs_entity_mask — moved to the pad tier)
     "multimodal_wav_roundtrip", "multimodal_frame_sample",
     "docs_dsir_weights", "emb_ann_topk_ivfpq_refined",
+    "docs_snapshot_diff", "docs_near_dup_filter_replay",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -98,6 +99,7 @@ _GRADING_PRIORITY = [
     "docs_minhash_pairs", "docs_jaccard_pairs", "docs_dup_clusters",
     "emb_knn_cosine", "docs_incremental_dedup", "docs_pack_sequences",
     "ddp_point_lookup", "ddp_coverage", "unpivot_part_measures",
+    "docs_length_histogram", "docs_entity_mask",
 ]
 
 

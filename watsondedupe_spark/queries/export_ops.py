@@ -291,3 +291,63 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- snapshot diff (corpus versioning audit) ---------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4
+),
+v2 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]' ELSE text END) AS h
+    FROM documents WHERE doc_id % 7 <> 6
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       v1.h AS old_hash, v2.h AS new_hash
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+"""
+
+
+@register(
+    "docs_snapshot_diff",
+    _SNAPDIFF_ORACLE,
+    doc="corpus snapshot diff — the versioning audit an incremental "
+    "pipeline reads before reprocessing: two snapshots (simulated here "
+    "as deterministic slices/mutations of the documents table) compare "
+    "by CONTENT hash per stable doc key, emitting only the delta rows "
+    "(added / removed / changed). The join ships 16-byte digests, "
+    "never text — at 100 TB the diff is one key-partitioned full-outer "
+    "join over (key, hash) pairs, so its shuffle is the key column "
+    "plus one digest per side regardless of document sizes, and the "
+    "unchanged majority is filtered before anything else reads it.",
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_parallel(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", F.md5("text").alias("old_hash")
+    )
+    v2 = docs.filter(F.col("doc_id") % 7 != 6).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 3, F.concat("text", F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("new_hash"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.filter(
+        F.col("old_hash").isNull()
+        | F.col("new_hash").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select("doc_id", status.alias("status"), "old_hash", "new_hash")

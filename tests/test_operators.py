@@ -631,3 +631,35 @@ def test_cosine_pairs_np_matches_brute_force(spark, sf_dir):
             if ids[i] < ids[j] and S[i, j] >= 0.40:
                 want[(ids[i], ids[j])] = S[i, j]
     assert got == want and len(got) > 0
+
+
+def test_pack_bestfit_invariants(spark, sf_dir):
+    """Best-fit-decreasing packing: every doc lands in exactly one bin,
+    no bin exceeds capacity, fills are consistent, bin ids are globally
+    dense, waste stays within the BFD bound (+1 underfull bin per
+    group), and the layout is deterministic across runs."""
+    from watsondedupe_spark.operators.text import pack_sequences_bestfit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capacity, groups = 256, 8
+    rows = pack_sequences_bestfit(docs, capacity, num_groups=groups).collect()
+
+    assert len(rows) == docs.count()
+    assert len({r.id for r in rows}) == len(rows)
+    fills: dict[int, int] = {}
+    for r in rows:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + min(r.n_tokens, capacity)
+    for r in rows:
+        assert r.bin_fill == fills[r.bin_id]
+        assert r.bin_fill <= capacity
+        assert r.truncated == (r.n_tokens > capacity)
+    assert set(fills) == set(range(len(fills)))  # dense global ids
+
+    total = sum(min(r.n_tokens, capacity) for r in rows)
+    lower = -(-total // capacity)
+    assert len(fills) <= (3 * lower) // 2 + groups
+
+    again = pack_sequences_bestfit(docs, capacity, num_groups=groups).collect()
+    assert sorted((r.id, r.bin_id) for r in again) == sorted(
+        (r.id, r.bin_id) for r in rows
+    )

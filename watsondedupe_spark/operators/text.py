@@ -238,3 +238,106 @@ def passage_chunks(
         F.size(ptoks).cast("long").alias("n_tokens"),
         F.md5(F.array_join(ptoks, " ")).alias("passage_hash"),
     )
+
+
+def pack_sequences_bestfit(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing (truncation-free bin layout,
+    cf. Ding et al. 2024, "Fewer Truncations Improve Language Modeling").
+
+    :func:`pack_sequences` lays documents end-to-end and CHOPS at
+    ``capacity`` (simple, zero padding, but splits documents across
+    training sequences). This operator instead bin-packs whole
+    documents into ``capacity``-token bins so no document is split:
+    docs are hash-assigned to ``num_groups`` independent groups, each
+    group runs classic best-fit-decreasing locally (sorted by
+    (n_tokens desc, id); each doc goes to the fullest open bin it fits,
+    ties to the lowest bin), and local bin ids rebase to global ones by
+    prefix-summing per-group bin counts (broadcast of ``num_groups``
+    rows). A document longer than ``capacity`` gets a bin of its own
+    with ``truncated = true``.
+
+    Scale shape: one shuffle (the group hash partition), one Arrow pass
+    per group for the sequential heuristic, one tiny aggregate for the
+    rebase. Per-group BFD is the standard distributed relaxation — BFD
+    uses at most ``11/9 OPT + 1`` bins per group, and groups only add
+    one potentially-underfull final bin each, so waste is bounded by
+    ``num_groups`` bins regardless of corpus size. Deterministic for a
+    fixed ``num_groups``: group assignment, in-group order, and bin
+    choice are all pure functions of (id, n_tokens).
+
+    Returns (id, n_tokens, bin_id, bin_fill, truncated): ``bin_fill``
+    is the bin's total tokens (reported on every member row),
+    ``bin_id`` is globally unique and dense.
+    """
+    if capacity <= 0:
+        raise ValueError(f"need capacity > 0, got {capacity}")
+    spark = docs.sparkSession
+    if num_groups is None:
+        num_groups = spark.sparkContext.defaultParallelism
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (F.abs(F.xxhash64(F.col(id_col))) % num_groups).alias("grp"),
+    )
+
+    def _bfd(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["n_tokens", "id"], ascending=[False, True])
+        fills: list[int] = []  # fill per open bin, index = local bin id
+        out_bin, out_trunc = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > capacity:
+                out_bin.append(len(fills))
+                out_trunc.append(True)
+                fills.append(capacity)  # closed: nothing else fits
+                continue
+            # best fit: fullest bin with room; ties -> lowest bin id
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + n <= capacity and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += n
+            out_bin.append(best)
+            out_trunc.append(False)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "n_tokens": pdf["n_tokens"],
+                "grp": key[0],
+                "local_bin": out_bin,
+                "truncated": out_trunc,
+            }
+        )
+
+    packed = t.groupBy("grp").applyInPandas(
+        _bfd, schema="id long, n_tokens long, grp long, local_bin long, truncated boolean"
+    )
+    # rebase local bin ids to a dense global space: per-group bin counts
+    # prefix-summed (num_groups rows — driver-free, broadcast back)
+    counts = packed.groupBy("grp").agg((F.max("local_bin") + 1).alias("nb"))
+    bases = global_prefix_sum(counts, "grp", "nb", out_col="base", num_partitions=1)
+    withbin = packed.join(F.broadcast(bases.select("grp", "base")), "grp").select(
+        "id",
+        "n_tokens",
+        (F.col("base") + F.col("local_bin")).cast("long").alias("bin_id"),
+        "truncated",
+    )
+    wfill = Window.partitionBy("bin_id")
+    return withbin.select(
+        "id",
+        "n_tokens",
+        "bin_id",
+        F.sum(F.least(F.col("n_tokens"), F.lit(capacity))).over(wfill).cast("long").alias("bin_fill"),
+        "truncated",
+    )

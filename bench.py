@@ -108,6 +108,14 @@ HEADLINE = [
     "emb_ann_topk_ivfpq_refined",
     "multimodal_wav_roundtrip",
     "docs_snapshot_diff",
+    # round-4 batch 2: hybrid retrieval fusion, quality buckets, BPE
+    # pair scoring, winnowing fingerprints, dim stats, threshold sweep
+    "docs_hybrid_rrf",
+    "docs_quality_buckets",
+    "docs_bpe_pair_scores",
+    "docs_winnowing",
+    "emb_dim_stats",
+    "docs_dedup_threshold_sweep",
     # docs_near_dup_filter_replay stays untimed for the streamed-replay
     # reason: four serial micro-batch commits against parquet state
     # stores are ~13s of fixed sequencing cost at sf0.1, dwarfing the

@@ -1,0 +1,248 @@
+"""Semantics + plan-shape tests for the round-4 batch-2 operators
+(queries/retrieval_ext.py): hybrid RRF retrieval, CCNet quality
+buckets, BPE pair scoring, winnowing fingerprints, embedding dim
+stats, and the dedup threshold sweep."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark import plans as P
+from watsondedupe_spark.queries import all_queries
+
+
+def q(name, spark, sf_dir):
+    return all_queries()[name].spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_rank_and_score_contract(spark, sf_dir):
+    rows = q("docs_hybrid_rrf", spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100  # at most 2 x top-K candidates
+    by_id = {r.doc_id: r for r in rows}
+    # every row carries at least one arm's rank, and each rank set is a
+    # prefix of 1..K without gaps or duplicates
+    lex = sorted(r.lex_rnk for r in rows if r.lex_rnk is not None)
+    sem = sorted(r.sem_rnk for r in rows if r.sem_rnk is not None)
+    assert lex == list(range(1, len(lex) + 1))
+    assert sem == list(range(1, len(sem) + 1))
+    for r in rows:
+        assert r.lex_rnk is not None or r.sem_rnk is not None
+        want = (1.0 / (60 + r.lex_rnk) if r.lex_rnk is not None else 0.0) + (
+            1.0 / (60 + r.sem_rnk) if r.sem_rnk is not None else 0.0
+        )
+        assert r.rrf == want
+    # a doc ranked by both arms must outscore a doc ranked only at the
+    # same position in one arm
+    both = [r for r in rows if r.lex_rnk is not None and r.sem_rnk is not None]
+    for r in both:
+        solo = [
+            s
+            for s in rows
+            if s.doc_id != r.doc_id
+            and s.sem_rnk is None
+            and s.lex_rnk is not None
+            and s.lex_rnk >= r.lex_rnk
+        ]
+        for s in solo:
+            assert r.rrf > s.rrf
+
+
+def test_hybrid_rrf_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """Candidate generation must be distributed TakeOrdered; the rank
+    windows run over the <=K survivors only. The probe vector and the
+    corpus stats broadcast."""
+    df = q("docs_hybrid_rrf", spark, sf_dir)
+    plan = P.physical_plan(df)
+    # one TakeOrdered per arm (formatted plans list nodes twice —
+    # tree + detail — so two operators appear as four mentions)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # corpus stats and the probe vector are 1-row broadcast builds
+    # (BroadcastNestedLoopJoin with no condition — not a hash join)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the fusion join runs over <= 2K rank rows, never corpus-sized
+    assert "Join type: FullOuter" in plan
+
+
+# ---------------------------------------------------------------------------
+# quality buckets
+# ---------------------------------------------------------------------------
+
+
+def test_quality_buckets_are_per_lang_tertiles(spark, sf_dir):
+    rows = q("docs_quality_buckets", spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r.bucket == b) for b in (1, 2, 3)}
+        # ntile: bucket sizes differ by at most one, head first
+        assert max(sizes.values()) - min(v for v in sizes.values() if v or True) <= 1
+        # head docs score >= tail docs within the language
+        head = [r.avg_token_freq for r in rs if r.bucket == 1]
+        tail = [r.avg_token_freq for r in rs if r.bucket == 3]
+        if head and tail:
+            assert min(head) >= max(tail)
+        tiers = {r.bucket: r.tier for r in rs}
+        assert all(
+            tiers[b] == t for b, t in ((1, "head"), (2, "middle"), (3, "tail")) if b in tiers
+        )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair scores
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_scores_on_crafted_corpus(spark, tmp_path):
+    """'low lower lowest' x known frequencies: pair counts must equal
+    hand-computed adjacent-pair totals weighted by word frequency."""
+    docs = spark.createDataFrame(
+        [
+            (0, "low low lower", "en", "s", 13),
+            (1, "low lowest", "en", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.pair: (r.pair_count, r.n_types)
+        for r in q("docs_bpe_pair_scores", spark, str(tmp_path)).collect()
+    }
+    # freq: low=3, lower=1, lowest=1
+    # 'lo': 3+1+1=5 from 3 types; 'ow': same; 'we': lower+lowest=2 (2 types)
+    assert out["lo"] == (5, 3)
+    assert out["ow"] == (5, 3)
+    assert out["we"] == (2, 2)
+    assert out["er"] == (1, 1)
+    assert out["st"] == (1, 1)
+
+
+def test_bpe_pair_scores_vocab_bounded_shuffle(spark, sf_dir):
+    # the pair explode must run on the distinct-word table (vocab), not
+    # the raw token stream; partial aggregation collapses map-side
+    df = q("docs_bpe_pair_scores", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert "TakeOrderedAndProject" in P.physical_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_on_shared_substring(spark, tmp_path):
+    """Two docs sharing a long substring must share a fingerprint
+    (the winnowing guarantee: any match of length >= k+w-1 = 11 is
+    caught); a doc with disjoint content must not share its prints."""
+    shared = "abcdefghijklmnopqrstuv"  # 22 chars of common text
+    docs = spark.createDataFrame(
+        [
+            (0, "XXX" + shared + "YYY", "en", "s", 28),
+            (1, "QQQQ" + shared + "ZZ", "en", "s", 28),
+            (2, "0123456789" * 3, "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q("docs_winnowing", spark, str(tmp_path)).collect()
+    prints = {}
+    for r in rows:
+        prints.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert prints[0] & prints[1], "shared substring must share a fingerprint"
+    assert not (prints[0] & prints[2])
+    assert not (prints[1] & prints[2])
+
+
+def test_winnowing_selects_every_window_min(spark, tmp_path):
+    """Brute-force reference on one small doc: the distinct set of
+    per-window (min-hash, leftmost-pos) picks must match exactly."""
+    import hashlib
+
+    text = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    k, w, base = 8, 4, 1 << 20
+    n_grams = len(text) - k + 1
+    combs = []
+    for p in range(1, n_grams + 1):
+        gram = text[p - 1 : p - 1 + k]
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:10], 16)
+        combs.append(h * base + p)
+    want = set()
+    for s in range(n_grams - w + 1):
+        fp = min(combs[s : s + w])
+        want.add((fp % base, fp // base))
+    got = {
+        (r.sel_pos, r.gram_hash)
+        for r in q("docs_winnowing", spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+def test_winnowing_no_global_sort(spark, sf_dir):
+    # per-doc windows only: no single-partition exchange anywhere
+    df = q("docs_winnowing", spark, sf_dir)
+    plan = P.physical_plan(df).lower()
+    assert "singlepartition" not in plan
+    assert not P.has_cartesian(df)
+
+
+# ---------------------------------------------------------------------------
+# dim stats
+# ---------------------------------------------------------------------------
+
+
+def test_dim_stats_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    mat = np.floor(np.array([r.embedding for r in emb], dtype="float64") * 1000 + 0.5)
+    rows = q("emb_dim_stats", spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        col = mat[:, r.dim - 1]
+        assert r.n_vecs == len(col)
+        assert r.min_q == int(col.min()) and r.max_q == int(col.max())
+        assert r.mean_q == pytest.approx(col.mean(), abs=1e-12)
+        assert r.var_q == pytest.approx(col.var(), rel=1e-12)
+
+
+def test_dim_stats_is_one_partial_agg(spark, sf_dir):
+    df = q("emb_dim_stats", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.shuffle_count(df) == 1  # one exchange on the 64-dim key
+
+
+# ---------------------------------------------------------------------------
+# threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_is_monotone_and_consistent(spark, sf_dir):
+    rows = {r.thr: r for r in q("docs_dedup_threshold_sweep", spark, sf_dir).collect()}
+    assert sorted(rows) == [50, 60, 70, 80, 90]
+    # raising the threshold can only shrink the curve
+    for lo, hi in zip([50, 60, 70, 80], [60, 70, 80, 90]):
+        assert rows[lo].n_pairs >= rows[hi].n_pairs
+        assert rows[lo].n_docs_dropped >= rows[hi].n_docs_dropped
+    for r in rows.values():
+        assert r.n_docs_dropped <= r.n_pairs
+    # cross-check one point against the graded jaccard query (>= 0.5
+    # pairs are a subset of its >= 0.4 output, exact integer condition)
+    jac = q("docs_jaccard_pairs", spark, sf_dir).collect()
+    n_50 = sum(1 for r in jac if r.jaccard >= 0.5)
+    assert rows[50].n_pairs == n_50
+
+
+def test_threshold_sweep_broadcasts_thresholds(spark, sf_dir):
+    df = q("docs_dedup_threshold_sweep", spark, sf_dir)
+    assert P.uses_broadcast_join(df) or not P.has_shuffle_join(df)
+    assert P.has_partial_aggregation(df)

@@ -63,12 +63,11 @@ _GRADING_PRIORITY = [
     "events_tumbling_streamed", "events_session_streamed",
     "emb_near_dup_pairs", "docs_top_quality_per_source",
     "docs_stratified_sample", "docs_bm25_lite",
-    "events_funnel_conversion", "events_cohort_retention",
-    "docs_lsh_levenshtein", "emb_knn_cosine_np", "events_daily_locf",
-    "events_user_zscore", "docs_curation_funnel", "events_series_knn",
-    "docs_dup_graph_stats", "approx_distinct_parts",
-    "grouping_sets_orders", "events_json_props",
-    "approx_percentile_qty",
+    "events_funnel_conversion",
+    "docs_lsh_levenshtein", "emb_knn_cosine_np",
+    "docs_curation_funnel", "events_series_knn",
+    "docs_dup_graph_stats",
+    "grouping_sets_orders",
     "bloom_semi_revenue", "events_distinct_users_salted",
     "docs_token_freq_cms",
     "docs_heavy_hitters", "docs_lm_quality",
@@ -90,6 +89,15 @@ _GRADING_PRIORITY = [
     "multimodal_wav_roundtrip", "multimodal_frame_sample",
     "docs_dsir_weights", "emb_ann_topk_ivfpq_refined",
     "docs_snapshot_diff", "docs_near_dup_filter_replay",
+    # round-4 batch 2, never driver-graded (retrieval_ext: hybrid RRF
+    # retrieval, CCNet quality buckets, BPE pair scoring, winnowing
+    # fingerprints, embedding dim stats, dedup threshold sweep). To open
+    # these six slots, six STATIC r3-green single-shape queries moved to
+    # the pad tier: events_cohort_retention, events_daily_locf,
+    # events_user_zscore, approx_distinct_parts, approx_percentile_qty,
+    # events_json_props — none touch helpers changed this round
+    "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
+    "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -100,6 +108,8 @@ _GRADING_PRIORITY = [
     "emb_knn_cosine", "docs_incremental_dedup", "docs_pack_sequences",
     "ddp_point_lookup", "ddp_coverage", "unpivot_part_measures",
     "docs_length_histogram", "docs_entity_mask",
+    "events_cohort_retention", "events_daily_locf", "events_user_zscore",
+    "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
 ]
 
 
@@ -116,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_ext,
         relational,
         relational_ext,
+        retrieval_ext,
         scale_ops,
         tpch_full,
     )

@@ -246,3 +246,30 @@ def test_threshold_sweep_broadcasts_thresholds(spark, sf_dir):
     df = q("docs_dedup_threshold_sweep", spark, sf_dir)
     assert P.uses_broadcast_join(df) or not P.has_shuffle_join(df)
     assert P.has_partial_aggregation(df)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_matches_direct_comparison(spark, sf_dir):
+    """The audit's recall must equal a hand comparison of the two
+    constituent (already-graded) queries' outputs."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q("emb_knn_cosine", spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q("emb_ann_topk_lsh", spark, sf_dir).collect()
+    }
+    rows = q("emb_ann_recall_audit", spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {p[0] for p in exact}
+    for r in rows:
+        e = {n for qq, n in exact if qq == r.query_id}
+        a = {n for qq, n in approx if qq == r.query_id}
+        assert r.n_exact == len(e)
+        assert r.n_hits == len(e & a)
+        assert r.recall == pytest.approx(len(e & a) / len(e))
+        assert 0.0 <= r.recall <= 1.0

@@ -68,7 +68,7 @@ _GRADING_PRIORITY = [
     "docs_curation_funnel", "events_series_knn",
     "docs_dup_graph_stats",
     "grouping_sets_orders",
-    "bloom_semi_revenue", "events_distinct_users_salted",
+    "events_distinct_users_salted",
     "docs_token_freq_cms",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
@@ -95,9 +95,11 @@ _GRADING_PRIORITY = [
     # these six slots, six STATIC r3-green single-shape queries moved to
     # the pad tier: events_cohort_retention, events_daily_locf,
     # events_user_zscore, approx_distinct_parts, approx_percentile_qty,
-    # events_json_props — none touch helpers changed this round
+    # events_json_props, bloom_semi_revenue — none touch helpers
+    # changed this round
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
+    "emb_ann_recall_audit",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -110,6 +112,7 @@ _GRADING_PRIORITY = [
     "docs_length_histogram", "docs_entity_mask",
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
+    "bloom_semi_revenue",
 ]
 
 

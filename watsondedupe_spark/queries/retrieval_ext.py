@@ -19,7 +19,10 @@ integer threshold comparisons instead of float ones):
   audit run before training retrievers);
 - near-dup threshold sweep: pair/doc-drop counts at several Jaccard
   cutoffs in ONE pass over the candidate pairs (the tuning curve that
-  decides a dedup threshold before committing to a 100 TB run).
+  decides a dedup threshold before committing to a 100 TB run);
+- ANN recall audit: recall@k of the LSH-bucketed approximate top-k
+  against the exact quantized-cosine top-k — the accuracy contract a
+  100 TB deployment checks on a sample before trusting the index.
 
 Reference parity: none of these exist in WatsonDedupe (SURVEY.md §2.2);
 they extend the LLM-pipeline surface the same way ``pipeline_ext`` and
@@ -32,8 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries import _REGISTRY, register
 from watsondedupe_spark.queries.curation_ext import _icos_sql
+
+# imported for registration side effects: the recall audit composes the
+# already-registered exact-kNN and LSH-ANN oracles (alphabetical import
+# order in all_queries() guarantees both precede this module anyway;
+# the explicit imports make the dependency local and order-proof)
+from watsondedupe_spark.queries import engine_native  # noqa: F401  (emb_ann_topk_lsh)
 from watsondedupe_spark.queries.llm_pipeline import (
     _SHINGLES_SQL,
     _docs,
@@ -543,5 +552,59 @@ def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.when(passes, F.col("doc_b"))).cast("long").alias(
                 "n_docs_dropped"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: approximate top-k vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    exact_sql = _REGISTRY["emb_knn_cosine"].oracle
+    approx_sql = _REGISTRY["emb_ann_topk_lsh"].oracle
+    return f"""
+WITH exact_q AS (SELECT query_id, neighbor_id FROM ({exact_sql}) x),
+approx_q AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({approx_sql}) y)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM exact_q e
+LEFT JOIN approx_q a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "emb_ann_recall_audit",
+    _recall_oracle(),
+    doc="ANN accuracy contract: recall@10 of the LSH-bucketed "
+    "approximate top-k (emb_ann_topk_lsh) against the exact quantized-"
+    "cosine top-k (emb_knn_cosine), per query — the audit a deployment "
+    "runs on a query sample before trusting an approximate index at "
+    "100 TB (and re-runs when the corpus drifts). Both arms are the "
+    "already-graded plans; the audit itself joins two <= Qxk row sets "
+    "(bounded by the query sample, never corpus-sized), so its cost is "
+    "the two index probes. Composes the constituent queries' own "
+    "oracles, so the graded contract covers the COMPARISON, not just "
+    "each arm.",
+)
+def emb_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.engine_native import emb_ann_topk_lsh
+    from watsondedupe_spark.queries.llm_pipeline import emb_knn_cosine
+
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = emb_ann_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
     )

@@ -307,15 +307,43 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
     "skew guard that keeps this plan alive at scale",
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Inverted-index formulation: one groupBy(shingle) produces the
-    # posting list per shingle; the stop-shingle cutoff (<= 50 docs)
-    # bounds each list so in-bucket pair expansion is row-local array
-    # math (<= C(50,2) pairs), never a self-join of the posting table.
-    # Three shuffles total: shingle, doc_id (sizes), (doc_a, doc_b) —
-    # collect_set fuses the per-doc shingle dedup into the posting-list
-    # aggregate, so the raw shingle stream never pays its own distinct()
-    # shuffle (duplicates only occur within one doc, which set-collection
-    # removes identically).
+    jac = F.col("n_common").cast("double") / F.col("un")
+    return (
+        jaccard_pair_stats_df(spark, sf_dir)
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+_PAIR_CACHE: dict[str, DataFrame] = {}
+
+
+def jaccard_pair_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram co-occurrence stats per candidate doc pair:
+    ``(doc_a, doc_b, n_common, un)`` with ``un`` the union size — the
+    shared substrate of every exact-Jaccard consumer (the >=0.4 pair
+    query, the threshold sweep, ad-hoc audits).
+
+    Inverted-index formulation: one groupBy(shingle) produces the
+    posting list per shingle; the stop-shingle cutoff (<= 50 docs)
+    bounds each list so in-bucket pair expansion is row-local array
+    math (<= C(50,2) pairs), never a self-join of the posting table.
+    Three shuffles total: shingle, doc_id (sizes), (doc_a, doc_b) —
+    collect_set fuses the per-doc shingle dedup into the posting-list
+    aggregate, so the raw shingle stream never pays its own distinct()
+    shuffle (duplicates only occur within one doc, which set-collection
+    removes identically).
+
+    CACHED per (session, sf_dir), like ``minhash_sig_df``: the pair
+    table is tiny (bounded by the candidate count), and at scale a
+    corpus build materializes it once and reads it from every
+    threshold/tuning/verify pass instead of re-shuffling the shingle
+    stream per consumer.
+    """
+    ck = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    hit = _PAIR_CACHE.get(ck)
+    if hit is not None:
+        return hit
     sh = shingles_df(spark, sf_dir, distinct=False)
     buckets = (
         sh.groupBy("shingle")
@@ -346,13 +374,19 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-    return (
+    out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.4)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")).alias("un"),
+        )
+        .cache()
     )
+    _PAIR_CACHE[ck] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

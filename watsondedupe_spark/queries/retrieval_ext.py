@@ -49,7 +49,7 @@ from watsondedupe_spark.queries.llm_pipeline import (
     _docs_parallel,
     _emb,
     _quant_vec,
-    shingles_df,
+    jaccard_pair_stats_df,
 )
 from watsondedupe_spark.queries.pipeline_ext import (
     _BM25_TERMS,
@@ -510,38 +510,11 @@ FROM j CROSS JOIN thr t GROUP BY t.thr
     "100 TB dedup run.",
 )
 def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles_df(spark, sf_dir, distinct=False)
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= _STOP_SHINGLE_MAX)
-    )
-    sizes = (
-        buckets.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("sz"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ds") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ds") - 1),
-                lambda j: F.struct(F.get("ds", i).alias("a"), F.get("ds", j).alias("b")),
-            ),
-        )
-    )
-    inter = (
-        buckets.filter(F.size("ds") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_common", (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")).alias("un"))
-    )
+    # the pair substrate is the cached shared build (llm_pipeline.
+    # jaccard_pair_stats_df) — the sweep reads the same materialized
+    # candidate table docs_jaccard_pairs does instead of re-shuffling
+    # the shingle stream
+    j = jaccard_pair_stats_df(spark, sf_dir)
     thr = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "thr int")
     passes = F.col("n_common") * 100 >= F.col("thr") * F.col("un")
     return (

@@ -501,6 +501,8 @@ def ann_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ approximate top-k by asymmetric distance (ADC).
 
@@ -518,10 +520,24 @@ def ann_topk_pq(
     cell and every ADC score is an EXACT int64 sum — engine-independent
     (``adist`` comes back as BIGINT) and therefore DuckDB-oracle-able,
     the same scheme the IVF and near-dup paths use.
+
+    ``codebooks``/``codes`` accept a prebuilt index (see the query
+    layer's shared cache): a real deployment builds the code table once
+    per corpus and serves every query wave from it — passing both here
+    skips the codebook sample job and the encode pass entirely. A
+    ``codes`` table may carry extra columns (e.g. ``centroid_id`` from
+    an IVF-PQ build); the scorer reads only ``(id, codes)``.
     """
-    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    if (codebooks is None) != (codes is None):
+        raise ValueError("pass codebooks and codes together (a matched index)")
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    )
     sub = len(cbs[0][0])
-    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col, quantize=quantize)
+    if codes is None:
+        codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col, quantize=quantize)
 
     # per-query m x ks tables of exact subspace distances, driver-side
     # (ks*d ops per query) — small enough to ride in the closure
@@ -595,6 +611,9 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 1000,
+    cents: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the billion-vector index layout.
 
@@ -620,18 +639,31 @@ def ann_topk_ivfpq(
     and the whole pipeline carries a DuckDB oracle.
 
     Returns (query_id, neighbor_id, adist, rank); smaller adist = nearer.
+
+    ``cents``/``codebooks``/``codes`` accept a prebuilt index (``codes``
+    must carry ``centroid_id``): a deployment builds routing + codes
+    once per corpus, and every query wave pays only its probe joins —
+    passing all three skips the centroid sample, the corpus routing
+    pass, and the encode pass.
     """
     import numpy as np
     import pandas as pd
 
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign_np(corpus, cents, id_col, vec_col, n_probe=1, quantize=quantize)
-    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    prebuilt = (cents is not None, codebooks is not None, codes is not None)
+    if any(prebuilt) and not all(prebuilt):
+        raise ValueError("pass cents, codebooks and codes together (a matched index)")
+    if codes is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        assigned = ivf_assign_np(
+            corpus, cents, id_col, vec_col, n_probe=1, quantize=quantize
+        )
+        codebooks = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(
+            assigned, codebooks, id_col=id_col, vec_col=vec_col,
+            quantize=quantize, keep_cols=("centroid_id",),
+        )
+    cbs = codebooks
     sub = len(cbs[0][0])
-    codes = pq_encode(
-        assigned, cbs, id_col=id_col, vec_col=vec_col,
-        quantize=quantize, keep_cols=("centroid_id",),
-    )
 
     probes = ivf_assign_np(
         queries, cents, id_col, vec_col, n_probe=n_probe, quantize=quantize
@@ -701,6 +733,9 @@ def ann_topk_ivfpq_refined(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 1000,
+    cents: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with an exact re-rank stage — the full production ANN
     recipe (FAISS's ``IVFPQR`` / refine-at-query-time pattern).
@@ -725,6 +760,7 @@ def ann_topk_ivfpq_refined(
     shortlist = ann_topk_ivfpq(
         corpus, queries, k=k * refine, n_centroids=n_centroids, n_probe=n_probe,
         m=m, ks=ks, id_col=id_col, vec_col=vec_col, quantize=quantize,
+        cents=cents, codebooks=codebooks, codes=codes,
     ).select("query_id", "neighbor_id")
 
     def _quant(col):

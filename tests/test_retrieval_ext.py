@@ -249,6 +249,91 @@ def test_threshold_sweep_broadcasts_thresholds(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Reference BPE (Sennrich et al. 2016): dict-based, single process.
+    Greedy left-to-right merge application; argmax tiebreak (count DESC,
+    pair ASC) matches the operator's contract."""
+    vocab = {w: [*w] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w in vocab:
+            syms, out = vocab[w], []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark, tmp_path):
+    corpus = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest banana bandana"
+    )
+    docs = spark.createDataFrame(
+        [(0, corpus, "en", "s", len(corpus))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from watsondedupe_spark.operators.text import bpe_train, bpe_word_vocab
+
+    wf = {}
+    for w in corpus.split():
+        wf[w] = wf.get(w, 0) + 1
+    ref_merges, ref_vocab = _ref_bpe(wf, 8)
+
+    merges, final = bpe_train(bpe_word_vocab(docs), 8)
+    assert merges == ref_merges
+    got = {r.word: list(r.syms) for r in final.collect()}
+    assert got == ref_vocab
+    # every word reconstructs from its symbols
+    for w, syms in got.items():
+        assert "".join(syms) == w
+
+
+def test_bpe_segment_applies_trained_merges(spark):
+    from watsondedupe_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame([("lowest",), ("slower",)], "word string")
+    out = {
+        r.word: list(r.syms)
+        for r in bpe_segment(df, [("l", "o"), ("lo", "w"), ("e", "s")]).collect()
+    }
+    assert out["lowest"] == ["low", "es", "t"]
+    assert out["slower"] == ["s", "low", "e", "r"]
+
+
+def test_bpe_merge_round_overlap_semantics(spark, tmp_path):
+    """Runs of a doubled character merge at odd offsets only (greedy
+    left-to-right): 'aaaa' -> [aa, aa], 'aaa' -> [aa, a]."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa aa aaaa", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.word: r.syms for r in q("docs_bpe_merge_round", spark, str(tmp_path)).collect()}
+    assert out == {"aaaa": "aa aa", "aaa": "aa a", "aa": "aa"}
+
+
+# ---------------------------------------------------------------------------
 # ANN recall audit
 # ---------------------------------------------------------------------------
 

@@ -341,3 +341,130 @@ def pack_sequences_bestfit(
         F.sum(F.least(F.col("n_tokens"), F.lit(capacity))).over(wfill).cast("long").alias("bin_fill"),
         "truncated",
     )
+
+
+def bpe_word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word vocabulary with corpus frequencies and char-level symbol
+    arrays — the starting state of a BPE trainer (Sennrich et al. 2016).
+
+    The token stream collapses to distinct word types in ONE shuffle; all
+    subsequent merge rounds operate on this vocab-bounded table, so a
+    100 TB corpus is scanned exactly once no matter how many merges are
+    trained. Returns ``(word, freq, syms array<string>)``.
+    """
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    chars = F.expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select("word", "freq", chars.alias("syms"))
+    )
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the vocab, weighted by word
+    frequency: ``(a, b, cnt)``. The explode runs over symbol sequences
+    of the (bounded) vocabulary, never the corpus token stream."""
+    pairs = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def bpe_merge_step(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge ``(a, b) -> a+b`` to every word's symbol array.
+
+    Greedy left-to-right with correct overlap semantics via a JVM-side
+    left fold (``aggregate``): scanning each word once, a merge consumes
+    both symbols, so ``aaa`` under merge (a,a) becomes ``[aa, a]`` — the
+    freshly merged symbol does NOT immediately re-merge with the next
+    input symbol (the standard BPE application rule). Row-local, zero
+    shuffle, inside codegen.
+    """
+    ab = a + b
+    merged = F.aggregate(
+        "syms",
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.select("word", "freq", merged.alias("syms"))
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train ``n_merges`` BPE merge rules over a word vocabulary.
+
+    Per round: one vocab-bounded pair-count aggregation (map-side
+    combined), a distributed TakeOrdered argmax with a deterministic
+    ``(count DESC, pair ASC)`` tiebreak, and one row-local merge fold.
+    The single argmax row is the only thing the driver ever holds per
+    round (the merge table IS driver state in every BPE trainer — it is
+    the artifact being trained, a few KB for a real vocab). Lineage is
+    truncated per round (localCheckpoint, house pattern from
+    connected_components), so the plan does not grow with ``n_merges``.
+
+    Returns ``(merges, final_vocab)``; training stops early if no pair
+    occurs twice (nothing left to compress).
+    """
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = bpe_merge_step(vocab, a, b).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word") -> DataFrame:
+    """Segment words with a trained merge list (inference side): chars,
+    then each merge applied in training order via the same row-local
+    fold as :func:`bpe_merge_step`. Adds ``syms array<string>``."""
+    chars = F.expr(
+        f"transform(sequence(1, char_length({word_col})), i -> substring({word_col}, i, 1))"
+    )
+    out = df.select("*", chars.alias("syms"))
+
+    # closure factory: a default-arg lambda would exceed the 1-3 arg
+    # arity F.aggregate requires of a higher-order function (the same
+    # pitfall docs_bm25_lite documents)
+    def step(a: str, b: str):
+        ab = a + b
+        return lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    for a, b in merges:
+        out = out.withColumn(
+            "syms",
+            F.aggregate("syms", F.expr("CAST(array() AS array<string>)"), step(a, b)),
+        )
+    return out

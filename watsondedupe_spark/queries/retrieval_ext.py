@@ -530,6 +530,98 @@ def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge round (tokenizer training, graded)
+# ---------------------------------------------------------------------------
+
+
+_BPE_ROUND_ORACLE = """
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM w WHERE word != '' GROUP BY word
+),
+pc AS (
+    SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+           SUM(freq) AS cnt
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word)-1)) AS i
+          FROM wf WHERE len(word) >= 2)
+    GROUP BY 1, 2
+),
+best AS (SELECT a, b FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+c2 AS (
+    SELECT word, freq, i,
+           substr(word, CAST(i AS INTEGER), 1) AS c,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS cn
+    FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM wf)
+),
+m AS (
+    SELECT c2.*, best.a, best.b,
+           (c2.c = best.a AND c2.cn = best.b) AS is_match
+    FROM c2 CROSS JOIN best
+),
+mm AS (
+    SELECT *, CASE WHEN is_match
+                   THEN i - ROW_NUMBER() OVER (PARTITION BY word, is_match ORDER BY i)
+              END AS isl
+    FROM m
+),
+ap AS (
+    SELECT *, is_match AND (ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1)
+              AS applied
+    FROM mm
+),
+sel AS (
+    SELECT word, freq, i,
+           CASE WHEN applied THEN a || b
+                WHEN NOT COALESCE(LAG(applied) OVER (PARTITION BY word ORDER BY i), FALSE)
+                THEN c
+           END AS sym
+    FROM ap
+)
+SELECT word, ANY_VALUE(freq) AS freq,
+       STRING_AGG(sym, ' ' ORDER BY i) AS syms
+FROM sel WHERE sym IS NOT NULL
+GROUP BY word
+"""
+
+
+@register(
+    "docs_bpe_merge_round",
+    _BPE_ROUND_ORACLE,
+    doc="one full BPE training round, graded end to end: corpus word "
+    "vocab -> weighted pair counts -> deterministic argmax merge "
+    "(count DESC, pair ASC) -> the merge APPLIED to every word's "
+    "symbol sequence with greedy left-to-right overlap semantics. The "
+    "Spark side is the production trainer's row-local fold "
+    "(operators/text.py::bpe_merge_step — a merged symbol never "
+    "re-merges within the round); the oracle derives the same result "
+    "independently via run-parity windows (within a run of k "
+    "consecutive match positions, merges land at odd offsets — for "
+    "a != b runs are singletons, so the rule degenerates to 'apply "
+    "every match'). Multi-round training is operators/text.py::"
+    "bpe_train (argmax-per-round TakeOrdered, lineage truncated; "
+    "parity vs a reference implementation pinned in pytest). The only "
+    "driver state is the 1-row argmax — the merge rule itself, which "
+    "IS the trained artifact.",
+)
+def docs_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.text import (
+        bpe_merge_step,
+        bpe_pair_counts,
+        bpe_word_vocab,
+    )
+
+    vocab = bpe_word_vocab(_docs_parallel(spark, sf_dir))
+    best = bpe_pair_counts(vocab).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+    return bpe_merge_step(vocab, best["a"], best["b"]).select(
+        "word", "freq", F.array_join("syms", " ").alias("syms")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN recall audit: approximate top-k vs exact top-k
 # ---------------------------------------------------------------------------
 

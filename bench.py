@@ -118,6 +118,7 @@ HEADLINE = [
     "docs_dedup_threshold_sweep",
     "emb_ann_recall_audit",
     "docs_bpe_merge_round",
+    "docs_ngram_novelty",
     # docs_near_dup_filter_replay stays untimed for the streamed-replay
     # reason: four serial micro-batch commits against parquet state
     # stores are ~13s of fixed sequencing cost at sf0.1, dwarfing the

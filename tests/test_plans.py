@@ -339,16 +339,27 @@ def test_near_dup_pairs_shuffles_on_bucket_only(spark, sf_dir):
 
 
 def test_simhash_is_one_scan_one_shuffle(spark, sf_dir):
-    """SimHash fingerprints: explode + a single groupBy(id) aggregation
-    carrying all 60 bit votes — one scan, one shuffle, partial
-    aggregation map-side, everything JVM-side (no Python stages)."""
-    df = q("docs_simhash", spark, sf_dir)
+    """SimHash fingerprint BUILD: explode + a single groupBy(id)
+    aggregation carrying all 60 bit votes — one scan, one shuffle,
+    partial aggregation map-side, everything JVM-side (no Python
+    stages). The registered query serves the build from a per-session
+    cache (engine_native._simhash_fp), so the build plan is pinned on
+    the operator directly."""
+    from watsondedupe_spark.operators.dedupe import simhash60_md5
+
+    df = simhash60_md5(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text", "doc_id"
+    )
     assert P.scan_count(df) == 1
     assert P.has_partial_aggregation(df)
     plan = P.physical_plan(df)
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     df.collect()
     assert P.executed_shuffle_count(df) <= 1
+    # the query-level entry reads the checkpointed fingerprint table —
+    # the 60-vote aggregation never re-runs per consumer
+    cached = q("docs_simhash", spark, sf_dir)
+    assert "ExistingRDD" in P.physical_plan(cached)
 
 
 def test_pq_topk_reads_codes_only_single_pass(spark, sf_dir):

@@ -333,6 +333,87 @@ def test_bpe_merge_round_overlap_semantics(spark, tmp_path):
     assert out == {"aaaa": "aa aa", "aaa": "aa a", "aa": "aa"}
 
 
+def test_bpe_fold_property_vs_reference(spark):
+    """Property check over a dense two-letter space: every word of
+    length <= 6 over {a, b}, four training rounds — the distributed
+    fold must match the reference on all overlap shapes at once."""
+    import itertools
+
+    words = [
+        "".join(t)
+        for n in range(1, 7)
+        for t in itertools.product("ab", repeat=n)
+    ]
+    wf = {w: (i % 5) + 1 for i, w in enumerate(words)}
+    text = " ".join(w for w, f in wf.items() for _ in range(f))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from watsondedupe_spark.operators.text import bpe_train, bpe_word_vocab
+
+    ref_merges, ref_vocab = _ref_bpe(wf, 4)
+    merges, final = bpe_train(bpe_word_vocab(docs), 4)
+    assert merges == ref_merges
+    assert {r.word: list(r.syms) for r in final.collect()} == ref_vocab
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark, sf_dir):
+    rows = q("docs_ngram_novelty", spark, sf_dir).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    # the lowest-id doc with grams contributes only novel grams
+    first = min(by_id)
+    assert by_id[first].n_novel == by_id[first].n_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert r.novelty == pytest.approx(r.n_novel / r.n_grams)
+
+
+def test_pq_index_append_matches_full_build(spark, sf_dir):
+    """Incremental index maintenance: frozen centroids + codebooks mean
+    append-encode of a new batch is row-identical to a from-scratch
+    encode of the grown corpus, and queries can't tell the difference."""
+    from pyspark.sql import functions as SF
+
+    from watsondedupe_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ivf_assign_np,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_index_append,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(SF.col("vec_id") < 400)
+    new = emb.filter(SF.col("vec_id") >= 400)
+    # artifacts frozen at initial-build time, from the OLD corpus only
+    cents = ivf_centroids(old, 16)
+    cbs = pq_codebooks(old, m=8, ks=16)
+
+    def build(corpus):
+        assigned = ivf_assign_np(corpus, cents, n_probe=1, quantize=1000)
+        return pq_encode(assigned, cbs, quantize=1000, keep_cols=("centroid_id",))
+
+    codes_old = build(old)
+    codes_incr = pq_index_append(codes_old, new, cents, cbs)
+    codes_full = build(emb)
+    as_set = lambda df: {
+        (r.vec_id, tuple(r.codes), r.centroid_id) for r in df.collect()
+    }
+    assert as_set(codes_incr) == as_set(codes_full)
+
+    q3 = emb.filter(SF.col("vec_id").isin(0, 1, 2))
+    res = lambda codes: {
+        (r.query_id, r.neighbor_id, r.adist, r.rank)
+        for r in ann_topk_ivfpq(
+            emb, q3, k=10, quantize=1000, cents=cents, codebooks=cbs, codes=codes
+        ).collect()
+    }
+    assert res(codes_incr) == res(codes_full)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall audit
 # ---------------------------------------------------------------------------

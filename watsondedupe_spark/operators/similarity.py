@@ -997,3 +997,37 @@ def cosine_pairs_np(
             )
 
     return side.mapInPandas(_pairs, schema="vec_a long, vec_b long, cosine double")
+
+
+def pq_index_append(
+    codes: DataFrame,
+    new_batch: DataFrame,
+    cents: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+) -> DataFrame:
+    """Incrementally extend an IVF-PQ index with a new vector batch.
+
+    The production maintenance path: routing centroids and PQ codebooks
+    are FROZEN at initial build time (retraining them would re-encode
+    the whole corpus), so appending a batch costs one routing pass and
+    one encode pass over the BATCH ONLY — the standing code table is
+    untouched. Because ``ivf_assign_np`` and ``pq_encode`` are
+    deterministic given frozen artifacts, an incrementally-built index
+    is row-identical to a from-scratch encode of the grown corpus under
+    the same artifacts (pinned in test_retrieval_ext), so queries need
+    no awareness of how the index was built. At 100 TB this is the
+    difference between an O(batch) nightly append and an O(corpus)
+    rebuild; periodic centroid retraining (drift) is a separate offline
+    decision with its own full re-encode cost.
+    """
+    assigned = ivf_assign_np(
+        new_batch, cents, id_col, vec_col, n_probe=1, quantize=quantize
+    )
+    fresh = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        quantize=quantize, keep_cols=("centroid_id",),
+    )
+    return codes.unionByName(fresh.select(*codes.columns))

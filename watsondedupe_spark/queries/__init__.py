@@ -67,7 +67,6 @@ _GRADING_PRIORITY = [
     "docs_lsh_levenshtein", "emb_knn_cosine_np",
     "docs_curation_funnel", "events_series_knn",
     "docs_dup_graph_stats",
-    "grouping_sets_orders",
     "events_distinct_users_salted",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
@@ -98,7 +97,7 @@ _GRADING_PRIORITY = [
     # changed this round
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
-    "emb_ann_recall_audit", "docs_bpe_merge_round",
+    "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -111,7 +110,7 @@ _GRADING_PRIORITY = [
     "docs_length_histogram", "docs_entity_mask",
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
-    "bloom_semi_revenue", "docs_token_freq_cms",
+    "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
 ]
 
 

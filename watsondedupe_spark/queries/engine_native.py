@@ -138,9 +138,28 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12"""
     "engine-native variant, pytest-pinned).",
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_fp(spark, sf_dir)
+
+
+_SIMHASH_CACHE: dict[str, "DataFrame"] = {}
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 60-bit portable SimHash fingerprint table, cached per
+    (session, sf_dir): the 60-vote bit-majority aggregation is the
+    expensive stage, and both the fingerprint query and the candidate
+    join consume the same table — a corpus build computes fingerprints
+    once (a 16-byte row per doc) and every Hamming probe reads them,
+    the same sharing ``minhash_sig_df`` gives the MinHash suite."""
     from watsondedupe_spark.operators.dedupe import simhash60_md5
 
-    return simhash60_md5(_docs(spark, sf_dir), "text", "doc_id")
+    ck = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    hit = _SIMHASH_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    fp = simhash60_md5(_docs(spark, sf_dir), "text", "doc_id").localCheckpoint(eager=True)
+    _SIMHASH_CACHE[ck] = fp
+    return fp
 
 
 @register(
@@ -150,12 +169,11 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the portable 60-bit fingerprint.",
 )
 def docs_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.dedupe import simhash60_candidates, simhash60_md5
+    from watsondedupe_spark.operators.dedupe import simhash60_candidates
 
-    # materialize the fingerprints once: both sides of the band self-join
-    # consume them, and the 60-vote aggregation is the expensive stage
-    fp = simhash60_md5(_docs(spark, sf_dir), "text", "doc_id").localCheckpoint(eager=True)
-    return simhash60_candidates(fp, max_hamming=12)
+    # the cached fingerprint table (localCheckpointed) feeds both sides
+    # of the band self-join; the 60-vote aggregation runs once per corpus
+    return simhash60_candidates(_simhash_fp(spark, sf_dir), max_hamming=12)
 
 
 # Spark's aggregate() and DuckDB's list_reduce() are both strict left

@@ -530,6 +530,53 @@ def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty (corpus-contribution / curriculum ordering signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_ngram_novelty",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+firsts AS (
+    SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       / COUNT(*) AS novelty
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+""",
+    doc="per-document n-gram novelty: the fraction of a doc's distinct "
+    "word-3-grams that first appear in IT under ingestion (doc_id) "
+    "order — the corpus-contribution signal data-pruning recipes rank "
+    "by (a doc whose grams all appeared earlier adds nothing; boiler"
+    "plate scores ~0, fresh content ~1). Two shuffles, both keyed and "
+    "partially aggregated: gram -> first-doc minimum, then doc_id for "
+    "the per-doc tally. The gram stream never self-joins; cost scales "
+    "with the distinct-gram count exactly like the dedup suite's "
+    "posting build.",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import shingles_df
+
+    sh = shingles_df(spark, sf_dir, distinct=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge round (tokenizer training, graded)
 # ---------------------------------------------------------------------------
 

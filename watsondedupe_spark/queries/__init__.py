@@ -61,7 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs", "docs_top_quality_per_source",
+    "emb_near_dup_pairs",
     "docs_stratified_sample", "docs_bm25_lite",
     "events_funnel_conversion",
     "docs_lsh_levenshtein", "emb_knn_cosine_np",
@@ -98,6 +98,7 @@ _GRADING_PRIORITY = [
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
     "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
+    "docs_dup_clusters_star",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -111,6 +112,7 @@ _GRADING_PRIORITY = [
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
+    "docs_top_quality_per_source",
 ]
 
 

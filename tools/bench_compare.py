@@ -86,6 +86,17 @@ def main() -> int:
     total = bench.get("value")
     print(f"headline: {total:.2f}s vs baseline {BASELINE_HEADLINE:.2f}s "
           f"({total / BASELINE_HEADLINE:.2f}x)")
+    # the apples-to-apples signal: entries WITH locked rows, measured sum
+    # vs the sum of their locks (new unlocked entries inflate the raw
+    # headline ratio without indicating any regression)
+    locked_meas = sum(sec for name, sec in times.items() if name in baseline)
+    locked_base = sum(base for name, base in baseline.items() if name in times)
+    if locked_base:
+        print(
+            f"comparable subtotal ({sum(1 for n in times if n in baseline)} locked rows): "
+            f"{locked_meas:.2f}s vs {locked_base:.2f}s "
+            f"({locked_meas / locked_base:.2f}x)"
+        )
     for name, sec, base, ratio in warn:
         print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
     for name, sec, base, ratio in fail:

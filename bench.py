@@ -123,7 +123,10 @@ HEADLINE = [
     # answer to the timed docs_dup_clusters via the other CC algorithm
     # (its value is the graded equivalence, and at sf0.1 the dup graph
     # is clique-shaped, where min-label is already the faster variant —
-    # the star algorithm pays off on chain-shaped graphs)
+    # the star algorithm pays off on chain-shaped graphs).
+    # docs_dup_ratio_by_source stays untimed for the composite reason
+    # (docs_curation_funnel precedent): it re-runs the timed CC plus two
+    # small rollups, so its time is docs_dup_clusters + epsilon
     # docs_near_dup_filter_replay stays untimed for the streamed-replay
     # reason: four serial micro-batch commits against parquet state
     # stores are ~13s of fixed sequencing cost at sf0.1, dwarfing the

@@ -439,3 +439,26 @@ def test_ann_recall_matches_direct_comparison(spark, sf_dir):
         assert r.n_hits == len(e & a)
         assert r.recall == pytest.approx(len(e & a) / len(e))
         assert 0.0 <= r.recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication audit
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ratio_by_source_consistent_with_clusters(spark, sf_dir):
+    cl = {r.doc_id: r.cluster_id for r in q("docs_dup_clusters", spark, sf_dir).collect()}
+    from collections import Counter
+
+    sizes = Counter(cl.values())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source").collect()
+    want = {}
+    for r in docs:
+        n, d = want.get(r.source, (0, 0))
+        want[r.source] = (n + 1, d + (1 if sizes[cl[r.doc_id]] >= 2 else 0))
+    rows = q("docs_dup_ratio_by_source", spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(want)
+    for r in rows:
+        n, d = want[r.source]
+        assert (r.n_docs, r.n_dup_docs) == (n, d)
+        assert r.dup_ratio == pytest.approx(d / n)

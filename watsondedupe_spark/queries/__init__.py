@@ -61,8 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs",
-    "docs_stratified_sample", "docs_bm25_lite",
+    "emb_near_dup_pairs", "docs_bm25_lite",
     "events_funnel_conversion",
     "docs_lsh_levenshtein", "emb_knn_cosine_np",
     "docs_curation_funnel", "events_series_knn",
@@ -88,17 +87,18 @@ _GRADING_PRIORITY = [
     "docs_dsir_weights", "emb_ann_topk_ivfpq_refined",
     "docs_snapshot_diff", "docs_near_dup_filter_replay",
     # round-4 batch 2, never driver-graded (retrieval_ext: hybrid RRF
-    # retrieval, CCNet quality buckets, BPE pair scoring, winnowing
-    # fingerprints, embedding dim stats, dedup threshold sweep). To open
-    # these six slots, six STATIC r3-green single-shape queries moved to
-    # the pad tier: events_cohort_retention, events_daily_locf,
-    # events_user_zscore, approx_distinct_parts, approx_percentile_qty,
-    # events_json_props, bloom_semi_revenue — none touch helpers
+    # retrieval, CCNet quality buckets, BPE pair scoring + full merge
+    # round, winnowing fingerprints, embedding dim stats, dedup
+    # threshold sweep, ANN recall audit, n-gram novelty, star-CC,
+    # per-source dup audit). To open these eleven slots, eleven STATIC
+    # r1-r3-green single-shape queries moved to the pad tier (see the
+    # tail below: cohort/locf/zscore/approx*/json_props/bloom/cms/
+    # grouping_sets/top_quality/stratified_sample) — none touch helpers
     # changed this round
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
     "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
-    "docs_dup_clusters_star",
+    "docs_dup_clusters_star", "docs_dup_ratio_by_source",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -112,7 +112,7 @@ _GRADING_PRIORITY = [
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
-    "docs_top_quality_per_source",
+    "docs_top_quality_per_source", "docs_stratified_sample",
 ]
 
 

@@ -570,6 +570,58 @@ def docs_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source duplication audit
+# ---------------------------------------------------------------------------
+
+
+def _dup_by_source_oracle() -> str:
+    cluster_sql = _REGISTRY["docs_dup_clusters"].oracle
+    return f"""
+WITH cl AS (SELECT doc_id, cluster_id FROM ({cluster_sql}) c),
+sizes AS (SELECT cluster_id, COUNT(*) AS n FROM cl GROUP BY cluster_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN s.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM documents d
+JOIN cl ON cl.doc_id = d.doc_id
+JOIN sizes s ON s.cluster_id = cl.cluster_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "docs_dup_ratio_by_source",
+    _dup_by_source_oracle(),
+    doc="per-source duplication audit: the fraction of each source's "
+    "documents that sit in a near-dup cluster of size >= 2 — the "
+    "provenance-level data-quality readout a curation team uses to "
+    "decide which crawl source to down-weight or re-crawl. Composes "
+    "the graded near-dup clustering (its recursive-CTE oracle is "
+    "embedded verbatim), adds one cluster-size aggregation and one "
+    "source rollup; cluster ids shuffle, document text never does.",
+)
+def docs_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_dup_clusters
+
+    cl = docs_dup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    dup = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(cl, "doc_id")
+        .join(sizes, "cluster_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            dup.cast("long").alias("n_dup_docs"),
+            (dup.cast("double") / F.count("*")).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram novelty (corpus-contribution / curriculum ordering signal)
 # ---------------------------------------------------------------------------
 

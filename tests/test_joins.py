@@ -3,6 +3,7 @@ on small data, plus the one-shuffle plan shape."""
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from watsondedupe_spark import plans as P
@@ -123,3 +124,30 @@ def test_bloom_prefilter_only_is_superset(spark):
     assert loose.count() >= tight.count()
     got = {r.k for r in tight.select("k").distinct().collect()}
     assert got == {11 * i for i in range(10) if 11 * i < 101}
+
+
+def test_rrf_fuse_multi_query_multi_arm(spark):
+    """Three-arm fusion over two queries: scores must equal the
+    hand-computed sum of 1/(60+rank) contributions, with missing ranks
+    contributing zero."""
+    from watsondedupe_spark.operators.joins import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+    a = mk([(1, 10, 1), (1, 11, 2), (2, 20, 1)])
+    b = mk([(1, 11, 1), (1, 12, 2), (2, 21, 1)])
+    c = mk([(1, 10, 2), (2, 20, 2), (2, 22, 1)])
+    got = {(r.query_id, r.doc_id): r.rrf for r in rrf_fuse([a, b, c]).collect()}
+    want = {
+        (1, 10): 1 / 61 + 1 / 62,
+        (1, 11): 1 / 62 + 1 / 61,
+        (1, 12): 1 / 62,
+        (2, 20): 1 / 61 + 1 / 62,
+        (2, 21): 1 / 61,
+        (2, 22): 1 / 61,
+    }
+    assert set(got) == set(want)
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, rel=1e-15)
+    # a doc present in more arms at equal-or-better ranks outranks one
+    # present in fewer
+    assert got[(2, 20)] > got[(2, 21)]

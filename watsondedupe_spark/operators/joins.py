@@ -200,3 +200,42 @@ def range_join(
     return points.join(intervals, on).filter(
         (F.col(start) <= F.col(point)) & (F.col(start) + F.col(length) > F.col(point))
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack et
+    al. 2009) — the multi-query, multi-arm generalization of the graded
+    ``docs_hybrid_rrf`` shape.
+
+    Each input is ``(query_col, id_col, rank_col)`` with rank 1 = best
+    (typically a bounded top-K per query from an index probe, so every
+    input is |queries| * K rows — never corpus-sized). Lists are merged
+    with full-outer joins on (query, doc); the fused score sums
+    ``1/(k + rank_i)`` left to right in input order (fixed IEEE
+    accumulation — engine-reproducible), treating a missing rank as a
+    zero contribution. Returns ``(query_col, id_col, rrf)``; callers
+    top-k the result per query.
+
+    At scale the joins run over the union of bounded candidate lists —
+    the expensive work happened in the arms; fusion is O(N * |q| * K).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    out = None
+    for i, df in enumerate(ranked):
+        part = df.select(
+            F.col(query_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias(f"_c{i}"),
+        )
+        out = part if out is None else out.join(part, [query_col, id_col], "full_outer")
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(ranked)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return out.select(query_col, id_col, score.alias("rrf"))

@@ -462,3 +462,47 @@ def test_dup_ratio_by_source_consistent_with_clusters(spark, sf_dir):
         n, d = want[r.source]
         assert (r.n_docs, r.n_dup_docs) == (n, d)
         assert r.dup_ratio == pytest.approx(d / n)
+
+
+# ---------------------------------------------------------------------------
+# rendezvous resharding
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_moved_docs_go_only_to_new_shard(spark, sf_dir):
+    """HRW property: adding shard 16 can only re-route docs TO it, and
+    the overall moved fraction is near the theoretical 1/17."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+
+    def pick(doc_id, n):
+        return max(
+            range(n),
+            key=lambda s: hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest()
+            + f"{s:02d}",
+        )
+
+    n_total = n_moved = 0
+    for r in docs:
+        old, new = pick(r.doc_id, 16), pick(r.doc_id, 17)
+        n_total += 1
+        if old != new:
+            n_moved += 1
+            assert new == 16, "a moved doc must land on the NEW shard"
+    rows = q("docs_rendezvous_reshard", spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert sum(r.n_moved for r in rows) == n_moved
+    # expectation 1/17 ~ 5.9%; allow generous sampling slack
+    assert n_moved / n_total < 0.2
+
+
+def test_rendezvous_assignment_is_row_local(spark, sf_dir):
+    df = q("docs_rendezvous_reshard", spark, sf_dir)
+    # the 16-group rollup plus (small-corpus only) the scan-width
+    # round-robin from _docs_parallel; the argmax itself adds none
+    assert P.shuffle_count(df) <= 2
+    assert not P.has_cartesian(df)
+    plan = P.physical_plan(df)
+    assert "array_max" in plan  # row-local argmax, no per-shard explode
+    assert "Generate" not in plan

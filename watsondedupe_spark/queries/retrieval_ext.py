@@ -570,6 +570,72 @@ def docs_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# rendezvous (HRW) shard routing + reshard-stability audit
+# ---------------------------------------------------------------------------
+
+_HRW_OLD, _HRW_NEW = 16, 17
+
+
+@register(
+    "docs_rendezvous_reshard",
+    f"""
+WITH sh AS (SELECT unnest(generate_series(0, {_HRW_NEW - 1})) AS s),
+k AS (
+    SELECT d.doc_id, sh.s,
+           md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(sh.s AS VARCHAR))
+           || lpad(CAST(sh.s AS VARCHAR), 2, '0') AS kd
+    FROM documents d CROSS JOIN sh
+),
+a_old AS (
+    SELECT doc_id, CAST(arg_max(s, kd) AS INTEGER) AS shard_old
+    FROM k WHERE s < {_HRW_OLD} GROUP BY doc_id
+),
+a_new AS (
+    SELECT doc_id, CAST(arg_max(s, kd) AS INTEGER) AS shard_new
+    FROM k GROUP BY doc_id
+)
+SELECT o.shard_old AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN o.shard_old != n.shard_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(SUM(CASE WHEN o.shard_old != n.shard_new THEN 1 ELSE 0 END) AS DOUBLE)
+       / COUNT(*) AS moved_ratio
+FROM a_old o JOIN a_new n USING (doc_id)
+GROUP BY o.shard_old
+""",
+    doc="rendezvous / highest-random-weight shard routing (Thaler & "
+    "Ravishankar 1998) and its reshard-stability audit: every doc "
+    "routes to the shard maximizing md5(doc:shard), so growing the "
+    f"fleet {_HRW_OLD}->{_HRW_NEW} moves only ~1/{_HRW_NEW} of docs — "
+    "and every moved doc moves TO the new shard (pytest-pinned) — "
+    "versus hash-mod routing, which reshuffles nearly everything. The "
+    "argmax is ROW-LOCAL (array_max over a literal-size struct array "
+    "inside codegen: no explode, no shuffle until the 16-group rollup); "
+    "the weight key carries a lpad(shard) suffix so it is strictly "
+    "distinct and the argmax is tie-free on both engines. At 100 TB "
+    "this is the difference between an O(corpus/n) and an O(corpus) "
+    "data movement when capacity changes.",
+)
+def docs_rendezvous_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pick(n: int):
+        arr = F.expr(
+            f"transform(sequence(0, {n - 1}), s -> struct("
+            "concat(md5(concat(cast(doc_id as string), ':', cast(s as string))),"
+            " lpad(cast(s as string), 2, '0')) AS kd, s AS s))"
+        )
+        return F.array_max(arr)["s"].cast("int")
+
+    assigned = _docs_parallel(spark, sf_dir).select(
+        "doc_id", pick(_HRW_OLD).alias("shard_old"), pick(_HRW_NEW).alias("shard_new")
+    )
+    moved = F.sum(F.when(F.col("shard_old") != F.col("shard_new"), 1).otherwise(0))
+    return assigned.groupBy(F.col("shard_old").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        moved.cast("long").alias("n_moved"),
+        (moved.cast("double") / F.count("*")).alias("moved_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source duplication audit
 # ---------------------------------------------------------------------------
 

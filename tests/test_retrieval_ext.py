@@ -506,3 +506,52 @@ def test_rendezvous_assignment_is_row_local(spark, sf_dir):
     plan = P.physical_plan(df)
     assert "array_max" in plan  # row-local argmax, no per-shard explode
     assert "Generate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# winnowing pairs + dup-rate estimate
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_pairs_detect_shared_substrings(spark, tmp_path):
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, "AAA " + shared + " BBB", "en", "s", 51),
+            (1, "CC " + shared + " DD", "en", "s", 49),
+            (2, "totally different content here with no overlap at all x", "en", "s", 56),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in q("docs_winnowing_pairs", spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert not any(2 in p for p in pairs)
+
+
+def test_dup_rate_estimate_contract(spark, sf_dir):
+    row = q("docs_dup_rate_estimate", spark, sf_dir).collect()[0]
+    assert row.n_pairs_sampled <= row.n_pairs_exact
+    assert row.est_pairs == row.n_pairs_sampled * 4
+    if row.n_pairs_exact:
+        assert row.est_over_exact == pytest.approx(
+            row.est_pairs / row.n_pairs_exact
+        )
+    # the sampled arm equals a direct recount over gated endpoints
+    jac = q("docs_jaccard_pairs", spark, sf_dir).collect()
+    import hashlib
+
+    def gated(doc_id):
+        return hashlib.md5(f"dr:{doc_id}".encode()).hexdigest()[:8] < "80000000"
+
+    n = sum(
+        1
+        for r in jac
+        if r.n_common * 10 >= 4 * round(r.n_common / r.jaccard)
+        and gated(r.doc_a)
+        and gated(r.doc_b)
+    )
+    assert row.n_pairs_sampled == n

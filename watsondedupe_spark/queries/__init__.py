@@ -62,10 +62,8 @@ _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
     "emb_near_dup_pairs", "docs_bm25_lite",
-    "events_funnel_conversion",
     "docs_lsh_levenshtein", "emb_knn_cosine_np",
     "docs_curation_funnel", "events_series_knn",
-    "events_distinct_users_salted",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
     "docs_simhash", "docs_simhash_candidates", "emb_cosine_topk_float",
@@ -89,16 +87,20 @@ _GRADING_PRIORITY = [
     # retrieval, CCNet quality buckets, BPE pair scoring + full merge
     # round, winnowing fingerprints, embedding dim stats, dedup
     # threshold sweep, ANN recall audit, n-gram novelty, star-CC,
-    # per-source dup audit, rendezvous resharding). To open these twelve
-    # slots, twelve STATIC r1-r3-green single-shape queries moved to the
-    # pad tier (see the tail below: cohort/locf/zscore/approx*/
+    # per-source dup audit, rendezvous resharding, winnowing pairs, sampled dup-rate
+    # estimate). To open these fourteen
+    # slots, fifteen STATIC r1-r3-green single-shape queries moved to
+    # the pad tier (see the tail below: cohort/locf/zscore/approx*/
     # json_props/bloom/cms/grouping_sets/top_quality/stratified_sample/
-    # dup_graph_stats) — none touch helpers changed this round
+    # dup_graph_stats/distinct_users_salted/funnel_conversion) — none
+    # touch helpers
+    # changed this round
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
     "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
-    "docs_rendezvous_reshard",
+    "docs_rendezvous_reshard", "docs_winnowing_pairs",
+    "docs_dup_rate_estimate",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -113,7 +115,8 @@ _GRADING_PRIORITY = [
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
     "docs_top_quality_per_source", "docs_stratified_sample",
-    "docs_dup_graph_stats",
+    "docs_dup_graph_stats", "events_distinct_users_salted",
+    "events_funnel_conversion",
 ]
 
 

@@ -413,6 +413,68 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_MIN_SHARED = 3  # candidate pairs need >= this many shared prints
+_WIN_STOP_PRINT = 50  # posting-list skew guard, as in the Jaccard build
+
+
+def _winnowing_pairs_oracle() -> str:
+    win_sql = _REGISTRY["docs_winnowing"].oracle
+    return f"""
+WITH prints AS (
+    SELECT DISTINCT doc_id, gram_hash FROM ({win_sql}) w
+),
+rare AS (
+    SELECT gram_hash FROM prints GROUP BY gram_hash
+    HAVING COUNT(*) <= {_WIN_STOP_PRINT}
+),
+pr AS (SELECT p.doc_id, p.gram_hash FROM prints p JOIN rare USING (gram_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+@register(
+    "docs_winnowing_pairs",
+    _winnowing_pairs_oracle(),
+    doc="winnowing-based near-dup candidates — the detection stage the "
+    "fingerprints exist to feed (MOSS's pipeline): documents sharing "
+    f">= {_WIN_MIN_SHARED} distinct selected gram hashes pair up via an "
+    "inverted index over the fingerprint table (the same posting-list "
+    "shape as the Jaccard build: a stop-print cutoff bounds each list, "
+    "so pair expansion is bounded and the corpus never self-joins on "
+    "content). Character-level winnowing complements the word-3-gram "
+    "MinHash path: it catches shared substrings word-shingles miss "
+    "(editing, concatenation, code). The oracle composes the graded "
+    "fingerprint query's SQL verbatim.",
+)
+def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prints = docs_winnowing(spark, sf_dir).select("doc_id", "gram_hash").distinct()
+    posting = (
+        prints.groupBy("gram_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _WIN_STOP_PRINT)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ds") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds") - 1),
+                lambda j: F.struct(F.get("ds", i).alias("a"), F.get("ds", j).alias("b")),
+            ),
+        )
+    )
+    return (
+        posting.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-dimension embedding stats (feature-normalization audit)
 # ---------------------------------------------------------------------------
@@ -566,6 +628,92 @@ def docs_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampled dup-rate estimate (survey before you commit the full run)
+# ---------------------------------------------------------------------------
+
+#: deterministic doc-sampling gate at rate 1/2 (first 8 md5 nibbles)
+_DR_GATE_HEX = "80000000"
+
+
+@register(
+    "docs_dup_rate_estimate",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+px AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 10 >= 4 * (sa.sz + sb.sz - i.n_common)
+),
+sampled AS (
+    SELECT doc_id FROM documents
+    WHERE substr(md5('dr:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{_DR_GATE_HEX}'
+),
+e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact FROM px),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_sampled
+    FROM px p
+    JOIN sampled sa ON sa.doc_id = p.doc_a
+    JOIN sampled sb ON sb.doc_id = p.doc_b
+)
+SELECT e.n_pairs_exact, s.n_pairs_sampled,
+       CAST(s.n_pairs_sampled * 4 AS BIGINT) AS est_pairs,
+       CAST(s.n_pairs_sampled * 4 AS DOUBLE) / NULLIF(e.n_pairs_exact, 0)
+           AS est_over_exact
+FROM e CROSS JOIN s
+""",
+    doc="sampled dup-rate estimate — the survey a curation team runs "
+    "BEFORE committing a 100 TB dedup pass: a deterministic md5-gated "
+    "1/2 sample of documents keeps a pair iff BOTH endpoints are "
+    "sampled (probability p^2 = 1/4), so the sampled >= 0.4-Jaccard "
+    "pair count x4 estimates the corpus total from a quarter of the "
+    "pair work. Graded as an accuracy audit: the query reports estimate "
+    "AND exact side by side (hash-gated sampling is deterministic, so "
+    "both are reproducible on any engine); in production only the "
+    "sampled arm runs, over a sample small enough to be cheap. The "
+    "threshold compare is pure int64 (n_common*10 >= 4*union) on both "
+    "engines. Reads the cached pair substrate "
+    "(llm_pipeline.jaccard_pair_stats_df).",
+)
+def docs_dup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = (
+        jaccard_pair_stats_df(spark, sf_dir)
+        .filter(F.col("n_common") * 10 >= 4 * F.col("un"))
+        .select("doc_a", "doc_b")
+    )
+    gate = lambda c: F.substring(
+        F.md5(F.concat(F.lit("dr:"), F.col(c).cast("string"))), 1, 8
+    ) < _DR_GATE_HEX
+    sampled_pairs = px.filter(gate("doc_a") & gate("doc_b"))
+    e = px.agg(F.count("*").cast("long").alias("n_pairs_exact"))
+    s = sampled_pairs.agg(F.count("*").cast("long").alias("n_pairs_sampled"))
+    est = (F.col("n_pairs_sampled") * 4).cast("long")
+    ratio = est.cast("double") / F.nullif(
+        F.col("n_pairs_exact"), F.lit(0).cast("long")
+    )
+    return (
+        e.crossJoin(F.broadcast(s))
+        .select(
+            "n_pairs_exact",
+            "n_pairs_sampled",
+            est.alias("est_pairs"),
+            ratio.alias("est_over_exact"),
+        )
     )
 
 

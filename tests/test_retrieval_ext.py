@@ -1,7 +1,11 @@
 """Semantics + plan-shape tests for the round-4 batch-2 operators
 (queries/retrieval_ext.py): hybrid RRF retrieval, CCNet quality
-buckets, BPE pair scoring, winnowing fingerprints, embedding dim
-stats, and the dedup threshold sweep."""
+buckets, BPE tokenizer training (pair scoring, graded merge round,
+multi-round trainer vs a reference implementation), winnowing
+fingerprints + candidate pairs, embedding dim stats, the dedup
+threshold sweep, the ANN recall audit, incremental PQ index appends,
+n-gram novelty, per-source dup audit, the sampled dup-rate estimate,
+and rendezvous resharding."""
 
 import pytest
 from pyspark.sql import functions as F

@@ -7,22 +7,33 @@ integer threshold comparisons instead of float ones):
 
 - hybrid retrieval with reciprocal-rank fusion (BM25 arm + embedding
   cosine arm, fused on bounded top-K candidate lists — the shape every
-  RAG stack runs);
+  RAG stack runs; the N-arm multi-query operator form is
+  ``operators.joins.rrf_fuse``);
 - CCNet-style per-language quality bucketing (head / middle / tail) on
   the unigram-LM score;
-- BPE first-merge pair scoring (the counting step of tokenizer
-  induction: adjacent symbol-pair frequencies weighted by word
-  frequency);
-- winnowing fingerprint selection (Schleimer et al., SIGMOD'03 — the
-  MOSS local fingerprinting algorithm) with per-document windows;
+- BPE tokenizer training: merge-candidate pair scoring AND a fully
+  graded one-round merge application (the multi-round trainer lives in
+  ``operators.text.bpe_train``);
+- winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS local
+  fingerprinting algorithm) with per-document windows, plus the
+  detection stage: an inverted-index candidate-pair join over the
+  selected prints;
 - per-dimension embedding distribution stats (the feature-normalization
   audit run before training retrievers);
 - near-dup threshold sweep: pair/doc-drop counts at several Jaccard
-  cutoffs in ONE pass over the candidate pairs (the tuning curve that
-  decides a dedup threshold before committing to a 100 TB run);
+  cutoffs in ONE pass over the cached candidate-pair substrate (the
+  tuning curve that decides a dedup threshold before a 100 TB run);
+- a sampled dup-rate estimate (md5-gated both-endpoint sampling, x1/p^2
+  scale-up) graded beside the exact count as an accuracy audit;
 - ANN recall audit: recall@k of the LSH-bucketed approximate top-k
   against the exact quantized-cosine top-k — the accuracy contract a
-  100 TB deployment checks on a sample before trusting the index.
+  100 TB deployment checks on a sample before trusting the index;
+- the large-star/small-star connected-components variant graded against
+  the same recursive-CTE oracle as the min-label query;
+- per-doc n-gram novelty and per-source duplication audits (corpus
+  contribution + provenance-level quality readouts);
+- rendezvous / highest-random-weight shard routing with its
+  reshard-stability audit (grow the fleet n -> n+1, move ~1/(n+1)).
 
 Reference parity: none of these exist in WatsonDedupe (SURVEY.md §2.2);
 they extend the LLM-pipeline surface the same way ``pipeline_ext`` and

@@ -559,3 +559,19 @@ def test_dup_rate_estimate_contract(spark, sf_dir):
         and gated(r.doc_b)
     )
     assert row.n_pairs_sampled == n
+
+
+def test_ivfpq_recall_matches_direct_comparison(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q("emb_knn_cosine", spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q("emb_ann_topk_ivfpq", spark, sf_dir).collect()
+    }
+    for r in q("emb_ann_recall_ivfpq", spark, sf_dir).collect():
+        e = {n for qq, n in exact if qq == r.query_id}
+        a = {n for qq, n in approx if qq == r.query_id}
+        assert r.n_hits == len(e & a)
+        assert r.recall == pytest.approx(len(e & a) / len(e))

@@ -61,8 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs", "docs_bm25_lite",
-    "docs_lsh_levenshtein", "emb_knn_cosine_np",
+    "emb_near_dup_pairs", "docs_bm25_lite", "emb_knn_cosine_np",
     "docs_curation_funnel", "events_series_knn",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
@@ -100,7 +99,7 @@ _GRADING_PRIORITY = [
     "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
     "docs_rendezvous_reshard", "docs_winnowing_pairs",
-    "docs_dup_rate_estimate",
+    "docs_dup_rate_estimate", "emb_ann_recall_ivfpq",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -116,7 +115,7 @@ _GRADING_PRIORITY = [
     "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
-    "events_funnel_conversion",
+    "events_funnel_conversion", "docs_lsh_levenshtein",
 ]
 
 

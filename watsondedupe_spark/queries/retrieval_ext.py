@@ -1006,6 +1006,51 @@ GROUP BY e.query_id
 """
 
 
+def _recall_ivfpq_oracle() -> str:
+    exact_sql = _REGISTRY["emb_knn_cosine"].oracle
+    approx_sql = _REGISTRY["emb_ann_topk_ivfpq"].oracle
+    return f"""
+WITH exact_q AS (SELECT query_id, neighbor_id FROM ({exact_sql}) x),
+approx_q AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({approx_sql}) y)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM exact_q e
+LEFT JOIN approx_q a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "emb_ann_recall_ivfpq",
+    _recall_ivfpq_oracle(),
+    doc="recall@10 of the full IVF-PQ index (coarse probe + lossy ADC "
+    "codes) against the exact quantized-cosine top-k — the number that "
+    "decides n_probe and code size before a 100 TB deployment trusts "
+    "the compressed index. Same composed-oracle shape as the LSH "
+    "recall audit; both arms reuse their graded plans (the IVF-PQ arm "
+    "reads the shared cached index).",
+)
+def emb_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.curation_ext import emb_ann_topk_ivfpq
+    from watsondedupe_spark.queries.llm_pipeline import emb_knn_cosine
+
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = emb_ann_topk_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+        )
+    )
+
+
 @register(
     "emb_ann_recall_audit",
     _recall_oracle(),

@@ -123,6 +123,7 @@ HEADLINE = [
     "docs_winnowing_pairs",
     "docs_dup_rate_estimate",
     "emb_ann_recall_ivfpq",
+    "emb_ann_topk_lsh_mp",
     # docs_dup_clusters_star stays untimed: it computes the identical
     # answer to the timed docs_dup_clusters via the other CC algorithm
     # (its value is the graded equivalence, and at sf0.1 the dup graph

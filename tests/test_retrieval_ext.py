@@ -575,3 +575,22 @@ def test_ivfpq_recall_matches_direct_comparison(spark, sf_dir):
         a = {n for qq, n in approx if qq == r.query_id}
         assert r.n_hits == len(e & a)
         assert r.recall == pytest.approx(len(e & a) / len(e))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Radius-1 multi-probe must return a superset-or-equal recall:
+    every query's hit count vs exact search is >= the single-probe
+    query's, and its candidate set contains the single-probe set."""
+    exact = {}
+    for r in q("emb_knn_cosine", spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    single, multi = {}, {}
+    for r in q("emb_ann_topk_lsh", spark, sf_dir).collect():
+        single.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in q("emb_ann_topk_lsh_mp", spark, sf_dir).collect():
+        multi.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(multi) >= set(single)
+    for qq in exact:
+        s_hits = len(exact[qq] & single.get(qq, set()))
+        m_hits = len(exact[qq] & multi.get(qq, set()))
+        assert m_hits >= s_hits

@@ -101,12 +101,21 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_dims: int = 64,
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket.
+    """Approximate top-k: probe the query's sign-LSH bucket.
 
-    Trades recall for a ~2**n_planes candidate reduction; increase
-    recall with fewer planes or multi-probe. Same output shape as
-    :func:`cosine_topk`.
+    Trades recall for a ~2**n_planes candidate reduction. With
+    ``probe_radius=1`` (multi-probe, Lv et al. 2007's idea in its
+    simplest form) each query ALSO probes every bucket at Hamming
+    distance 1 — one flipped hyperplane bit — growing the probe list to
+    ``1 + n_planes`` buckets per query: near-misses that landed just
+    across one hyperplane come back, at (n_planes+1)/2**n_planes of the
+    corpus instead of 1/2**n_planes. The probe list stays a broadcast
+    (|queries| * (n_planes+1) rows); the corpus is bucketed ONCE and
+    never re-hashed — multi-probe trades probe count for index count,
+    which is the right 100 TB lever (more tables would re-store the
+    corpus). Same output shape as :func:`cosine_topk`.
     """
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -118,6 +127,17 @@ def ann_topk_lsh(
         F.col(vec_col).alias("qv"),
         sign_lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
     )
+    if probe_radius:
+        if probe_radius != 1:
+            raise ValueError("only probe_radius in (0, 1) is implemented")
+        masks = [0] + [1 << j for j in range(n_planes)]
+        qb = qb.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

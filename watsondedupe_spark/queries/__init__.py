@@ -61,7 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs", "docs_bm25_lite", "emb_knn_cosine_np",
+    "emb_near_dup_pairs", "docs_bm25_lite",
     "docs_curation_funnel", "events_series_knn",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
@@ -82,24 +82,23 @@ _GRADING_PRIORITY = [
     "multimodal_wav_roundtrip", "multimodal_frame_sample",
     "docs_dsir_weights", "emb_ann_topk_ivfpq_refined",
     "docs_snapshot_diff", "docs_near_dup_filter_replay",
-    # round-4 batch 2, never driver-graded (retrieval_ext: hybrid RRF
-    # retrieval, CCNet quality buckets, BPE pair scoring + full merge
-    # round, winnowing fingerprints, embedding dim stats, dedup
-    # threshold sweep, ANN recall audit, n-gram novelty, star-CC,
-    # per-source dup audit, rendezvous resharding, winnowing pairs, sampled dup-rate
-    # estimate). To open these fourteen
-    # slots, fifteen STATIC r1-r3-green single-shape queries moved to
-    # the pad tier (see the tail below: cohort/locf/zscore/approx*/
-    # json_props/bloom/cms/grouping_sets/top_quality/stratified_sample/
-    # dup_graph_stats/distinct_users_salted/funnel_conversion) — none
-    # touch helpers
-    # changed this round
+    # round-4 batch 2+, never driver-graded: the retrieval /
+    # tokenizer-induction / audit surface (hybrid RRF, quality buckets,
+    # BPE pair scoring + graded merge round, winnowing fingerprints +
+    # candidate pairs, dim stats, threshold sweep, LSH + IVF-PQ recall
+    # audits, multi-probe LSH, n-gram novelty, star-CC, per-source dup
+    # audit, rendezvous resharding, sampled dup-rate estimate). Each
+    # inserted entry displaced one STATIC r1-r3-green single-shape
+    # query into the pad tier (the tail below) — every displaced query
+    # already holds a green driver row and none touch helpers changed
+    # this round
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
     "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
     "docs_rendezvous_reshard", "docs_winnowing_pairs",
     "docs_dup_rate_estimate", "emb_ann_recall_ivfpq",
+    "emb_ann_topk_lsh_mp",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -116,6 +115,7 @@ _GRADING_PRIORITY = [
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
     "events_funnel_conversion", "docs_lsh_levenshtein",
+    "emb_knn_cosine_np",
 ]
 
 

@@ -269,6 +269,48 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, q, k=10, n_planes=6)
 
 
+_MP_MASKS = "[0, 1, 2, 4, 8, 16, 32]"  # radius-1 probe masks, 6 planes
+
+
+@register(
+    "emb_ann_topk_lsh_mp",
+    f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 3),
+probes AS (
+    SELECT q.query_id, q.qv, xor(q.bucket, m.m) AS bucket
+    FROM q CROSS JOIN (SELECT unnest({_MP_MASKS}) AS m) m
+),
+sims AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           {_cos_sql('p.qv', 'c.embedding')} AS cosine
+    FROM b c JOIN probes p ON c.bucket = p.bucket AND c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+""",
+    doc="multi-probe sign-LSH top-k (Lv et al. 2007, radius-1 form): "
+    "each query probes its own bucket PLUS the 6 buckets one flipped "
+    "hyperplane bit away, recovering near-misses that landed just "
+    "across a hyperplane — recall strictly dominates the single-probe "
+    "query (pytest-pinned) while reading 7/64 of the corpus instead of "
+    "re-storing it under more hash tables. The probe list is a "
+    "7-rows-per-query broadcast; the corpus is bucketed once. Oracle "
+    "shares the single-probe derivation with an xor'd probe CTE.",
+)
+def emb_ann_topk_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    return ann_topk_lsh(emb, q, k=10, n_planes=6, probe_radius=1)
+
+
 _IVF_CENT_KEY = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 

@@ -124,6 +124,9 @@ HEADLINE = [
     "docs_dup_rate_estimate",
     "emb_ann_recall_ivfpq",
     "emb_ann_topk_lsh_mp",
+    # events_user_totals_streamed stays untimed for the streamed-replay
+    # reason (three serial micro-batches of engine fixed cost dwarf the
+    # per-row work); it is correctness-graded via its DuckDB oracle.
     # docs_dup_clusters_star stays untimed: it computes the identical
     # answer to the timed docs_dup_clusters via the other CC algorithm
     # (its value is the graded equivalence, and at sf0.1 the dup graph

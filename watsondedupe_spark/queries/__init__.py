@@ -61,7 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _GRADING_PRIORITY = [
     # never driver-graded oracled queries (27)
     "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs", "docs_bm25_lite",
+    "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
     "docs_heavy_hitters", "docs_lm_quality",
     # round-1 `no_oracle` rows whose queries now carry real oracles (11)
@@ -98,7 +98,7 @@ _GRADING_PRIORITY = [
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
     "docs_rendezvous_reshard", "docs_winnowing_pairs",
     "docs_dup_rate_estimate", "emb_ann_recall_ivfpq",
-    "emb_ann_topk_lsh_mp",
+    "emb_ann_topk_lsh_mp", "events_user_totals_streamed",
     # already-green high-value pads: regression canaries across the
     # relational / dedupe / similarity / engine surfaces (the tail past
     # slot 50 stays prioritized ahead of the rest of the oracled set,
@@ -115,7 +115,7 @@ _GRADING_PRIORITY = [
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
     "events_funnel_conversion", "docs_lsh_levenshtein",
-    "emb_knn_cosine_np",
+    "emb_knn_cosine_np", "docs_bm25_lite",
 ]
 
 

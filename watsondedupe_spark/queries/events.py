@@ -338,3 +338,83 @@ def events_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table("graded_interval_join_sink").select(
         "user_id", "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3) -> str:
+    """Stage the events table as ``n_slices`` separate parquet files so
+    ``maxFilesPerTrigger=1`` replays it in multiple REAL micro-batches —
+    the single-file symlink staging above yields one batch, which never
+    exercises cross-batch state merging. Slices are deterministic
+    event_id ranges; write-once per (sf_dir, slices) keyed tmp dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    tag = hashlib.md5(f"{target}:{n_slices}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_split_{tag}")
+    done = os.path.join(stage, "_STAGED")  # underscore-prefixed: source ignores it
+    if not os.path.exists(done):
+        ev = spark.read.parquet(target)
+        hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+        step = hi // n_slices + 1
+        for i in range(n_slices):
+            (
+                ev.filter(
+                    (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stage)
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+@register(
+    "events_user_totals_streamed",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+    doc="UPDATE-mode keyed streaming aggregation through the REAL "
+    "engine: events replayed as THREE micro-batches (deterministic "
+    "event_id slices, maxFilesPerTrigger=1), per-user running "
+    "count/sum state merged across batches, every update emitted to "
+    "the sink, and the FINAL emission per user (the one with the "
+    "maximal n_events — strictly increasing per key) must equal the "
+    "one-shot batch aggregate. This grades the third streaming output "
+    "shape (complete-mode windows and append-mode joins are the other "
+    "graded replays): update-mode state evolution plus last-emission "
+    "extraction, the pattern a live dashboard consumes. Decimal-exact "
+    "sums make the streamed accumulation hash-identical regardless of "
+    "batch boundaries.",
+)
+def events_user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stage = _stage_events_split_dir(spark, sf_dir)
+    stream = S.stream_from_dir(spark, stage)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("total_dec"),
+    )
+    q = S.run_to_memory(agg, "graded_user_totals_sink", "update")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table("graded_user_totals_sink")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_dec", "n_events").alias("total_dec"),
+        )
+        .select(
+            "user_id", "n_events", F.col("total_dec").cast("double").alias("total_value")
+        )
+    )

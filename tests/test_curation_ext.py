@@ -540,3 +540,59 @@ def test_dup_gram_ratio_bounds_and_consistency(spark, sf_dir):
         assert r.dup_gram_ratio == r.n_dup / r.n_grams
     spanned = {r.doc_id for r in _q("docs_dup_spans", spark, sf_dir).collect()}
     assert spanned <= set(out)
+
+
+def test_query_collect_cap_refuses_oversized_wave(spark, monkeypatch):
+    """The batch-KNN paths collect the query set driver-side (closure
+    capture). Above QUERY_COLLECT_CAP that collect must refuse with a
+    clear remediation error instead of materializing an unbounded query
+    matrix on the driver."""
+    import watsondedupe_spark.operators.similarity as sim
+
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "QUERY_COLLECT_CAP", 5)
+    for fn in (
+        lambda: sim.cosine_topk_np(emb, emb, k=3),
+        lambda: sim.ann_topk_pq(emb, emb, k=3, m=2, ks=4, quantize=1000),
+        lambda: sim.ann_topk_ivfpq(emb, emb, k=3, n_centroids=2, m=2, ks=4),
+    ):
+        with pytest.raises(ValueError, match="driver-collect cap"):
+            fn()
+    # under the cap the same paths still work
+    small = emb.filter(F.col("vec_id") < 3)
+    assert sim.cosine_topk_np(emb, small, k=3).count() > 0
+
+
+def test_prebuilt_index_shape_mismatch_raises(spark):
+    """A prebuilt PQ/IVF-PQ index fixes m/ks at build time; calling with
+    different values must fail loudly, not silently mis-score."""
+    from watsondedupe_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ann_topk_pq,
+        ivf_assign_np,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [(i, [float(i % 5), float(i % 3), 1.0, 2.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    cbs = pq_codebooks(emb, m=2, ks=4)
+    cents = ivf_centroids(emb, 2)
+    assigned = ivf_assign_np(emb, cents, n_probe=1, quantize=1000)
+    codes = pq_encode(assigned, cbs, quantize=1000, keep_cols=("centroid_id",))
+    with pytest.raises(ValueError, match="prebuilt index mismatch"):
+        ann_topk_pq(emb, q, m=4, ks=4, quantize=1000, codebooks=cbs, codes=codes)
+    with pytest.raises(ValueError, match="prebuilt index mismatch"):
+        ann_topk_ivfpq(
+            emb, q, m=2, ks=8, n_centroids=2, quantize=1000,
+            cents=cents, codebooks=cbs, codes=codes,
+        )
+    # matched shapes still serve
+    ok = ann_topk_ivfpq(
+        emb, q, k=3, m=2, ks=4, n_centroids=2, quantize=1000,
+        cents=cents, codebooks=cbs, codes=codes,
+    )
+    assert ok.count() > 0

@@ -37,6 +37,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / l2_norm(a) / l2_norm(b)
 
 
+#: batch-KNN paths (cosine_topk_np / ann_topk_pq / ann_topk_ivfpq)
+#: materialize the query set on the driver by design — it is the
+#: broadcast-small side. Above this many query vectors the collect is
+#: refused instead of silently OOMing the driver.
+QUERY_COLLECT_CAP = 10_000
+
+
+def _collect_query_rows(queries: DataFrame, id_col: str, vec_col: str) -> list:
+    """Bounded driver-side collect of the query set: fetches at most
+    ``QUERY_COLLECT_CAP + 1`` rows (one limit-collect, no extra count
+    job) and raises with remediation when the set exceeds the cap."""
+    cap = QUERY_COLLECT_CAP
+    rows = queries.select(id_col, vec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query set exceeds the driver-collect cap ({cap} vectors): "
+            "the batch-KNN paths ship queries to executors as a closure "
+            "capture, which requires materializing them on the driver. "
+            "For larger query waves use cosine_topk (JVM broadcast-join "
+            "form), split the wave, or raise "
+            "similarity.QUERY_COLLECT_CAP if the driver is sized for it."
+        )
+    return rows
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,7 +375,7 @@ def cosine_topk_np(
     """
     import numpy as np  # noqa: F401 — imported here so executors resolve it lazily
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_rows(queries, id_col, vec_col)
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank int"
@@ -550,6 +575,16 @@ def ann_topk_pq(
     """
     if (codebooks is None) != (codes is None):
         raise ValueError("pass codebooks and codes together (a matched index)")
+    if codebooks is not None and (
+        len(codebooks) != m or any(len(cb) != ks for cb in codebooks)
+    ):
+        raise ValueError(
+            f"prebuilt index mismatch: codebooks are {len(codebooks)} "
+            f"subspaces x {len(codebooks[0])} codes but the call asked "
+            f"for m={m}, ks={ks}. `quantize` is also fixed at build time "
+            "and must match (part of the index contract — not detectable "
+            "from the index shape)."
+        )
     cbs = (
         codebooks
         if codebooks is not None
@@ -570,7 +605,7 @@ def ann_topk_pq(
             np.floor(np.asarray(cb, dtype=np.float64) * quantize + 0.5).astype(np.int64)
             for cb in cbs
         ]
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qrows = _collect_query_rows(queries, id_col, vec_col)
     qtabs = []
     for r in qrows:
         qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
@@ -672,6 +707,22 @@ def ann_topk_ivfpq(
     prebuilt = (cents is not None, codebooks is not None, codes is not None)
     if any(prebuilt) and not all(prebuilt):
         raise ValueError("pass cents, codebooks and codes together (a matched index)")
+    if all(prebuilt):
+        # A prebuilt index fixes m/ks/quantize at BUILD time: validate
+        # the structurally checkable parts (no Spark job — codebooks are
+        # driver-local lists) and spell out the rest of the contract, so
+        # a mismatched call fails loudly instead of silently mis-routing
+        # probes / mis-scoring ADC distances.
+        if len(codebooks) != m or any(len(cb) != ks for cb in codebooks):
+            raise ValueError(
+                f"prebuilt index mismatch: codebooks are "
+                f"{len(codebooks)} subspaces x {len(codebooks[0])} codes "
+                f"but the call asked for m={m}, ks={ks}. A prebuilt "
+                "index also fixes `quantize` and `n_centroids` at build "
+                "time — pass the exact build-time values (they are part "
+                "of the index contract; quantize mismatches are not "
+                "detectable from the index shape)."
+            )
     if codes is None:
         cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
         assigned = ivf_assign_np(
@@ -695,7 +746,7 @@ def ann_topk_ivfpq(
         for cb in cbs
     ]
     qtabs = []
-    for r in queries.select(F.col(id_col), F.col(vec_col)).collect():
+    for r in _collect_query_rows(queries, id_col, vec_col):
         qv = np.floor(
             np.asarray([float(x) for x in r[vec_col]], dtype=np.float64) * quantize + 0.5
         ).astype(np.int64)

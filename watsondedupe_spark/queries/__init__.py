@@ -59,7 +59,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
-    # never driver-graded oracled queries (27)
+    # r4 window head: the 7 queries first graded in round 3's rotation
+    # plus the former no_oracle rows — ALL now hold green r4 driver rows
+    # (the original 27-entry never-graded tier emptied in r3/r4; its
+    # displaced members live in the pad tail below)
     "events_tumbling_streamed", "events_session_streamed",
     "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",

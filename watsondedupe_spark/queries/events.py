@@ -355,6 +355,12 @@ def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3)
     stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_split_{tag}")
     done = os.path.join(stage, "_STAGED")  # underscore-prefixed: source ignores it
     if not os.path.exists(done):
+        # Atomic publish: build in a writer-unique scratch dir, mark it
+        # complete, then os.rename into place. A crash mid-write leaves
+        # only an orphan scratch dir (never a half-staged published dir),
+        # and two concurrent stagers race harmlessly — the loser's rename
+        # fails against the winner's published dir and is discarded.
+        scratch = tempfile.mkdtemp(prefix=f"wds_stream_events_build_{tag}_")
         ev = spark.read.parquet(target)
         hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
         step = hi // n_slices + 1
@@ -365,10 +371,16 @@ def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3)
                 )
                 .coalesce(1)
                 .write.mode("append")
-                .parquet(stage)
+                .parquet(scratch)
             )
-        with open(done, "w") as fh:
+        with open(os.path.join(scratch, "_STAGED"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(scratch, stage)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)  # lost the race
     return stage
 
 

@@ -347,7 +347,10 @@ def docs_bpe_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN_K = 8  # character k-gram length
 _WIN_W = 4  # winnowing window (consecutive k-grams)
-_POS_BASE = 1_048_576  # 2^20: positions pack below the 40-bit gram hash
+# 2^22: positions pack below the 40-bit gram hash (comb = h*2^22 + pos
+# < 2^62, int64-safe). Docs at/above this length are excluded EXPLICITLY
+# in both engines — packed-key corruption for over-long docs was silent.
+_POS_BASE = 4_194_304
 
 
 @register(
@@ -359,7 +362,7 @@ WITH g AS (
            unnest(list_transform(generate_series(1, len(text) - {_WIN_K - 1}),
                   i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), {_WIN_K})), 1, 10)) AS BIGINT))) AS h,
            len(text) - {_WIN_K - 1} AS n_grams
-    FROM documents WHERE len(text) >= {_WIN_K}
+    FROM documents WHERE len(text) >= {_WIN_K} AND len(text) < {_POS_BASE}
 ),
 m AS (
     SELECT doc_id, pos, n_grams, h * {_POS_BASE} + pos AS comb FROM g
@@ -381,7 +384,7 @@ FROM sel WHERE pos <= n_grams - {_WIN_W - 1}
     "distinct selected (position, hash) set is the document fingerprint "
     "— guaranteeing any shared substring of length >= k+w-1 = 11 "
     "produces a shared fingerprint. The min is taken over a packed "
-    "(hash << 20) | pos key, so ties break to the LEFTMOST position "
+    "(hash << 22) | pos key, so ties break to the LEFTMOST position "
     "(deterministic variant of the paper's rightmost rule — documented "
     "deviation, identical guarantees). Window is partitioned per "
     "document and ordered by position: embarrassingly parallel, no "
@@ -390,7 +393,13 @@ FROM sel WHERE pos <= n_grams - {_WIN_W - 1}
 def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         _docs_parallel(spark, sf_dir)
-        .filter(F.char_length("text") >= _WIN_K)
+        .filter(
+            (F.char_length("text") >= _WIN_K)
+            # explicit doc-length cap: pos must stay below the pack base
+            # or the min-key ordering silently corrupts (both engines
+            # filter identically, so exclusion is visible, not silent)
+            & (F.char_length("text") < _POS_BASE)
+        )
         .select(
             "doc_id",
             (F.char_length("text") - (_WIN_K - 1)).alias("n_grams"),
@@ -513,10 +522,15 @@ FROM q GROUP BY dim
     "check run before training a retriever): quantized values posexplode "
     "to (dim, v) and ONE partial-aggregated groupBy(dim) — 64 groups — "
     "computes count / min / max / mean / population variance with exact "
-    "int64 sums (sum v, sum v^2 stay < 2^53 up to ~10^9 vectors at this "
-    "quantization) and a fixed-order double division at the end, so "
-    "both engines emit identical bits. At 100 TB this is a map-side "
-    "combine into 64 rows — network cost is nil.",
+    "int64 sums and a fixed-order double division at the end, so both "
+    "engines emit identical bits. Exactness bound: the raw sums stay "
+    "int64-exact to ~10^9 vectors at this quantization, but the packed "
+    "variance NUMERATOR n*sum(v^2) - sum(v)^2 overflows int64 around "
+    "n ~ 3x10^6 (n*s2 grows as n^2*E[v^2] with E[v^2] ~ 10^6); past "
+    "that, compute "
+    "variance as s2/n - (s1/n)^2 in doubles instead of the packed "
+    "integer form. At 100 TB this is a map-side combine into 64 rows — "
+    "network cost is nil.",
 )
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _emb(spark, sf_dir).select(

@@ -1,0 +1,134 @@
+"""Two-writer interleaving: CAS commits must serialize with no lost updates.
+
+The reference serializes concurrent in-process writers with mutexes
+(SqliteProvider.cs:29-30), so two callers can safely write one index.
+The Spark engine's analogue is optimistic concurrency on the manifest
+flip (store.py): read-modify-write merges re-derive from a fresh
+snapshot and retry when they lose the race. These tests drive REAL
+interleavings — concurrent ``write_batch`` sessions sharing chunk
+content (refcount-merge and payload-insert contention) and a
+``write_batch`` racing a ``delete_batch`` — and assert the end state a
+serial execution would produce. Runs on both store backends.
+"""
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+from watsondedupe_spark.engine import DedupeEngine
+from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+SMALL = ChunkSettings(*SMALL_FILE_PROFILE)
+
+
+@pytest.fixture(params=["file", "sqlite"])
+def engine(spark, tmp_path, request):
+    cls = IndexStore if request.param == "file" else SqliteIndexStore
+    return DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL, store_cls=cls)
+
+
+def _batch(spark, keys_payloads):
+    return spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in keys_payloads],
+        "object_key string, data binary",
+    )
+
+
+def _payload(n, seed):
+    return random.Random(seed).randbytes(n)
+
+
+def _assert_refcount_invariant(engine):
+    """chunks.ref_count must equal the object_map multiplicity per
+    chunk_key, and chunk_store must hold each payload exactly once."""
+    per_map = engine.object_map.groupBy("chunk_key").count()
+    joined = engine.chunks.join(per_map, "chunk_key", "full_outer").select(
+        "chunk_key", "ref_count", "count"
+    )
+    bad = joined.filter(
+        F.col("ref_count").isNull()
+        | F.col("count").isNull()
+        | (F.col("ref_count") != F.col("count"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    dup_payloads = (
+        engine.chunk_store.groupBy("chunk_key").count().filter(F.col("count") > 1)
+    )
+    assert dup_payloads.count() == 0, dup_payloads.limit(5).collect()
+    # every live chunk has its payload, and no orphan payloads linger
+    missing = engine.chunks.join(engine.chunk_store, "chunk_key", "left_anti")
+    assert missing.count() == 0
+    orphans = engine.chunk_store.join(engine.chunks, "chunk_key", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_two_concurrent_write_batches_no_lost_update(engine):
+    """Concurrent batches share chunk CONTENT (identical payloads →
+    identical chunk keys), so the refcount merge and the
+    payload-insert-if-absent both contend. A lost update would show as a
+    refcount below the map multiplicity, a duplicated payload row, or a
+    colliding ingest id."""
+    spark = engine.spark
+    shared = _payload(6000, 1)
+    batch_a = _batch(
+        spark, [("a1", shared), ("a2", _payload(5000, 2)), ("a3", shared)]
+    )
+    batch_b = _batch(
+        spark, [("b1", shared), ("b2", _payload(5000, 3)), ("b3", _payload(7000, 4))]
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(engine.write_batch, b) for b in (batch_a, batch_b)]
+        assert [f.result(timeout=600) for f in futs] == [3, 3]
+
+    rows = engine.objects.collect()
+    assert {r.object_key for r in rows} == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(1, 7)), f"colliding/gapped ingest ids: {ids}"
+    _assert_refcount_invariant(engine)
+    # shared content deduped across the racing batches: stored once
+    assert engine.get("a1") == shared
+    assert engine.get("b1") == shared
+    st = engine.stats()
+    assert st.physical_bytes < st.logical_bytes  # dedup actually happened
+
+
+def test_concurrent_write_and_delete_serialize(engine):
+    """A delete decrementing refcounts races an ingest incrementing
+    them on SHARED chunks. Whichever commit lands second must re-merge
+    against the winner's table — the end state equals some serial order:
+    deleted keys gone, new keys present, refcounts exact, shared
+    payloads retained."""
+    spark = engine.spark
+    shared = _payload(6000, 10)
+    engine.write_batch(
+        _batch(spark, [("old1", shared), ("old2", _payload(5000, 11)), ("keep1", shared)])
+    )
+
+    new_batch = _batch(spark, [("new1", shared), ("new2", _payload(5000, 12))])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_del = pool.submit(engine.delete_batch, ["old1", "old2"])
+        f_wr = pool.submit(engine.write_batch, new_batch)
+        f_del.result(timeout=600)
+        assert f_wr.result(timeout=600) == 2
+
+    keys = {r.object_key for r in engine.objects.collect()}
+    assert keys == {"keep1", "new1", "new2"}
+    _assert_refcount_invariant(engine)
+    # the shared payload survived the delete (keep1/new1 still reference it)
+    assert engine.get("keep1") == shared
+    assert engine.get("new1") == shared
+    assert engine.get("new2") == _payload(5000, 12)
+    assert not engine.exists("old1") and not engine.exists("old2")
+
+
+def test_sqlite_engine_reopens_via_autodetect(spark, tmp_path):
+    root = str(tmp_path / "sx")
+    eng = DedupeEngine.create(spark, root, SMALL, store_cls=SqliteIndexStore)
+    eng.write("k1", _payload(4000, 20))
+    re = DedupeEngine.open(spark, root)
+    assert type(re.store) is SqliteIndexStore
+    assert re.get("k1") == _payload(4000, 20)

@@ -25,9 +25,15 @@ def rand_bytes(n: int, seed: int) -> bytes:
     return random.Random(seed).randbytes(n)
 
 
-@pytest.fixture()
-def engine(spark, tmp_path):
-    return DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+@pytest.fixture(params=["file", "sqlite"])
+def engine(spark, tmp_path, request):
+    """Every engine scenario runs on BOTH store backends — the storage
+    swap point (store.py) is proven by the second implementation passing
+    the same engine suite with zero engine-code changes."""
+    from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+    cls = IndexStore if request.param == "file" else SqliteIndexStore
+    return DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL, store_cls=cls)
 
 
 def test_create_then_open_preserves_settings(spark, tmp_path):

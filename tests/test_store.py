@@ -1,8 +1,25 @@
-"""Manifest-of-parts store: time travel, retention, and GC safety."""
+"""Manifest-of-parts store: time travel, retention, GC safety, CAS.
+
+Every test runs against BOTH backends (file-manifest ``IndexStore`` and
+the SQLite-catalog ``SqliteIndexStore``): the engine's storage swap
+point is only proven if a second implementation of the contract passes
+the same suite — the analogue of the reference's DbProvider pluggability
+(DbProvider.cs:10, MySQL proof in Test.External/Program.cs:188).
+"""
 
 import pytest
 
-from watsondedupe_spark.store import IndexStore
+from watsondedupe_spark.store import (
+    ConcurrentWriteError,
+    IndexStore,
+    SqliteIndexStore,
+    open_store,
+)
+
+
+@pytest.fixture(params=["file", "sqlite"])
+def store_cls(request):
+    return IndexStore if request.param == "file" else SqliteIndexStore
 
 
 def _df(spark, lo, hi):
@@ -16,8 +33,8 @@ def _df(spark, lo, hi):
     ).select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
 
 
-def test_time_travel_reads_each_version(spark, tmp_path):
-    st = IndexStore(spark, str(tmp_path))
+def test_time_travel_reads_each_version(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
     st.commit("objects", _df(spark, 0, 10))      # v1: 10 rows
     st.append("objects", _df(spark, 10, 15))     # v2: 15 rows
     st.append("objects", _df(spark, 15, 17))     # v3: 17 rows
@@ -28,8 +45,8 @@ def test_time_travel_reads_each_version(spark, tmp_path):
     assert st.versions("objects") == [1, 2, 3]
 
 
-def test_retention_expires_old_versions(spark, tmp_path):
-    st = IndexStore(spark, str(tmp_path))
+def test_retention_expires_old_versions(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
     st.retain_versions = 3
     for i in range(6):
         st.append("objects", _df(spark, i * 2, i * 2 + 2))
@@ -41,8 +58,8 @@ def test_retention_expires_old_versions(spark, tmp_path):
     assert st.read_version("objects", 3).count() == 6
 
 
-def test_commit_gc_preserves_time_travel_parts(spark, tmp_path):
-    st = IndexStore(spark, str(tmp_path))
+def test_commit_gc_preserves_time_travel_parts(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
     st.commit("objects", _df(spark, 0, 5))       # v1
     st.commit("objects", _df(spark, 0, 8))       # v2 (retires v1's part
     # from CURRENT state, but v1 manifest is retained -> part survives)
@@ -50,8 +67,8 @@ def test_commit_gc_preserves_time_travel_parts(spark, tmp_path):
     assert st.read_version("objects", 1).count() == 5
 
 
-def test_compaction_keeps_current_snapshot(spark, tmp_path):
-    st = IndexStore(spark, str(tmp_path))
+def test_compaction_keeps_current_snapshot(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
     st.max_parts = 3
     for i in range(5):
         st.append("objects", _df(spark, i * 3, i * 3 + 3))
@@ -60,10 +77,8 @@ def test_compaction_keeps_current_snapshot(spark, tmp_path):
     assert len(state["parts"]) <= st.max_parts
 
 
-def test_manifest_meta_carries_forward_and_replaces(spark, tmp_path):
-    from watsondedupe_spark.store import IndexStore
-
-    store = IndexStore(spark, str(tmp_path / "meta_store"))
+def test_manifest_meta_carries_forward_and_replaces(spark, tmp_path, store_cls):
+    store = store_cls(spark, str(tmp_path / "meta_store"))
     df = spark.createDataFrame([(1,)], "x long")
     assert store.table_meta("t") == {}
     store.commit("t", df, meta={"max_id": 7})
@@ -79,3 +94,69 @@ def test_manifest_meta_carries_forward_and_replaces(spark, tmp_path):
     for _ in range(IndexStore.max_parts + 1):
         store.append("t", df)
     assert store.table_meta("t") == {"max_id": 9}
+
+
+# -- optimistic concurrency (CAS) -------------------------------------------
+
+
+def test_cas_commit_refuses_stale_version(spark, tmp_path, store_cls):
+    """A commit armed with expected_version must refuse to overwrite a
+    concurrent writer's commit — the lost-update guard."""
+    st = store_cls(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x long")
+    st.commit("t", df)                       # v1
+    v = st.current_version("t")
+    st.commit("t", df)                       # concurrent writer lands v2
+    with pytest.raises(ConcurrentWriteError):
+        st.commit("t", df, expected_version=v)
+    # the refused part must not leak into the table or onto disk
+    assert st.current_version("t") == 2
+    st._gc("t")
+    live = {p.split("/")[-1] for p in st._state("t")["parts"]}
+    import os
+
+    on_disk = {e for e in os.listdir(st._table_dir("t")) if e.startswith("p")}
+    retained = set()
+    for ver in st.versions("t"):
+        sv = st._state_version("t", ver)
+        retained |= {p.split("/")[-1] for p in sv["parts"]}
+    assert on_disk <= live | retained
+
+
+def test_cas_append_refuses_stale_version(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x long")
+    st.commit("t", df)
+    v = st.current_version("t")
+    st.append("t", df)
+    with pytest.raises(ConcurrentWriteError):
+        st.append("t", df, expected_version=v)
+    assert st.read("t").count() == 2  # the stale append added nothing
+
+
+def test_concurrent_appends_rebase_no_lost_parts(spark, tmp_path, store_cls):
+    """Interleaved appends from driver threads: every part must survive
+    (the rebase inside the critical section) and versions must be
+    monotone with no gaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    st = store_cls(spark, str(tmp_path))
+    st.commit("t", _df(spark, 0, 1))
+
+    def one(i):
+        st.append("t", _df(spark, 10 * (i + 1), 10 * (i + 1) + 3))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(one, range(8)))
+    assert st.read("t").count() == 1 + 8 * 3
+    assert st.current_version("t") == 9  # 1 commit + 8 appends, no gaps
+
+
+def test_open_store_autodetects_backend(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x long")
+    f_root, s_root = str(tmp_path / "f"), str(tmp_path / "s")
+    IndexStore(spark, f_root).commit("t", df)
+    SqliteIndexStore(spark, s_root).commit("t", df)
+    assert type(open_store(spark, f_root)) is IndexStore
+    assert type(open_store(spark, s_root)) is SqliteIndexStore
+    assert open_store(spark, s_root).read("t").count() == 1

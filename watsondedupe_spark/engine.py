@@ -58,9 +58,15 @@ from watsondedupe_spark.schemas import (
     OBJECT_MAP_SCHEMA,
     OBJECTS_SCHEMA,
 )
-from watsondedupe_spark.store import IndexStore
+from watsondedupe_spark.store import ConcurrentWriteError, IndexStore, open_store
 
 MAX_LIST_RESULTS = 100  # EnumerationResult.cs:60
+
+# bounded optimistic-concurrency retries for table read-modify-writes;
+# each retry re-derives the merge from a fresh snapshot (the Delta
+# commit-conflict shape — the batched analogue of the reference's
+# writer mutexes, SqliteProvider.cs:29-30)
+CAS_RETRIES = 6
 
 # list-form delete_batch returns GC'd chunk keys as a Python list only up
 # to this many keys; above it the GC set comes back as a DataFrame (same
@@ -159,12 +165,41 @@ class DedupeEngine:
         self.store = store
         self.settings = settings
 
+    def _cas(self, attempt):
+        """Bounded optimistic-concurrency loop: ``attempt`` must derive
+        its merge from a fresh ``store.snapshot`` on every call and
+        commit with that snapshot's ``expected_version``. Lost races
+        re-derive and retry (linear backoff), so concurrent writers'
+        read-modify-writes serialize per table — no lost updates."""
+        import time
+
+        last: ConcurrentWriteError | None = None
+        for i in range(CAS_RETRIES):
+            try:
+                return attempt()
+            except ConcurrentWriteError as e:
+                last = e
+                time.sleep(0.05 * (i + 1))
+        raise last
+
     # -- lifecycle -----------------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str, settings: ChunkSettings | None = None) -> "DedupeEngine":
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        settings: ChunkSettings | None = None,
+        store_cls: type[IndexStore] = IndexStore,
+    ) -> "DedupeEngine":
+        """``store_cls`` selects the persistence backend (the reference's
+        DbProvider pluggability, DbProvider.cs:10): the file-manifest
+        :class:`IndexStore` by default, or any class honouring the same
+        read/snapshot/commit/append contract (e.g.
+        :class:`~watsondedupe_spark.store.SqliteIndexStore`).
+        :meth:`open` autodetects which backend wrote an index."""
         settings = settings or ChunkSettings()
-        store = IndexStore(spark, root)
+        store = store_cls(spark, root)
         if store.exists("config"):
             raise ValueError(f"index already exists at {root}; use open()")
         cfg = spark.createDataFrame(list(settings.to_config().items()), CONFIG_SCHEMA)
@@ -173,7 +208,7 @@ class DedupeEngine:
 
     @classmethod
     def open(cls, spark: SparkSession, root: str) -> "DedupeEngine":
-        store = IndexStore(spark, root)
+        store = open_store(spark, root)
         if not store.exists("config"):
             raise FileNotFoundError(f"no index at {root}")
         cfg = {r["key"]: r["value"] for r in store.read("config").collect()}
@@ -343,44 +378,63 @@ class DedupeEngine:
             # 2. refcount merge (O17): aggregate increments per chunk_key
             # FIRST so the merge is one row per key — the batched form of
             # the reference's mutex-serialized upsert (SqliteProvider.cs:463-484).
+            # The merge is a read-modify-write, so it commits under CAS:
+            # a concurrent writer's increments can never be overwritten —
+            # the loser re-merges against the fresh table and retries.
             increments = chunk_rows.groupBy("chunk_key").agg(
                 F.count("*").alias("inc"), F.first("length").alias("new_length")
             )
-            if not self.store.exists("chunks"):
-                # first-load fast path: nothing to merge with, the
-                # increments ARE the table — skips the outer join's
-                # second shuffle side entirely (bulk initial loads are
-                # the common case at scale)
-                merged = increments.select(
-                    "chunk_key",
-                    F.col("new_length").cast("int").alias("length"),
-                    F.col("inc").cast("long").alias("ref_count"),
-                )
-            else:
-                merged = (
-                    self.chunks.join(increments, "chunk_key", "full_outer")
-                    .select(
+
+            def attempt():
+                v, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
+                if v == 0:
+                    # first-load fast path: nothing to merge with, the
+                    # increments ARE the table — skips the outer join's
+                    # second shuffle side entirely (bulk initial loads are
+                    # the common case at scale)
+                    merged = increments.select(
                         "chunk_key",
-                        F.coalesce("length", "new_length").cast("int").alias("length"),
-                        (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
-                        .cast("long")
-                        .alias("ref_count"),
+                        F.col("new_length").cast("int").alias("length"),
+                        F.col("inc").cast("long").alias("ref_count"),
                     )
-                )
-            self.store.commit("chunks", _sized(merged))
+                else:
+                    merged = (
+                        chunks.join(increments, "chunk_key", "full_outer")
+                        .select(
+                            "chunk_key",
+                            F.coalesce("length", "new_length").cast("int").alias("length"),
+                            (F.coalesce(F.col("ref_count"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0)))
+                            .cast("long")
+                            .alias("ref_count"),
+                        )
+                    )
+                self.store.commit("chunks", _sized(merged), expected_version=v)
+
+            self._cas(attempt)
 
         def write_payloads():
             # 3. chunk_store insert-if-absent (content-addressed storage is
             # the physical dedup: same key => stored once, DedupeLibrary.cs:628).
-            new_payloads = chunk_rows.dropDuplicates(["chunk_key"])
-            if self.store.exists("chunk_store"):  # first load: nothing absent
-                new_payloads = new_payloads.join(
-                    self.chunk_store.select("chunk_key"), "chunk_key", "left_anti"
+            # The absence set is derived from a snapshot, so the append is
+            # CAS-guarded too: without it, two batches sharing a chunk key
+            # could both see it absent and store the payload twice —
+            # duplicate rows that a reassembly join would then duplicate.
+            new_rows = chunk_rows.dropDuplicates(["chunk_key"])
+
+            def attempt():
+                v, cs, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
+                absent = new_rows
+                if v > 0:  # first load: nothing absent
+                    absent = absent.join(
+                        cs.select("chunk_key"), "chunk_key", "left_anti"
+                    )
+                self.store.append(
+                    "chunk_store",
+                    _sized(absent.select("chunk_key", F.col("chunk_data").alias("data"))),
+                    expected_version=v,
                 )
-            self.store.append(
-                "chunk_store",
-                _sized(new_payloads.select("chunk_key", F.col("chunk_data").alias("data"))),
-            )
+
+            self._cas(attempt)
 
         def write_objects():
             # 4. objects rows: per-object rollup + ingest-sequence ids.
@@ -390,25 +444,36 @@ class DedupeEngine:
             # the ingest-sequence high-water mark rides in the manifest
             # (Delta table-properties style), so steady-state batches skip
             # the max(id) scan job; first write on a pre-meta index falls
-            # back to the aggregate once
-            prev_max = self.store.table_meta("objects").get("max_id")
-            if prev_max is None:
-                prev_max = self.objects.agg(F.max("id")).collect()[0][0] or 0
+            # back to the aggregate once. CAS-guarded: two concurrent
+            # batches reading the same max_id would otherwise assign
+            # COLLIDING id ranges — the loser rebases on the winner's
+            # high-water mark and re-derives its ids.
             rolled = chunk_rows.groupBy("object_key").agg(
                 F.sum("length").cast("long").alias("original_length"),
                 F.sum("length").cast("long").alias("comp_length"),
                 F.count("*").cast("long").alias("chunk_count"),
             )
-            # deterministic intra-batch sequence, assigned distributed
-            # (two-phase prefix scan — no single-task global window)
-            new_objects = (
-                assign_ingest_ids(rolled, prev_max)
-                .withColumn("created_utc", F.lit(created_utc))
-                .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
-            )
-            self.store.append(
-                "objects", new_objects, meta={"max_id": int(prev_max) + n_objects}
-            )
+
+            def attempt():
+                v, objs, meta = self.store.snapshot("objects", OBJECTS_SCHEMA)
+                prev_max = meta.get("max_id")
+                if prev_max is None:
+                    prev_max = objs.agg(F.max("id")).collect()[0][0] or 0
+                # deterministic intra-batch sequence, assigned distributed
+                # (two-phase prefix scan — no single-task global window)
+                new_objects = (
+                    assign_ingest_ids(rolled, prev_max)
+                    .withColumn("created_utc", F.lit(created_utc))
+                    .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
+                )
+                self.store.append(
+                    "objects",
+                    new_objects,
+                    meta={"max_id": int(prev_max) + n_objects},
+                    expected_version=v,
+                )
+
+            self._cas(attempt)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -605,80 +670,105 @@ class DedupeEngine:
         if isinstance(keys, DataFrame):
             return self._delete_batch_distributed(keys)
         key_col = F.col("object_key").isin(keys)
-        doomed_map = self.object_map.filter(key_col)
-        decrements = doomed_map.groupBy("chunk_key").agg(F.count("*").alias("dec"))
+        gc_set = self._delete_commits(
+            doomed_map_of=lambda omap: omap.filter(key_col),
+            survivors_of=lambda df: df.filter(~key_col),
+        )
+        head = gc_set.take(GC_RETURN_CAP + 1)
+        if len(head) > GC_RETURN_CAP:
+            return gc_set
+        return [r.chunk_key for r in head]
 
-        merged = (
-            self.chunks.join(decrements, "chunk_key", "left")
-            .select(
+    def _delete_commits(self, doomed_map_of, survivors_of) -> DataFrame:
+        """Shared cascade for both delete forms: refcount decrement merge,
+        survivor commits on all four tables, payload GC. Returns the GC'd
+        chunk-key set (checkpointed).
+
+        Every table commit is a CAS read-modify-write (re-derived from a
+        fresh snapshot on conflict), so concurrent write/delete sessions
+        serialize PER TABLE with no lost updates. Cross-table anomalies
+        remain possible only when a concurrent writer ingests content
+        OVERLAPPING the chunks being GC'd (the payload-GC commit
+        re-filters against the live chunks table to shrink that window);
+        the reference's in-process mutex has the same scope — it cannot
+        order two independent processes either.
+        """
+        holder: dict = {}
+
+        def chunks_attempt():
+            # decrements derive from the CURRENT object_map (re-read per
+            # attempt — a concurrent ingest may have appended map rows)
+            _, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
+            decrements = (
+                doomed_map_of(omap).groupBy("chunk_key").agg(F.count("*").alias("dec"))
+            )
+            v, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
+            merged = chunks.join(decrements, "chunk_key", "left").select(
                 "chunk_key",
                 "length",
                 (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
             )
-        )
-        # checkpoint pins the GC set before the commits flip manifests
-        # under it AND lets the take / anti-join / (possible) return all
-        # reuse one materialization
-        gc_set = (
-            merged.filter(F.col("ref_count") < 1)
-            .select("chunk_key")
-            .localCheckpoint(eager=True)
-        )
-        head = gc_set.take(GC_RETURN_CAP + 1)
-
-        self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
-        self.store.commit("object_map", self.object_map.filter(~key_col))
-        self.store.commit("objects", self.objects.filter(~key_col))
-        if head:
-            # anti-join, not isin(<collected list>): a mass delete can GC
-            # millions of chunks, and a literal list that size would blow
-            # the driver/plan — the distributed set difference doesn't
-            self.store.commit(
-                "chunk_store",
-                self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
+            # checkpoint pins the GC set before the commits flip
+            # manifests under it AND lets the take / anti-join / return
+            # reuse one materialization
+            holder["gc"] = (
+                merged.filter(F.col("ref_count") < 1)
+                .select("chunk_key")
+                .localCheckpoint(eager=True)
             )
-        if len(head) > GC_RETURN_CAP:
-            return gc_set
-        return [r.chunk_key for r in head]
+            self.store.commit(
+                "chunks", merged.filter(F.col("ref_count") >= 1), expected_version=v
+            )
+
+        self._cas(chunks_attempt)
+        gc_set = holder["gc"]
+
+        def map_attempt():
+            v, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
+            self.store.commit("object_map", survivors_of(omap), expected_version=v)
+
+        def objects_attempt():
+            v, objs, _ = self.store.snapshot("objects", OBJECTS_SCHEMA)
+            self.store.commit("objects", survivors_of(objs), expected_version=v)
+
+        self._cas(map_attempt)
+        self._cas(objects_attempt)
+
+        if gc_set.head(1):
+
+            def payload_attempt():
+                v, cs, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
+                # anti-join, not isin(<collected list>): a mass delete can
+                # GC millions of chunks, and a literal list that size would
+                # blow the driver/plan — the distributed set difference
+                # doesn't. Re-filter against the LIVE chunks table: a chunk
+                # revived by a concurrent ingest (refcount back >= 1) must
+                # keep its payload.
+                dead = gc_set.join(self.chunks.select("chunk_key"), "chunk_key", "left_anti")
+                self.store.commit(
+                    "chunk_store",
+                    cs.join(dead, "chunk_key", "left_anti"),
+                    expected_version=v,
+                )
+
+            self._cas(payload_attempt)
+        return gc_set
 
     def _delete_batch_distributed(self, keys_df: DataFrame) -> DataFrame:
         """Join-based :meth:`delete_batch`: the key set and the GC set
         stay DataFrames end to end.
 
-        ``localCheckpoint`` pins the key set and the decrement merge
-        before the table commits flip manifests under them (the store
-        retains old parts for 8 versions, but a returned lazy plan must
-        not depend on that window) and keeps the merge from recomputing
-        for the survivors-commit and the GC filter. The only driver
-        round trips are 1-row probes.
+        ``localCheckpoint`` pins the key set before the table commits
+        flip manifests under it (the store retains old parts for 8
+        versions, but a returned lazy plan must not depend on that
+        window); :meth:`_delete_commits` checkpoints the GC set the same
+        way. The only driver round trips are 1-row probes.
         """
         keys_df = keys_df.select("object_key").distinct().localCheckpoint(eager=True)
-        doomed_map = self.object_map.join(keys_df, "object_key", "left_semi")
-        decrements = doomed_map.groupBy("chunk_key").agg(F.count("*").alias("dec"))
-        merged = (
-            self.chunks.join(decrements, "chunk_key", "left")
-            .select(
-                "chunk_key",
-                "length",
-                (F.col("ref_count") - F.coalesce(F.col("dec"), F.lit(0))).alias("ref_count"),
-            )
-            .localCheckpoint(eager=True)
+        return self._delete_commits(
+            doomed_map_of=lambda omap: omap.join(keys_df, "object_key", "left_semi"),
+            survivors_of=lambda df: df.join(keys_df, "object_key", "left_anti"),
         )
-        gc_set = merged.filter(F.col("ref_count") < 1).select("chunk_key")
-
-        self.store.commit("chunks", merged.filter(F.col("ref_count") >= 1))
-        self.store.commit(
-            "object_map", self.object_map.join(keys_df, "object_key", "left_anti")
-        )
-        self.store.commit(
-            "objects", self.objects.join(keys_df, "object_key", "left_anti")
-        )
-        if gc_set.head(1):
-            self.store.commit(
-                "chunk_store",
-                self.chunk_store.join(gc_set, "chunk_key", "left_anti"),
-            )
-        return gc_set
 
     # -- stats (O20/O21) ----------------------------------------------------------
 

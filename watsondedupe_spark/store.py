@@ -1,15 +1,15 @@
 """Snapshot-versioned parquet persistence for the index tables.
 
 The reference keeps its index in SQLite with row-level CRUD serialized by
-in-process mutexes (src/DedupeLibrary/Database/SqliteProvider.cs:29-30).
-A Spark-native engine wants ACID *table* commits instead. In production
-this layer is Delta Lake / Iceberg (``MERGE INTO``, optimistic
-concurrency, time travel); this container has plain parquet only, so we
-provide the same contract with a manifest-of-parts design — the same
-file-log idea those formats use:
+in-process mutexes (src/DedupeLibrary/Database/SqliteProvider.cs:29-30),
+so concurrent callers can safely write. A Spark-native engine wants ACID
+*table* commits instead. In production this layer is Delta Lake /
+Iceberg (``MERGE INTO``, optimistic concurrency, time travel); this
+container has plain parquet only, so we provide the same contract with a
+manifest-of-parts design — the same file-log idea those formats use:
 
-    {root}/{table}/p00000001/...parquet     immutable data part
-    {root}/{table}/_MANIFEST                json {version, parts}, atomic rename
+    {root}/{table}/p00000001_ab12cd34/...     immutable data part
+    {root}/{table}/_MANIFEST                  json {version, parts}, atomic rename
 
 A *commit* (full replace) writes one new part and a manifest referencing
 only it. An *append* writes a part containing ONLY the new rows and a
@@ -20,15 +20,40 @@ parts as one multi-path parquet read. When a table accumulates more than
 ``max_parts`` parts, the next append folds them into one (bounded read
 fan-in — the OPTIMIZE/compaction analogue).
 
-Every manifest version is also retained as ``_MANIFEST.v{N}`` for the
-last ``retain_versions`` commits, so ``read_version`` gives Delta-style
-time travel: part files stay on disk as long as ANY retained manifest
-references them, and GC only removes parts unreachable from every
-retained version.
+Every manifest version is also retained for the last ``retain_versions``
+commits, so ``read_version`` gives Delta-style time travel: part files
+stay on disk as long as ANY retained manifest references them, and GC
+only removes parts unreachable from every retained version. Retention
+also protects in-flight concurrent readers: a job scanning version N's
+parts survives a writer publishing N+1 and GC-ing, because N stays in
+the retained window.
 
-Single-writer semantics (same as the reference); swapping this class for
-a Delta-backed one changes no engine code — the engine only calls
-``read`` / ``commit`` / ``append``.
+Multi-writer semantics (optimistic concurrency, the Delta protocol's
+shape — the batched analogue of the reference's writer mutexes):
+
+* Data parts are written OUTSIDE any lock under collision-free unique
+  names; only the manifest flip runs inside a short per-table critical
+  section (``fcntl.flock`` here, a SQLite transaction in the second
+  backend).
+* ``append`` REBASES inside the critical section — the fresh manifest's
+  part list plus the new part — so concurrent appends to one table
+  interleave without lost parts (appends commute).
+* ``commit`` (full replace) takes ``expected_version``: if another
+  writer has published since the caller read its snapshot, the flip is
+  refused with :class:`ConcurrentWriteError` and the caller re-derives
+  from the fresh snapshot and retries — which makes read-modify-write
+  merges (refcount updates) serializable. ``expected_version=None``
+  keeps unconditional last-writer-wins replace for single-writer
+  callers.
+
+Two interchangeable backends prove the swap point (the reference's
+``DbProvider`` pluggability, src/DedupeLibrary/Database/DbProvider.cs:10,
+proven externally against MySQL in src/Test.External/Program.cs:188):
+:class:`IndexStore` keeps manifests as JSON files; :class:`SqliteIndexStore`
+keeps them in a SQLite catalog (``{root}/_manifest.db``) with CAS as a
+``BEGIN IMMEDIATE`` transaction. The engine only calls the shared
+contract (``read / snapshot / commit / append / table_meta / ...``) and
+runs unchanged on either.
 """
 
 from __future__ import annotations
@@ -36,6 +61,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -43,26 +70,61 @@ from pyspark.sql.types import StructType
 from watsondedupe_spark.schemas import TABLE_SCHEMAS
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A CAS commit lost the race: the table advanced past the caller's
+    snapshot version. Re-read, re-derive, retry."""
+
+
 class IndexStore:
-    """Parquet-backed table store with atomic manifest commits."""
+    """Parquet-backed table store with atomic manifest commits.
+
+    File-manifest backend: the current state lives in ``_MANIFEST``
+    (atomic ``os.replace`` flip), history in ``_MANIFEST.v{N}``, and the
+    critical section is an ``fcntl.flock`` on ``_LOCK`` — which
+    serializes both threads of one process (locks attach to the open
+    file description) and separate processes on one host/NFS-with-locks.
+    """
 
     #: appends fold all live parts into one once this many accumulate
     max_parts = 16
     #: how many historical manifest versions stay readable (time travel)
     retain_versions = 8
+    #: bounded optimistic retries for internal read-modify-write (fold)
+    cas_retries = 6
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    # -- internals ----------------------------------------------------------
+    # -- backend primitives (the only parts a new backend overrides) --------
 
     def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def _pointer(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_MANIFEST")
+
+    def _version_pointer(self, name: str, version: int) -> str:
+        return self._pointer(name) + f".v{version:08d}"
+
+    @contextmanager
+    def _transact(self, name: str):
+        """Per-table critical section for manifest flips. flock on a
+        lock file: exclusive between processes AND between threads of
+        one process (each entry opens its own file description)."""
+        import fcntl
+
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        fd = os.open(
+            os.path.join(self._table_dir(name), "_LOCK"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _state(self, name: str) -> dict:
         try:
@@ -71,16 +133,16 @@ class IndexStore:
         except FileNotFoundError:
             return {"version": 0, "parts": []}
 
-    def current_version(self, name: str) -> int:
-        return self._state(name)["version"]
+    def _state_version(self, name: str, version: int) -> dict | None:
+        try:
+            with open(self._version_pointer(name, version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
-    def _part_path(self, name: str, version: int) -> str:
-        return os.path.join(self._table_dir(name), f"p{version:08d}")
-
-    def _version_pointer(self, name: str, version: int) -> str:
-        return self._pointer(name) + f".v{version:08d}"
-
-    def _swap_manifest(self, name: str, state: dict) -> None:
+    def _write_state(self, name: str, state: dict) -> None:
+        """Persist ``state`` as the current manifest + retained history;
+        MUST be called inside :meth:`_transact`."""
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -111,33 +173,50 @@ class IndexStore:
             if e.startswith(prefix)
         )
 
+    # -- shared internals ----------------------------------------------------
+
+    def current_version(self, name: str) -> int:
+        return self._state(name)["version"]
+
+    def _new_part_path(self, name: str, version_hint: int) -> str:
+        """Collision-free part dir name: version hint for operator
+        legibility + uuid suffix so racing writers never share a path."""
+        return os.path.join(
+            self._table_dir(name), f"p{version_hint:08d}_{uuid.uuid4().hex[:8]}"
+        )
+
+    def _df_for(self, state: dict, name: str, schema: StructType | None) -> DataFrame:
+        if not state["parts"]:
+            return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
+        return self.spark.read.parquet(*state["parts"])
+
     def read_version(self, name: str, version: int) -> DataFrame:
         """Snapshot of ``name`` as of ``version`` — Delta-style time
         travel over the retained manifest history."""
-        try:
-            with open(self._version_pointer(name, version)) as f:
-                state = json.load(f)
-        except FileNotFoundError:
+        state = self._state_version(name, version)
+        if state is None:
             raise ValueError(
                 f"version {version} of {name} is not retained "
                 f"(have {self.versions(name)})"
             )
-        if not state["parts"]:
-            return self.spark.createDataFrame([], TABLE_SCHEMAS[name])
-        return self.spark.read.parquet(*state["parts"])
+        return self._df_for(state, name, None)
 
     def _gc(self, name: str) -> None:
         """Remove part dirs unreachable from the current manifest AND
         every retained historical manifest. Safe to run after the swap:
         crashed writers leave at worst an orphan dir, never a dangling
-        reference."""
+        reference — and retention keeps concurrent readers' parts live."""
         live: set[str] = set()
-        for state in [self._state(name)] + [
-            json.load(open(self._version_pointer(name, v)))
-            for v in self.versions(name)
-        ]:
+        states = [self._state(name)] + [
+            s
+            for s in (self._state_version(name, v) for v in self.versions(name))
+            if s is not None
+        ]
+        for state in states:
             live.update(os.path.basename(p) for p in state["parts"])
         tdir = self._table_dir(name)
+        if not os.path.isdir(tdir):
+            return
         for entry in os.listdir(tdir):
             if entry.startswith("p") and entry not in live:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
@@ -149,65 +228,265 @@ class IndexStore:
 
     def read(self, name: str, schema: StructType | None = None) -> DataFrame:
         """Current snapshot of ``name``; empty (typed) DataFrame if absent."""
+        return self._df_for(self._state(name), name, schema)
+
+    def snapshot(self, name: str, schema: StructType | None = None):
+        """``(version, DataFrame, meta)`` resolved from ONE manifest
+        read — the consistent basis for a CAS read-modify-write: derive
+        the new state from the DataFrame/meta, then
+        ``commit(..., expected_version=version)``."""
         state = self._state(name)
-        if not state["parts"]:
-            schema = schema or TABLE_SCHEMAS[name]
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*state["parts"])
+        return state["version"], self._df_for(state, name, schema), state.get("meta", {})
 
     def table_meta(self, name: str) -> dict:
         """Caller-provided table statistics carried in the manifest (the
         Delta/Iceberg table-properties analogue). Empty dict if none."""
         return self._state(name).get("meta", {})
 
-    def commit(self, name: str, df: DataFrame, meta: dict | None = None) -> int:
+    def commit(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Write ``df`` as the full new table state; flip the manifest
-        atomically; retire every previous part. ``meta=None`` carries the
-        previous manifest's meta forward; pass a dict to replace it."""
+        atomically; retire every previous part.
+
+        ``meta=None`` carries the previous manifest's meta forward; pass
+        a dict to replace it. ``expected_version`` arms the CAS check:
+        if the table has advanced past it by flip time the new part is
+        discarded and :class:`ConcurrentWriteError` raised — the caller
+        re-derives from a fresh :meth:`snapshot` and retries. ``None``
+        keeps unconditional last-writer-wins replace.
+        """
         os.makedirs(self._table_dir(name), exist_ok=True)
-        state = self._state(name)
-        new = state["version"] + 1
-        path = self._part_path(name, new)
+        hint = (expected_version if expected_version is not None
+                else self.current_version(name)) + 1
+        path = self._new_part_path(name, hint)
         df.write.mode("overwrite").parquet(path)
-        self._swap_manifest(
-            name,
-            {
-                "version": new,
-                "parts": [path],
-                "meta": state.get("meta", {}) if meta is None else meta,
-            },
-        )
+        with self._transact(name):
+            state = self._state(name)
+            if expected_version is not None and state["version"] != expected_version:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{name}: expected version {expected_version}, "
+                    f"found {state['version']} — another writer committed first"
+                )
+            new = state["version"] + 1
+            self._write_state(
+                name,
+                {
+                    "version": new,
+                    "parts": [path],
+                    "meta": state.get("meta", {}) if meta is None else meta,
+                },
+            )
         self._gc(name)
         return new
 
-    def append(self, name: str, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Append ONLY the new rows as a fresh part — O(batch) I/O.
 
         (With Delta this is a metadata-only append commit; the manifest
-        gives plain parquet the same cost shape.) Every ``max_parts``
-        appends the parts fold into one so read fan-in stays bounded.
+        gives plain parquet the same cost shape.) The part list REBASES
+        inside the critical section, so concurrent appends interleave
+        without lost parts. ``expected_version`` opts into the CAS check
+        instead — for appends whose ROWS were derived from a snapshot
+        (insert-if-absent, sequence-id assignment) and must be re-derived
+        if another writer landed first. Every ``max_parts`` appends the
+        parts fold into one (bounded read fan-in), itself CAS-retried so
+        a fold can never swallow a concurrent writer's commit.
         ``meta`` as in :meth:`commit`.
         """
         state = self._state(name)
         if len(state["parts"]) >= self.max_parts:
-            return self.commit(name, self.read(name, df.schema).unionByName(df), meta=meta)
+            # fold under CAS: a concurrent commit between our snapshot
+            # read and the flip must not be overwritten by the folded
+            # union — retry from the fresh snapshot
+            last_err: ConcurrentWriteError | None = None
+            for _ in range(self.cas_retries):
+                v, cur, cur_meta = self.snapshot(name, df.schema)
+                if expected_version is not None and v != expected_version:
+                    raise ConcurrentWriteError(
+                        f"{name}: expected version {expected_version}, found {v}"
+                    )
+                try:
+                    return self.commit(
+                        name,
+                        cur.unionByName(df),
+                        meta=cur_meta if meta is None else meta,
+                        expected_version=v,
+                    )
+                except ConcurrentWriteError as e:
+                    if expected_version is not None:
+                        raise
+                    last_err = e
+            raise last_err  # contended beyond the retry budget
         os.makedirs(self._table_dir(name), exist_ok=True)
-        new = state["version"] + 1
-        path = self._part_path(name, new)
+        path = self._new_part_path(name, state["version"] + 1)
         df.write.mode("overwrite").parquet(path)
-        self._swap_manifest(
-            name,
-            {
-                "version": new,
-                "parts": state["parts"] + [path],
-                "meta": state.get("meta", {}) if meta is None else meta,
-            },
-        )
+        with self._transact(name):
+            fresh = self._state(name)  # REBASE: another append may have landed
+            if expected_version is not None and fresh["version"] != expected_version:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{name}: expected version {expected_version}, "
+                    f"found {fresh['version']} — another writer committed first"
+                )
+            new = fresh["version"] + 1
+            self._write_state(
+                name,
+                {
+                    "version": new,
+                    "parts": fresh["parts"] + [path],
+                    "meta": fresh.get("meta", {}) if meta is None else meta,
+                },
+            )
         return new
 
     def compact(self, name: str) -> int:
         """Fold all live parts into one (the OPTIMIZE analogue); no-op on
-        an absent table."""
+        an absent table. CAS-retried so compaction never swallows a
+        concurrent writer's commit."""
         if not self.exists(name):
             return 0
-        return self.commit(name, self.read(name))
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(self.cas_retries):
+            v, cur, cur_meta = self.snapshot(name)
+            try:
+                return self.commit(name, cur, meta=cur_meta, expected_version=v)
+            except ConcurrentWriteError as e:
+                last_err = e
+        raise last_err
+
+
+class SqliteIndexStore(IndexStore):
+    """Second backend proving the storage swap point: manifests live in
+    a SQLite catalog instead of JSON files.
+
+    Mirrors the reference's ``DbProvider`` pluggability
+    (src/DedupeLibrary/Database/DbProvider.cs:10 — SQLite built in, the
+    external test proves MySQL): the engine calls the same
+    ``read/snapshot/commit/append/table_meta`` contract and cannot tell
+    the backends apart. Data parts stay immutable parquet dirs; only the
+    STATE primitives differ — current/history manifests are rows in
+    ``{root}/_manifest.db`` and the critical section is a
+    ``BEGIN IMMEDIATE`` transaction, which also serializes writers
+    across processes. Detection: :func:`open_store` picks this backend
+    when the catalog file exists.
+    """
+
+    CATALOG = "_manifest.db"
+
+    def __init__(self, spark: SparkSession, root: str):
+        import threading
+        from contextlib import closing
+
+        super().__init__(spark, root)
+        self._db_path = os.path.join(root, self.CATALOG)
+        # the active transaction connection is THREAD-local: the engine
+        # commits four tables concurrently from driver threads, each in
+        # its own critical section
+        self._tls = threading.local()
+        with closing(self._conn()) as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS manifests ("
+                " name TEXT NOT NULL, version INTEGER NOT NULL,"
+                " state TEXT NOT NULL, PRIMARY KEY (name, version))"
+            )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS current ("
+                " name TEXT PRIMARY KEY, version INTEGER NOT NULL)"
+            )
+
+    def _conn(self):
+        import sqlite3
+
+        con = sqlite3.connect(self._db_path, timeout=30.0)
+        con.isolation_level = None  # explicit transactions only
+        return con
+
+    # -- overridden state primitives ----------------------------------------
+
+    @contextmanager
+    def _transact(self, name: str):
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        con = self._conn()
+        try:
+            # IMMEDIATE takes the write lock up front: the read-check-
+            # write inside the critical section is atomic across
+            # processes, the same guarantee flock gives the file backend
+            con.execute("BEGIN IMMEDIATE")
+            self._tls.txn = con
+            try:
+                yield
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+        finally:
+            self._tls.txn = None
+            con.close()
+
+    def _q(self, sql: str, args=()):
+        from contextlib import closing
+
+        con = getattr(self._tls, "txn", None)
+        if con is not None:
+            return con.execute(sql, args).fetchall()
+        with closing(self._conn()) as con:
+            return con.execute(sql, args).fetchall()
+
+    def _state(self, name: str) -> dict:
+        rows = self._q(
+            "SELECT m.state FROM current c JOIN manifests m"
+            " ON m.name = c.name AND m.version = c.version WHERE c.name = ?",
+            (name,),
+        )
+        return json.loads(rows[0][0]) if rows else {"version": 0, "parts": []}
+
+    def _state_version(self, name: str, version: int) -> dict | None:
+        rows = self._q(
+            "SELECT state FROM manifests WHERE name = ? AND version = ?",
+            (name, version),
+        )
+        return json.loads(rows[0][0]) if rows else None
+
+    def _write_state(self, name: str, state: dict) -> None:
+        # inside _transact: all three statements commit atomically
+        self._q(
+            "INSERT OR REPLACE INTO manifests (name, version, state) VALUES (?,?,?)",
+            (name, state["version"], json.dumps(state)),
+        )
+        self._q(
+            "INSERT OR REPLACE INTO current (name, version) VALUES (?,?)",
+            (name, state["version"]),
+        )
+        self._q(
+            "DELETE FROM manifests WHERE name = ? AND version < ?",
+            (name, state["version"] - self.retain_versions),
+        )
+
+    def versions(self, name: str) -> list[int]:
+        return [
+            r[0]
+            for r in self._q(
+                "SELECT version FROM manifests WHERE name = ? ORDER BY version",
+                (name,),
+            )
+        ]
+
+
+def open_store(spark: SparkSession, root: str) -> IndexStore:
+    """Backend autodetection: the SQLite catalog marks its indexes; the
+    file-manifest layout is the default."""
+    if os.path.exists(os.path.join(root, SqliteIndexStore.CATALOG)):
+        return SqliteIndexStore(spark, root)
+    return IndexStore(spark, root)

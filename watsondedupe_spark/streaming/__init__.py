@@ -609,8 +609,12 @@ def stateful_user_profile_tws(events: DataFrame) -> DataFrame:
 
     Dependency note: the API's state-server protocol requires
     ``protobuf`` at runtime (imported inside Spark's Python worker, not
-    here); the state-transition logic itself is contract-tested against
-    a fake handle (tests/test_streaming.py), so coverage does not skip.
+    here), which this container lacks and cannot install — so this
+    operator has NOT been executed end-to-end here. What is tested
+    instead (tests/test_streaming.py): the state-transition logic
+    against a fake handle (multi-batch replay equals the batch
+    aggregate) and the streaming plan's analysis (schema/outputMode).
+    On a protobuf-equipped cluster the identical class runs unchanged.
     """
     from pyspark.sql.streaming import StatefulProcessor
 

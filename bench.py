@@ -142,6 +142,59 @@ HEADLINE = [
 ]
 
 
+def bench_substrate_builds(spark, sf_dir: str) -> dict[str, list[float]]:
+    """Cold-build timings for the four shared substrates, min-of-two
+    with the relevant cache CLEARED before every run.
+
+    The steady-state probe rows above deliberately read materialized
+    substrates (build-once/probe-many is the deployment shape), which
+    means they no longer guard the build stage — the expensive part of
+    the dedup/ANN story at 100 TB. These rows time the real build:
+    every run clears the module-level substrate cache AND the Spark
+    CacheManager (so a rebuilt identical plan cannot silently serve
+    from the old persisted copy), then materializes from scratch.
+    Runs AFTER the headline loop so clearing never poisons a timed
+    probe; the final run of each leaves the cache repopulated.
+    """
+    import watsondedupe_spark.queries.curation_ext as cur
+    import watsondedupe_spark.queries.engine_native as en
+    import watsondedupe_spark.queries.llm_pipeline as llm
+
+    def timed(clear, build) -> list[float]:
+        samples = []
+        for _ in range(2):
+            clear()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            build()
+            samples.append(round(time.time() - t0, 3))
+        return samples
+
+    return {
+        # 60-bit portable SimHash fingerprints: the 60-vote bit-majority
+        # aggregation, materialized via eager localCheckpoint
+        "simhash_fp_build": timed(
+            en._SIMHASH_CACHE.clear, lambda: en._simhash_fp(spark, sf_dir)
+        ),
+        # MinHash signatures: shingle explode + 6-way MIN aggregation
+        "minhash_sig_build": timed(
+            llm._SIG_CACHE.clear,
+            lambda: llm.minhash_sig_df(spark, sf_dir).count(),
+        ),
+        # exact-Jaccard pair stats: inverted index + bounded pair explode
+        "jaccard_pairs_build": timed(
+            llm._PAIR_CACHE.clear,
+            lambda: llm.jaccard_pair_stats_df(spark, sf_dir).count(),
+        ),
+        # PQ/IVF-PQ index: centroid sample + routing pass + codebook
+        # sample + encode pass (codes is the cached artifact — force it)
+        "ann_index_build": timed(
+            cur._ANN_INDEX_CACHE.clear,
+            lambda: cur._ann_index(spark, sf_dir)[3].count(),
+        ),
+    }
+
+
 def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
     """Chunker throughput: CDC over the documents corpus (inflated to
     multi-chunk sizes); returns (seconds, MB processed)."""
@@ -185,6 +238,7 @@ def bench_engine_ingest(
     from watsondedupe_spark.engine import DedupeEngine
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_objects = min(n_objects, docs.count())  # smaller SFs: whole corpus
     objs = docs.limit(n_objects).select(
         F.col("doc_id").cast("string").alias("object_key"),
         F.encode(F.repeat("text", repeat), "UTF-8").alias("data"),
@@ -200,6 +254,187 @@ def bench_engine_ingest(
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return dt, mb
+
+
+SCALE_QUERIES = [
+    "docs_minhash_pairs",
+    "docs_winnowing_pairs",
+    "docs_dup_clusters_star",
+    "emb_ann_topk_ivfpq",
+]
+
+
+def _clear_substrates(spark) -> None:
+    import watsondedupe_spark.queries.curation_ext as cur
+    import watsondedupe_spark.queries.engine_native as en
+    import watsondedupe_spark.queries.llm_pipeline as llm
+
+    en._SIMHASH_CACHE.clear()
+    llm._SIG_CACHE.clear()
+    llm._PAIR_CACHE.clear()
+    cur._ANN_INDEX_CACHE.clear()
+    spark.catalog.clearCache()
+
+
+def _shuffle_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes of all completed stages, via the
+    local UI REST API; deltas around a query give its shuffle volume."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return 0
+
+
+def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
+    """Derive a ``factor``x corpus from the driver's sf0.1 tables.
+
+    Replicas must be mutually DISSIMILAR or every near-dup query's
+    output would grow ~factor^2 (each original dup cluster becomes one
+    giant cross-replica clique) and "linear scaling" would be
+    unfalsifiable. Trick: per replica, every token is rewritten to a
+    salted hash of itself — a token BIJECTION, so Jaccard/minhash/
+    winnowing structure WITHIN a replica is isomorphic to the original
+    corpus, while across replicas no shingles or substrings are shared.
+    The result is ``factor`` independent shards, each with sf0.1's dup
+    structure: outputs and work should scale ~linearly. Embeddings
+    replicate with remapped ids (duplicates don't change ANN cost
+    shape). Built once into a tmp dir, atomically published.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(f"{os.path.abspath(base_sf_dir)}:{factor}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"wds_scale{factor}x_{tag}")
+    if os.path.exists(os.path.join(out, "_READY")):
+        return out
+    scratch = tempfile.mkdtemp(prefix=f"wds_scale_build_{tag}_")
+    docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
+    n_docs = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    reps = []
+    for i in range(factor):
+        salt = F.lit(f"r{i}:")
+        hashed = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.substring(F.md5(F.concat(salt, t)), 1, 8),
+            ),
+            " ",
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + i * n_docs).alias("doc_id"),
+                hashed.alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    (
+        u.withColumn("n_chars", F.char_length("text"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(scratch, "documents.parquet"))
+    )
+    emb = spark.read.parquet(f"{base_sf_dir}/embeddings.parquet")
+    n_vec = (emb.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    er = [
+        emb.select((F.col("vec_id") + i * n_vec).alias("vec_id"), "embedding", "label")
+        for i in range(factor)
+    ]
+    eu = er[0]
+    for r in er[1:]:
+        eu = eu.unionByName(r)
+    eu.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(scratch, "embeddings.parquet")
+    )
+    with open(os.path.join(scratch, "_READY"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(scratch, out)
+    except OSError:
+        shutil.rmtree(scratch, ignore_errors=True)  # lost a build race
+    return out
+
+
+def scale_stress_main(factor: int = 10) -> None:
+    """``bench.py --sf1``: one scale-stress pass of the dedup/ANN suite
+    at ``factor``x sf0.1 rows (sf1-equivalent), recording seconds and
+    shuffle-write bytes at both scales plus the ratio. Every timed run
+    starts from CLEARED substrate caches, so it measures the full
+    build+probe pipeline at each scale; plans are codegen-warmed first.
+    A ratio well above ``factor`` flags a super-linear plan. Results are
+    recorded in BASELINE.md §scale-stress; this mode is informational
+    (run per round), not part of the per-query regression gate."""
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.session import get_spark
+
+    spark = get_spark("watsondedupe-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+    stage = _stage_scale_dir(spark, sf01, factor)
+
+    results: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        spec = specs[name]
+        assert spec.spark(spark, sf01).count() >= 0  # codegen warm
+        per_scale = {}
+        for label, d in (("sf01", sf01), (f"x{factor}", stage)):
+            _clear_substrates(spark)
+            sh0 = _shuffle_bytes(spark)
+            t0 = time.time()
+            rows = spec.spark(spark, d).count()
+            per_scale[label] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": rows,
+                "shuffle_mb": round((_shuffle_bytes(spark) - sh0) / 1e6, 1),
+            }
+        base, big = per_scale["sf01"], per_scale[f"x{factor}"]
+        results[name] = {
+            **{f"{k}_{label}": v for label, s in per_scale.items() for k, v in s.items()},
+            "sec_ratio": round(big["sec"] / base["sec"], 2) if base["sec"] else None,
+            "rows_ratio": round(big["rows"] / base["rows"], 2) if base["rows"] else None,
+        }
+
+    # CDC chunker throughput at both scales (MB/s should be flat)
+    b_sec, b_mb = bench_cdc_ingest(spark, sf01)
+    s_sec, s_mb = bench_cdc_ingest(spark, stage)
+    results["cdc_ingest"] = {
+        "sec_sf01": round(b_sec, 2),
+        "mbps_sf01": round(b_mb / b_sec, 1),
+        f"sec_x{factor}": round(s_sec, 2),
+        f"mbps_x{factor}": round(s_mb / s_sec, 1),
+        "sec_ratio": round(s_sec / b_sec, 2),
+    }
+
+    superlinear = [
+        n for n, r in results.items()
+        if r.get("sec_ratio") and r["sec_ratio"] > factor * 1.5
+    ]
+    print(json.dumps(
+        {
+            "metric": "scale_stress",
+            "factor": factor,
+            "queries": results,
+            "superlinear": superlinear,
+        },
+        separators=(",", ":"),
+    ))
+    spark.stop()
 
 
 def main() -> None:
@@ -255,6 +490,15 @@ def main() -> None:
         # nothing at the 2x budget); full 3-decimal samples in the sidecar
         times[name] = round(min(steady), 2)
 
+    # substrate builds run AFTER the probe rows (clearing caches here
+    # cannot poison a timed probe) and join the gated `times` table —
+    # without them a build regression would pass behind the probe-only
+    # steady-state rows
+    build_runs = bench_substrate_builds(spark, sf_dir)
+    for name, samples in build_runs.items():
+        runs[name] = samples
+        times[name] = round(min(samples), 2)
+
     # ingest paths run min-of-THREE full fresh ingests (round-4: the one
     # >2x row in the round-3 driver record was cdc_ingest on byte-identical
     # code — host contention; three samples plus the per-run list below
@@ -284,26 +528,56 @@ def main() -> None:
     # key names are compact on purpose (mbps = MB/s; cdc_runs/eng_runs =
     # the min-of-three ingest samples; ij_* = the streamed interval
     # join's untimed fixed cost): the driver records only the last 2000
-    # chars of output, and the line must survive that window whole —
-    # full verbose diagnostics live in BENCH_DETAIL.json
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "timing": "min2+ingest_min3",
-            "sf": float(sf),
-            "cdc_mbps": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
-            "eng_mbps": round(eng_mb / eng_sec, 2) if eng_sec else None,
-            "eng_bulk_mbps": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
-            "cdc_runs": [round(s, 2) for s, _ in cdc_runs],
-            "eng_runs": [round(s, 2) for s, _ in eng_runs],
-            "ij_sec": ij_sec,
-            "ij_rows": ij_rows,
-        },
-        separators=(",", ":"),
-    )
+    # chars of output, and the line must survive that window WHOLE —
+    # round 4's 77-entry line overflowed it and the driver recorded an
+    # unparseable head-truncated fragment. Fix: the COMPLETE record is
+    # always committed as BENCH_FULL.json (next to BENCH_DETAIL.json),
+    # and if the full line would overflow the capture window, the
+    # printed line keeps every non-query field but inlines only the
+    # gate-relevant query rows (entries >= 1.35x their BASELINE.md lock,
+    # plus entries with no lock yet) and points at the full record.
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "timing": "min2+ingest_min3",
+        "sf": float(sf),
+        "cdc_mbps": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+        "eng_mbps": round(eng_mb / eng_sec, 2) if eng_sec else None,
+        "eng_bulk_mbps": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
+        "cdc_runs": [round(s, 2) for s, _ in cdc_runs],
+        "eng_runs": [round(s, 2) for s, _ in eng_runs],
+        "ij_sec": ij_sec,
+        "ij_rows": ij_rows,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+    line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 1900:
+        try:
+            sys.path.insert(0, os.path.join(repo, "tools"))
+            from bench_compare import load_baseline
+
+            baseline = load_baseline()
+        except Exception:
+            baseline = {}
+        flagged = {
+            n: s
+            for n, s in times.items()
+            if n not in baseline or (baseline[n] and s >= 1.35 * baseline[n])
+        }
+        line = json.dumps(
+            {
+                **record,
+                "queries": flagged,
+                "queries_inlined": len(flagged),
+                "queries_total_count": len(times),
+                "full_record": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
+        )
     # full per-run diagnostics go to a sidecar next to this script — the
     # one printed line cannot fit 59 queries x (cold + 2 steady) samples
     detail = {
@@ -326,4 +600,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1" in sys.argv:
+        scale_stress_main(factor=10)
+    else:
+        main()

@@ -68,6 +68,24 @@ def main() -> int:
     if bench is None:
         print("no bench JSON line found", file=sys.stderr)
         return 2
+    if bench.get("full_record"):
+        # the printed line was compacted to fit the driver's 2000-char
+        # tail capture; the committed BENCH_FULL.json carries every row
+        full_path = os.path.join(REPO, bench["full_record"])
+        try:
+            with open(full_path) as fh:
+                full = json.load(fh)
+            if full.get("value") == bench.get("value"):
+                bench = full
+            else:
+                print(
+                    f"note: {bench['full_record']} is from a different run "
+                    "(totals differ); comparing the inlined rows only",
+                    file=sys.stderr,
+                )
+        except OSError:
+            print(f"note: {full_path} missing; comparing inlined rows only",
+                  file=sys.stderr)
 
     baseline = load_baseline()
     times = bench.get("queries", {})

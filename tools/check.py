@@ -64,6 +64,14 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument(
+        "--json",
+        metavar="OUT",
+        help="write per-query results (CORRECTNESS-schema rows + seconds) "
+        "to OUT — committed per round as CHECK_r{N}.json so the "
+        "full-registry sweep is an auditable artifact, not a trust-me "
+        "claim about the queries outside the driver's graded window",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -87,39 +95,60 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         status, detail = "PASS", ""
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
+        }
+        report[name] = rec
         try:
             sdf = spec.spark(spark, args.sf)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(s_rows)
             if spec.oracle is None:
+                rec["err"] = "no_oracle"
+                rec["sec"] = round(time.time() - t0, 2)
                 print(f"  {name:28s} ROWS-ONLY  rows={len(s_rows)}  ({time.time()-t0:.1f}s)")
                 n_pass += 1
                 continue
             res = con.execute(spec.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
-            if sorted(s_cols) != sorted(d_cols):
+            rec["oracle_rows"] = len(d_rows)
+            rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+            rec["rows_match"] = len(s_rows) == len(d_rows)
+            if not rec["schema_match"]:
                 status, detail = "FAIL", f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}"
-            elif len(s_rows) != len(d_rows):
+            elif not rec["rows_match"]:
                 status, detail = "FAIL", f"rowcount spark={len(s_rows)} duck={len(d_rows)}"
             else:
                 ms = rows_to_multiset(s_cols, s_rows)
                 md = rows_to_multiset(d_cols, d_rows)
+                rec["hash_match"] = ms == md
                 if ms != md:
                     bad = next(i for i, (x, y) in enumerate(zip(ms, md)) if x != y)
                     detail = f"values differ; first diff at sorted idx {bad}:\n    spark={ms[bad]}\n    duck ={md[bad]}"
                     status = "FAIL"
         except Exception:
             status, detail = "ERROR", traceback.format_exc(limit=4)
+            rec["err"] = detail.splitlines()[-1][:300] if detail else "error"
+        rec["sec"] = round(time.time() - t0, 2)
         ok = status == "PASS"
         n_pass += ok
         n_fail += not ok
         print(f"  {name:28s} {status}  ({time.time()-t0:.1f}s)" + (f"\n    {detail}" if detail else ""))
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 

@@ -59,66 +59,63 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
-    # r4 window head: the 7 queries first graded in round 3's rotation
-    # plus the former no_oracle rows — ALL now hold green r4 driver rows
-    # (the original 27-entry never-graded tier emptied in r3/r4; its
-    # displaced members live in the pad tail below)
-    "events_tumbling_streamed", "events_session_streamed",
-    "emb_near_dup_pairs",
+    # r5 window (every oracled query holds a green driver row across
+    # r1-r4, so the window now follows CHANGE RISK, not novelty):
+    #
+    # Tier 1 — queries over code CHANGED in round 5. The engine write/
+    # delete path moved to CAS commits (engine.py/store.py), so all 12
+    # ddp_* index queries and both CDC chunk-index replays re-grade;
+    # winnowing changed its pos-pack base + length guard; emb_dim_stats
+    # and the update-mode streamed replay had adjacent edits; the PQ
+    # family gained prebuilt-index validation on its call path. (24)
+    "ddp_point_lookup", "ddp_coverage", "ddp_stats", "ddp_ratio",
+    "ddp_refcount", "ddp_gc_candidates", "ddp_exists", "ddp_list_page",
+    "ddp_chunks_of_object", "ddp_object_map_lookup", "ddp_range_lookup",
+    "ddp_position_window",
+    "cdc_chunk_index", "cdc_chunk_index_segmented",
+    "docs_winnowing", "docs_winnowing_pairs",
+    "emb_dim_stats", "events_user_totals_streamed",
+    "emb_ann_topk_pq", "emb_ann_topk_ivfpq", "emb_ann_topk_ivfpq_refined",
+    "emb_cosine_topk_float", "emb_knn_cosine_np", "emb_ann_recall_ivfpq",
+    # Tier 2 — oldest-grading regression canaries: green since r1/r2 but
+    # outside every window since, spanning the dedupe / similarity /
+    # relational / window / streaming surfaces (26)
+    "docs_exact_dedup", "docs_minhash_pairs", "docs_jaccard_pairs",
+    "docs_dup_clusters", "docs_dup_spans", "docs_strip_dup_spans",
+    "docs_incremental_dedup", "docs_decontaminate", "docs_pack_sequences",
+    "emb_knn_cosine", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
+    "emb_semantic_dedup", "docs_minhash_accuracy",
+    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q6_revenue",
+    "tpch_q21_waiting_supplier", "window_rank_lag", "events_session",
+    "setops_multiset", "events_asof_view_click", "grouping_sets_orders",
+    "events_user_hll_by_type", "events_tumbling_streamed",
+    "events_interval_join_streamed",
+    # pads past slot 50: the r3/r4 window members (all hold green r4
+    # rows; none touch code changed this round) ahead of the remaining
+    # oracled registry
+    "events_session_streamed", "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
     "docs_heavy_hitters", "docs_lm_quality",
-    # round-1 `no_oracle` rows whose queries now carry real oracles (11)
-    "docs_simhash", "docs_simhash_candidates", "emb_cosine_topk_float",
-    "emb_ann_topk_lsh", "emb_ann_topk_ivf", "emb_semantic_dedup",
-    "events_user_hll_by_type", "docs_minhash_accuracy",
-    "cdc_chunk_index", "cdc_chunk_index_segmented", "emb_ann_topk_pq",
-    # newly built/oracled round 3, first driver-graded then (9)
+    "docs_simhash", "docs_simhash_candidates",
     "emb_kmeans_refined_assign", "multimodal_png_roundtrip",
-    "emb_ann_topk_ivfpq", "docs_passage_chunks",
-    "events_interval_join_streamed", "docs_leakage_safe_split",
+    "docs_passage_chunks", "docs_leakage_safe_split",
     "docs_canonical_per_cluster", "docs_boundary_overlap",
     "docs_dup_gram_ratio",
-    # newly built/oracled round 4, never driver-graded (to open the six
-    # slots, three static single-scan queries graded green in r3 with
-    # near-zero regression risk — unpivot_part_measures,
-    # docs_length_histogram, docs_entity_mask — moved to the pad tier)
     "multimodal_wav_roundtrip", "multimodal_frame_sample",
-    "docs_dsir_weights", "emb_ann_topk_ivfpq_refined",
-    "docs_snapshot_diff", "docs_near_dup_filter_replay",
-    # round-4 batch 2+, never driver-graded: the retrieval /
-    # tokenizer-induction / audit surface (hybrid RRF, quality buckets,
-    # BPE pair scoring + graded merge round, winnowing fingerprints +
-    # candidate pairs, dim stats, threshold sweep, LSH + IVF-PQ recall
-    # audits, multi-probe LSH, n-gram novelty, star-CC, per-source dup
-    # audit, rendezvous resharding, sampled dup-rate estimate). Each
-    # inserted entry displaced one STATIC r1-r3-green single-shape
-    # query into the pad tier (the tail below) — every displaced query
-    # already holds a green driver row and none touch helpers changed
-    # this round
+    "docs_dsir_weights", "docs_snapshot_diff", "docs_near_dup_filter_replay",
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
-    "docs_winnowing", "emb_dim_stats", "docs_dedup_threshold_sweep",
-    "emb_ann_recall_audit", "docs_bpe_merge_round", "docs_ngram_novelty",
+    "docs_dedup_threshold_sweep", "emb_ann_recall_audit",
+    "docs_bpe_merge_round", "docs_ngram_novelty",
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
-    "docs_rendezvous_reshard", "docs_winnowing_pairs",
-    "docs_dup_rate_estimate", "emb_ann_recall_ivfpq",
-    "emb_ann_topk_lsh_mp", "events_user_totals_streamed",
-    # already-green high-value pads: regression canaries across the
-    # relational / dedupe / similarity / engine surfaces (the tail past
-    # slot 50 stays prioritized ahead of the rest of the oracled set,
-    # but falls outside the driver's graded window — all were graded
-    # green in rounds 1-2)
-    "tpch_q3_topk", "docs_exact_dedup",
-    "docs_minhash_pairs", "docs_jaccard_pairs", "docs_dup_clusters",
-    "emb_knn_cosine", "docs_incremental_dedup", "docs_pack_sequences",
-    "ddp_point_lookup", "ddp_coverage", "unpivot_part_measures",
-    "docs_length_histogram", "docs_entity_mask",
+    "docs_rendezvous_reshard", "docs_dup_rate_estimate",
+    "emb_ann_topk_lsh_mp",
+    "unpivot_part_measures", "docs_length_histogram", "docs_entity_mask",
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
-    "bloom_semi_revenue", "docs_token_freq_cms", "grouping_sets_orders",
+    "bloom_semi_revenue", "docs_token_freq_cms",
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
-    "events_funnel_conversion", "docs_lsh_levenshtein",
-    "emb_knn_cosine_np", "docs_bm25_lite",
+    "events_funnel_conversion", "docs_lsh_levenshtein", "docs_bm25_lite",
 ]
 
 

@@ -235,11 +235,14 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = S.stream_from_dir(spark, _stage_events_stream_dir(sf_dir))
     agg = S.tumbling_counts(stream, window="1 hour", watermark="2 hours")
-    q = S.run_to_memory(agg, "graded_tumbling_sink", "complete")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state partitions sized to the (tiny) window-key state: at the
+    # batch-tuned 32 the replay is mostly state-store fixed cost
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(agg, "graded_tumbling_sink", "complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("graded_tumbling_sink").select(
         "window_start", "event_type", "n_events", "total_value"
     )
@@ -281,11 +284,12 @@ def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") < 30
     )
     agg = S.session_counts(stream, gap="5 minutes", watermark="2 hours")
-    q = S.run_to_memory(agg, "graded_session_sink", "complete")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(agg, "graded_session_sink", "complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("graded_session_sink").select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -330,11 +334,15 @@ def events_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = S.interval_join_views_to_clicks(
         views, clicks, within="30 minutes", watermark="2 hours"
     )
-    q = S.run_to_memory(joined, "graded_interval_join_sink", "append")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # join-state partitions sized to the filtered key set (30 users):
+    # measured at sf0.1, 32 partitions -> ~6s of state-store fixed cost,
+    # 8 -> ~2s, identical results (see streaming.state_partitions)
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(joined, "graded_interval_join_sink", "append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("graded_interval_join_sink").select(
         "user_id", "view_id", "click_id", "view_ts", "click_ts"
     )
@@ -414,11 +422,12 @@ def events_user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).alias("total_dec"),
     )
-    q = S.run_to_memory(agg, "graded_user_totals_sink", "update")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(agg, "graded_user_totals_sink", "update")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     sink = spark.table("graded_user_totals_sink")
     return (
         sink.groupBy("user_id")

@@ -283,6 +283,8 @@ def _shuffle_bytes(spark) -> int:
 
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
+    if not base:
+        return 0
     try:
         with urllib.request.urlopen(
             f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
@@ -299,42 +301,49 @@ def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
     Replicas must be mutually DISSIMILAR or every near-dup query's
     output would grow ~factor^2 (each original dup cluster becomes one
     giant cross-replica clique) and "linear scaling" would be
-    unfalsifiable. Trick: per replica, every token is rewritten to a
-    salted hash of itself — a token BIJECTION, so Jaccard/minhash/
-    winnowing structure WITHIN a replica is isomorphic to the original
-    corpus, while across replicas no shingles or substrings are shared.
-    The result is ``factor`` independent shards, each with sf0.1's dup
-    structure: outputs and work should scale ~linearly. Embeddings
-    replicate with remapped ids (duplicates don't change ANN cost
-    shape). Built once into a tmp dir, atomically published.
+    unfalsifiable. Trick: each replica applies a CHARACTER PERMUTATION
+    CIPHER (seeded shuffle of [a-zA-Z0-9], space/punct fixed; replica 0
+    is the identity). A char bijection preserves EVERY character n-gram
+    and token shingle relation exactly — each shard is isomorphic to
+    the original corpus for winnowing, MinHash, Jaccard, SimHash, and
+    span detection alike (an earlier token-to-hash variant preserved
+    token structure but collapsed char-level winnowing pair density
+    ~25x) — while across replicas the cipher images share no
+    substrings beyond chance. Outputs and work should therefore scale
+    ~linearly in ``factor``. Embeddings replicate with remapped ids
+    (duplicates don't change ANN cost shape). Built once into a tmp
+    dir, atomically published.
     """
     import hashlib
+    import random as _random
     import shutil
+    import string
     import tempfile
 
     from pyspark.sql import functions as F
 
-    tag = hashlib.md5(f"{os.path.abspath(base_sf_dir)}:{factor}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        f"{os.path.abspath(base_sf_dir)}:{factor}:cipher-v2".encode()
+    ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"wds_scale{factor}x_{tag}")
     if os.path.exists(os.path.join(out, "_READY")):
         return out
     scratch = tempfile.mkdtemp(prefix=f"wds_scale_build_{tag}_")
     docs = spark.read.parquet(f"{base_sf_dir}/documents.parquet")
     n_docs = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
     reps = []
     for i in range(factor):
-        salt = F.lit(f"r{i}:")
-        hashed = F.array_join(
-            F.transform(
-                F.split("text", " "),
-                lambda t: F.substring(F.md5(F.concat(salt, t)), 1, 8),
-            ),
-            " ",
+        chars = list(alphabet)
+        _random.Random(i).shuffle(chars)  # i=0 handled below as identity
+        ciphered = (
+            F.col("text") if i == 0
+            else F.translate("text", alphabet, "".join(chars))
         )
         reps.append(
             docs.select(
                 (F.col("doc_id") + i * n_docs).alias("doc_id"),
-                hashed.alias("text"),
+                ciphered.alias("text"),
                 "lang",
                 "source",
             )
@@ -383,7 +392,9 @@ def scale_stress_main(factor: int = 10) -> None:
     from watsondedupe_spark.queries import all_queries
     from watsondedupe_spark.session import get_spark
 
-    spark = get_spark("watsondedupe-scale")
+    # the scale mode needs the UI's REST status API for per-query
+    # shuffle-write bytes (the tuned session disables the UI)
+    spark = get_spark("watsondedupe-scale", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     stage = _stage_scale_dir(spark, sf01, factor)

@@ -160,3 +160,22 @@ def test_open_store_autodetects_backend(spark, tmp_path):
     assert type(open_store(spark, f_root)) is IndexStore
     assert type(open_store(spark, s_root)) is SqliteIndexStore
     assert open_store(spark, s_root).read("t").count() == 1
+
+
+def test_gc_spares_young_unreferenced_parts(spark, tmp_path, store_cls):
+    """An unreferenced part dir may be a CONCURRENT writer's part
+    mid-write (parts land before the manifest flip publishes them): GC
+    must spare it until it ages past the grace window, then collect it
+    as a crash orphan."""
+    import os
+
+    st = store_cls(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x long")
+    st.commit("t", df)
+    stray = os.path.join(st._table_dir("t"), "p99999999_deadbeef")
+    os.makedirs(stray)
+    st.commit("t", df)  # runs _gc
+    assert os.path.isdir(stray), "in-flight-aged part must be spared"
+    os.utime(stray, (1, 1))  # age it beyond the grace window
+    st.commit("t", df)
+    assert not os.path.exists(stray), "aged orphan must be collected"

@@ -584,3 +584,51 @@ def test_user_totals_streamed_query_is_multibatch_and_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_state_partitions_sets_and_restores(spark):
+    """The state-sizing context must apply inside the block and restore
+    the batch session's value on exit — including on error."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with S.state_partitions(spark, 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    with pytest.raises(RuntimeError, match="boom"):
+        with S.state_partitions(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_rocksdb_state_store_matches_batch(spark, events_dir):
+    """The at-scale state store must EXECUTE here, not just be claimed:
+    a multi-batch watermarked tumbling aggregation runs on the bundled
+    RocksDB provider and must equal both the batch aggregate and the
+    default-provider streamed result. RocksDB keeps state on local disk
+    (bounded heap) — the configuration a 100 TB streaming pipeline
+    actually runs — and results must be residence-independent."""
+    with S.rocksdb_state_store(spark), S.state_partitions(spark, 4):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == S.ROCKSDB_PROVIDER
+        )
+        sdf = S.tumbling_counts(S.stream_from_dir(spark, events_dir))
+        got = _run(spark, sdf, "t_tumble_rocks", "complete")
+        rows = _collect_set(got, ["window_start", "event_type", "n_events", "total_value"])
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    assert rows == _collect_set(
+        batch, ["window_start", "event_type", "n_events", "total_value"]
+    )
+    # the provider setting must not leak into the batch session
+    try:
+        leaked = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        leaked = None
+    assert leaked != S.ROCKSDB_PROVIDER

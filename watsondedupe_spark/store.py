@@ -91,6 +91,13 @@ class IndexStore:
     retain_versions = 8
     #: bounded optimistic retries for internal read-modify-write (fold)
     cas_retries = 6
+    #: GC spares unreferenced part dirs younger than this: a concurrent
+    #: writer's part is WRITTEN before its manifest flip, so for a
+    #: window it is indistinguishable from a crashed writer's orphan —
+    #: deleting it mid-write kills the other writer's Spark job (the
+    #: Delta/Iceberg answer is the same: orphan removal only beyond a
+    #: retention age). Crash orphans are collected once they age out.
+    gc_grace_seconds = 3600.0
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -203,9 +210,14 @@ class IndexStore:
 
     def _gc(self, name: str) -> None:
         """Remove part dirs unreachable from the current manifest AND
-        every retained historical manifest. Safe to run after the swap:
-        crashed writers leave at worst an orphan dir, never a dangling
-        reference — and retention keeps concurrent readers' parts live."""
+        every retained historical manifest, SPARING dirs younger than
+        :attr:`gc_grace_seconds` — those may be a concurrent writer's
+        part mid-write (parts are written before the manifest flip
+        publishes them). Crashed writers leave at worst an orphan dir
+        that ages out; never a dangling reference; and retention keeps
+        concurrent readers' parts live."""
+        import time
+
         live: set[str] = set()
         states = [self._state(name)] + [
             s
@@ -217,9 +229,17 @@ class IndexStore:
         tdir = self._table_dir(name)
         if not os.path.isdir(tdir):
             return
+        now = time.time()
         for entry in os.listdir(tdir):
-            if entry.startswith("p") and entry not in live:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+            if not entry.startswith("p") or entry in live:
+                continue
+            path = os.path.join(tdir, entry)
+            try:
+                if now - os.path.getmtime(path) < self.gc_grace_seconds:
+                    continue  # possibly a concurrent writer's in-flight part
+            except OSError:
+                continue  # vanished under us: its writer is cleaning up
+            shutil.rmtree(path, ignore_errors=True)
 
     # -- contract -----------------------------------------------------------
 

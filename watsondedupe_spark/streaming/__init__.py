@@ -531,6 +531,40 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
 from contextlib import contextmanager  # noqa: E402
 
 
+#: Spark's bundled RocksDB state store (rocksdbjni ships in the pyspark
+#: jars). The default HDFSBackedStateStore keeps ALL streaming state as
+#: JVM heap objects — O(total state) memory per executor, the thing
+#: that falls over first when stream-stream join or dedup state reaches
+#: 100 TB-pipeline sizes. RocksDB keeps state on local disk with a
+#: bounded block cache: O(working set) heap, plus changelog/snapshot
+#: checkpointing. Same results, different residence.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Run queries started inside this block on the RocksDB state store
+    — the at-scale configuration (see :data:`ROCKSDB_PROVIDER`). Frozen
+    into each query at start; the session default is restored on exit.
+    Executed for real in tests/test_streaming.py (the provider jar is
+    bundled), so the scale path is proven, not claimed."""
+    try:
+        old = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
+
+
 @contextmanager
 def state_partitions(spark, n: int = 8):
     """Size the stateful-streaming partition count to the STATE volume

@@ -132,3 +132,89 @@ def test_sqlite_engine_reopens_via_autodetect(spark, tmp_path):
     re = DedupeEngine.open(spark, root)
     assert type(re.store) is SqliteIndexStore
     assert re.get("k1") == _payload(4000, 20)
+
+
+def _hammer_manifest(args):
+    """Child-process worker: N increments of table 't' through the
+    store's critical section + state primitives (no Spark needed at the
+    manifest layer). Each increment appends a fake part entry, so lost
+    updates are visible as missing entries or version gaps."""
+    backend, root, worker, n = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+    cls = IndexStore if backend == "file" else SqliteIndexStore
+    st = cls.__new__(cls)  # no SparkSession: state primitives only
+    st.root = root
+    if backend == "sqlite":
+        import threading
+
+        st._db_path = root + "/_manifest.db"
+        st._tls = threading.local()
+    for i in range(n):
+        with st._transact("t"):
+            state = st._state("t")
+            st._write_state(
+                "t",
+                {
+                    "version": state["version"] + 1,
+                    "parts": state["parts"] + [f"{root}/t/p_{worker}_{i}"],
+                    "meta": state.get("meta", {}),
+                },
+            )
+    return worker
+
+
+@pytest.mark.parametrize("backend", ["file", "sqlite"])
+def test_cross_process_critical_section_no_lost_updates(tmp_path, backend):
+    """The critical section must serialize across PROCESSES (flock /
+    SQLite BEGIN IMMEDIATE), not just threads: 4 processes x 20
+    read-modify-write increments on one table must lose nothing and
+    leave a gapless version sequence."""
+    import multiprocessing as mp
+    import os
+
+    from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+    root = str(tmp_path / "xp")
+    os.makedirs(root + "/t", exist_ok=True)
+    cls = IndexStore if backend == "file" else SqliteIndexStore
+    st = cls.__new__(cls)
+    st.root = root
+    if backend == "sqlite":
+        import sqlite3
+        import threading
+
+        st._db_path = root + "/_manifest.db"
+        st._tls = threading.local()
+        con = sqlite3.connect(st._db_path)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS manifests (name TEXT NOT NULL,"
+            " version INTEGER NOT NULL, state TEXT NOT NULL,"
+            " PRIMARY KEY (name, version))"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS current (name TEXT PRIMARY KEY,"
+            " version INTEGER NOT NULL)"
+        )
+        con.commit()
+        con.close()
+    st.retain_versions = 10_000  # keep every version for the audit
+
+    workers, per = 4, 20
+    ctx = mp.get_context("spawn")  # no JVM/fd inheritance from pytest
+    with ctx.Pool(workers) as pool:
+        done = pool.map(
+            _hammer_manifest, [(backend, root, w, per) for w in range(workers)]
+        )
+    assert sorted(done) == list(range(workers))
+    final = st._state("t")
+    assert final["version"] == workers * per, "lost increment (version)"
+    assert len(final["parts"]) == workers * per, "lost part entry"
+    assert len(set(final["parts"])) == workers * per
+    # every worker's every entry survived the interleaving
+    for w in range(workers):
+        for i in range(per):
+            assert f"{root}/t/p_{w}_{i}" in final["parts"]

@@ -218,3 +218,58 @@ def test_cross_process_critical_section_no_lost_updates(tmp_path, backend):
     for w in range(workers):
         for i in range(per):
             assert f"{root}/t/p_{w}_{i}" in final["parts"]
+
+
+@pytest.mark.parametrize("backend", ["file", "sqlite"])
+def test_two_spark_processes_write_one_index(spark, tmp_path, backend):
+    """The shared-cluster scenario for real: a SECOND Spark process
+    (own JVM, own SparkSession) ingests into the same index root while
+    this session ingests concurrently. CAS must serialize both writers'
+    refcount merges / id assignment / payload inserts across process
+    boundaries; the end state must be the serial-equivalent union."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "shared_idx")
+    cls = IndexStore if backend == "file" else SqliteIndexStore
+    eng = DedupeEngine.create(spark, root, SMALL, store_cls=cls)
+    shared = _payload(6000, 42)
+
+    child_src = f"""
+import sys, random
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from watsondedupe_spark.session import get_spark
+from watsondedupe_spark.engine import DedupeEngine
+sp = get_spark("child-writer", shuffle_partitions=8)
+sp.sparkContext.setLogLevel("ERROR")
+eng = DedupeEngine.open(sp, {repr(root)})
+shared = random.Random(42).randbytes(6000)
+rows = [("c1", bytearray(shared)), ("c2", bytearray(random.Random(43).randbytes(5000)))]
+df = sp.createDataFrame(rows, "object_key string, data binary")
+assert eng.write_batch(df) == 2
+print("CHILD-OK", flush=True)
+sp.stop()
+"""
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+    )
+    # parent ingests concurrently with the child's whole lifecycle
+    # (JVM boot + open + write): keys disjoint, chunk content SHARED
+    parent_batch = _batch(
+        spark, [("p1", shared), ("p2", _payload(5000, 44))]
+    )
+    assert DedupeEngine.open(spark, root).write_batch(parent_batch) == 2
+    out, _ = child.communicate(timeout=600)
+    assert child.returncode == 0 and "CHILD-OK" in out, out[-2000:]
+
+    final = DedupeEngine.open(spark, root)
+    assert {r.object_key for r in final.objects.collect()} == {"c1", "c2", "p1", "p2"}
+    ids = sorted(r.id for r in final.objects.collect())
+    assert ids == [1, 2, 3, 4], f"cross-process id collision: {ids}"
+    _assert_refcount_invariant(final)
+    assert final.get("c1") == shared and final.get("p1") == shared

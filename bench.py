@@ -124,6 +124,11 @@ HEADLINE = [
     "docs_dup_rate_estimate",
     "emb_ann_recall_ivfpq",
     "emb_ann_topk_lsh_mp",
+    # round-5 addition: token-budget mixture construction (two-pass
+    # map-side scan + broadcast rate table). docs_dup_weighting stays
+    # untimed for the composite reason (docs_curation_funnel precedent):
+    # it re-runs the timed docs_dup_clusters plus one rollup+join.
+    "docs_token_budget_mix",
     # events_user_totals_streamed stays untimed for the streamed-replay
     # reason (three serial micro-batches of engine fixed cost dwarf the
     # per-row work); it is correctness-graded via its DuckDB oracle.

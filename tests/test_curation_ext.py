@@ -596,3 +596,33 @@ def test_prebuilt_index_shape_mismatch_raises(spark):
         cents=cents, codebooks=cbs, codes=codes,
     )
     assert ok.count() > 0
+
+
+def test_token_budget_mix_invariants(spark, sf_dir):
+    """Rates bounded by the cap; kept tokens track the per-source
+    target within sampling noise; every source with a nonzero target is
+    represented."""
+    out = {r.source: r for r in _q("docs_token_budget_mix", spark, sf_dir).collect()}
+    assert out
+    for r in out.values():
+        assert 0.0 < r.rate <= 31.0 / 32.0
+        assert r.n_docs_kept > 0 and r.tokens_kept > 0
+        # md5-gated Bernoulli sample: kept tokens within a loose factor
+        # of target (small per-source doc counts => high variance)
+        assert r.tokens_kept <= 4 * max(r.target_tokens, 1)
+
+
+def test_dup_weighting_mass_per_cluster(spark, sf_dir):
+    """Each near-dup cluster's total training weight must be exactly
+    1.0 (n * 1/n), and singletons keep full weight — the invariant that
+    makes duplicated content contribute one unit of loss mass."""
+    rows = _q("docs_dup_weighting", spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # real dups exist
+    for cid, members in by_cluster.items():
+        n = len(members)
+        assert all(m.cluster_size == n for m in members)
+        assert abs(sum(m.train_weight for m in members) - 1.0) < 1e-9

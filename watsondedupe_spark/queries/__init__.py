@@ -87,9 +87,13 @@ _GRADING_PRIORITY = [
     "emb_semantic_dedup", "docs_minhash_accuracy",
     "tpch_q1_pricing", "tpch_q3_topk", "tpch_q6_revenue",
     "tpch_q21_waiting_supplier", "window_rank_lag", "events_session",
-    "setops_multiset", "events_asof_view_click", "grouping_sets_orders",
-    "events_user_hll_by_type", "events_tumbling_streamed",
-    "events_interval_join_streamed",
+    "setops_multiset", "events_asof_view_click",
+    "events_tumbling_streamed", "events_interval_join_streamed",
+    # Tier 3 — BUILT IN ROUND 5, never driver-graded: token-budget
+    # mixture construction and duplication-aware loss weighting (each
+    # displaced one r4-green canary — grouping_sets_orders,
+    # events_user_hll_by_type — into the pad tier) (2)
+    "docs_token_budget_mix", "docs_dup_weighting",
     # pads past slot 50: the r3/r4 window members (all hold green r4
     # rows; none touch code changed this round) ahead of the remaining
     # oracled registry
@@ -113,6 +117,7 @@ _GRADING_PRIORITY = [
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms",
+    "grouping_sets_orders", "events_user_hll_by_type",
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
     "events_funnel_conversion", "docs_lsh_levenshtein", "docs_bm25_lite",

@@ -199,7 +199,7 @@ gated AS (
     SELECT d.doc_id, d.source, d.lang, d.n_chars, r.rate
     FROM documents d JOIN rates r USING (source)
     WHERE substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
-          lpad(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT)), 8, '0')
+          lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
 )
 SELECT doc_id, source, lang, n_chars, rate FROM gated
 """,
@@ -239,6 +239,117 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(gate < threshold)
         .select("doc_id", "source", "lang", "n_chars", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture construction ("build me a B-token mix")
+# ---------------------------------------------------------------------------
+
+#: global token budget as a fraction of the corpus: total_tokens div 5
+_BUDGET_DIV = 5
+
+
+@register(
+    "docs_token_budget_mix",
+    f"""
+WITH toks AS (
+    SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+per_src AS (
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+           CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS isq
+    FROM toks GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(isq) AS BIGINT) AS s_total
+    FROM per_src
+),
+rates AS (
+    SELECT p.source, p.src_tokens,
+           CAST(((t.total_tokens // {_BUDGET_DIV}) * p.isq) // t.s_total AS BIGINT)
+               AS target_tokens,
+           LEAST(
+               CAST(((t.total_tokens // {_BUDGET_DIV}) * p.isq) // t.s_total AS DOUBLE)
+                   / CAST(p.src_tokens AS DOUBLE),
+               {_MIX_RATE_CAP!r}) AS rate
+    FROM per_src p CROSS JOIN tot t
+),
+kept AS (
+    SELECT tk.source, tk.n_tok, r.rate, r.target_tokens, r.src_tokens
+    FROM toks tk JOIN rates r USING (source)
+    WHERE substr(md5('mix:' || tk.source || ':' || CAST(tk.doc_id AS VARCHAR)), 1, 8) <
+          lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+       MAX(rate) AS rate
+FROM kept GROUP BY source
+""",
+    doc="token-budget mixture construction — the 'assemble a B-token "
+    "training mix' op: the global budget (total_tokens div 5) is "
+    "apportioned across sources by sqrt(source_tokens) temperature "
+    "smoothing, each source's keep-rate is min(target/src_tokens, "
+    "31/32), and docs are admitted by the deterministic md5 gate, so "
+    "the SAME mix materializes on any engine/partitioning/run. All "
+    "arithmetic is exact-integer (div, floor-sqrt) up to one double "
+    "division per source. Reports per-source kept docs/tokens vs "
+    "target — the audit a mixture run ships with. At 100 TB: the rate "
+    "table is one row per source (broadcast), the token count is a "
+    "row-local expression, and the corpus is never shuffled — one "
+    "partial-agg pass for stats, one map-side gated pass for the mix.",
+)
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"),
+        F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("long").alias("isq"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("long").alias("total_tokens"),
+        F.sum("isq").cast("long").alias("s_total"),
+    )
+    target = F.expr(
+        f"((total_tokens div {_BUDGET_DIV}) * isq) div s_total"
+    ).cast("long")
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "src_tokens",
+            target.alias("target_tokens"),
+            F.least(
+                target.cast("double") / F.col("src_tokens").cast("double"),
+                F.lit(_MIX_RATE_CAP),
+            ).alias("rate"),
+        )
+    )
+    gate = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+        1,
+        8,
+    )
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 4294967296.0).cast("long"))), 8, "0"
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .filter(gate < threshold)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.max("target_tokens").cast("long").alias("target_tokens"),
+            F.max("rate").alias("rate"),
+        )
     )
 
 

@@ -940,6 +940,67 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_dup_weighting",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+),
+clusters AS (
+    SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS train_weight
+FROM clusters c JOIN sizes s USING (cluster_id)
+""",
+    doc="duplication-aware loss weighting — the keep-but-downweight "
+    "alternative to dropping near-dups: every doc gets training weight "
+    "1/cluster_size from its near-dup connected component, so each "
+    "duplicated CONTENT contributes one unit of expected loss mass "
+    "regardless of copy count (singletons keep weight 1.0). One "
+    "division from an exact integer — engine-identical doubles. At "
+    "100 TB: cluster sizes are a partial-agg over the (doc, cluster) "
+    "table and join back on cluster_id — two keyed shuffles past the "
+    "CC computation the dedup suite already shares.",
+)
+def docs_dup_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = docs_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("train_weight"),
+    )
+
+
 #: train fraction 7/8 as an exact md5-gate threshold (8 hex digits)
 _SPLIT_TRAIN_HEX = format(int((7 / 8) * 4294967296), "08x")
 

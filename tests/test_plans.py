@@ -456,3 +456,24 @@ def test_ivfpq_refined_fetch_is_broadcast(spark, sf_dir):
     assert P.physical_plan(df).count("MapInPandas") == P.physical_plan(
         plain
     ).count("MapInPandas")
+
+
+def test_token_budget_mix_rates_broadcast_no_corpus_shuffle_join(spark, sf_dir):
+    """The per-source rate table (one row per source) must BROADCAST
+    onto the gated corpus pass — at 100 TB the corpus is only ever
+    map-scanned, never shuffled for the admission join; the stats pass
+    must partially aggregate (map-side combine into |sources| cells)."""
+    df = q("docs_token_budget_mix", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert not P.has_shuffle_join(df)
+    assert not P.has_cartesian(df) or P.uses_broadcast_join(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_dup_weighting_sizes_join_is_keyed_no_cartesian(spark, sf_dir):
+    """Cluster sizes join back to the membership table on cluster_id —
+    a keyed join (no cartesian), and the size rollup partially
+    aggregates before its shuffle."""
+    df = q("docs_dup_weighting", spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.has_partial_aggregation(df)

@@ -376,10 +376,22 @@ def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
     )
     with open(os.path.join(scratch, "_READY"), "w") as fh:
         fh.write("ok")
+    ready = os.path.join(out, "_READY")
     try:
         os.rename(scratch, out)
     except OSError:
-        shutil.rmtree(scratch, ignore_errors=True)  # lost a build race
+        # lost race against a COMPLETE publisher -> discard ours; a stale
+        # INCOMPLETE dir (crashed build) -> evict and retry once
+        if not os.path.exists(ready):
+            shutil.rmtree(out, ignore_errors=True)
+            try:
+                os.rename(scratch, out)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            shutil.rmtree(scratch, ignore_errors=True)
+    if not os.path.exists(ready):
+        raise RuntimeError(f"scale-corpus staging at {out} is incomplete")
     return out
 
 
@@ -591,16 +603,28 @@ def main() -> None:
             for n, s in times.items()
             if n not in baseline or (baseline[n] and s >= 1.35 * baseline[n])
         }
-        line = json.dumps(
-            {
-                **record,
-                "queries": flagged,
-                "queries_inlined": len(flagged),
-                "queries_total_count": len(times),
-                "full_record": "BENCH_FULL.json",
-            },
-            separators=(",", ":"),
+        # worst offenders first; shrink the inline set until the line
+        # fits — the fallback must never itself overflow the capture
+        # window (e.g. when the baseline table fails to load and EVERY
+        # entry gets flagged)
+        order = sorted(
+            flagged,
+            key=lambda n: -(times[n] / baseline[n]) if baseline.get(n) else -1e9,
         )
+        while True:
+            line = json.dumps(
+                {
+                    **record,
+                    "queries": {n: times[n] for n in order},
+                    "queries_inlined": len(order),
+                    "queries_total_count": len(times),
+                    "full_record": "BENCH_FULL.json",
+                },
+                separators=(",", ":"),
+            )
+            if len(line) <= 1900 or not order:
+                break
+            order = order[: max(len(order) - 5, 0)]
     # full per-run diagnostics go to a sidecar next to this script — the
     # one printed line cannot fit 59 queries x (cold + 2 steady) samples
     detail = {

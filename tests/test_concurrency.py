@@ -273,3 +273,31 @@ sp.stop()
     assert ids == [1, 2, 3, 4], f"cross-process id collision: {ids}"
     _assert_refcount_invariant(final)
     assert final.get("c1") == shared and final.get("p1") == shared
+
+
+def test_concurrent_same_key_writes_one_wins(engine):
+    """Two racing write_batch calls with the SAME object_key: the
+    composite-op lock serializes the duplicate-key probe with the
+    commits, so exactly one writer succeeds and the other raises
+    DuplicateKeyError — never a silent double-ingest (the TOCTOU the
+    per-table CAS alone could not exclude)."""
+    from watsondedupe_spark.engine import DuplicateKeyError
+
+    spark = engine.spark
+    payload_a, payload_b = _payload(5000, 60), _payload(5000, 61)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(engine.write_batch, _batch(spark, [("dup", p)]))
+            for p in (payload_a, payload_b)
+        ]
+        outcomes = []
+        for f in futs:
+            try:
+                outcomes.append(("ok", f.result(timeout=600)))
+            except DuplicateKeyError:
+                outcomes.append(("dup", None))
+    assert sorted(o[0] for o in outcomes) == ["dup", "ok"], outcomes
+    rows = engine.objects.collect()
+    assert [r.object_key for r in rows] == ["dup"]  # exactly one row
+    _assert_refcount_invariant(engine)
+    assert engine.get("dup") in (payload_a, payload_b)

@@ -320,21 +320,31 @@ class DedupeEngine:
                 raise DuplicateKeyError(
                     f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}"
                 )
-            if self.store.exists("objects"):
-                existing = (
-                    chunk_rows.select("object_key")
-                    .distinct()
-                    .join(self.objects, "object_key", "left_semi")
-                    .limit(5)
-                    .collect()
-                )
-                if existing:
-                    raise DuplicateKeyError(
-                        f"keys already exist: {[r.object_key for r in existing]}"
+            # The commit phase holds the per-index composite-op lock:
+            # per-table CAS alone cannot make the duplicate-key check
+            # and the four table commits atomic TOGETHER, so two racing
+            # write_batch calls with the same key could both pass the
+            # check (TOCTOU) and double-ingest. Under the lock, the
+            # (cheap, pushdown-pruned) existence probe re-runs against
+            # the now-stable objects table and the commits follow — the
+            # batched analogue of the reference's writer mutex. The
+            # expensive chunker pass above stays outside the lock.
+            with self.store.op_lock():
+                if self.store.exists("objects"):
+                    existing = (
+                        chunk_rows.select("object_key")
+                        .distinct()
+                        .join(self.objects, "object_key", "left_semi")
+                        .limit(5)
+                        .collect()
                     )
-            self._commit_ingest(
-                chunk_rows, created_utc, int(n_keys or 0), int(total_bytes or 0)
-            )
+                    if existing:
+                        raise DuplicateKeyError(
+                            f"keys already exist: {[r.object_key for r in existing]}"
+                        )
+                self._commit_ingest(
+                    chunk_rows, created_utc, int(n_keys or 0), int(total_bytes or 0)
+                )
         finally:
             chunk_rows.unpersist()
         return int(n_keys or 0)
@@ -670,10 +680,11 @@ class DedupeEngine:
         if isinstance(keys, DataFrame):
             return self._delete_batch_distributed(keys)
         key_col = F.col("object_key").isin(keys)
-        gc_set = self._delete_commits(
-            doomed_map_of=lambda omap: omap.filter(key_col),
-            survivors_of=lambda df: df.filter(~key_col),
-        )
+        with self.store.op_lock():
+            gc_set = self._delete_commits(
+                doomed_map_of=lambda omap: omap.filter(key_col),
+                survivors_of=lambda df: df.filter(~key_col),
+            )
         head = gc_set.take(GC_RETURN_CAP + 1)
         if len(head) > GC_RETURN_CAP:
             return gc_set
@@ -686,12 +697,15 @@ class DedupeEngine:
 
         Every table commit is a CAS read-modify-write (re-derived from a
         fresh snapshot on conflict), so concurrent write/delete sessions
-        serialize PER TABLE with no lost updates. Cross-table anomalies
-        remain possible only when a concurrent writer ingests content
-        OVERLAPPING the chunks being GC'd (the payload-GC commit
-        re-filters against the live chunks table to shrink that window);
-        the reference's in-process mutex has the same scope — it cannot
-        order two independent processes either.
+        serialize PER TABLE with no lost updates. The whole cascade also
+        holds the per-index composite-op lock: without it, a payload GC
+        here could race a concurrent ingest reviving the same chunk
+        (the writer's payload pass sees the payload present and skips
+        inserting; our GC then deletes it after the writer's refcount
+        commit ordering slips) — a cross-table anomaly no per-table CAS
+        can exclude. The payload-GC commit additionally re-filters
+        against the live chunks table as defense in depth for writers
+        that bypass the lock.
         """
         holder: dict = {}
 
@@ -710,7 +724,16 @@ class DedupeEngine:
             )
             # checkpoint pins the GC set before the commits flip
             # manifests under it AND lets the take / anti-join / return
-            # reuse one materialization
+            # reuse one materialization; a RETRY drops the previous
+            # attempt's checkpoint first so contended deletes don't pin
+            # abandoned copies of a (possibly huge) GC set in executor
+            # storage for the session's lifetime
+            prev = holder.pop("gc", None)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass  # best-effort; ContextCleaner reclaims eventually
             holder["gc"] = (
                 merged.filter(F.col("ref_count") < 1)
                 .select("chunk_key")
@@ -765,10 +788,11 @@ class DedupeEngine:
         way. The only driver round trips are 1-row probes.
         """
         keys_df = keys_df.select("object_key").distinct().localCheckpoint(eager=True)
-        return self._delete_commits(
-            doomed_map_of=lambda omap: omap.join(keys_df, "object_key", "left_semi"),
-            survivors_of=lambda df: df.join(keys_df, "object_key", "left_anti"),
-        )
+        with self.store.op_lock():
+            return self._delete_commits(
+                doomed_map_of=lambda omap: omap.join(keys_df, "object_key", "left_semi"),
+                survivors_of=lambda df: df.join(keys_df, "object_key", "left_anti"),
+            )
 
     # -- stats (O20/O21) ----------------------------------------------------------
 

@@ -578,12 +578,14 @@ def ann_topk_pq(
     if codebooks is not None and (
         len(codebooks) != m or any(len(cb) != ks for cb in codebooks)
     ):
+        shape = f"{len(codebooks)} subspaces" + (
+            f" x {len(codebooks[0])} codes" if codebooks else ""
+        )
         raise ValueError(
-            f"prebuilt index mismatch: codebooks are {len(codebooks)} "
-            f"subspaces x {len(codebooks[0])} codes but the call asked "
-            f"for m={m}, ks={ks}. `quantize` is also fixed at build time "
-            "and must match (part of the index contract — not detectable "
-            "from the index shape)."
+            f"prebuilt index mismatch: codebooks are {shape} but the "
+            f"call asked for m={m}, ks={ks}. `quantize` is also fixed "
+            "at build time and must match (part of the index contract "
+            "— not detectable from the index shape)."
         )
     cbs = (
         codebooks
@@ -714,10 +716,12 @@ def ann_topk_ivfpq(
         # a mismatched call fails loudly instead of silently mis-routing
         # probes / mis-scoring ADC distances.
         if len(codebooks) != m or any(len(cb) != ks for cb in codebooks):
+            shape = f"{len(codebooks)} subspaces" + (
+                f" x {len(codebooks[0])} codes" if codebooks else ""
+            )
             raise ValueError(
-                f"prebuilt index mismatch: codebooks are "
-                f"{len(codebooks)} subspaces x {len(codebooks[0])} codes "
-                f"but the call asked for m={m}, ks={ks}. A prebuilt "
+                f"prebuilt index mismatch: codebooks are {shape} but "
+                f"the call asked for m={m}, ks={ks}. A prebuilt "
                 "index also fixes `quantize` and `n_centroids` at build "
                 "time — pass the exact build-time values (they are part "
                 "of the index contract; quantize mismatches are not "

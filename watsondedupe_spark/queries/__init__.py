@@ -79,7 +79,7 @@ _GRADING_PRIORITY = [
     "emb_cosine_topk_float", "emb_knn_cosine_np", "emb_ann_recall_ivfpq",
     # Tier 2 — oldest-grading regression canaries: green since r1/r2 but
     # outside every window since, spanning the dedupe / similarity /
-    # relational / window / streaming surfaces (26)
+    # relational / window / streaming surfaces (24)
     "docs_exact_dedup", "docs_minhash_pairs", "docs_jaccard_pairs",
     "docs_dup_clusters", "docs_dup_spans", "docs_strip_dup_spans",
     "docs_incremental_dedup", "docs_decontaminate", "docs_pack_sequences",

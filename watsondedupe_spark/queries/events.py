@@ -388,7 +388,24 @@ def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3)
         except OSError:
             import shutil
 
-            shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+            # the rename can fail for TWO reasons: a concurrent stager
+            # published a COMPLETE dir (fine — discard ours), or a stale
+            # INCOMPLETE dir occupies the path (old crash, pre-atomic
+            # layout). Only treat it as a lost race if the occupant is
+            # actually complete; otherwise evict it and retry once.
+            if not os.path.exists(done):
+                shutil.rmtree(stage, ignore_errors=True)
+                try:
+                    os.rename(scratch, stage)
+                except OSError:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            else:
+                shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+        if not os.path.exists(done):
+            raise RuntimeError(
+                f"events stream staging at {stage} is incomplete and could "
+                "not be replaced — remove the directory and retry"
+            )
     return stage
 
 

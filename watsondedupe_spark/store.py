@@ -243,6 +243,37 @@ class IndexStore:
 
     # -- contract -----------------------------------------------------------
 
+    @contextmanager
+    def op_lock(self, name: str = "write"):
+        """Per-INDEX advisory lock for composite multi-table operations
+        (``{root}/_OPLOCK.{name}``, flock — cross-process and
+        cross-thread on one host; both backends share it).
+
+        The per-table CAS above guarantees no table-level lost updates,
+        but a composite operation (ingest = 4 table commits, delete =
+        4 commits + payload GC) has no cross-table transaction, so two
+        composite ops interleaving can produce cross-table anomalies
+        (double-ingest of one key passing both pre-checks; a payload GC
+        racing a revival). Engine write/delete paths therefore hold
+        this lock for their commit phase — the batched analogue of the
+        reference's writer mutex (SqliteProvider.cs:29-30) — while the
+        expensive chunking/scan work stays outside it. CAS remains as
+        defense in depth for writers that bypass the lock. On a real
+        Delta deployment this is replaced by commit-conflict retries
+        within one transaction log.
+        """
+        import fcntl
+
+        fd = os.open(
+            os.path.join(self.root, f"_OPLOCK.{name}"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def exists(self, name: str) -> bool:
         return self.current_version(name) > 0
 
@@ -399,8 +430,13 @@ class SqliteIndexStore(IndexStore):
     STATE primitives differ — current/history manifests are rows in
     ``{root}/_manifest.db`` and the critical section is a
     ``BEGIN IMMEDIATE`` transaction, which also serializes writers
-    across processes. Detection: :func:`open_store` picks this backend
-    when the catalog file exists.
+    across processes. Honesty note on granularity: SQLite's write lock
+    is DATABASE-wide, so manifest flips on *different* tables of one
+    index serialize here, where the file backend's flock is per-table.
+    Flips are millisecond file-ops (the parquet writes happen outside
+    the critical section), so the four concurrent engine commits lose
+    only flip-interleaving, not write overlap. Detection:
+    :func:`open_store` picks this backend when the catalog file exists.
     """
 
     CATALOG = "_manifest.db"

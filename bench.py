@@ -648,6 +648,11 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--sf1" in sys.argv:
-        scale_stress_main(factor=10)
+        # optional --factor N overrides the 10x default (e.g. a 30x run
+        # turns the single scale point into a slope)
+        factor = 10
+        if "--factor" in sys.argv:
+            factor = int(sys.argv[sys.argv.index("--factor") + 1])
+        scale_stress_main(factor=factor)
     else:
         main()

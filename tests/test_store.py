@@ -179,3 +179,37 @@ def test_gc_spares_young_unreferenced_parts(spark, tmp_path, store_cls):
     os.utime(stray, (1, 1))  # age it beyond the grace window
     st.commit("t", df)
     assert not os.path.exists(stray), "aged orphan must be collected"
+
+
+def test_crash_artifacts_do_not_corrupt_store(spark, tmp_path, store_cls):
+    """Simulated writer crash debris — a torn .tmp manifest, an orphan
+    part dir, a stray history file for a version that never published —
+    must leave reads and subsequent commits fully functional, and the
+    debris must never become authoritative."""
+    import json
+    import os
+
+    st = store_cls(spark, str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x long")
+    st.commit("t", df)  # v1
+    tdir = st._table_dir("t")
+    # torn tmp from a crashed flip attempt (file backend artifact; write
+    # it regardless — it must be inert for both backends)
+    with open(os.path.join(tdir, "_MANIFEST.tmp"), "w") as fh:
+        fh.write("{ torn json")
+    # orphan part dir from a crashed data write
+    os.makedirs(os.path.join(tdir, "p00000099_dead0000"))
+    # stray history file claiming a version that never published
+    if store_cls.__name__ == "IndexStore":
+        with open(st._version_pointer("t", 99), "w") as fh:
+            json.dump({"version": 99, "parts": []}, fh)
+    assert st.read("t").count() == 1          # current state unaffected
+    assert st.current_version("t") == 1
+    v2 = st.commit("t", spark.createDataFrame([(1,), (2,)], "x long"))
+    assert v2 == 2                             # versioning continues cleanly
+    assert st.read("t").count() == 2
+    # the stray future-version history must not shadow real commits as
+    # they reach that number; aged orphans are GC'd
+    os.utime(os.path.join(tdir, "p00000099_dead0000"), (1, 1))
+    st.commit("t", df)
+    assert not os.path.exists(os.path.join(tdir, "p00000099_dead0000"))

@@ -408,18 +408,111 @@ def cdc_chunk_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_invariants(chunks)
 
 
+# Closed-form image payload family shared by multimodal_image_features
+# and multimodal_feature_near_dups: a PNG header prefix (signature + len
+# + IHDR tag + width + height, 24 bytes — the decoder's contract is
+# header parsing; the CRC-bearing full-file roundtrip is already graded
+# by multimodal_png_roundtrip) followed by a solid body of ``m = 8*k``
+# copies of byte ``v``. Every byte is a closed form of doc_id, so the
+# default byte-histogram featurizer's output is SQL-recomputable:
+#   acc[j] = header_class_sum[j] + w/h byte contributions + k*v
+#   feature[j] = float32(acc[j] / sum(acc))
+# (body length is a multiple of 8 = the histogram dim, so each residue
+# class receives exactly k copies of v).
+_IMG_W = "1 + doc_id % 512"
+_IMG_H = "1 + (doc_id * 7) % 512"
+_IMG_V = "doc_id % 251"
+_IMG_K = "1 + doc_id % 7"
+
+# per-residue-class header constants: signature 137,80,78,71,13,10,26,10
+# + len field 0,0,0,13 + 'IHDR' 73,72,68,82 + w/h big-endian bytes
+_IMG_ACC_SQL = (
+    "[137 + k*v, 80 + k*v, 78 + (w // 256) + k*v, 84 + (w % 256) + k*v,"
+    " 86 + k*v, 82 + k*v, 94 + (h // 256) + k*v, 92 + (h % 256) + k*v]"
+)
+
+# float32 feature after the double divide (the Arrow array<float> cast),
+# widened back to DOUBLE — the exact value Spark's float column yields
+_IMG_FEAT_SQL = (
+    "list_transform(acc, x -> CAST(CAST(CAST(x AS DOUBLE)"
+    " / CAST(list_sum(acc) AS DOUBLE) AS REAL) AS DOUBLE))"
+)
+
+_IMG_BASE_CTE = f"""
+p AS (
+    SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, {_IMG_V} AS v, {_IMG_K} AS k
+    FROM documents
+),
+a AS (
+    SELECT doc_id, w, h, k, {_IMG_ACC_SQL} AS acc FROM p
+),
+f AS (
+    SELECT doc_id, w, h, k, {_IMG_FEAT_SQL} AS fv FROM a
+)
+"""
+
+
+def _synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fused Arrow pass synthesizing the closed-form payloads."""
+
+    def _make(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 512, 1 + (did * 7) % 512
+                v, m = did % 251, 8 * (1 + did % 7)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13)
+                    + b"IHDR"
+                    + struct.pack(">II", w, h)
+                    + bytes([v]) * m
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(_make, schema="doc_id long, payload binary")
+    )
+
+
 @register(
     "multimodal_image_features",
-    None,
-    doc="multimodal plumbing: documents' bytes wrapped as media structs -> "
-    "Arrow-batched decode/featurize (decoder seam stubbed, plumbing real).",
+    f"""
+WITH {_IMG_BASE_CTE}
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(24 + 8 * k AS BIGINT) AS n_bytes, 'png' AS format,
+       CAST(fv[1] AS REAL) AS f0, CAST(fv[2] AS REAL) AS f1,
+       CAST(fv[3] AS REAL) AS f2, CAST(fv[4] AS REAL) AS f3,
+       CAST(fv[5] AS REAL) AS f4, CAST(fv[6] AS REAL) AS f5,
+       CAST(fv[7] AS REAL) AS f6, CAST(fv[8] AS REAL) AS f7
+FROM f
+""",
+    doc="the image decode+FEATURIZE path graded end to end: closed-form "
+    "PNG-header payloads (dimensions and a solid body byte both derived "
+    "from doc_id) run through the REAL default decoder and byte-histogram "
+    "featurizer via Arrow-batched mapInPandas, and the oracle recomputes "
+    "header fields AND all 8 normalized histogram components in SQL "
+    "(integer accumulations, one double divide, one float32 cast — "
+    "bit-identical across engines). A featurizer that mis-bins, "
+    "mis-normalizes, or loses f32 rounding hash-mismatches.",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.multimodal import extract_image_features, wrap_media
 
-    df = _docs(spark, sf_dir).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    media = wrap_media(df, "payload", "image/png", "doc_id")
-    return extract_image_features(media)
+    media = wrap_media(_synth_images(spark, sf_dir), "payload", "image/png", "doc_id")
+    feats = extract_image_features(media)
+    return feats.select(
+        "id", "width", "height", "n_bytes", "format",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(
@@ -588,23 +681,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEAT_DUP_COSINE = 0.99999
+
+
+def _feature_near_dup_oracle() -> str:
+    from watsondedupe_spark.queries.curation_ext import _icos_sql
+
+    quant = _QUANT_VEC_SQL.format(v="fv")
+    return f"""
+WITH {_IMG_BASE_CTE},
+b AS (
+    SELECT doc_id, {quant} AS qv,
+           {_lsh_bucket_sql('fv', n_planes=6, n_dims=8)} AS bucket
+    FROM f
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           {_icos_sql('x.qv', 'y.qv')} AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+WHERE cosine >= {_FEAT_DUP_COSINE}
+"""
+
+
 @register(
     "multimodal_feature_near_dups",
-    None,
-    doc="cross-modal integration: binary payloads -> Arrow-batched "
-    "featurize (decoder seam stubbed) -> sign-LSH bucketed cosine "
-    "near-dup over the 8-dim feature vectors — the image-dedup pipeline "
-    "with every Spark stage real and only the codec faked.",
+    _feature_near_dup_oracle(),
+    doc="cross-modal integration graded end to end: closed-form image "
+    "payloads -> Arrow-batched decode/featurize (the REAL default "
+    "decoder + byte-histogram featurizer) -> sign-LSH bucketed "
+    "quantized-integer cosine near-dup over the 8-dim features "
+    "(operators.dedupe.embedding_near_dups_np — one integer matmul per "
+    "bucket group, enforced group bounds). The oracle recomputes the "
+    "features, the md5-derived hyperplane buckets, and the exact "
+    "int-quantized cosine in SQL, so every stage of the image-dedup "
+    "pipeline — codec, featurizer, bucketing, verify — is "
+    "hash-gated, not rows-only.",
 )
 def multimodal_feature_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.dedupe import embedding_near_dups
+    from watsondedupe_spark.operators.dedupe import embedding_near_dups_np
     from watsondedupe_spark.operators.multimodal import extract_image_features, wrap_media
 
-    df = _docs(spark, sf_dir).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    media = wrap_media(df, "payload", "image/png", "doc_id")
-    feats = extract_image_features(media).select("id", "feature")
-    return embedding_near_dups(
-        feats, id_col="id", vec_col="feature", threshold=0.9999, n_planes=6, n_dims=8
+    media = wrap_media(_synth_images(spark, sf_dir), "payload", "image/png", "doc_id")
+    feats = extract_image_features(media).select(
+        F.col("id").cast("long").alias("vec_id"), "feature"
+    )
+    return embedding_near_dups_np(
+        feats,
+        id_col="vec_id",
+        vec_col="feature",
+        threshold=_FEAT_DUP_COSINE,
+        n_planes=6,
+        n_dims=8,
     )
 
 

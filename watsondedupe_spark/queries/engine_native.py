@@ -91,6 +91,194 @@ def cdc_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_invariants(chunk_objects(objs, ChunkSettings(*SMALL_FILE_PROFILE)))
 
 
+# ---------------------------------------------------------------------------
+# engine write path, graded end to end (round-6 verdict #2): the full
+# write_batch -> CAS table commits -> read-back loop through the REAL
+# DedupeEngine + IndexStore, not a synthetic chunk index. The oracle is
+# closed-form: every output column is SQL-predictable from the source
+# corpus (SURVEY §5 invariants; reference anchor src/SampleApp/
+# Program.cs:19-35 — write, stats, read-back, byte equality).
+# ---------------------------------------------------------------------------
+
+_ENGINE_ROUNDTRIP_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS object_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS BIGINT) AS id,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length,
+       TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(text, 20)) AS payload_md5
+FROM documents
+"""
+
+
+def _engine_write_roundtrip(spark: SparkSession, sf_dir: str, store_cls) -> DataFrame:
+    """Ingest the (20x-inflated) documents corpus through a throwaway
+    real index, re-open it via backend autodetection, and emit the
+    per-object invariant table:
+
+    - ``id``            ingest-sequence id (closed form: the 1-based rank
+                        of object_key — grades assign_ingest_ids)
+    - ``original_length`` from the objects table (closed form: 20x the
+                        source byte length)
+    - ``comp_ok``       comp_length == original_length (chunks tile)
+    - ``count_ok``      objects.chunk_count == object_map row count
+    - ``mapped_ok``     sum of map lengths == original_length
+    - ``contiguous``/``positions_ok``/``lengths_ok`` — the map tiles the
+                        payload from byte 0, ordinals match, bounds hold
+    - ``refcounts_ok``  every referenced chunk's stored ref_count equals
+                        its global map reference count (O17 witness)
+    - ``store_ok``      every referenced chunk has exactly its declared
+                        bytes in chunk_store (content-addressed store)
+    - ``payload_md5``   md5 of the REASSEMBLED object (distributed
+                        get_batch shape) == md5 of the source payload
+
+    The result is eagerly checkpointed so the temp index can be removed
+    before the (lazy) DataFrame is collected by the grader.
+    """
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    max_chunk = SMALL_FILE_PROFILE[1]
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    try:
+        DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=store_cls
+        ).write_batch(objs)
+        eng = DedupeEngine.open(spark, root)  # autodetect re-open, graded
+        omap, chunks, objects, cstore = (
+            eng.object_map, eng.chunks, eng.objects, eng.chunk_store,
+        )
+
+        # map-tiling invariants (the cdc_chunk_index recipe, but over the
+        # PERSISTED object_map read back from the store)
+        w = Window.partitionBy("object_key").orderBy("address")
+        prev_end = F.lag(F.col("address") + F.col("length")).over(w)
+        link_ok = F.when(prev_end.isNull(), F.col("address") == 0).otherwise(
+            F.col("address") == prev_end
+        )
+        pos_ok = (F.row_number().over(w) - 1) == F.col("position")
+        len_ok = (F.col("length") >= 1) & (F.col("length") <= max_chunk)
+        tiling = (
+            omap.select(
+                "object_key", "length",
+                link_ok.alias("l"), pos_ok.alias("p"), len_ok.alias("b"),
+            )
+            .groupBy("object_key")
+            .agg(
+                F.sum("length").cast("long").alias("mapped_bytes"),
+                F.count("*").cast("long").alias("n_map_rows"),
+                F.bool_and("l").alias("contiguous"),
+                F.bool_and("p").alias("positions_ok"),
+                F.bool_and("b").alias("lengths_ok"),
+            )
+        )
+
+        # refcount + content-addressed-store witnesses, rolled up per object
+        refs = omap.groupBy("chunk_key").agg(F.count("*").alias("n_refs"))
+        per_chunk = (
+            refs.join(chunks, "chunk_key", "left")
+            .join(
+                cstore.select("chunk_key", F.length("data").alias("stored_len")),
+                "chunk_key",
+                "left",
+            )
+            .select(
+                "chunk_key",
+                F.col("ref_count").eqNullSafe(F.col("n_refs")).alias("rc_ok"),
+                F.col("stored_len").eqNullSafe(F.col("length")).alias("st_ok"),
+            )
+        )
+        witness = (
+            omap.select("object_key", "chunk_key")
+            .join(per_chunk, "chunk_key")
+            .groupBy("object_key")
+            .agg(
+                F.bool_and("rc_ok").alias("refcounts_ok"),
+                F.bool_and("st_ok").alias("store_ok"),
+            )
+        )
+
+        # distributed reassembly (the get_batch shape) -> payload md5
+        digest = (
+            cstore.join(omap.select("object_key", "chunk_key", "address"), "chunk_key")
+            .groupBy("object_key")
+            .agg(F.sort_array(F.collect_list(F.struct("address", "data"))).alias("_p"))
+            .select(
+                "object_key",
+                F.md5(
+                    F.aggregate(
+                        "_p",
+                        F.lit(b"").cast("binary"),
+                        lambda acc, p: F.concat(acc, p["data"]),
+                    )
+                ).alias("payload_md5"),
+            )
+        )
+
+        result = (
+            objects.join(tiling, "object_key")
+            .join(witness, "object_key")
+            .join(digest, "object_key")
+            .select(
+                "object_key",
+                "id",
+                "original_length",
+                (F.col("comp_length") == F.col("original_length")).alias("comp_ok"),
+                (F.col("chunk_count") == F.col("n_map_rows")).alias("count_ok"),
+                (F.col("mapped_bytes") == F.col("original_length")).alias("mapped_ok"),
+                "contiguous",
+                "positions_ok",
+                "lengths_ok",
+                "refcounts_ok",
+                "store_ok",
+                "payload_md5",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@register(
+    "engine_write_roundtrip",
+    _ENGINE_ROUNDTRIP_SQL,
+    doc="O1-O21 in one graded loop: write_batch through the REAL engine "
+    "(chunker pass, CAS refcount merge, insert-if-absent payloads, "
+    "distributed ingest-id assignment, four manifest commits under the "
+    "composite-op lock) into a throwaway file-manifest index, autodetect "
+    "re-open, then read every table back and verify the §5 invariants "
+    "plus full byte-level reassembly (md5) — all closed forms of the "
+    "source corpus (engine.py:276-497; SampleApp/Program.cs:19-35).",
+)
+def engine_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    return _engine_write_roundtrip(spark, sf_dir, IndexStore)
+
+
+@register(
+    "engine_write_roundtrip_sqlite",
+    _ENGINE_ROUNDTRIP_SQL,
+    doc="the same graded write->read-back loop through the SECOND store "
+    "backend (SqliteIndexStore: manifests in a SQLite catalog, CAS as "
+    "BEGIN IMMEDIATE) — the DbProvider pluggability proof "
+    "(DbProvider.cs:10) in a driver-graded path, not just pytest.",
+)
+def engine_write_roundtrip_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    return _engine_write_roundtrip(spark, sf_dir, SqliteIndexStore)
+
+
 def _simhash60_sql(with_candidates: bool) -> str:
     """Generate the DuckDB mirror of simhash60_md5 (+ band candidates)."""
     votes = ",\n           ".join(

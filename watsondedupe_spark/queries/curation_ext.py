@@ -802,6 +802,103 @@ def emb_ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _append_parity_oracle() -> str:
+    """From-scratch encode of the GROWN corpus under artifacts frozen on
+    the build half — exactly what pq_index_append must reproduce."""
+    from watsondedupe_spark.queries.engine_native import _iq_cos_sql
+
+    return f"""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+    FROM embeddings
+),
+build AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+cents AS (
+    SELECT vec_id AS centroid_id, qv AS qcv
+    FROM build ORDER BY skey, vec_id LIMIT 16
+),
+routed AS (
+    SELECT b.vec_id, c.centroid_id, {_iq_cos_sql('b.qv', 'c.qcv')} AS csim
+    FROM base b CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM routed)
+    WHERE rn = 1
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (SELECT vec_id, qv, skey FROM build ORDER BY skey, vec_id LIMIT 16)
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), (acc, x) -> acc + x) AS d2
+    FROM base b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM enc)
+    WHERE rn = 1
+)
+SELECT c.vec_id, a.centroid_id, CAST(c.s AS INT) AS s, CAST(c.code AS INT) AS code
+FROM chosen c JOIN assign a ON a.vec_id = c.vec_id
+"""
+
+
+@register(
+    "emb_ann_append_parity",
+    _append_parity_oracle(),
+    doc="incremental ANN maintenance, driver-graded (round-6 verdict #4): "
+    "build the IVF-PQ index on the even-id half of the corpus, append "
+    "the odd-id half through pq_index_append under the FROZEN routing "
+    "centroids and codebooks (similarity.py:1077 — the O(batch) nightly "
+    "append, vs an O(corpus) rebuild), and return the grown code table "
+    "exploded to (vec_id, centroid_id, s, code) rows. The oracle is a "
+    "from-scratch SQL encode of the WHOLE corpus under artifacts "
+    "derived from the build half only — so the append path must be "
+    "row-identical to a full rebuild, the invariant that lets queries "
+    "ignore how the index was built.",
+)
+def emb_ann_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import (
+        ivf_assign_np,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_index_append,
+    )
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = ivf_centroids(old, 16)
+    cbs = pq_codebooks(old, m=8, ks=16)
+    codes_old = pq_encode(
+        ivf_assign_np(old, cents, n_probe=1, quantize=1000),
+        cbs, quantize=1000, keep_cols=("centroid_id",),
+    )
+    grown = pq_index_append(codes_old, new, cents, cbs, quantize=1000)
+    return grown.select(
+        "vec_id", "centroid_id", F.posexplode("codes").alias("s", "code")
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.col("s").cast("int").alias("s"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate-span REMOVAL (the transform the detector exists to feed)
 # ---------------------------------------------------------------------------

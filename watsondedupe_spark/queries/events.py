@@ -249,6 +249,40 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_tumbling_streamed_rocksdb",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="the SAME graded streamed replay as events_tumbling_streamed, "
+    "executed on the RocksDB state store (streaming.rocksdb_state_store "
+    "— state on local disk with a bounded block cache, the at-100 TB "
+    "residence where heap-backed state falls over first). Graded, not "
+    "just pytest-proven: a provider that mis-restores, mis-merges, or "
+    "drops window state across micro-batch commits would diverge from "
+    "the batch oracle (round-6 verdict #4b).",
+)
+def events_tumbling_streamed_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stream = S.stream_from_dir(spark, _stage_events_stream_dir(sf_dir))
+    agg = S.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    with S.state_partitions(spark, 8), S.rocksdb_state_store(spark):
+        q = S.run_to_memory(agg, "graded_tumbling_rocksdb_sink", "complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("graded_tumbling_rocksdb_sink").select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
     "events_session_streamed",
     """
 WITH gaps AS (

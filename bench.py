@@ -125,10 +125,13 @@ HEADLINE = [
     "emb_ann_recall_ivfpq",
     "emb_ann_topk_lsh_mp",
     # round-5 addition: token-budget mixture construction (two-pass
-    # map-side scan + broadcast rate table). docs_dup_weighting stays
-    # untimed for the composite reason (docs_curation_funnel precedent):
-    # it re-runs the timed docs_dup_clusters plus one rollup+join.
+    # map-side scan + broadcast rate table).
     "docs_token_budget_mix",
+    # round-6: docs_dup_weighting promoted into the timed set (r5
+    # verdict #6) — it composes the timed docs_dup_clusters with a
+    # cluster-size rollup + corpus join, and that join deserves its own
+    # locked budget rather than riding the composite precedent.
+    "docs_dup_weighting",
     # events_user_totals_streamed stays untimed for the streamed-replay
     # reason (three serial micro-batches of engine fixed cost dwarf the
     # per-row work); it is correctness-graded via its DuckDB oracle.
@@ -266,6 +269,12 @@ SCALE_QUERIES = [
     "docs_winnowing_pairs",
     "docs_dup_clusters_star",
     "emb_ann_topk_ivfpq",
+    # round-6 additions (verdict #1): the remaining heavy per-byte
+    # entries, previously never run at scale
+    "docs_dup_spans",
+    "docs_strip_dup_spans",
+    "docs_dsir_weights",
+    "emb_ann_recall_audit",
 ]
 
 
@@ -381,29 +390,49 @@ def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
         os.rename(scratch, out)
     except OSError:
         # lost race against a COMPLETE publisher -> discard ours; a stale
-        # INCOMPLETE dir (crashed build) -> evict and retry once
-        if not os.path.exists(ready):
-            shutil.rmtree(out, ignore_errors=True)
-            try:
-                os.rename(scratch, out)
-            except OSError:
+        # INCOMPLETE dir (crashed build) -> evict and retry once, with
+        # the check+evict under a flock (the house staging pattern —
+        # see queries/events.py) so a concurrent publisher's complete
+        # dir can't be deleted in the check-to-rmtree window
+        import fcntl
+
+        fdl = os.open(out + ".lock", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fdl, fcntl.LOCK_EX)
+            if not os.path.exists(ready):
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(scratch, out)
+                except OSError:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            else:
                 shutil.rmtree(scratch, ignore_errors=True)
-        else:
-            shutil.rmtree(scratch, ignore_errors=True)
+        finally:
+            fcntl.flock(fdl, fcntl.LOCK_UN)
+            os.close(fdl)
     if not os.path.exists(ready):
         raise RuntimeError(f"scale-corpus staging at {out} is incomplete")
     return out
 
 
-def scale_stress_main(factor: int = 10) -> None:
+def scale_stress_main(factor: int = 10, json_out: str | None = None) -> int:
     """``bench.py --sf1``: one scale-stress pass of the dedup/ANN suite
     at ``factor``x sf0.1 rows (sf1-equivalent), recording seconds and
     shuffle-write bytes at both scales plus the ratio. Every timed run
     starts from CLEARED substrate caches, so it measures the full
     build+probe pipeline at each scale; plans are codegen-warmed first.
-    A ratio well above ``factor`` flags a super-linear plan. Results are
-    recorded in BASELINE.md §scale-stress; this mode is informational
-    (run per round), not part of the per-query regression gate."""
+
+    Round 6 turned this from an informational hand-recorded table into a
+    GATED per-round artifact (verdict #1): each entry carries a
+    ``budget_ok`` verdict — seconds may grow at most
+    ``1.25 x max(factor, rows_ratio)`` (work should be linear in DATA;
+    output-linear is also acceptable where output outgrows input, e.g.
+    winnowing pair explosion) — and the process exits non-zero if any
+    entry busts its budget. ``--json OUT`` commits the full record
+    (SCALE_r{N}.json in the round-close runbook). The engine write path
+    (chunk -> CAS refcount merge -> four commits) is covered via
+    ``engine_ingest`` over the WHOLE corpus at both scales, gated on
+    bytes_ratio."""
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from watsondedupe_spark.queries import all_queries
@@ -415,6 +444,11 @@ def scale_stress_main(factor: int = 10) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     stage = _stage_scale_dir(spark, sf01, factor)
+
+    def budget_ok(sec_ratio, work_ratio) -> bool | None:
+        if sec_ratio is None:
+            return None
+        return sec_ratio <= 1.25 * max(factor, work_ratio or 0)
 
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
@@ -432,37 +466,66 @@ def scale_stress_main(factor: int = 10) -> None:
                 "shuffle_mb": round((_shuffle_bytes(spark) - sh0) / 1e6, 1),
             }
         base, big = per_scale["sf01"], per_scale[f"x{factor}"]
+        sec_ratio = round(big["sec"] / base["sec"], 2) if base["sec"] else None
+        rows_ratio = round(big["rows"] / base["rows"], 2) if base["rows"] else None
         results[name] = {
             **{f"{k}_{label}": v for label, s in per_scale.items() for k, v in s.items()},
-            "sec_ratio": round(big["sec"] / base["sec"], 2) if base["sec"] else None,
-            "rows_ratio": round(big["rows"] / base["rows"], 2) if base["rows"] else None,
+            "sec_ratio": sec_ratio,
+            "rows_ratio": rows_ratio,
+            "budget_ok": budget_ok(sec_ratio, rows_ratio),
         }
 
     # CDC chunker throughput at both scales (MB/s should be flat)
     b_sec, b_mb = bench_cdc_ingest(spark, sf01)
     s_sec, s_mb = bench_cdc_ingest(spark, stage)
+    cdc_ratio = round(s_sec / b_sec, 2)
     results["cdc_ingest"] = {
         "sec_sf01": round(b_sec, 2),
         "mbps_sf01": round(b_mb / b_sec, 1),
         f"sec_x{factor}": round(s_sec, 2),
         f"mbps_x{factor}": round(s_mb / s_sec, 1),
-        "sec_ratio": round(s_sec / b_sec, 2),
+        "sec_ratio": cdc_ratio,
+        "bytes_ratio": round(s_mb / b_mb, 2),
+        "budget_ok": budget_ok(cdc_ratio, s_mb / b_mb),
+    }
+
+    # the FULL engine write path (chunker pass -> CAS refcount merge ->
+    # insert-if-absent payloads -> four manifest commits under the
+    # composite-op lock) over the WHOLE corpus at each scale — never
+    # exercised at 30x before round 6
+    e_sec, e_mb = bench_engine_ingest(spark, sf01, n_objects=1_000_000_000)
+    se_sec, se_mb = bench_engine_ingest(spark, stage, n_objects=1_000_000_000)
+    eng_ratio = round(se_sec / e_sec, 2)
+    results["engine_ingest"] = {
+        "sec_sf01": round(e_sec, 2),
+        "mbps_sf01": round(e_mb / e_sec, 1),
+        f"sec_x{factor}": round(se_sec, 2),
+        f"mbps_x{factor}": round(se_mb / se_sec, 1),
+        "sec_ratio": eng_ratio,
+        "bytes_ratio": round(se_mb / e_mb, 2),
+        "budget_ok": budget_ok(eng_ratio, se_mb / e_mb),
     }
 
     superlinear = [
         n for n, r in results.items()
         if r.get("sec_ratio") and r["sec_ratio"] > factor * 1.5
     ]
-    print(json.dumps(
-        {
-            "metric": "scale_stress",
-            "factor": factor,
-            "queries": results,
-            "superlinear": superlinear,
-        },
-        separators=(",", ":"),
-    ))
+    busted = [n for n, r in results.items() if r.get("budget_ok") is False]
+    record = {
+        "metric": "scale_stress",
+        "factor": factor,
+        "budget": "sec_ratio <= 1.25 * max(factor, rows_ratio|bytes_ratio)",
+        "queries": results,
+        "superlinear": superlinear,
+        "budget_busted": busted,
+        "gate_rc": 1 if busted else 0,
+    }
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
+    return 1 if busted else 0
 
 
 def main() -> None:
@@ -649,10 +712,14 @@ def main() -> None:
 if __name__ == "__main__":
     if "--sf1" in sys.argv:
         # optional --factor N overrides the 10x default (e.g. a 30x run
-        # turns the single scale point into a slope)
+        # turns the single scale point into a slope); --json OUT commits
+        # the gated record (SCALE_r{N}.json in the round-close runbook)
         factor = 10
         if "--factor" in sys.argv:
             factor = int(sys.argv[sys.argv.index("--factor") + 1])
-        scale_stress_main(factor=factor)
+        json_out = None
+        if "--json" in sys.argv:
+            json_out = sys.argv[sys.argv.index("--json") + 1]
+        sys.exit(scale_stress_main(factor=factor, json_out=json_out))
     else:
         main()

@@ -446,3 +446,106 @@ def test_incremental_views_across_versions(spark, tmp_path):
 
     new_objects = eng.objects_added_since(v_objects).collect()
     assert [r.object_key for r in new_objects] == ["b"]
+
+
+def test_op_lock_reentrant_same_thread(spark, tmp_path):
+    """The composite-op lock is reentrant per thread (round-6 advice):
+    nested acquisition must not deadlock — it is what lets
+    write_or_replace hold one critical section across delete+write."""
+    from watsondedupe_spark.store import IndexStore
+
+    store = IndexStore(spark, str(tmp_path / "reent"))
+    with store.op_lock():
+        with store.op_lock():  # would flock-deadlock without reentrancy
+            with store.op_lock("other"):  # independent name, same tls
+                pass
+        # inner exit must NOT release the outer hold: a second store
+        # instance (fresh file description) still blocks on the lock
+        import fcntl
+
+        other = IndexStore(spark, str(tmp_path / "reent"))
+        fd = __import__("os").open(str(tmp_path / "reent" / "_OPLOCK.write"), 2)
+        try:
+            with pytest.raises(BlockingIOError):
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        finally:
+            __import__("os").close(fd)
+        assert other is not None
+    # fully released after the outer exit
+    fd = __import__("os").open(str(tmp_path / "reent" / "_OPLOCK.write"), 2)
+    import fcntl
+
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    __import__("os").close(fd)
+
+
+def test_write_or_replace_batch_atomic_and_correct(engine, spark):
+    """Batched O5 replaces existing keys and ingests new ones in one
+    composite critical section (the delete+write phases share the
+    reentrant op_lock — no DuplicateKeyError window)."""
+    df1 = spark.createDataFrame(
+        [("r1", bytearray(b"one" * 1000)), ("r2", bytearray(b"two" * 1000))],
+        "object_key string, data binary",
+    )
+    engine.write_batch(df1)
+    df2 = spark.createDataFrame(
+        [("r2", bytearray(b"TWO" * 1500)), ("r3", bytearray(b"three" * 1000))],
+        "object_key string, data binary",
+    )
+    assert engine.write_or_replace_batch(df2) == 2
+    assert engine.get("r1") == b"one" * 1000
+    assert engine.get("r2") == b"TWO" * 1500
+    assert engine.get("r3") == b"three" * 1000
+    assert engine.stats().object_count == 3
+
+
+def test_recover_prunes_partial_ingest(engine, spark):
+    """Crash-repair scan (round-6 advice): map/chunk/payload rows whose
+    key never reached the objects table (the logical commit point) are
+    pruned and refcounts rebuilt; shared chunks survive with corrected
+    counts; a healthy index reports zero deltas."""
+    from pyspark.sql import functions as F
+
+    engine.write("keep", b"shared payload " * 500)
+    assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+
+    # simulate a crashed ingest: a second key committed its map rows,
+    # refcount increments, and one orphan-only payload — but no objects
+    # row (the thread pool died before write_objects landed)
+    keep_map = engine.get_object_map("keep").collect()
+    ghost_map = [
+        ("ghost", r.chunk_key, r.length, r.position, r.address) for r in keep_map
+    ] + [("ghost", "ghost_only_chunk", 7, len(keep_map), keep_map[-1].address + keep_map[-1].length)]
+    engine.store.append(
+        "object_map",
+        spark.createDataFrame(
+            ghost_map,
+            "object_key string, chunk_key string, length int, position int, address long",
+        ),
+    )
+    v, chunks, _ = engine.store.snapshot("chunks")
+    engine.store.commit(
+        "chunks",
+        chunks.withColumn("ref_count", F.col("ref_count") + 1).unionByName(
+            spark.createDataFrame(
+                [("ghost_only_chunk", 7, 1)], "chunk_key string, length int, ref_count long"
+            )
+        ),
+        expected_version=v,
+    )
+    engine.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [("ghost_only_chunk", bytearray(b"ghostly"))], "chunk_key string, data binary"
+        ),
+    )
+
+    deltas = engine.recover()
+    assert deltas["object_map"] == -len(ghost_map)
+    assert deltas["chunks"] == -1  # only the ghost-only chunk drops
+    assert deltas["chunk_store"] == -1
+    # the survivor is fully intact with its original refcounts
+    assert engine.get("keep") == b"shared payload " * 500
+    assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
+    assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}

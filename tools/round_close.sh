@@ -7,6 +7,11 @@
 #   BENCH_FULL.json   complete bench record (the printed line may be
 #                     compacted to fit the driver's capture window)
 #   BENCH_DETAIL.json per-run samples
+#   SCALE_r{N}.json   gated 30x scale-stress record (sec-ratio budgets;
+#                     the run exits non-zero on a busted budget)
+#   TWS_PROBE.json    transformWithStateInPandas environment probe —
+#                     "blocked: no protobuf" until the first
+#                     protobuf-equipped environment executes it for real
 # plus the regression gate against BASELINE.md locks.
 #
 # Usage: sh tools/round_close.sh [round_number]
@@ -25,8 +30,11 @@ python bench.py | tee /tmp/bench_line.json
 echo "== regression gate =="
 python tools/bench_compare.py BENCH_FULL.json
 
-echo "== scale stress (10x slope point; add --factor 30 manually for the second) =="
-python bench.py --sf1
+echo "== gated scale stress (30x) =="
+python bench.py --sf1 --factor 30 --json "SCALE_r${N}.json"
+
+echo "== tws environment probe =="
+python tools/tws_probe.py || true
 
 echo "== tests =="
 python -m pytest tests/ -q

@@ -243,10 +243,18 @@ class DedupeEngine:
         self.write_batch(df, created_utc=created_utc)
 
     def write_or_replace(self, key: str, data: bytes, created_utc: datetime | None = None) -> None:
-        """O5: delete-if-exists then write (DedupeLibrary.cs:301-318)."""
-        if self.exists(key):
-            self.delete(key)
-        self.write(key, data, created_utc=created_utc)
+        """O5: delete-if-exists then write (DedupeLibrary.cs:301-318).
+
+        The whole replace runs inside ONE composite-op critical section
+        (op_lock is thread-reentrant, so the nested delete/write
+        acquisitions ride it): a concurrent ingest of the same key can
+        no longer slip between the phases and turn the replace into a
+        DuplicateKeyError after the old object was already deleted.
+        """
+        with self.store.op_lock():
+            if self.exists(key):
+                self.delete(key)
+            self.write(key, data, created_utc=created_utc)
 
     def write_or_replace_batch(
         self, objects_df: DataFrame, created_utc: datetime | None = None
@@ -263,15 +271,24 @@ class DedupeEngine:
         re-ingest where most of the batch already exists would otherwise
         materialize millions of keys on the driver. The only driver
         round trip is a 1-row existence probe.
+
+        Like :meth:`write_or_replace`, the delete and write phases share
+        ONE reentrant composite-op critical section, so the replace is
+        atomic against concurrent writers. The cost: unlike a plain
+        :meth:`write_batch` (which chunks outside the lock), the chunk
+        pass here runs under the lock — a batch replace serializes other
+        writers for its duration. Replaces are administrative, ingests
+        are the hot path; the trade goes to ingest.
         """
-        existing = (
-            objects_df.select("object_key")
-            .distinct()
-            .join(self.objects, "object_key", "left_semi")
-        )
-        if existing.head(1):
-            self.delete_batch(existing)
-        return self.write_batch(objects_df, created_utc=created_utc)
+        with self.store.op_lock():
+            existing = (
+                objects_df.select("object_key")
+                .distinct()
+                .join(self.objects, "object_key", "left_semi")
+            )
+            if existing.head(1):
+                self.delete_batch(existing)
+            return self.write_batch(objects_df, created_utc=created_utc)
 
     def write_batch(self, objects_df: DataFrame, created_utc: datetime | None = None) -> int:
         """Ingest a DataFrame of ``(object_key string, data binary)``.
@@ -301,22 +318,30 @@ class DedupeEngine:
         # writes then run concurrently without racing to materialize it).
         chunk_rows.persist()
         try:
+            # ONE per-object rollup serves every downstream consumer
+            # (round-6 clawback): the eager checkpoint both materializes
+            # the chunk cache and pins the (narrow, one-row-per-object)
+            # rollup, so the batch stats, the intra-batch dup check, the
+            # under-lock existence probe, AND write_objects' rolled input
+            # all read it — where previously the chunk cache was
+            # re-shuffled on object_key twice (pre-check + write_objects)
+            # and the probe paid a distinct over the chunk rows under the
+            # composite-op lock.
             first_rows = F.sum(F.when(F.col("position") == 0, 1).otherwise(0))
-            n_keys, max_mult, total_bytes = (
+            rolled = (
                 chunk_rows.groupBy("object_key")
-                .agg(first_rows.alias("mult"), F.sum("length").alias("obj_bytes"))
-                .agg(F.count("*"), F.max("mult"), F.sum("obj_bytes"))
-                .collect()[0]
-            )
-            if n_keys and max_mult > 1:
-                dup_in_batch = (
-                    chunk_rows.filter(F.col("position") == 0)
-                    .groupBy("object_key")
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(5)
-                    .collect()
+                .agg(
+                    first_rows.alias("_mult"),
+                    F.sum("length").cast("long").alias("original_length"),
+                    F.count("*").cast("long").alias("chunk_count"),
                 )
+                .localCheckpoint(eager=True)
+            )
+            n_keys, max_mult, total_bytes = rolled.agg(
+                F.count("*"), F.max("_mult"), F.sum("original_length")
+            ).collect()[0]
+            if n_keys and max_mult > 1:
+                dup_in_batch = rolled.filter(F.col("_mult") > 1).limit(5).collect()
                 raise DuplicateKeyError(
                     f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}"
                 )
@@ -332,8 +357,7 @@ class DedupeEngine:
             with self.store.op_lock():
                 if self.store.exists("objects"):
                     existing = (
-                        chunk_rows.select("object_key")
-                        .distinct()
+                        rolled.select("object_key")
                         .join(self.objects, "object_key", "left_semi")
                         .limit(5)
                         .collect()
@@ -343,7 +367,11 @@ class DedupeEngine:
                             f"keys already exist: {[r.object_key for r in existing]}"
                         )
                 self._commit_ingest(
-                    chunk_rows, created_utc, int(n_keys or 0), int(total_bytes or 0)
+                    chunk_rows,
+                    rolled,
+                    created_utc,
+                    int(n_keys or 0),
+                    int(total_bytes or 0),
                 )
         finally:
             chunk_rows.unpersist()
@@ -352,11 +380,14 @@ class DedupeEngine:
     def _commit_ingest(
         self,
         chunk_rows: DataFrame,
+        rolled: DataFrame,
         created_utc: datetime,
         n_objects: int,
         total_bytes: int = 0,
     ) -> None:
-        """Write the four index tables from the cached chunk rows.
+        """Write the four index tables from the cached chunk rows plus
+        the pre-materialized per-object rollup (``rolled``: object_key,
+        original_length, chunk_count — computed once in write_batch).
 
         The four writes touch four DIFFERENT tables whose inputs are all
         derived from the (already materialized) chunk cache, so they run
@@ -364,6 +395,13 @@ class DedupeEngine:
         multiple threads freely, and the manifest flips are per-table
         files. On a cluster this overlaps four small commits' scheduling
         and I/O latencies instead of paying them in sequence.
+
+        Crash semantics: there is no cross-table transaction, so a
+        process dying mid-ingest can leave map/chunks/payloads committed
+        without their objects rows. The ``objects`` row is the LOGICAL
+        commit point (reads resolve keys through it, so a half-ingested
+        key does not exist observably); :meth:`recover` prunes the other
+        tables back into consistency after a crash.
 
         Output files are sized by the batch's total bytes (~64 MB
         targets): a small batch writes a handful of files instead of one
@@ -447,10 +485,11 @@ class DedupeEngine:
             self._cas(attempt)
 
         def write_objects():
-            # 4. objects rows: per-object rollup + ingest-sequence ids.
-            # comp_length preserves the reference quirk: sum of chunk
-            # lengths (DedupeLibrary.cs:233), which equals original_length
-            # since chunks tile the object.
+            # 4. objects rows: the shared per-object rollup (already
+            # checkpointed — no second shuffle over the chunk cache) +
+            # ingest-sequence ids. comp_length preserves the reference
+            # quirk: sum of chunk lengths (DedupeLibrary.cs:233), which
+            # equals original_length since chunks tile the object.
             # the ingest-sequence high-water mark rides in the manifest
             # (Delta table-properties style), so steady-state batches skip
             # the max(id) scan job; first write on a pre-meta index falls
@@ -458,10 +497,11 @@ class DedupeEngine:
             # batches reading the same max_id would otherwise assign
             # COLLIDING id ranges — the loser rebases on the winner's
             # high-water mark and re-derives its ids.
-            rolled = chunk_rows.groupBy("object_key").agg(
-                F.sum("length").cast("long").alias("original_length"),
-                F.sum("length").cast("long").alias("comp_length"),
-                F.count("*").cast("long").alias("chunk_count"),
+            obj_rows = rolled.select(
+                "object_key",
+                "original_length",
+                F.col("original_length").alias("comp_length"),
+                "chunk_count",
             )
 
             def attempt():
@@ -472,7 +512,7 @@ class DedupeEngine:
                 # deterministic intra-batch sequence, assigned distributed
                 # (two-phase prefix scan — no single-task global window)
                 new_objects = (
-                    assign_ingest_ids(rolled, prev_max)
+                    assign_ingest_ids(obj_rows, prev_max)
                     .withColumn("created_utc", F.lit(created_utc))
                     .select("id", "object_key", "original_length", "comp_length", "chunk_count", "created_utc")
                 )
@@ -845,6 +885,62 @@ class DedupeEngine:
             for name in ("objects", "object_map", "chunks", "chunk_store")
             if self.store.exists(name)
         }
+
+    def recover(self) -> dict[str, int]:
+        """Repair a partially-committed ingest after a crash.
+
+        ``_commit_ingest`` commits four tables concurrently with no
+        cross-table transaction; a process dying mid-ingest can leave
+        object_map/chunks/chunk_store updated for keys that never made
+        it into ``objects`` (the logical commit point — an object does
+        not EXIST until its objects row lands). This maintenance scan,
+        run under the composite-op lock during a quiet window (or on
+        open-after-crash), makes the other three tables consistent with
+        ``objects`` again:
+
+        * object_map rows whose key is absent from objects are pruned;
+        * chunk ref_counts are rebuilt from the surviving map (the map
+          IS the reference ledger, so the rebuild is one groupBy — the
+          same derivation the refcount invariant checks use); chunks
+          reaching zero references drop;
+        * chunk_store payloads for dropped chunks GC.
+
+        O(table) like :meth:`optimize` — a repair pass, not a hot-path
+        cost. Returns per-table row deltas (0 everywhere on a healthy
+        index). No reference analogue: the reference's SQLite writes are
+        single-connection transactions (SqliteProvider.cs:29-30); this
+        is the price/repair of four-way concurrent batched commits.
+        """
+        deltas: dict[str, int] = {}
+        with self.store.op_lock():
+            keys = self.objects.select("object_key")
+            v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
+            valid_map = omap.join(keys, "object_key", "left_semi").localCheckpoint(
+                eager=True
+            )
+            n_orphans = omap.count() - valid_map.count()
+            deltas["object_map"] = -n_orphans
+            if n_orphans == 0:
+                return {t: 0 for t in ("object_map", "chunks", "chunk_store")}
+            self.store.commit("object_map", valid_map, expected_version=v_map)
+
+            refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("ref_count"))
+            v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
+            rebuilt = (
+                chunks.drop("ref_count")
+                .join(refs, "chunk_key")
+                .select("chunk_key", "length", F.col("ref_count").cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            deltas["chunks"] = rebuilt.count() - chunks.count()
+            self.store.commit("chunks", rebuilt, expected_version=v_ch)
+
+            v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
+            live = cstore.join(rebuilt.select("chunk_key"), "chunk_key", "left_semi")
+            n_cs = cstore.count()
+            self.store.commit("chunk_store", live, expected_version=v_cs)
+            deltas["chunk_store"] = self.chunk_store.count() - n_cs
+        return deltas
 
 
 class DedupeReadStream(io.RawIOBase):

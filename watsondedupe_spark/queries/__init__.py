@@ -59,44 +59,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
-    # r5 window (every oracled query holds a green driver row across
-    # r1-r4, so the window now follows CHANGE RISK, not novelty):
+    # r6 window — the standing rotation: new-this-round first, then
+    # change-risk, then the LEAST-recently-driver-graded queries (the
+    # r3/r4 pad tier — everything in the r5 window just re-graded green
+    # and rotates out to the pads).
     #
-    # Tier 1 — queries over code CHANGED in round 5. The engine write/
-    # delete path moved to CAS commits (engine.py/store.py), so all 12
-    # ddp_* index queries and both CDC chunk-index replays re-grade;
-    # winnowing changed its pos-pack base + length guard; emb_dim_stats
-    # and the update-mode streamed replay had adjacent edits; the PQ
-    # family gained prebuilt-index validation on its call path. (24)
-    "ddp_point_lookup", "ddp_coverage", "ddp_stats", "ddp_ratio",
-    "ddp_refcount", "ddp_gc_candidates", "ddp_exists", "ddp_list_page",
-    "ddp_chunks_of_object", "ddp_object_map_lookup", "ddp_range_lookup",
-    "ddp_position_window",
-    "cdc_chunk_index", "cdc_chunk_index_segmented",
-    "docs_winnowing", "docs_winnowing_pairs",
-    "emb_dim_stats", "events_user_totals_streamed",
-    "emb_ann_topk_pq", "emb_ann_topk_ivfpq", "emb_ann_topk_ivfpq_refined",
-    "emb_cosine_topk_float", "emb_knn_cosine_np", "emb_ann_recall_ivfpq",
-    # Tier 2 — oldest-grading regression canaries: green since r1/r2 but
-    # outside every window since, spanning the dedupe / similarity /
-    # relational / window / streaming surfaces (24)
-    "docs_exact_dedup", "docs_minhash_pairs", "docs_jaccard_pairs",
-    "docs_dup_clusters", "docs_dup_spans", "docs_strip_dup_spans",
-    "docs_incremental_dedup", "docs_decontaminate", "docs_pack_sequences",
-    "emb_knn_cosine", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
-    "emb_semantic_dedup", "docs_minhash_accuracy",
-    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q6_revenue",
-    "tpch_q21_waiting_supplier", "window_rank_lag", "events_session",
-    "setops_multiset", "events_asof_view_click",
-    "events_tumbling_streamed", "events_interval_join_streamed",
-    # Tier 3 — BUILT IN ROUND 5, never driver-graded: token-budget
-    # mixture construction and duplication-aware loss weighting (each
-    # displaced one r4-green canary — grouping_sets_orders,
-    # events_user_hll_by_type — into the pad tier) (2)
-    "docs_token_budget_mix", "docs_dup_weighting",
-    # pads past slot 50: the r3/r4 window members (all hold green r4
-    # rows; none touch code changed this round) ahead of the remaining
-    # oracled registry
+    # Tier 1 — BUILT IN ROUND 6, never driver-graded (6): the engine
+    # write->CAS->read-back loop on both store backends, incremental
+    # ANN append parity, the RocksDB-provider streamed replay, and the
+    # two multimodal queries that graduated from rows-only to full SQL
+    # oracles (closed-form payload features).
+    "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
+    "emb_ann_append_parity", "events_tumbling_streamed_rocksdb",
+    "multimodal_image_features", "multimodal_feature_near_dups",
+    # Tier 2 — change risk (2): the split-file staging used by the
+    # multi-micro-batch replays gained a flock around its evict-and-
+    # retry path this round (queries/events.py), so both its consumers
+    # re-grade.
+    "events_user_totals_streamed", "docs_near_dup_filter_replay",
+    # Tier 3 — least-recently-graded (42): the r3/r4 window members and
+    # r1/r2-era canaries that sat in the pad tier through r5.
     "events_session_streamed", "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
     "docs_heavy_hitters", "docs_lm_quality",
@@ -106,7 +88,7 @@ _GRADING_PRIORITY = [
     "docs_canonical_per_cluster", "docs_boundary_overlap",
     "docs_dup_gram_ratio",
     "multimodal_wav_roundtrip", "multimodal_frame_sample",
-    "docs_dsir_weights", "docs_snapshot_diff", "docs_near_dup_filter_replay",
+    "docs_dsir_weights", "docs_snapshot_diff",
     "docs_hybrid_rrf", "docs_quality_buckets", "docs_bpe_pair_scores",
     "docs_dedup_threshold_sweep", "emb_ann_recall_audit",
     "docs_bpe_merge_round", "docs_ngram_novelty",
@@ -117,10 +99,32 @@ _GRADING_PRIORITY = [
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms",
+    # pads past slot 50: first the remaining formerly-padded canaries,
+    # then the r5 window members (all re-graded green in r5) ahead of
+    # the remaining oracled registry
     "grouping_sets_orders", "events_user_hll_by_type",
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",
     "events_funnel_conversion", "docs_lsh_levenshtein", "docs_bm25_lite",
+    "ddp_point_lookup", "ddp_coverage", "ddp_stats", "ddp_ratio",
+    "ddp_refcount", "ddp_gc_candidates", "ddp_exists", "ddp_list_page",
+    "ddp_chunks_of_object", "ddp_object_map_lookup", "ddp_range_lookup",
+    "ddp_position_window",
+    "cdc_chunk_index", "cdc_chunk_index_segmented",
+    "docs_winnowing", "docs_winnowing_pairs",
+    "emb_dim_stats",
+    "emb_ann_topk_pq", "emb_ann_topk_ivfpq", "emb_ann_topk_ivfpq_refined",
+    "emb_cosine_topk_float", "emb_knn_cosine_np", "emb_ann_recall_ivfpq",
+    "docs_exact_dedup", "docs_minhash_pairs", "docs_jaccard_pairs",
+    "docs_dup_clusters", "docs_dup_spans", "docs_strip_dup_spans",
+    "docs_incremental_dedup", "docs_decontaminate", "docs_pack_sequences",
+    "emb_knn_cosine", "emb_ann_topk_lsh", "emb_ann_topk_ivf",
+    "emb_semantic_dedup", "docs_minhash_accuracy",
+    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q6_revenue",
+    "tpch_q21_waiting_supplier", "window_rank_lag", "events_session",
+    "setops_multiset", "events_asof_view_click",
+    "events_tumbling_streamed", "events_interval_join_streamed",
+    "docs_token_budget_mix", "docs_dup_weighting",
 ]
 
 

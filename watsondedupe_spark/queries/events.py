@@ -420,21 +420,35 @@ def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3)
         try:
             os.rename(scratch, stage)
         except OSError:
+            import fcntl
             import shutil
 
             # the rename can fail for TWO reasons: a concurrent stager
             # published a COMPLETE dir (fine — discard ours), or a stale
             # INCOMPLETE dir occupies the path (old crash, pre-atomic
             # layout). Only treat it as a lost race if the occupant is
-            # actually complete; otherwise evict it and retry once.
-            if not os.path.exists(done):
-                shutil.rmtree(stage, ignore_errors=True)
-                try:
-                    os.rename(scratch, stage)
-                except OSError:
-                    shutil.rmtree(scratch, ignore_errors=True)
-            else:
-                shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+            # actually complete; otherwise evict it and retry once. The
+            # evict-and-retry runs under a flock so the exists(done)
+            # check and the rmtree are atomic against other evictors —
+            # without it a concurrent stager could publish a complete
+            # dir in that window and have it deleted (a first-attempt
+            # rename cannot land in the window either: it only succeeds
+            # when the path is free, which under the lock it never is
+            # until our own retry has run).
+            fdl = os.open(stage + ".lock", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fdl, fcntl.LOCK_EX)
+                if not os.path.exists(done):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    try:
+                        os.rename(scratch, stage)
+                    except OSError:
+                        shutil.rmtree(scratch, ignore_errors=True)
+                else:
+                    shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+            finally:
+                fcntl.flock(fdl, fcntl.LOCK_UN)
+                os.close(fdl)
         if not os.path.exists(done):
             raise RuntimeError(
                 f"events stream staging at {stage} is incomplete and could "

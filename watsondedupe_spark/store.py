@@ -100,8 +100,16 @@ class IndexStore:
     gc_grace_seconds = 3600.0
 
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = root
+        # per-thread reentrancy depth for op_lock, keyed by lock name:
+        # flock is NOT reentrant (a second acquisition from the same
+        # thread opens a new file description and blocks forever), so
+        # composite ops that nest — write_or_replace holding the lock
+        # across its delete+write phases — ride the outer acquisition
+        self._op_tls = threading.local()
         os.makedirs(root, exist_ok=True)
 
     # -- backend primitives (the only parts a new backend overrides) --------
@@ -261,15 +269,40 @@ class IndexStore:
         defense in depth for writers that bypass the lock. On a real
         Delta deployment this is replaced by commit-conflict retries
         within one transaction log.
+
+        REENTRANT per thread (per store instance): a thread already
+        holding the lock re-enters immediately instead of deadlocking on
+        a second flock, which is what lets ``write_or_replace`` hold one
+        critical section across its delete and write phases while each
+        phase takes the lock itself. Reentrancy is tracked on THIS
+        instance — a second store object on the same root still blocks
+        (it is a different writer as far as the protocol is concerned).
+        Custom ``store_cls`` backends must preserve both properties:
+        cross-process exclusion and same-thread reentrancy (see
+        :meth:`~watsondedupe_spark.engine.DedupeEngine.create`).
         """
         import fcntl
 
+        depth = getattr(self._op_tls, "depth", None)
+        if depth is None:
+            depth = self._op_tls.depth = {}
+        if depth.get(name, 0) > 0:
+            depth[name] += 1
+            try:
+                yield
+            finally:
+                depth[name] -= 1
+            return
         fd = os.open(
             os.path.join(self.root, f"_OPLOCK.{name}"), os.O_CREAT | os.O_RDWR
         )
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
-            yield
+            depth[name] = 1
+            try:
+                yield
+            finally:
+                depth[name] = 0
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)

@@ -550,7 +550,14 @@ def rocksdb_state_store(spark):
     — the at-scale configuration (see :data:`ROCKSDB_PROVIDER`). Frozen
     into each query at start; the session default is restored on exit.
     Executed for real in tests/test_streaming.py (the provider jar is
-    bundled), so the scale path is proven, not claimed."""
+    bundled), so the scale path is proven, not claimed.
+
+    SINGLE-THREADED session assumption: this mutates session-global conf
+    for the block's duration, so a query planned concurrently from
+    another thread of the same session would pick the temporary value
+    up (or race the restore). Fine for the serial bench/test/grading
+    usage here; a multi-tenant session should set the provider on a
+    dedicated session (``spark.newSession()``) instead."""
     try:
         old = spark.conf.get(_PROVIDER_KEY)
     except Exception:
@@ -579,6 +586,12 @@ def state_partitions(spark, n: int = 8):
     keeps its own value (restored on exit). At 100 TB the same lever
     points the other way: size it UP to keys x state-bytes per
     partition, independent of the batch shuffle setting.
+
+    SINGLE-THREADED session assumption (same as
+    :func:`rocksdb_state_store`): the conf is session-global, so a
+    BATCH query planned concurrently from another thread would also see
+    the temporary partition count. Serial bench/test/grading usage is
+    safe; concurrent workloads should isolate via ``spark.newSession()``.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

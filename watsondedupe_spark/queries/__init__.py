@@ -64,12 +64,14 @@ _GRADING_PRIORITY = [
     # r3/r4 pad tier — everything in the r5 window just re-graded green
     # and rotates out to the pads).
     #
-    # Tier 1 — BUILT IN ROUND 6, never driver-graded (6): the engine
-    # write->CAS->read-back loop on both store backends, incremental
-    # ANN append parity, the RocksDB-provider streamed replay, and the
+    # Tier 1 — BUILT IN ROUND 6, never driver-graded (8): the engine
+    # write->CAS->read-back loop on both store backends plus the
+    # replace-cascade and crash-repair scenarios, incremental ANN
+    # append parity, the RocksDB-provider streamed replay, and the
     # two multimodal queries that graduated from rows-only to full SQL
     # oracles (closed-form payload features).
     "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
+    "engine_replace_roundtrip", "engine_recover_roundtrip",
     "emb_ann_append_parity", "events_tumbling_streamed_rocksdb",
     "multimodal_image_features", "multimodal_feature_near_dups",
     # Tier 2 — change risk (2): the split-file staging used by the
@@ -77,7 +79,7 @@ _GRADING_PRIORITY = [
     # retry path this round (queries/events.py), so both its consumers
     # re-grade.
     "events_user_totals_streamed", "docs_near_dup_filter_replay",
-    # Tier 3 — least-recently-graded (42): the r3/r4 window members and
+    # Tier 3 — least-recently-graded (40): the r3/r4 window members and
     # r1/r2-era canaries that sat in the pad tier through r5.
     "events_session_streamed", "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
@@ -98,10 +100,10 @@ _GRADING_PRIORITY = [
     "unpivot_part_measures", "docs_length_histogram", "docs_entity_mask",
     "events_cohort_retention", "events_daily_locf", "events_user_zscore",
     "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
-    "bloom_semi_revenue", "docs_token_freq_cms",
     # pads past slot 50: first the remaining formerly-padded canaries,
     # then the r5 window members (all re-graded green in r5) ahead of
     # the remaining oracled registry
+    "bloom_semi_revenue", "docs_token_freq_cms",
     "grouping_sets_orders", "events_user_hll_by_type",
     "docs_top_quality_per_source", "docs_stratified_sample",
     "docs_dup_graph_stats", "events_distinct_users_salted",

@@ -136,113 +136,133 @@ def _engine_write_roundtrip(spark: SparkSession, sf_dir: str, store_cls) -> Data
     The result is eagerly checkpointed so the temp index can be removed
     before the (lazy) DataFrame is collected by the grader.
     """
+    return _engine_scenario(spark, sf_dir, store_cls, lambda eng: None)
+
+
+def _index_invariant_table(eng) -> DataFrame:
+    """The per-object invariant/accounting table over a live engine's
+    PERSISTED tables (the read-back half of every engine_* graded
+    query). See :func:`_engine_write_roundtrip` for column semantics."""
+    from watsondedupe_spark.chunking import SMALL_FILE_PROFILE
+
+    max_chunk = SMALL_FILE_PROFILE[1]
+    omap, chunks, objects, cstore = (
+        eng.object_map, eng.chunks, eng.objects, eng.chunk_store,
+    )
+
+    # map-tiling invariants (the cdc_chunk_index recipe, but over the
+    # PERSISTED object_map read back from the store)
+    w = Window.partitionBy("object_key").orderBy("address")
+    prev_end = F.lag(F.col("address") + F.col("length")).over(w)
+    link_ok = F.when(prev_end.isNull(), F.col("address") == 0).otherwise(
+        F.col("address") == prev_end
+    )
+    pos_ok = (F.row_number().over(w) - 1) == F.col("position")
+    len_ok = (F.col("length") >= 1) & (F.col("length") <= max_chunk)
+    tiling = (
+        omap.select(
+            "object_key", "length",
+            link_ok.alias("l"), pos_ok.alias("p"), len_ok.alias("b"),
+        )
+        .groupBy("object_key")
+        .agg(
+            F.sum("length").cast("long").alias("mapped_bytes"),
+            F.count("*").cast("long").alias("n_map_rows"),
+            F.bool_and("l").alias("contiguous"),
+            F.bool_and("p").alias("positions_ok"),
+            F.bool_and("b").alias("lengths_ok"),
+        )
+    )
+
+    # refcount + content-addressed-store witnesses, rolled up per object
+    refs = omap.groupBy("chunk_key").agg(F.count("*").alias("n_refs"))
+    per_chunk = (
+        refs.join(chunks, "chunk_key", "left")
+        .join(
+            cstore.select("chunk_key", F.length("data").alias("stored_len")),
+            "chunk_key",
+            "left",
+        )
+        .select(
+            "chunk_key",
+            F.col("ref_count").eqNullSafe(F.col("n_refs")).alias("rc_ok"),
+            F.col("stored_len").eqNullSafe(F.col("length")).alias("st_ok"),
+        )
+    )
+    witness = (
+        omap.select("object_key", "chunk_key")
+        .join(per_chunk, "chunk_key")
+        .groupBy("object_key")
+        .agg(
+            F.bool_and("rc_ok").alias("refcounts_ok"),
+            F.bool_and("st_ok").alias("store_ok"),
+        )
+    )
+
+    # distributed reassembly (the get_batch shape) -> payload md5
+    digest = (
+        cstore.join(omap.select("object_key", "chunk_key", "address"), "chunk_key")
+        .groupBy("object_key")
+        .agg(F.sort_array(F.collect_list(F.struct("address", "data"))).alias("_p"))
+        .select(
+            "object_key",
+            F.md5(
+                F.aggregate(
+                    "_p",
+                    F.lit(b"").cast("binary"),
+                    lambda acc, p: F.concat(acc, p["data"]),
+                )
+            ).alias("payload_md5"),
+        )
+    )
+
+    return (
+        objects.join(tiling, "object_key")
+        .join(witness, "object_key")
+        .join(digest, "object_key")
+        .select(
+            "object_key",
+            "id",
+            "original_length",
+            (F.col("comp_length") == F.col("original_length")).alias("comp_ok"),
+            (F.col("chunk_count") == F.col("n_map_rows")).alias("count_ok"),
+            (F.col("mapped_bytes") == F.col("original_length")).alias("mapped_ok"),
+            "contiguous",
+            "positions_ok",
+            "lengths_ok",
+            "refcounts_ok",
+            "store_ok",
+            "payload_md5",
+        )
+    )
+
+
+def _engine_scenario(spark: SparkSession, sf_dir: str, store_cls, mutate) -> DataFrame:
+    """Shared harness for the engine_* graded queries: ingest the
+    20x-inflated corpus into a throwaway real index, apply ``mutate``
+    (the scenario under grade — no-op / batched replace / crash+repair),
+    autodetect re-open, and read the invariant table back. The result is
+    eagerly checkpointed so the temp index can be removed before the
+    (lazy) DataFrame is collected by the grader."""
     import shutil
     import tempfile
 
     from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
     from watsondedupe_spark.engine import DedupeEngine
 
-    max_chunk = SMALL_FILE_PROFILE[1]
     objs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("object_key"),
         F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
     )
     root = tempfile.mkdtemp(prefix="wds_roundtrip_")
     try:
-        DedupeEngine.create(
+        eng = DedupeEngine.create(
             spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=store_cls
-        ).write_batch(objs)
+        )
+        eng.write_batch(objs)
+        mutate(eng)
         eng = DedupeEngine.open(spark, root)  # autodetect re-open, graded
-        omap, chunks, objects, cstore = (
-            eng.object_map, eng.chunks, eng.objects, eng.chunk_store,
-        )
-
-        # map-tiling invariants (the cdc_chunk_index recipe, but over the
-        # PERSISTED object_map read back from the store)
-        w = Window.partitionBy("object_key").orderBy("address")
-        prev_end = F.lag(F.col("address") + F.col("length")).over(w)
-        link_ok = F.when(prev_end.isNull(), F.col("address") == 0).otherwise(
-            F.col("address") == prev_end
-        )
-        pos_ok = (F.row_number().over(w) - 1) == F.col("position")
-        len_ok = (F.col("length") >= 1) & (F.col("length") <= max_chunk)
-        tiling = (
-            omap.select(
-                "object_key", "length",
-                link_ok.alias("l"), pos_ok.alias("p"), len_ok.alias("b"),
-            )
-            .groupBy("object_key")
-            .agg(
-                F.sum("length").cast("long").alias("mapped_bytes"),
-                F.count("*").cast("long").alias("n_map_rows"),
-                F.bool_and("l").alias("contiguous"),
-                F.bool_and("p").alias("positions_ok"),
-                F.bool_and("b").alias("lengths_ok"),
-            )
-        )
-
-        # refcount + content-addressed-store witnesses, rolled up per object
-        refs = omap.groupBy("chunk_key").agg(F.count("*").alias("n_refs"))
-        per_chunk = (
-            refs.join(chunks, "chunk_key", "left")
-            .join(
-                cstore.select("chunk_key", F.length("data").alias("stored_len")),
-                "chunk_key",
-                "left",
-            )
-            .select(
-                "chunk_key",
-                F.col("ref_count").eqNullSafe(F.col("n_refs")).alias("rc_ok"),
-                F.col("stored_len").eqNullSafe(F.col("length")).alias("st_ok"),
-            )
-        )
-        witness = (
-            omap.select("object_key", "chunk_key")
-            .join(per_chunk, "chunk_key")
-            .groupBy("object_key")
-            .agg(
-                F.bool_and("rc_ok").alias("refcounts_ok"),
-                F.bool_and("st_ok").alias("store_ok"),
-            )
-        )
-
-        # distributed reassembly (the get_batch shape) -> payload md5
-        digest = (
-            cstore.join(omap.select("object_key", "chunk_key", "address"), "chunk_key")
-            .groupBy("object_key")
-            .agg(F.sort_array(F.collect_list(F.struct("address", "data"))).alias("_p"))
-            .select(
-                "object_key",
-                F.md5(
-                    F.aggregate(
-                        "_p",
-                        F.lit(b"").cast("binary"),
-                        lambda acc, p: F.concat(acc, p["data"]),
-                    )
-                ).alias("payload_md5"),
-            )
-        )
-
-        result = (
-            objects.join(tiling, "object_key")
-            .join(witness, "object_key")
-            .join(digest, "object_key")
-            .select(
-                "object_key",
-                "id",
-                "original_length",
-                (F.col("comp_length") == F.col("original_length")).alias("comp_ok"),
-                (F.col("chunk_count") == F.col("n_map_rows")).alias("count_ok"),
-                (F.col("mapped_bytes") == F.col("original_length")).alias("mapped_ok"),
-                "contiguous",
-                "positions_ok",
-                "lengths_ok",
-                "refcounts_ok",
-                "store_ok",
-                "payload_md5",
-            )
-            .localCheckpoint(eager=True)
-        )
+        result = _index_invariant_table(eng).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
@@ -277,6 +297,125 @@ def engine_write_roundtrip_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame
     from watsondedupe_spark.store import SqliteIndexStore
 
     return _engine_write_roundtrip(spark, sf_dir, SqliteIndexStore)
+
+
+# Replace scenario: the 1-in-3 doc slice re-ingests at 25x inflation.
+# Kept objects retain their original ids (rank among ALL keys); replaced
+# objects get fresh ids past the high-water mark (total + rank within
+# the replaced slice, in object_key order) — the manifest-meta max_id
+# survives the delete, so the closed form is exact.
+_ENGINE_REPLACE_SQL = """
+WITH ranked AS (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR)) AS rk_all,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 3 = 0
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS rk_grp
+    FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM documents)
+SELECT CAST(doc_id AS VARCHAR) AS object_key,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN n.total + rk_grp ELSE rk_all END
+            AS BIGINT) AS id,
+       CAST((CASE WHEN doc_id % 3 = 0 THEN 25 ELSE 20 END)
+            * octet_length(encode(text)) AS BIGINT) AS original_length,
+       TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(text, CASE WHEN doc_id % 3 = 0 THEN 25 ELSE 20 END))
+           AS payload_md5
+FROM ranked, n
+"""
+
+
+@register(
+    "engine_replace_roundtrip",
+    _ENGINE_REPLACE_SQL,
+    doc="O5 + O18/O19 graded through the REAL engine: ingest the corpus, "
+    "then write_or_replace_batch a deterministic 1-in-3 slice at a "
+    "different inflation — one atomic composite section covering the "
+    "cascading delete (refcount decrement merge, payload GC) and the "
+    "re-ingest. The invariant read-back proves the cascade surgical: "
+    "kept objects keep ids/payloads/refcounts, replaced objects "
+    "reassemble to the NEW payload md5 with fresh ids past the "
+    "preserved high-water mark, and no stale chunk or payload survives "
+    "anywhere the witness columns look (engine.py write_or_replace_"
+    "batch/_delete_commits; DedupeLibrary.cs:301-318).",
+)
+def engine_replace_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    def scenario(eng):
+        replaced = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").cast("string").alias("object_key"),
+            F.encode(F.repeat("text", 25), "UTF-8").alias("data"),
+        )
+        eng.write_or_replace_batch(replaced)
+
+    return _engine_scenario(spark, sf_dir, IndexStore, scenario)
+
+
+@register(
+    "engine_recover_roundtrip",
+    _ENGINE_ROUNDTRIP_SQL,
+    doc="crash repair graded end to end (on the SQLite backend, so both "
+    "backends carry a scenario beyond the plain write): after a clean "
+    "ingest, a simulated mid-crash ingest commits orphan object_map "
+    "rows, inflated refcounts, and an orphan payload WITHOUT an objects "
+    "row (the logical commit point); engine.recover() must prune all "
+    "three tables back to exactly the clean-ingest state — the oracle "
+    "is the SAME closed form as engine_write_roundtrip, so any ghost "
+    "row, stale refcount, or lost survivor hash-mismatches "
+    "(engine.py recover()).",
+)
+def engine_recover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    def scenario(eng):
+        victim = eng.get_object_map("0").orderBy("address").collect()
+        ghost = [
+            ("___ghost", r.chunk_key, r.length, r.position, r.address)
+            for r in victim
+        ]
+        tail = victim[-1]
+        ghost.append(
+            ("___ghost", "___ghost_chunk", 9, len(victim), tail.address + tail.length)
+        )
+        eng.store.append(
+            "object_map",
+            spark.createDataFrame(
+                ghost,
+                "object_key string, chunk_key string, length int, "
+                "position int, address long",
+            ),
+        )
+        victim_keys = [r.chunk_key for r in victim]
+        v, chunks, _ = eng.store.snapshot("chunks")
+        eng.store.commit(
+            "chunks",
+            chunks.withColumn(
+                "ref_count",
+                F.when(
+                    F.col("chunk_key").isin(victim_keys), F.col("ref_count") + 1
+                ).otherwise(F.col("ref_count")),
+            ).unionByName(
+                spark.createDataFrame(
+                    [("___ghost_chunk", 9, 1)],
+                    "chunk_key string, length int, ref_count long",
+                )
+            ),
+            expected_version=v,
+        )
+        eng.store.append(
+            "chunk_store",
+            spark.createDataFrame(
+                [("___ghost_chunk", bytearray(b"ghostbyte"))],
+                "chunk_key string, data binary",
+            ),
+        )
+        deltas = eng.recover()
+        assert deltas["object_map"] == -len(ghost), deltas
+
+    return _engine_scenario(spark, sf_dir, SqliteIndexStore, scenario)
 
 
 def _simhash60_sql(with_candidates: bool) -> str:

@@ -549,3 +549,37 @@ def test_recover_prunes_partial_ingest(engine, spark):
     assert engine.get("keep") == b"shared payload " * 500
     assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
     assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+
+
+def test_recover_is_resumable_after_partial_repair(engine, spark):
+    """A crash mid-recover (map pruned, refcounts not yet rebuilt) must
+    be finished by a second recover() — each table is verified
+    independently, no early-out on a clean object_map."""
+    from pyspark.sql import functions as F
+
+    engine.write("solo", b"resumable payload " * 400)
+    # the half-recovered state: object_map already clean, but chunks
+    # carry inflated refcounts and an orphan chunk + payload linger
+    v, chunks, _ = engine.store.snapshot("chunks")
+    engine.store.commit(
+        "chunks",
+        chunks.withColumn("ref_count", F.col("ref_count") + 3).unionByName(
+            spark.createDataFrame(
+                [("lingering_chunk", 5, 2)], "chunk_key string, length int, ref_count long"
+            )
+        ),
+        expected_version=v,
+    )
+    engine.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [("lingering_chunk", bytearray(b"xxxxx"))], "chunk_key string, data binary"
+        ),
+    )
+    deltas = engine.recover()
+    assert deltas["object_map"] == 0
+    assert deltas["chunks"] == -1
+    assert deltas["chunk_store"] == -1
+    assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
+    assert engine.get("solo") == b"resumable payload " * 400
+    assert engine.recover() == {"object_map": 0, "chunks": -0, "chunk_store": -0}

@@ -907,9 +907,13 @@ class DedupeEngine:
 
         O(table) like :meth:`optimize` — a repair pass, not a hot-path
         cost. Returns per-table row deltas (0 everywhere on a healthy
-        index). No reference analogue: the reference's SQLite writes are
-        single-connection transactions (SqliteProvider.cs:29-30); this
-        is the price/repair of four-way concurrent batched commits.
+        index). Each table is verified and repaired INDEPENDENTLY (no
+        early-out on a clean object_map), so a crash mid-recovery —
+        map pruned, refcounts not yet rebuilt — is finished by simply
+        running recover() again; the pass is idempotent. No reference
+        analogue: the reference's SQLite writes are single-connection
+        transactions (SqliteProvider.cs:29-30); this is the price/repair
+        of four-way concurrent batched commits.
         """
         deltas: dict[str, int] = {}
         with self.store.op_lock():
@@ -920,10 +924,13 @@ class DedupeEngine:
             )
             n_orphans = omap.count() - valid_map.count()
             deltas["object_map"] = -n_orphans
-            if n_orphans == 0:
-                return {t: 0 for t in ("object_map", "chunks", "chunk_store")}
-            self.store.commit("object_map", valid_map, expected_version=v_map)
+            if n_orphans:
+                self.store.commit("object_map", valid_map, expected_version=v_map)
 
+            # chunks: rebuild refcounts from the surviving map and commit
+            # whenever ANY row differs — count drift alone would miss a
+            # same-size table with inflated counts (the state a crash
+            # between the map and chunks commits leaves behind)
             refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("ref_count"))
             v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
             rebuilt = (
@@ -933,13 +940,21 @@ class DedupeEngine:
                 .localCheckpoint(eager=True)
             )
             deltas["chunks"] = rebuilt.count() - chunks.count()
-            self.store.commit("chunks", rebuilt, expected_version=v_ch)
+            stale = bool(
+                chunks.join(
+                    rebuilt, ["chunk_key", "length", "ref_count"], "left_anti"
+                ).head(1)
+            )
+            if deltas["chunks"] or stale:
+                self.store.commit("chunks", rebuilt, expected_version=v_ch)
 
+            # chunk_store: GC payloads whose chunk no longer exists
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
             live = cstore.join(rebuilt.select("chunk_key"), "chunk_key", "left_semi")
-            n_cs = cstore.count()
-            self.store.commit("chunk_store", live, expected_version=v_cs)
-            deltas["chunk_store"] = self.chunk_store.count() - n_cs
+            n_dead = cstore.count() - live.count()
+            deltas["chunk_store"] = -n_dead
+            if n_dead:
+                self.store.commit("chunk_store", live, expected_version=v_cs)
         return deltas
 
 

@@ -197,7 +197,14 @@ class DedupeEngine:
         :class:`IndexStore` by default, or any class honouring the same
         read/snapshot/commit/append contract (e.g.
         :class:`~watsondedupe_spark.store.SqliteIndexStore`).
-        :meth:`open` autodetects which backend wrote an index."""
+        :meth:`open` autodetects which backend wrote an index.
+
+        Contract note for custom backends: ``op_lock`` must provide
+        cross-process exclusion AND same-thread reentrancy — the engine
+        nests acquisitions (write_or_replace holds one critical section
+        across its delete and write phases, each of which locks itself).
+        A non-reentrant implementation deadlocks silently; subclassing
+        :class:`IndexStore` inherits the correct behavior."""
         settings = settings or ChunkSettings()
         store = store_cls(spark, root)
         if store.exists("config"):

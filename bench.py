@@ -264,6 +264,44 @@ def bench_engine_ingest(
     return dt, mb
 
 
+def bench_engine_delete(spark, sf_dir: str) -> tuple[float, float]:
+    """The cascading-delete path at scale (round-6 extension): ingest
+    the whole corpus into a throwaway index, then time delete_batch of
+    the even-doc half — refcount decrement merge, survivor commits on
+    all four tables, payload GC, all under the composite-op lock.
+    Returns (delete_seconds, MB in the index before the delete) — the
+    work is table-proportional, so bytes_ratio is the budget base."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    objs = docs.select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    root = tempfile.mkdtemp(prefix="bench_engine_del_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+        half = objs.select("object_key").filter(
+            F.col("object_key").cast("long") % 2 == 0
+        )
+        t0 = time.time()
+        gc_set = eng.delete_batch(half)
+        n_gc = gc_set.count()
+        dt = time.time() - t0
+        assert n_gc >= 0 and eng.stats().object_count > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return dt, mb
+
+
 SCALE_QUERIES = [
     "docs_minhash_pairs",
     "docs_winnowing_pairs",
@@ -504,6 +542,19 @@ def scale_stress_main(factor: int = 10, json_out: str | None = None) -> int:
         "sec_ratio": eng_ratio,
         "bytes_ratio": round(se_mb / e_mb, 2),
         "budget_ok": budget_ok(eng_ratio, se_mb / e_mb),
+    }
+
+    # cascading delete + GC over half the index — also never run at 30x
+    # before round 6; work is table-proportional, so bytes is the base
+    d_sec, d_mb = bench_engine_delete(spark, sf01)
+    sd_sec, sd_mb = bench_engine_delete(spark, stage)
+    del_ratio = round(sd_sec / d_sec, 2)
+    results["engine_delete_half"] = {
+        "sec_sf01": round(d_sec, 2),
+        f"sec_x{factor}": round(sd_sec, 2),
+        "sec_ratio": del_ratio,
+        "bytes_ratio": round(sd_mb / d_mb, 2),
+        "budget_ok": budget_ok(del_ratio, sd_mb / d_mb),
     }
 
     superlinear = [

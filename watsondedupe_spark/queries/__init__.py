@@ -64,22 +64,26 @@ _GRADING_PRIORITY = [
     # r3/r4 pad tier — everything in the r5 window just re-graded green
     # and rotates out to the pads).
     #
-    # Tier 1 — BUILT IN ROUND 6, never driver-graded (8): the engine
+    # Tier 1 — BUILT IN ROUND 6, never driver-graded (12): the engine
     # write->CAS->read-back loop on both store backends plus the
-    # replace-cascade and crash-repair scenarios, incremental ANN
-    # append parity, the RocksDB-provider streamed replay, and the
-    # two multimodal queries that graduated from rows-only to full SQL
-    # oracles (closed-form payload features).
+    # replace-cascade, crash-repair, multi-batch-append+optimize, and
+    # time-travel-incremental scenarios; incremental ANN append parity;
+    # the RocksDB-provider streamed replay; the two multimodal queries
+    # that graduated from rows-only to full SQL oracles (closed-form
+    # payload features); and the two new curation ops (hashed-linear
+    # classifier inference, data-constrained repetition schedule).
     "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
     "engine_replace_roundtrip", "engine_recover_roundtrip",
+    "engine_multibatch_roundtrip", "engine_incremental_objects",
     "emb_ann_append_parity", "events_tumbling_streamed_rocksdb",
     "multimodal_image_features", "multimodal_feature_near_dups",
+    "docs_hashed_linear_score", "docs_repetition_schedule",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers
     # re-grade.
     "events_user_totals_streamed", "docs_near_dup_filter_replay",
-    # Tier 3 — least-recently-graded (40): the r3/r4 window members and
+    # Tier 3 — least-recently-graded (36): the r3/r4 window members and
     # r1/r2-era canaries that sat in the pad tier through r5.
     "events_session_streamed", "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
@@ -98,11 +102,12 @@ _GRADING_PRIORITY = [
     "docs_rendezvous_reshard", "docs_dup_rate_estimate",
     "emb_ann_topk_lsh_mp",
     "unpivot_part_measures", "docs_length_histogram", "docs_entity_mask",
-    "events_cohort_retention", "events_daily_locf", "events_user_zscore",
-    "approx_distinct_parts", "approx_percentile_qty", "events_json_props",
+    "events_cohort_retention", "events_daily_locf",
     # pads past slot 50: first the remaining formerly-padded canaries,
     # then the r5 window members (all re-graded green in r5) ahead of
     # the remaining oracled registry
+    "events_user_zscore", "approx_distinct_parts",
+    "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms",
     "grouping_sets_orders", "events_user_hll_by_type",
     "docs_top_quality_per_source", "docs_stratified_sample",

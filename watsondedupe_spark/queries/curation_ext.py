@@ -354,6 +354,175 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hashed-linear classifier inference (fastText-shape quality scoring)
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 4096  # hashed vocabulary size (power of 2)
+
+
+@register(
+    "docs_hashed_linear_score",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+b AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('tok:' || t), 1, 15)) AS BIGINT)
+               % {_CLS_BUCKETS} AS bucket
+    FROM tok
+),
+w AS (
+    SELECT doc_id, bucket,
+           CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2001 - 1000 AS wgt
+    FROM b
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(wgt) AS BIGINT) AS raw_score,
+       CAST(SUM(wgt) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
+       CAST(SUM(wgt) AS DOUBLE) / (1000.0 * COUNT(*)) >= 0.0 AS keep
+FROM w GROUP BY doc_id
+""",
+    doc="linear-classifier inference at corpus scale — the fastText-"
+    "shape quality filter every curation stack runs (CCNet/LLaMA "
+    "pipelines): tokens hash into a {b}-bucket vocabulary, bucket "
+    "weights come from a BROADCAST weight table (here md5-derived "
+    "integer pseudo-weights standing in for trained ones — the hash-"
+    "lookup-aggregate plumbing is the contract; a deployment swaps the "
+    "weight table's values), and a doc's score is the mean bucket "
+    "weight. The plan is the 100 TB model-inference shape: explode is "
+    "map-side, the weight table broadcast-joins (never shuffles the "
+    "corpus), and the only shuffle is the per-doc aggregate. INTEGER "
+    "weight sums keep the score order-free (one double divide at the "
+    "end), so inference is hash-exact vs the SQL oracle.".format(
+        b=_CLS_BUCKETS
+    ),
+)
+def docs_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("tok:"), F.col("t"))), 1, 15), 16, 10)
+        .cast("long") % _CLS_BUCKETS
+    )
+    weights = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("wgt"),
+    )
+    score = F.col("raw_score").cast("double") / (1000.0 * F.col("n_tok"))
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum("wgt").cast("long").alias("raw_score"),
+        )
+        .select(
+            "doc_id", "n_tok", "raw_score",
+            score.alias("score"), (score >= 0.0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-constrained repetition schedule (epochs-per-source planning)
+# ---------------------------------------------------------------------------
+
+# budget = 3x the corpus (data-constrained: repetition required);
+# no source repeats more than 4 epochs (the diminishing-returns knee)
+_REP_BUDGET_MULT = 3
+_REP_MAX_EPOCHS = 4
+
+
+@register(
+    "docs_repetition_schedule",
+    f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens,
+           CAST(floor(sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)))
+                AS BIGINT) AS isq
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(isq) AS BIGINT) AS s_total
+    FROM per_src
+)
+SELECT p.source, p.src_tokens,
+       CAST(LEAST({_REP_MAX_EPOCHS} * p.src_tokens,
+                  (t.total_tokens * {_REP_BUDGET_MULT} * p.isq) // t.s_total)
+            AS BIGINT) AS alloc_tokens,
+       CAST(LEAST({_REP_MAX_EPOCHS} * p.src_tokens,
+                  (t.total_tokens * {_REP_BUDGET_MULT} * p.isq) // t.s_total)
+            // p.src_tokens AS BIGINT) AS full_epochs,
+       CAST(LEAST({_REP_MAX_EPOCHS} * p.src_tokens,
+                  (t.total_tokens * {_REP_BUDGET_MULT} * p.isq) // t.s_total)
+            % p.src_tokens AS DOUBLE) / CAST(p.src_tokens AS DOUBLE)
+           AS partial_epoch_rate
+FROM per_src p CROSS JOIN tot t
+""",
+    doc="data-constrained repetition planning (the Muennighoff et al. "
+    "2023 regime, the flip side of docs_token_budget_mix's subsample "
+    "gate): a 3x-corpus token budget is apportioned across sources by "
+    "sqrt-temperature, capped at 4 epochs per source (past which "
+    "repeated data stops helping), and emitted as (full_epochs + a "
+    "deterministic partial-epoch sampling rate) per source — the "
+    "schedule a data-constrained training run loads per epoch. All "
+    "exact-integer (floor-sqrt, div, mod) up to one double division; "
+    "one partial-agg corpus pass, output one row per source.",
+)
+def docs_repetition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("src_tokens"),
+            F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("long").alias("isq"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("long").alias("total_tokens"),
+        F.sum("isq").cast("long").alias("s_total"),
+    )
+    alloc = F.least(
+        F.lit(_REP_MAX_EPOCHS) * F.col("src_tokens"),
+        F.expr(f"(total_tokens * {_REP_BUDGET_MULT} * isq) div s_total"),
+    ).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select("source", "src_tokens", alloc.alias("alloc_tokens"))
+        .select(
+            "source",
+            "src_tokens",
+            "alloc_tokens",
+            # integer div/mod, not double division: at petabyte token
+            # counts a double quotient can cross the next integer
+            F.expr("alloc_tokens div src_tokens").cast("long").alias("full_epochs"),
+            (
+                F.expr("alloc_tokens % src_tokens").cast("double")
+                / F.col("src_tokens").cast("double")
+            ).alias("partial_epoch_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup): cluster, then prune within clusters
 # ---------------------------------------------------------------------------
 

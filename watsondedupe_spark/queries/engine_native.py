@@ -418,6 +418,128 @@ def engine_recover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_scenario(spark, sf_dir, SqliteIndexStore, scenario)
 
 
+# Multi-batch scenario: four sequential write_batch calls (doc_id % 4
+# slices) exercise the O(batch) APPEND path — part accumulation, the
+# manifest-meta max_id high-water across batches, CAS rebase — then
+# optimize() folds every table to one part before read-back. Ids are
+# batch-major: each slice's keys rank within the slice, offset by the
+# sizes of the slices ingested before it.
+_ENGINE_MULTIBATCH_SQL = """
+WITH g AS (
+    SELECT doc_id, text, doc_id % 4 AS grp,
+           ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+),
+off AS (SELECT grp, COUNT(*) AS n FROM g GROUP BY grp),
+cum AS (
+    SELECT grp,
+           COALESCE(SUM(n) OVER (ORDER BY grp
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+    FROM off
+)
+SELECT CAST(g.doc_id AS VARCHAR) AS object_key,
+       CAST(c.base + g.rk AS BIGINT) AS id,
+       CAST(20 * octet_length(encode(g.text)) AS BIGINT) AS original_length,
+       TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(g.text, 20)) AS payload_md5
+FROM g JOIN cum c ON c.grp = g.grp
+"""
+
+
+@register(
+    "engine_multibatch_roundtrip",
+    _ENGINE_MULTIBATCH_SQL,
+    doc="the O(batch) APPEND path graded: the corpus ingests as FOUR "
+    "sequential write_batch calls (doc_id % 4 slices), so parts "
+    "accumulate, the manifest-meta ingest-id high-water carries across "
+    "batches, insert-if-absent payload appends rebase under CAS, and "
+    "cross-batch shared chunks merge refcounts; then optimize() folds "
+    "every table to one part (the OPTIMIZE/compaction analogue) before "
+    "the invariant read-back — so batch-major id assignment, append "
+    "accumulation, AND compaction all sit under the hash gate "
+    "(store.py append/compact; engine.py write_batch/optimize).",
+)
+def engine_multibatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.store import IndexStore
+
+    root = tempfile.mkdtemp(prefix="wds_multibatch_")
+    try:
+        eng = DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=IndexStore
+        )
+        for k in range(4):
+            batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == k).select(
+                F.col("doc_id").cast("string").alias("object_key"),
+                F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+            )
+            eng.write_batch(batch)
+        folded = eng.optimize()
+        assert all(v > 0 for v in folded.values()), folded
+        eng = DedupeEngine.open(spark, root)
+        result = _index_invariant_table(eng).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@register(
+    "engine_incremental_objects",
+    """
+WITH e AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0)
+SELECT CAST(doc_id AS VARCHAR) AS object_key,
+       CAST(e.n + ROW_NUMBER() OVER (ORDER BY CAST(doc_id AS VARCHAR))
+            AS BIGINT) AS id,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length
+FROM documents, e WHERE doc_id % 2 = 1
+""",
+    doc="the store's time-travel incremental view graded: ingest the "
+    "even-id half, pin the objects-table manifest version, ingest the "
+    "odd-id half, and return objects_added_since(v) — which must be "
+    "EXACTLY the second batch (monotone ingest-sequence ids make the "
+    "diff a pure metadata filter above the old snapshot's max id, no "
+    "join, engine.py objects_added_since; the retained-manifest "
+    "read_version is the Delta time-travel analogue, store.py).",
+)
+def engine_incremental_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.store import IndexStore
+
+    def batch(parity: int) -> DataFrame:
+        return _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == parity).select(
+            F.col("doc_id").cast("string").alias("object_key"),
+            F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+        )
+
+    root = tempfile.mkdtemp(prefix="wds_incr_")
+    try:
+        eng = DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=IndexStore
+        )
+        eng.write_batch(batch(0))
+        v = eng.store.current_version("objects")
+        eng.write_batch(batch(1))
+        result = (
+            eng.objects_added_since(v)
+            .select("object_key", "id", "original_length")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def _simhash60_sql(with_candidates: bool) -> str:
     """Generate the DuckDB mirror of simhash60_md5 (+ band candidates)."""
     votes = ",\n           ".join(

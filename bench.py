@@ -132,6 +132,14 @@ HEADLINE = [
     # cluster-size rollup + corpus join, and that join deserves its own
     # locked budget rather than riding the composite precedent.
     "docs_dup_weighting",
+    # round-6 additions: hashed-linear classifier inference (explode +
+    # broadcast weight join + per-doc agg — the model-inference shape)
+    # and the repetition schedule (one partial-agg pass). The engine_*
+    # scenario queries stay untimed: each builds a throwaway index
+    # (engine_ingest already times that path; a scenario run is 3-5
+    # engine builds of fixed cost, not a query plan worth budgeting).
+    "docs_hashed_linear_score",
+    "docs_repetition_schedule",
     # events_user_totals_streamed stays untimed for the streamed-replay
     # reason (three serial micro-batches of engine fixed cost dwarf the
     # per-row work); it is correctness-graded via its DuckDB oracle.

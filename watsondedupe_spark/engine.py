@@ -250,18 +250,17 @@ class DedupeEngine:
         self.write_batch(df, created_utc=created_utc)
 
     def write_or_replace(self, key: str, data: bytes, created_utc: datetime | None = None) -> None:
-        """O5: delete-if-exists then write (DedupeLibrary.cs:301-318).
-
-        The whole replace runs inside ONE composite-op critical section
-        (op_lock is thread-reentrant, so the nested delete/write
-        acquisitions ride it): a concurrent ingest of the same key can
-        no longer slip between the phases and turn the replace into a
-        DuplicateKeyError after the old object was already deleted.
-        """
-        with self.store.op_lock():
-            if self.exists(key):
-                self.delete(key)
-            self.write(key, data, created_utc=created_utc)
+        """O5: delete-if-exists then write (DedupeLibrary.cs:301-318);
+        single-object convenience over :meth:`write_or_replace_batch`
+        (which makes the delete+write phases one atomic critical
+        section)."""
+        validate_object_key(key)
+        if not data:
+            raise ValueError("content must be at least one byte (DedupeLibrary.cs:155)")
+        df = self.spark.createDataFrame(
+            [(key, bytearray(data))], "object_key string, data binary"
+        )
+        self.write_or_replace_batch(df, created_utc=created_utc)
 
     def write_or_replace_batch(
         self, objects_df: DataFrame, created_utc: datetime | None = None
@@ -279,61 +278,51 @@ class DedupeEngine:
         materialize millions of keys on the driver. The only driver
         round trip is a 1-row existence probe.
 
-        Like :meth:`write_or_replace`, the delete and write phases share
-        ONE reentrant composite-op critical section, so the replace is
-        atomic against concurrent writers. The cost: unlike a plain
-        :meth:`write_batch` (which chunks outside the lock), the chunk
-        pass here runs under the lock — a batch replace serializes other
-        writers for its duration. Replaces are administrative, ingests
-        are the hot path; the trade goes to ingest.
-        """
-        with self.store.op_lock():
-            existing = (
-                objects_df.select("object_key")
-                .distinct()
-                .join(self.objects, "object_key", "left_semi")
-            )
-            if existing.head(1):
-                self.delete_batch(existing)
-            return self.write_batch(objects_df, created_utc=created_utc)
-
-    def write_batch(self, objects_df: DataFrame, created_utc: datetime | None = None) -> int:
-        """Ingest a DataFrame of ``(object_key string, data binary)``.
-
-        One distributed pass (reference lifecycle §3.1, made atomic):
-        chunk -> [object_map append] -> groupBy(chunk_key) refcount merge
-        -> chunk_store insert-if-absent -> objects append with ingest-
-        sequence ids. Duplicate keys (in the index OR within the batch)
-        reject the whole batch, matching DedupeLibrary.cs:203 semantics.
-        Returns the number of objects written.
-
-        The pre-write checks ride the chunker pass instead of re-scanning
-        the source: the cache-materializing job doubles as the
-        (n_objects, intra-batch multiplicity, total bytes) aggregate over
-        the narrow columns — a key appearing twice in the batch has two
-        position-0 chunk rows — and the index-dup probe joins the cached
-        keys (skipped entirely on a fresh index). Nothing is written
-        before every check passes; a rejected batch costs one chunker
-        pass, the price of single-scan ingest on the happy path.
+        Atomicity matches :meth:`write_batch`'s shape exactly: the
+        expensive chunker pass and per-object rollup run OUTSIDE the
+        composite-op lock (shared :meth:`_prepare_batch`); only the
+        existence probe, the cascading delete of the doomed keys, and
+        the four table commits sit inside the (reentrant) critical
+        section — so a batch replace is atomic against concurrent
+        writers without serializing them behind its chunking work.
         """
         created_utc = created_utc or datetime.now(timezone.utc)
-
-        chunk_rows = chunk_objects(objects_df, self.settings)
-        # The chunker UDF is the expensive stage; persist and force the
-        # cache with one job so the pre-write checks and the four
-        # downstream table writes share one pass over the payloads (the
-        # writes then run concurrently without racing to materialize it).
-        chunk_rows.persist()
+        chunk_rows, rolled, n_keys, total_bytes = self._prepare_batch(objects_df)
         try:
-            # ONE per-object rollup serves every downstream consumer
-            # (round-6 clawback): the eager checkpoint both materializes
-            # the chunk cache and pins the (narrow, one-row-per-object)
-            # rollup, so the batch stats, the intra-batch dup check, the
-            # under-lock existence probe, AND write_objects' rolled input
-            # all read it — where previously the chunk cache was
-            # re-shuffled on object_key twice (pre-check + write_objects)
-            # and the probe paid a distinct over the chunk rows under the
-            # composite-op lock.
+            with self.store.op_lock():
+                existing = rolled.select("object_key").join(
+                    self.objects, "object_key", "left_semi"
+                )
+                if existing.head(1):
+                    self.delete_batch(existing)
+                self._commit_ingest(
+                    chunk_rows, rolled, created_utc, n_keys, total_bytes
+                )
+        finally:
+            chunk_rows.unpersist()
+        return n_keys
+
+    def _prepare_batch(self, objects_df: DataFrame):
+        """The lock-free front half of every batch ingest: chunk, roll
+        up per-object stats, reject intra-batch duplicate keys.
+
+        Returns ``(chunk_rows persisted, rolled checkpointed, n_keys,
+        total_bytes)``; the caller must ``unpersist`` chunk_rows. The
+        chunker UDF is the expensive stage; persisting it and forcing
+        the cache via the rollup's eager checkpoint gives ONE pass over
+        the payloads shared by the pre-write checks and the four
+        downstream table writes (round-6 clawback: previously the chunk
+        cache was re-shuffled on object_key twice and the existence
+        probe paid a distinct over chunk rows under the composite-op
+        lock). A key appearing twice in the batch has two position-0
+        chunk rows, so the rollup's multiplicity column doubles as the
+        intra-batch dup check — a rejected batch costs one chunker
+        pass, the price of single-scan ingest on the happy path.
+        """
+        chunk_rows = chunk_objects(objects_df, self.settings)
+        chunk_rows.persist()
+        ok = False
+        try:
             first_rows = F.sum(F.when(F.col("position") == 0, 1).otherwise(0))
             rolled = (
                 chunk_rows.groupBy("object_key")
@@ -352,15 +341,35 @@ class DedupeEngine:
                 raise DuplicateKeyError(
                     f"duplicate keys within batch: {[r.object_key for r in dup_in_batch]}"
                 )
-            # The commit phase holds the per-index composite-op lock:
-            # per-table CAS alone cannot make the duplicate-key check
-            # and the four table commits atomic TOGETHER, so two racing
-            # write_batch calls with the same key could both pass the
-            # check (TOCTOU) and double-ingest. Under the lock, the
-            # (cheap, pushdown-pruned) existence probe re-runs against
-            # the now-stable objects table and the commits follow — the
-            # batched analogue of the reference's writer mutex. The
-            # expensive chunker pass above stays outside the lock.
+            ok = True
+            return chunk_rows, rolled, int(n_keys or 0), int(total_bytes or 0)
+        finally:
+            if not ok:
+                chunk_rows.unpersist()
+
+    def write_batch(self, objects_df: DataFrame, created_utc: datetime | None = None) -> int:
+        """Ingest a DataFrame of ``(object_key string, data binary)``.
+
+        One distributed pass (reference lifecycle §3.1, made atomic):
+        chunk -> [object_map append] -> groupBy(chunk_key) refcount merge
+        -> chunk_store insert-if-absent -> objects append with ingest-
+        sequence ids. Duplicate keys (in the index OR within the batch)
+        reject the whole batch, matching DedupeLibrary.cs:203 semantics.
+        Returns the number of objects written.
+
+        The commit phase holds the per-index composite-op lock:
+        per-table CAS alone cannot make the duplicate-key check and the
+        four table commits atomic TOGETHER, so two racing write_batch
+        calls with the same key could both pass the check (TOCTOU) and
+        double-ingest. Under the lock, the (cheap, pushdown-pruned)
+        existence probe re-runs against the now-stable objects table and
+        the commits follow — the batched analogue of the reference's
+        writer mutex. The expensive chunker pass
+        (:meth:`_prepare_batch`) stays outside the lock.
+        """
+        created_utc = created_utc or datetime.now(timezone.utc)
+        chunk_rows, rolled, n_keys, total_bytes = self._prepare_batch(objects_df)
+        try:
             with self.store.op_lock():
                 if self.store.exists("objects"):
                     existing = (
@@ -374,15 +383,11 @@ class DedupeEngine:
                             f"keys already exist: {[r.object_key for r in existing]}"
                         )
                 self._commit_ingest(
-                    chunk_rows,
-                    rolled,
-                    created_utc,
-                    int(n_keys or 0),
-                    int(total_bytes or 0),
+                    chunk_rows, rolled, created_utc, n_keys, total_bytes
                 )
         finally:
             chunk_rows.unpersist()
-        return int(n_keys or 0)
+        return n_keys
 
     def _commit_ingest(
         self,

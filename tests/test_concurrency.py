@@ -18,7 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
-from watsondedupe_spark.engine import DedupeEngine
+from watsondedupe_spark.engine import DedupeEngine, DuplicateKeyError
 from watsondedupe_spark.store import IndexStore, SqliteIndexStore
 
 SMALL = ChunkSettings(*SMALL_FILE_PROFILE)
@@ -301,3 +301,55 @@ def test_concurrent_same_key_writes_one_wins(engine):
     assert [r.object_key for r in rows] == ["dup"]  # exactly one row
     _assert_refcount_invariant(engine)
     assert engine.get("dup") in (payload_a, payload_b)
+
+
+def test_replace_vs_write_same_key_atomic(engine):
+    """The round-5 advisory scenario, driven for real: a write_batch of
+    key "r" races a write_or_replace_batch of the same key. Because the
+    replace holds ONE critical section across its delete+write phases,
+    the writer can never observe the mid-replace key-absent window — it
+    must fail the duplicate-key check in every interleaving, and the
+    key must never be left absent."""
+    spark = engine.spark
+    v1, v2, v3 = _payload(5000, 30), _payload(6000, 31), _payload(7000, 32)
+    engine.write_batch(_batch(spark, [("r", v1)]))
+
+    def racing_write():
+        engine.write_batch(_batch(spark, [("r", v3), ("by", _payload(4000, 33))]))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_rep = pool.submit(
+            engine.write_or_replace_batch,
+            _batch(spark, [("r", v2), ("rx", _payload(4000, 34))]),
+        )
+        f_wr = pool.submit(racing_write)
+        assert f_rep.result(timeout=600) == 2
+        with pytest.raises(DuplicateKeyError):
+            f_wr.result(timeout=600)
+
+    assert engine.get("r") == v2  # the replace won; key never vanished
+    assert engine.get("rx") == _payload(4000, 34)
+    assert not engine.exists("by")  # the rejected batch is all-or-nothing
+    assert engine.objects.filter(F.col("object_key") == "r").count() == 1
+    _assert_refcount_invariant(engine)
+
+
+def test_two_concurrent_replaces_same_key(engine):
+    """Two replaces of one key from two threads: the critical section
+    serializes them, so the end state is exactly one object row holding
+    one of the two payloads, with the ledger invariants intact."""
+    spark = engine.spark
+    engine.write_batch(_batch(spark, [("s", _payload(5000, 40))]))
+    va, vb = _payload(6000, 41), _payload(6500, 42)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(engine.write_or_replace_batch, _batch(spark, [("s", v)]))
+            for v in (va, vb)
+        ]
+        assert [f.result(timeout=600) for f in futs] == [1, 1]
+
+    rows = engine.objects.filter(F.col("object_key") == "s").collect()
+    assert len(rows) == 1
+    assert engine.get("s") in (va, vb)
+    _assert_refcount_invariant(engine)

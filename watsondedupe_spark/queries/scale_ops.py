@@ -340,3 +340,127 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("freq_sum").cast("double") / F.col("n_tokens")).alias("avg_token_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout math, graded (round 6): the Morton interleave the
+# clustered writer (sinks/zorder.py) ranges/sorts on is pure static bit
+# arithmetic, so the oracle recomputes every code — an interleave that
+# drops a bit, misorders dimensions, or overflows hash-mismatches. The
+# physical write path (range partition + in-file sort + footer-stat
+# pruning) stays pinned in test_zorder; this grades the curve itself.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    parts = []
+    for b in range(bits):
+        parts.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        parts.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+@register(
+    "zorder_morton_codes",
+    f"""
+WITH q AS (
+    SELECT o_orderkey,
+           o_orderkey % {1 << _Z_BITS} AS x,
+           o_custkey % {1 << _Z_BITS} AS y
+    FROM orders
+)
+SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       {_morton_sql('x', 'y', _Z_BITS)} AS zvalue
+FROM q
+""",
+    doc="the Z-order clustered writer's Morton curve, hash-gated: "
+    "interleave 12 bits of two order dimensions into one code with "
+    "static shift/mask arithmetic (sinks/zorder.py::zvalue — all "
+    "whole-stage codegen, no UDF; disjoint bit positions make the OR "
+    "fold equal the oracle's sum). This is the layout key Delta's "
+    "OPTIMIZE ZORDER BY produces; range-partitioning on it gives every "
+    "output file a tight bounding box in BOTH dimensions so parquet "
+    "footer stats prune on either predicate.",
+)
+def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.sinks.zorder import zvalue
+
+    q = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % (1 << _Z_BITS)).cast("long").alias("x"),
+        (F.col("o_custkey") % (1 << _Z_BITS)).cast("long").alias("y"),
+    )
+    return q.select("o_orderkey", "x", "y", zvalue(["x", "y"], bits=_Z_BITS))
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source connector, graded end to end (round 6): the
+# blobgen source's md5-counter-mode keystream is SQL-reconstructible, so
+# the oracle regenerates every payload byte-for-byte — partition
+# planning, worker-side generation, planted-duplicate logic, and
+# cross-partition determinism all sit under the hash gate.
+# ---------------------------------------------------------------------------
+
+_BG_N, _BG_BYTES, _BG_DUP = 2000, 1024, 10  # 1024 B = exactly 64 md5 blocks
+
+
+def _bg_keystream_sql(src: str) -> str:
+    terms = " || ".join(
+        f"md5('blobgen:' || {src} || ':{k}')" for k in range(_BG_BYTES // 16)
+    )
+    return terms
+
+
+@register(
+    "blobgen_source_audit",
+    f"""
+WITH ids AS (
+    SELECT unnest(generate_series(0, {_BG_N - 1})) AS id
+),
+src AS (
+    SELECT id,
+           (id % {_BG_DUP} = 0 AND id > 0) AS is_dup,
+           CASE WHEN id % {_BG_DUP} = 0 AND id > 0 THEN 0 ELSE id END AS s
+    FROM ids
+)
+SELECT id,
+       'blob/' || lpad(CAST(id AS VARCHAR), 8, '0') AS object_key,
+       is_dup,
+       CAST({_BG_BYTES} AS BIGINT) AS n_bytes,
+       md5({_bg_keystream_sql('s')}) AS payload_hexmd5
+FROM src
+""",
+    doc="the Spark 4 Python Data Source connector (sources/blobgen.py, "
+    "SPARK-44076) graded end to end: the source's range partitions "
+    "generate content-seeded payloads worker-side, and because the "
+    "payload is an md5 counter-mode keystream the oracle regenerates "
+    "every byte in SQL (64 md5 blocks concatenated in hex) — a "
+    "connector that mis-splits ranges, drops rows, breaks the planted-"
+    "duplicate rule, or produces partition-dependent bytes "
+    "hash-mismatches. Payloads are compared as md5-of-hex so the graded "
+    "rows stay narrow.",
+)
+def blobgen_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.sources.blobgen import BlobGenDataSource
+
+    try:
+        spark.dataSource.register(BlobGenDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("blobgen")
+        .option("n", _BG_N)
+        .option("parts", 16)
+        .option("blob_bytes", _BG_BYTES)
+        .option("dup_every", _BG_DUP)
+        .load()
+    )
+    return df.select(
+        "id",
+        "object_key",
+        "is_dup",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_hexmd5"),
+    )

@@ -78,12 +78,15 @@ _GRADING_PRIORITY = [
     "emb_ann_append_parity", "events_tumbling_streamed_rocksdb",
     "multimodal_image_features", "multimodal_feature_near_dups",
     "docs_hashed_linear_score", "docs_repetition_schedule",
+    # ... plus the round-6 infrastructure grades: the Z-order Morton
+    # curve, the custom Python Data Source connector, and the SQL UDTF
+    "zorder_morton_codes", "blobgen_source_audit", "udtf_chunk_spans",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers
     # re-grade.
     "events_user_totals_streamed", "docs_near_dup_filter_replay",
-    # Tier 3 — least-recently-graded (36): the r3/r4 window members and
+    # Tier 3 — least-recently-graded (33): the r3/r4 window members and
     # r1/r2-era canaries that sat in the pad tier through r5.
     "events_session_streamed", "emb_near_dup_pairs",
     "docs_curation_funnel", "events_series_knn",
@@ -101,11 +104,11 @@ _GRADING_PRIORITY = [
     "docs_dup_clusters_star", "docs_dup_ratio_by_source",
     "docs_rendezvous_reshard", "docs_dup_rate_estimate",
     "emb_ann_topk_lsh_mp",
-    "unpivot_part_measures", "docs_length_histogram", "docs_entity_mask",
-    "events_cohort_retention", "events_daily_locf",
+    "unpivot_part_measures", "docs_length_histogram",
     # pads past slot 50: first the remaining formerly-padded canaries,
     # then the r5 window members (all re-graded green in r5) ahead of
     # the remaining oracled registry
+    "docs_entity_mask", "events_cohort_retention", "events_daily_locf",
     "events_user_zscore", "approx_distinct_parts",
     "approx_percentile_qty", "events_json_props",
     "bloom_semi_revenue", "docs_token_freq_cms",

@@ -464,3 +464,34 @@ def blobgen_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5(F.lower(F.hex("payload"))).alias("payload_hexmd5"),
     )
+
+
+@register(
+    "udtf_chunk_spans",
+    """
+SELECT doc_id,
+       CAST(i AS INT) AS position,
+       CAST(i * 64 AS BIGINT) AS address,
+       CAST(LEAST(64, length(text) - i * 64) AS INT) AS length
+FROM documents,
+     unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS t(i)
+WHERE length(text) > 0
+""",
+    doc="the Python UDTF extension surface graded from SQL: LATERAL "
+    "chunk_spans(length(text), 64) expands every document into its "
+    "fixed-size span layout worker-side (functions/udtfs.py::ChunkSpans "
+    "— SPARK-43797 table functions), and the oracle recomputes the "
+    "tiling arithmetic with a per-row generate_series. A UDTF that "
+    "drops the tail span, misnumbers positions, or leaks across rows "
+    "hash-mismatches. (The expression-only twin used at scale is "
+    "pinned against this same logic in tests.)",
+)
+def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("___docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.position, s.address, s.length "
+        "FROM ___docs_for_udtf, LATERAL chunk_spans(length(text), 64) s"
+    )

@@ -477,3 +477,51 @@ def test_dup_weighting_sizes_join_is_keyed_no_cartesian(spark, sf_dir):
     df = q("docs_dup_weighting", spark, sf_dir)
     assert not P.has_cartesian(df)
     assert P.has_partial_aggregation(df)
+
+
+def test_hashed_linear_score_weights_broadcast(spark, sf_dir):
+    """The 4096-row weight table must BROADCAST onto the exploded token
+    stream — model inference never shuffles the corpus for the weight
+    lookup; the per-doc score rollup partially aggregates (map-side
+    combine before the doc_id shuffle)."""
+    df = q("docs_hashed_linear_score", spark, sf_dir)
+    assert P.uses_broadcast_join(df)
+    assert not P.has_shuffle_join(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_repetition_schedule_single_pass_broadcast_totals(spark, sf_dir):
+    """One partial-agg corpus pass; the 1-row totals broadcast onto the
+    per-source table (a broadcast nested loop over one row, never a
+    corpus-wide cartesian)."""
+    df = q("docs_repetition_schedule", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert not P.has_shuffle_join(df)
+
+
+def test_zorder_morton_codes_row_local(spark, sf_dir):
+    """The Morton interleave is static bit arithmetic: zero joins, zero
+    shuffles, zero Python — one scan, one codegen span."""
+    df = q("zorder_morton_codes", spark, sf_dir)
+    plan = P.physical_plan(df)
+    assert P.shuffle_count(df) == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert P.scan_count(df) == 1
+
+
+def test_blobgen_source_declares_parallelism(spark, sf_dir):
+    """The custom data source must fan its range out across the declared
+    partitions — generation is worker-side, not a single-task scan."""
+    from watsondedupe_spark.sources.blobgen import BlobGenDataSource
+
+    try:
+        spark.dataSource.register(BlobGenDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("blobgen")
+        .option("n", 640).option("parts", 8).option("blob_bytes", 256)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 640

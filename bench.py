@@ -155,6 +155,15 @@ HEADLINE = [
     # reason: four serial micro-batch commits against parquet state
     # stores are ~13s of fixed sequencing cost at sf0.1, dwarfing the
     # per-doc work already timed by docs_minhash_pairs
+    # round-6 late additions: TF-IDF keyword extraction (explode ->
+    # term-join -> per-doc top-k window: two real shuffles worth a
+    # budget) and the single-pass observed funnel (one corpus pass with
+    # CollectMetrics nodes — times the instrumentation overhead).
+    # docs_shingle_containment stays untimed for the probe-over-shared-
+    # substrate reason: it reads the cached jaccard pair table whose
+    # build is already the locked jaccard_pairs_build row.
+    "docs_tfidf_topk",
+    "docs_observed_funnel",
 ]
 
 

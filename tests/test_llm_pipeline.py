@@ -45,3 +45,79 @@ def test_canonical_per_cluster_picks_best_quality(spark, sf_dir):
         best = max(quality[d] for d in members)
         assert r.best_quality == best
         assert r.canonical_doc == min(d for d in members if quality[d] == best)
+
+
+def test_shingle_containment_vs_jaccard_invariants(spark, sf_dir):
+    """Containment dominates Jaccard for the same pair (its denominator
+    is one side, Jaccard's is the union), both directions reconstruct
+    n_common exactly, and every emitted pair clears the 0.8 gate."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import jaccard_pair_stats_df
+
+    out = all_queries()["docs_shingle_containment"].spark(spark, sf_dir).collect()
+    stats = {
+        (r.doc_a, r.doc_b): r
+        for r in jaccard_pair_stats_df(spark, sf_dir).collect()
+    }
+    for r in out:
+        s = stats[(r.doc_a, r.doc_b)]
+        jac = s.n_common / s.un
+        assert max(r.c_ab, r.c_ba) >= 0.8
+        assert r.c_ab >= jac and r.c_ba >= jac
+        # c_ab * sz_a and c_ba * sz_b both recover the intersection
+        assert abs(r.c_ab * s.sz_a - r.n_common) < 1e-9
+        assert abs(r.c_ba * s.sz_b - r.n_common) < 1e-9
+    # the gate is strictly stronger than the 0.4 jaccard pair gate only
+    # in one direction: every containment pair must be a candidate pair
+    assert all((r.doc_a, r.doc_b) in stats for r in out)
+
+
+def test_tfidf_topk_ranking_contract(spark, sf_dir):
+    """<= 3 terms per doc, ranks contiguous from 1, scores non-increasing
+    with term-asc tiebreak, and every term actually occurs tf times in
+    the doc's whitespace tokenization."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["docs_tfidf_topk"].spark(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "no output rows"
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (a.score == b.score and a.term < b.term)
+        for r in rs:
+            assert texts[doc_id].count(r.term) == r.tf
+
+
+def test_observed_funnel_matches_direct_counts(spark, sf_dir):
+    """The CollectMetrics counters must equal independently computed
+    cumulative filter counts, monotone non-increasing by stage."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    out = {r.stage: r.n_docs for r in
+           all_queries()["docs_observed_funnel"].spark(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    expect = {
+        0: docs.count(),
+        1: docs.filter(F.col("n_chars") >= 150).count(),
+        2: docs.filter((F.col("n_chars") >= 150) & (F.col("lang") == "en")).count(),
+        3: docs.filter(
+            (F.col("n_chars") >= 150)
+            & (F.col("lang") == "en")
+            & (F.size(F.split("text", " ")) >= 40)
+        ).count(),
+    }
+    assert out == expect
+    assert out[0] >= out[1] >= out[2] >= out[3]

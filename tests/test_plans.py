@@ -525,3 +525,25 @@ def test_blobgen_source_declares_parallelism(spark, sf_dir):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 640
+
+
+def test_observed_funnel_cascade_plan(spark, sf_dir):
+    """One CollectMetrics node per stage rides the single corpus pass:
+    no shuffle, no join — the counters must be free at 100 TB."""
+    from watsondedupe_spark.queries.pipeline_ext import observed_funnel_cascade
+    from watsondedupe_spark.sources import read_table
+
+    staged, obs = observed_funnel_cascade(read_table(spark, sf_dir, "documents"))
+    plan = P.physical_plan(staged)
+    assert plan.lower().count("collectmetrics") >= 4
+    assert P.shuffle_count(staged) == 0
+    assert not P.has_cartesian(staged)
+
+
+def test_tfidf_topk_plan_shapes(spark, sf_dir):
+    """tf must partial-aggregate map-side; the only nested-loop join is
+    the 1-row corpus-size broadcast; the scan reads just (doc_id, text)."""
+    df = q("docs_tfidf_topk", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.uses_broadcast_join(df)
+    assert P.max_scan_width(df) <= 2

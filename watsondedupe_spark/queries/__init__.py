@@ -81,6 +81,10 @@ _GRADING_PRIORITY = [
     # ... plus the round-6 infrastructure grades: the Z-order Morton
     # curve, the custom Python Data Source connector, and the SQL UDTF
     "zorder_morton_codes", "blobgen_source_audit", "udtf_chunk_spans",
+    # ... and the round-6 late additions: asymmetric containment dedup,
+    # TF-IDF keyword extraction, and the single-pass CollectMetrics
+    # funnel (df.observe) — never driver-graded.
+    "docs_shingle_containment", "docs_tfidf_topk", "docs_observed_funnel",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -315,14 +315,60 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_T = "0.8"
+
+
+@register(
+    "docs_shingle_containment",
+    f"""
+WITH {_SHINGLES_SQL.strip()},
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       CAST(i.n_common AS DOUBLE) / sa.sz AS c_ab,
+       CAST(i.n_common AS DOUBLE) / sb.sz AS c_ba
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE GREATEST(CAST(i.n_common AS DOUBLE) / sa.sz,
+               CAST(i.n_common AS DOUBLE) / sb.sz) >= {_CONTAIN_T}
+""",
+    doc="asymmetric shingle containment (Broder): c(A->B) = |A n B|/|A| "
+    "over rare 3-grams — catches SUBSET duplicates (a doc quoted or "
+    "embedded inside a longer one) whose symmetric Jaccard stays low "
+    "because the union is dominated by the longer side. Same "
+    "inverted-index substrate as docs_jaccard_pairs (one shared cached "
+    "pair table, no extra shingle shuffle); emits both directions so "
+    "the curation layer can keep the superset doc and drop the "
+    "contained one",
+)
+def docs_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = jaccard_pair_stats_df(spark, sf_dir)
+    c_ab = (F.col("n_common").cast("double") / F.col("sz_a")).alias("c_ab")
+    c_ba = (F.col("n_common").cast("double") / F.col("sz_b")).alias("c_ba")
+    return (
+        st.select("doc_a", "doc_b", "n_common", c_ab, c_ba)
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= float(_CONTAIN_T))
+    )
+
+
 _PAIR_CACHE: dict[str, DataFrame] = {}
 
 
 def jaccard_pair_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram co-occurrence stats per candidate doc pair:
-    ``(doc_a, doc_b, n_common, un)`` with ``un`` the union size — the
+    ``(doc_a, doc_b, n_common, un, sz_a, sz_b)`` with ``un`` the union
+    size and ``sz_a``/``sz_b`` the per-side rare-shingle counts — the
     shared substrate of every exact-Jaccard consumer (the >=0.4 pair
-    query, the threshold sweep, ad-hoc audits).
+    query, the containment query, the threshold sweep, ad-hoc audits).
 
     Inverted-index formulation: one groupBy(shingle) produces the
     posting list per shingle; the stop-shingle cutoff (<= 50 docs)
@@ -382,6 +428,8 @@ def jaccard_pair_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "n_common",
             (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")).alias("un"),
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
         )
         .cache()
     )

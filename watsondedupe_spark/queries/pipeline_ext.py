@@ -898,3 +898,135 @@ def docs_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"), F.max("d").alias("max_degree")
     ).join(F.broadcast(pairs.agg(F.count("*").alias("n_edges")))).join(F.broadcast(tri))
     return summary.select("n_nodes", "n_edges", "max_degree", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction + single-pass observed funnel
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "docs_tfidf_topk",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           (CAST(t.tf AS DOUBLE) * n.n_docs) / CAST(d.df AS DOUBLE) AS score
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, score
+FROM ranked WHERE rnk <= {_TFIDF_K}
+""",
+    doc="per-document TF-IDF keyword extraction (top-3 terms): tf from "
+    "one (doc_id, term) partial-aggregated groupBy, df derived from the "
+    "SAME tf table (no second corpus pass), corpus size a 1-row "
+    "broadcast. Log-free idf variant tf*N/df — integer products are "
+    "exactly representable and one IEEE division is bit-identical "
+    "across engines, so scores hash-match the oracle (log() would "
+    "drift in the last ulp). Ties broken by term asc, so the ranking "
+    "is a deterministic total order. Shuffles: term (df join), doc_id "
+    "(top-k window) — at 100 TB the vocab side is Zipf-skewed but "
+    "bounded (it is post-aggregation, one row per distinct term), and "
+    "AQE handles the residual skew in the term join",
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    score = (
+        (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df").cast("double")
+    ).alias("score")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", "tf", score)
+        .select("doc_id", F.row_number().over(w).alias("rnk"), "term", "tf", "score")
+        .filter(F.col("rnk") <= _TFIDF_K)
+    )
+
+
+_FUNNEL_STAGES = (
+    (0, "ingested"),
+    (1, "min_length"),
+    (2, "lang_en"),
+    (3, "token_floor"),
+)
+
+
+def observed_funnel_cascade(docs: DataFrame):
+    """Build the instrumented cascade: returns ``(staged_df, observations)``
+    with one CollectMetrics node between every pair of filters. Split out
+    so tests can pin the plan (one CollectMetrics per stage, no extra
+    exchanges) without running the action."""
+    from pyspark.sql import Observation
+
+    obs = [Observation(f"funnel_s{i}") for i, _ in _FUNNEL_STAGES]
+    staged = docs.observe(obs[0], F.count(F.lit(1)).alias("n"))
+    staged = staged.filter(F.col("n_chars") >= 150).observe(
+        obs[1], F.count(F.lit(1)).alias("n")
+    )
+    staged = staged.filter(F.col("lang") == "en").observe(
+        obs[2], F.count(F.lit(1)).alias("n")
+    )
+    staged = staged.filter(F.size(F.split("text", " ")) >= 40).observe(
+        obs[3], F.count(F.lit(1)).alias("n")
+    )
+    return staged, obs
+
+
+@register(
+    "docs_observed_funnel",
+    """
+SELECT CAST(0 AS INTEGER) AS stage, 'ingested' AS name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'min_length', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE n_chars >= 150
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'lang_en', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE n_chars >= 150 AND lang = 'en'
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'token_floor', CAST(COUNT(*) AS BIGINT)
+FROM documents
+WHERE n_chars >= 150 AND lang = 'en' AND len(string_split(text, ' ')) >= 40
+""",
+    doc="single-pass filter-cascade instrumentation via df.observe / "
+    "CollectMetrics: one Observation per stage is attached BETWEEN the "
+    "cascade's filters, so one action over the corpus yields every "
+    "stage's surviving-row count as plan-side metrics — no per-stage "
+    "count() jobs, no second scan, and (unlike accumulators) exactly-"
+    "once semantics under task retries. This is the production pattern "
+    "for funnel/DQ counters on a 100 TB curation run: the counters ride "
+    "the pipeline's own pass. The returned 4-row table is built from "
+    "the observed metrics",
+)
+def docs_observed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged, obs = observed_funnel_cascade(_docs(spark, sf_dir))
+    # ONE action evaluates the whole cascade; every CollectMetrics node
+    # reports its stage count from that single pass.
+    staged.write.format("noop").mode("overwrite").save()
+    rows = [(i, name, int(obs[i].get["n"])) for i, name in _FUNNEL_STAGES]
+    return spark.createDataFrame(rows, "stage int, name string, n_docs long")

@@ -121,3 +121,62 @@ def test_observed_funnel_matches_direct_counts(spark, sf_dir):
     }
     assert out == expect
     assert out[0] >= out[1] >= out[2] >= out[3]
+
+
+def test_source_overlap_minhash_contract(spark, sf_dir):
+    """All source pairs present exactly once; the exact arm is a true
+    Jaccard over per-source distinct shingle sets (recomputed
+    independently); the estimate is a valid k=24 minwise fraction; and
+    abs_err is literally |est - exact|."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import shingles_df
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["docs_source_overlap_minhash"].spark(spark, sf_dir).collect()
+    src_of = {
+        r.doc_id: r.source
+        for r in read_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    sets = {}
+    for r in shingles_df(spark, sf_dir).collect():
+        sets.setdefault(src_of[r.doc_id], set()).add(r.shingle)
+    n_src = len(sets)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    assert len({(r.source_a, r.source_b) for r in rows}) == len(rows)
+    for r in rows:
+        assert r.source_a < r.source_b
+        a, b = sets[r.source_a], sets[r.source_b]
+        assert r.sz_a == len(a) and r.sz_b == len(b)
+        assert r.shared == len(a & b)
+        assert abs(r.exact_jaccard - len(a & b) / len(a | b)) < 1e-12
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert round(r.est_jaccard * 24, 6) == round(r.est_jaccard * 24)
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-15
+
+
+def test_label_centroid_sim_matches_numpy(spark, sf_dir):
+    """Every label pair appears once and the quantized-sum cosine equals
+    a numpy recomputation from the raw embeddings."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["emb_label_centroid_sim"].spark(spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    sums, counts = {}, {}
+    for r in emb:
+        q = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        sums[r.label] = sums.get(r.label, 0) + q
+        counts[r.label] = counts.get(r.label, 0) + 1
+    n_labels = len(sums)
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert (r.n_a, r.n_b) == (counts[r.label_a], counts[r.label_b])
+        sa, sb = sums[r.label_a], sums[r.label_b]
+        want = float(sa @ sb) / np.sqrt(float(sa @ sa)) / np.sqrt(float(sb @ sb))
+        assert abs(r.cos_centroid - want) < 1e-12
+        assert -1.0 <= r.cos_centroid <= 1.0

@@ -547,3 +547,25 @@ def test_tfidf_topk_plan_shapes(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert P.uses_broadcast_join(df)
     assert P.max_scan_width(df) <= 2
+
+
+def test_source_overlap_minhash_plan(spark, sf_dir):
+    """Both arms aggregate before any pair join, the sources^2 join is
+    a broadcast, and the documents scans stay 2 columns wide."""
+    df = q("docs_source_overlap_minhash", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.uses_broadcast_join(df)
+    assert P.max_scan_width(df) <= 2
+
+
+def test_label_centroid_sim_plan(spark, sf_dir):
+    """One corpus pass with map-side combine feeding a cached sig table;
+    the labels^2 non-equi pair join is a broadcast nested-loop over that
+    tiny side (never a shuffle); the scan reads only (embedding, label)."""
+    df = q("emb_label_centroid_sim", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert "broadcastnestedloopjoin" in P.physical_plan(df).lower()
+    assert P.max_scan_width(df) <= 2
+    # BNLJ-of-broadcast-tiny-side is the point; what must NOT appear is
+    # an unbroadcast all-pairs product.
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

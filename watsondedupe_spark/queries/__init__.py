@@ -85,6 +85,10 @@ _GRADING_PRIORITY = [
     # TF-IDF keyword extraction, and the single-pass CollectMetrics
     # funnel (df.observe) — never driver-graded.
     "docs_shingle_containment", "docs_tfidf_topk", "docs_observed_funnel",
+    # ... and the corpus-level estimators: MinHash source-pair overlap
+    # (with its exact audit arm) and the quantized cluster-centroid
+    # cosine matrix — never driver-graded.
+    "docs_source_overlap_minhash", "emb_label_centroid_sim",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

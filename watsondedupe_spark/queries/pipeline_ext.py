@@ -1030,3 +1030,215 @@ def docs_observed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged.write.format("noop").mode("overwrite").save()
     rows = [(i, name, int(obs[i].get["n"])) for i, name in _FUNNEL_STAGES]
     return spark.createDataFrame(rows, "stage int, name string, n_docs long")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level MinHash source-overlap estimation + centroid similarity
+# ---------------------------------------------------------------------------
+
+_SRC_MH_K = 24
+_SRC_OVL_CACHE: dict[str, DataFrame] = {}
+
+
+def _src_overlap_oracle() -> str:
+    mins = ",\n".join(
+        f"           MIN(md5('o{j}:' || shingle)) AS m{j}" for j in range(_SRC_MH_K)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(_SRC_MH_K)
+    )
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+src AS (
+    SELECT DISTINCT d.source, s.shingle
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+sig AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS sz,
+{mins}
+    FROM src GROUP BY source
+),
+inter AS (
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM src x JOIN src y ON x.shingle = y.shingle AND x.source < y.source
+    GROUP BY x.source, y.source
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.sz AS sz_a, b.sz AS sz_b,
+           CAST({matches} AS DOUBLE) / {_SRC_MH_K}.0 AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b, p.sz_a, p.sz_b,
+       COALESCE(i.shared, 0) AS shared, p.est_jaccard,
+       CAST(COALESCE(i.shared, 0) AS DOUBLE)
+           / (p.sz_a + p.sz_b - COALESCE(i.shared, 0)) AS exact_jaccard,
+       ABS(p.est_jaccard
+           - CAST(COALESCE(i.shared, 0) AS DOUBLE)
+             / (p.sz_a + p.sz_b - COALESCE(i.shared, 0))) AS abs_err
+FROM pairs p LEFT JOIN inter i
+  ON i.source_a = p.source_a AND i.source_b = p.source_b
+"""
+
+
+@register(
+    "docs_source_overlap_minhash",
+    _src_overlap_oracle(),
+    doc="corpus-level source-pair overlap via minwise estimation: each "
+    "source's distinct 3-gram shingle set is summarized to K=24 minhash "
+    "values (MIN of md5(seed||shingle), the portable permutation "
+    "surrogate already proven by docs_minhash_pairs) in ONE "
+    "partial-aggregated pass, and est_jaccard(A,B) = matching-min "
+    "fraction over the tiny sources^2 pair table. The exact arm "
+    "(shingle-keyed intersection join -> exact_jaccard, abs_err) is the "
+    "estimator's own accuracy audit, graded alongside it. Scale shape: "
+    "both arms aggregate to (sources x vocabulary) cardinality before "
+    "any join — the corpus is never pairwise-joined at doc granularity, "
+    "and per-shingle posting lists are bounded by the source count, so "
+    "the plan survives 100 TB where a doc-level exact comparison would "
+    "not. This is the cheap inter-source duplication screen run BEFORE "
+    "committing to a full cross-source dedup pass",
+)
+def docs_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import shingles_df
+
+    # the (source, shingle) distinct set feeds BOTH arms (minhash sig
+    # agg + exact intersection join); cache it so the corpus-side work
+    # runs once — the standing substrate pattern (minhash_sig_df etc.)
+    src = _SRC_OVL_CACHE.get(sf_dir)
+    if src is None:
+        src = (
+            shingles_df(spark, sf_dir)
+            .join(
+                F.broadcast(_docs(spark, sf_dir).select("doc_id", "source")), "doc_id"
+            )
+            .select("source", "shingle")
+            .distinct()
+            .cache()
+        )
+        _SRC_OVL_CACHE[sf_dir] = src
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"o{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(_SRC_MH_K)
+    ]
+    sig = src.groupBy("source").agg(F.count("*").cast("long").alias("sz"), *mins)
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+        for j in range(_SRC_MH_K)
+    )
+    pairs = a.join(F.broadcast(b), F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+        (matches.cast("double") / F.lit(float(_SRC_MH_K))).alias("est_jaccard"),
+    )
+    x, y = src.alias("x"), src.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_raw"))
+    )
+    shared = F.coalesce("shared_raw", F.lit(0)).cast("long")
+    exact = shared.cast("double") / (F.col("sz_a") + F.col("sz_b") - shared)
+    return pairs.join(inter, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "sz_a",
+        "sz_b",
+        shared.alias("shared"),
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+    )
+
+
+_EMB_DIM = 64
+_CENTROID_SIG_CACHE: dict[str, DataFrame] = {}
+
+
+def _centroid_sim_oracle() -> str:
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+ce AS (
+    SELECT e.label, d.i,
+           CAST(floor(CAST(list_extract(e.embedding, CAST(d.i AS INTEGER)) AS DOUBLE)
+                      * 1000 + 0.5) AS BIGINT) AS v
+    FROM embeddings e CROSS JOIN dims d
+),
+sums AS (SELECT label, i, SUM(v) AS s FROM ce GROUP BY label, i),
+cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+norms AS (SELECT label, SUM(s * s) AS nrm FROM sums GROUP BY label),
+dots AS (
+    SELECT x.label AS label_a, y.label AS label_b, SUM(x.s * y.s) AS dot
+    FROM sums x JOIN sums y ON x.i = y.i AND x.label < y.label
+    GROUP BY x.label, y.label
+)
+SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+       CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
+                             / sqrt(CAST(nb.nrm AS DOUBLE)) AS cos_centroid
+FROM dots d
+JOIN cnt ca ON ca.label = d.label_a
+JOIN cnt cb ON cb.label = d.label_b
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""
+
+
+@register(
+    "emb_label_centroid_sim",
+    _centroid_sim_oracle(),
+    doc="cluster-centroid cosine matrix (SemDeDup's companion audit: "
+    "which clusters are near-duplicates OF EACH OTHER and should merge "
+    "before per-cluster dedup; also the shard-drift screen between "
+    "corpus partitions). One partial-aggregated pass sums the "
+    "floor(x*1000+0.5)-quantized embedding per (label, dim) — the "
+    "count cancels in cosine, so centroids are never divided and every "
+    "sum/dot/norm stays an exact BIGINT; the final "
+    "dot/sqrt(na)/sqrt(nb) is the same fixed-order IEEE chain the "
+    "emb_knn_cosine oracle proves bit-identical across engines. The "
+    "pair table is labels^2 (tiny, broadcast); the corpus contributes "
+    "exactly one scan with map-side combine — at 100 TB this is the "
+    "same plan with more partitions",
+)
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one corpus pass: the labels-row sig table is cached so the a/b
+    # sides of the pair join don't each re-aggregate the embeddings
+    sig = _CENTROID_SIG_CACHE.get(sf_dir)
+    if sig is None:
+        sums = [
+            F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(_EMB_DIM)
+        ]
+        sig = (
+            _emb(spark, sf_dir)
+            .select("label", _quant_vec().alias("qv"))
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n"), *sums)
+        )
+        nrm = sum(F.col(f"s{d}") * F.col(f"s{d}") for d in range(_EMB_DIM))
+        sig = sig.select(
+            "label", "n", nrm.alias("nrm"), *[f"s{d}" for d in range(_EMB_DIM)]
+        ).cache()
+        _CENTROID_SIG_CACHE[sf_dir] = sig
+    a, b = sig.alias("a"), sig.alias("b")
+    dot = sum(F.col(f"a.s{d}") * F.col(f"b.s{d}") for d in range(_EMB_DIM))
+    cos = (
+        dot.cast("double")
+        / F.sqrt(F.col("a.nrm").cast("double"))
+        / F.sqrt(F.col("b.nrm").cast("double"))
+    ).alias("cos_centroid")
+    return a.join(F.broadcast(b), F.col("a.label") < F.col("b.label")).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        cos,
+    )

@@ -180,3 +180,44 @@ def test_label_centroid_sim_matches_numpy(spark, sf_dir):
         want = float(sa @ sb) / np.sqrt(float(sa @ sa)) / np.sqrt(float(sb @ sb))
         assert abs(r.cos_centroid - want) < 1e-12
         assert -1.0 <= r.cos_centroid <= 1.0
+
+
+def test_matryoshka_recall_matches_numpy(spark, sf_dir):
+    """Per (dims, query) recall@10 equals a numpy recomputation of both
+    the truncated and full-dim exact top-10 (same quantization, same
+    cosine-desc-then-id tie order)."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["emb_matryoshka_recall"].spark(spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+
+    def topk(d):
+        X = M[:, :d]
+        out = {}
+        for qid in _KNN_QUERIES:
+            qv = X[ids == qid][0]
+            dots = X @ qv
+            cos = dots / np.sqrt(float(qv @ qv)) / np.sqrt((X * X).sum(axis=1))
+            order = sorted(
+                [(c, i) for c, i in zip(cos, ids) if i != qid],
+                key=lambda t: (-t[0], t[1]),
+            )
+            out[qid] = {i for _, i in order[:10]}
+        return out
+
+    full = topk(64)
+    assert len(rows) == 2 * len(_KNN_QUERIES)
+    for d in (16, 32):
+        trunc = topk(d)
+        for r in [r for r in rows if r.dims == d]:
+            want_hits = len(full[r.query_id] & trunc[r.query_id])
+            assert (r.n_exact, r.n_hits) == (10, want_hits)
+            assert abs(r.recall - want_hits / 10) < 1e-15

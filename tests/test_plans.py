@@ -569,3 +569,13 @@ def test_label_centroid_sim_plan(spark, sf_dir):
     # BNLJ-of-broadcast-tiny-side is the point; what must NOT appear is
     # an unbroadcast all-pairs product.
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_matryoshka_recall_plan(spark, sf_dir):
+    """All three arms broadcast the tiny query/dim sides (no shuffle
+    join of the corpus against them), the salted two-phase top-k keeps
+    partial aggregation, and the scans stay 2 columns wide."""
+    df = q("emb_matryoshka_recall", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.max_scan_width(df) <= 2
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

@@ -89,6 +89,7 @@ _GRADING_PRIORITY = [
     # (with its exact audit arm) and the quantized cluster-centroid
     # cosine matrix — never driver-graded.
     "docs_source_overlap_minhash", "emb_label_centroid_sim",
+    "emb_matryoshka_recall",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

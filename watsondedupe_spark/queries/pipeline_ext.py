@@ -1242,3 +1242,127 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("n_b"),
         cos,
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation recall: how many embedding dims does ANN need?
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def _matryoshka_oracle() -> str:
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_ORACLE_SQL
+
+    arms = ",\n".join(
+        f"t{d} AS (SELECT {d} AS dims, query_id, neighbor_id, 1 AS hit FROM ("
+        + _KNN_ORACLE_SQL.replace("generate_series(1, 64)", f"generate_series(1, {d})")
+        + f") s{d})"
+        for d in _MATRYOSHKA_DIMS
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM t{d}" for d in _MATRYOSHKA_DIMS)
+    dimvals = " UNION ALL ".join(f"SELECT {d} AS dims" for d in _MATRYOSHKA_DIMS)
+    return f"""
+WITH exact_q AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) x),
+{arms},
+approx AS ({union}),
+dimtab AS ({dimvals})
+SELECT dm.dims, e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM dimtab dm CROSS JOIN exact_q e
+LEFT JOIN approx a
+  ON a.dims = dm.dims AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY dm.dims, e.query_id
+"""
+
+
+def _knn_topk_trunc(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
+    """Exact brute-force cosine top-10 over only the FIRST ``d`` embedding
+    dims — the emb_knn_cosine plan (row-local zip_with dot products,
+    broadcast query vectors, salted two-phase top-k) applied to a
+    ``slice()`` of the quantized vector."""
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.slice(_quant_vec(), 1, d).alias("v")
+    )
+    nrm = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = emb.select("vec_id", "v", nrm.alias("nrm"))
+    q = cand.filter(F.col("vec_id").isin(*_KNN_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            (
+                dot.cast("double")
+                / F.sqrt(F.col("qnrm").cast("double"))
+                / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w_part = Window.partitionBy("qid", "salt").orderBy(F.desc("cosine"), "cid")
+    w_full = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        sims.withColumn("salt", F.pmod(F.col("cid"), F.lit(32)))
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= 10)
+        .withColumn("rank", F.row_number().over(w_full).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("neighbor_id"))
+    )
+
+
+@register(
+    "emb_matryoshka_recall",
+    _matryoshka_oracle(),
+    doc="matryoshka truncation audit: recall@10 of exact cosine top-k "
+    "computed over only the FIRST 16 / 32 embedding dims vs the full "
+    "64-dim exact top-k, per (dims, query). This is the number that "
+    "decides how much of each embedding a 100 TB deployment must "
+    "store, ship, and dot-product — truncation is the cheapest ANN "
+    "speedup there is (a slice(), no index rebuild) IF recall holds. "
+    "Each truncated arm is the emb_knn_cosine plan over slice(v,1,d) "
+    "(quantized-integer dot/norms, broadcast query rows, salted "
+    "two-phase top-k); the audit join is bounded by queries x k rows. "
+    "Oracle composes the graded _KNN_ORACLE_SQL at three dim widths, "
+    "so the graded contract covers the COMPARISON across widths",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import emb_knn_cosine
+
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    arms = [
+        _knn_topk_trunc(spark, sf_dir, d).select(
+            F.lit(d).alias("dims"), "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        for d in _MATRYOSHKA_DIMS
+    ]
+    approx = arms[0]
+    for a in arms[1:]:
+        approx = approx.unionByName(a)
+    dimtab = spark.createDataFrame([(d,) for d in _MATRYOSHKA_DIMS], "dims int")
+    return (
+        exact.crossJoin(F.broadcast(dimtab))
+        .join(approx, ["dims", "query_id", "neighbor_id"], "left")
+        .groupBy("dims", "query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+        )
+    )

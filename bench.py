@@ -164,6 +164,16 @@ HEADLINE = [
     # build is already the locked jaccard_pairs_build row.
     "docs_tfidf_topk",
     "docs_observed_funnel",
+    # round-6 final additions: the corpus-level estimators. The
+    # source-overlap run times BOTH arms (the K=24 minhash sig agg and
+    # the exact shingle-intersection join — the audit is part of the
+    # op); the centroid matrix is one partial-agg corpus pass + a
+    # labels^2 broadcast pair join; the matryoshka audit re-runs the
+    # exact kNN plan at three dim widths, so it budgets the brute-force
+    # scan the truncation decision is made against.
+    "docs_source_overlap_minhash",
+    "emb_label_centroid_sim",
+    "emb_matryoshka_recall",
 ]
 
 

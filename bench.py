@@ -340,6 +340,14 @@ SCALE_QUERIES = [
     "docs_strip_dup_spans",
     "docs_dsir_weights",
     "emb_ann_recall_audit",
+    # round-6 late additions: the corpus-level estimators — the
+    # source-overlap run carries its exact shingle-intersection audit
+    # arm (posting lists bounded by the source count, so shuffle must
+    # stay ~linear in rows), and the centroid matrix is the
+    # one-pass-with-map-side-combine shape whose pair join must stay
+    # constant-size while the corpus grows
+    "docs_source_overlap_minhash",
+    "emb_label_centroid_sim",
 ]
 
 
@@ -348,10 +356,14 @@ def _clear_substrates(spark) -> None:
     import watsondedupe_spark.queries.engine_native as en
     import watsondedupe_spark.queries.llm_pipeline as llm
 
+    import watsondedupe_spark.queries.pipeline_ext as pext
+
     en._SIMHASH_CACHE.clear()
     llm._SIG_CACHE.clear()
     llm._PAIR_CACHE.clear()
     cur._ANN_INDEX_CACHE.clear()
+    pext._SRC_OVL_CACHE.clear()
+    pext._CENTROID_SIG_CACHE.clear()
     spark.catalog.clearCache()
 
 

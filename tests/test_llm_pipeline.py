@@ -221,3 +221,20 @@ def test_matryoshka_recall_matches_numpy(spark, sf_dir):
             want_hits = len(full[r.query_id] & trunc[r.query_id])
             assert (r.n_exact, r.n_hits) == (10, want_hits)
             assert abs(r.recall - want_hits / 10) < 1e-15
+
+
+def test_ivf_balance_audit_contract(spark, sf_dir):
+    """Cells partition the corpus (sum of n_vecs == corpus size), shares
+    sum to 1, and skew is exactly n * n_cells / total."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["emb_ivf_balance_audit"].spark(spark, sf_dir).collect()
+    n_corpus = read_table(spark, sf_dir, "embeddings").count()
+    total = sum(r.n_vecs for r in rows)
+    assert total == n_corpus
+    assert len({r.centroid_id for r in rows}) == len(rows) <= 16
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.share == r.n_vecs / total
+        assert r.skew == (r.n_vecs * len(rows)) / total

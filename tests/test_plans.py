@@ -579,3 +579,13 @@ def test_matryoshka_recall_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert P.max_scan_width(df) <= 2
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_ivf_balance_audit_plan(spark, sf_dir):
+    """Assignment is the shuffle-free Arrow kernel: the only exchange is
+    the 16-key cell aggregate; the 1-row total arrives by broadcast."""
+    df = q("emb_ivf_balance_audit", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    report = P.audit(df)
+    assert report["shuffle_joins"] == 0

@@ -1366,3 +1366,88 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF list-balance audit: the skew diagnostic behind every ANN latency SLO
+# ---------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import (
+        _IVF_CENT_KEY,
+        _QUANT_VEC_SQL,
+        _iq_cos_sql,
+    )
+
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, {_QUANT_VEC_SQL.format(v='embedding')} AS qcv
+    FROM embeddings
+    ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+base AS (
+    SELECT vec_id, {_QUANT_VEC_SQL.format(v='embedding')} AS qv FROM embeddings
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id, {_iq_cos_sql('e.qv', 'c.qcv')} AS csim
+    FROM base e CROSS JOIN cents c
+),
+assign1 AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored)
+    WHERE rn = 1
+),
+cell AS (
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM assign1 GROUP BY centroid_id
+),
+tot AS (
+    SELECT SUM(n_vecs) AS total, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cell
+)
+SELECT c.centroid_id, c.n_vecs,
+       CAST(c.n_vecs AS DOUBLE) / total AS share,
+       CAST(c.n_vecs * n_cells AS DOUBLE) / total AS skew
+FROM cell c CROSS JOIN tot
+"""
+
+
+@register(
+    "emb_ivf_balance_audit",
+    _ivf_balance_oracle(),
+    doc="IVF inverted-list balance audit: rows per coarse cell plus each "
+    "cell's share and skew (n * n_cells / total — 1.0 is perfectly "
+    "balanced). THE pre-deployment diagnostic for a partitioned ANN "
+    "index: a hot cell is simultaneously a probe-latency outlier, a "
+    "straggler task, and (under n_probe routing) an accuracy sink, and "
+    "the fix chosen (re-cluster, split the cell, salt its list) is "
+    "decided from exactly this table. Assignment is the one-Arrow-pass "
+    "integer-matmul kernel (ivf_assign_np — no corpus x centroids "
+    "fan-out, no window, no shuffle); the audit itself is one "
+    "16-row aggregate joined to a 1-row total by broadcast. The same "
+    "plan at 100 TB is the same scan with more partitions. Cites "
+    "ivf_centroids' md5-keyed deterministic sample, so the oracle "
+    "derives the identical cells",
+)
+def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ivf_assign_np, ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_centroids=16)
+    per_cell = (
+        ivf_assign_np(emb, cents, n_probe=1)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = per_cell.agg(
+        F.sum("n_vecs").alias("total"), F.count("*").cast("long").alias("n_cells")
+    )
+    return per_cell.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("total")).alias("share"),
+        ((F.col("n_vecs") * F.col("n_cells")).cast("double") / F.col("total")).alias(
+            "skew"
+        ),
+    )

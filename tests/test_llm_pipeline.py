@@ -238,3 +238,77 @@ def test_ivf_balance_audit_contract(spark, sf_dir):
     for r in rows:
         assert r.share == r.n_vecs / total
         assert r.skew == (r.n_vecs * len(rows)) / total
+
+
+def test_top_pc_power_matches_numpy(spark, sf_dir):
+    """The 64 components equal the exact integer X^T(X v0) under the
+    floor(x*1000+0.5) quantization, and share = component / max|component|."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array(
+        [np.floor(np.array(r.embedding, dtype=np.float64) * 1000 + 0.5) for r in emb],
+        dtype=np.int64,
+    )
+    v0 = np.where(np.arange(X.shape[1]) % 2 == 0, 1, -1).astype(np.int64)
+    want = X.T @ (X @ v0)
+    rows = all_queries()["emb_top_pc_power"].spark(spark, sf_dir).collect()
+    assert len(rows) == 64
+    got = {r.dim: r.component for r in rows}
+    assert got == {i + 1: int(want[i]) for i in range(64)}
+    maxabs = max(abs(v) for v in got.values())
+    for r in rows:
+        assert r.share == r.component / maxabs
+
+
+def test_watermark_lateness_contract(spark, sf_dir):
+    """Buckets partition the event stream, shares sum to 1, and each
+    bucket's max lateness sits inside the bucket's minute bounds."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["events_watermark_lateness"].spark(spark, sf_dir).collect()
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.late_min >= 0
+        assert r.late_min * 60_000_000 <= r.max_late_us < (r.late_min + 1) * 60_000_000
+
+
+def test_quality_dup_corr_matches_numpy(spark, sf_dir):
+    """corr recomputed from the graded cluster map + token counts with the
+    same closed-form moment formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    qs = all_queries()
+    cc = {r.doc_id: r.cluster_id for r in qs["docs_dup_clusters"].spark(spark, sf_dir).collect()}
+    sizes = {}
+    for cl in cc.values():
+        sizes[cl] = sizes.get(cl, 0) + 1
+    toks = {
+        r.doc_id: r.y
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("y"))
+        .collect()
+    }
+    xs = [sizes[cc[d]] for d in cc]
+    ys = [toks[d] for d in cc]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    (row,) = qs["docs_quality_dup_corr"].spark(spark, sf_dir).collect()
+    assert row.n_docs == len(xs)
+    assert -1.0 <= row.corr_dup_tokens <= 1.0
+    assert math.isclose(row.corr_dup_tokens, want, rel_tol=1e-12)

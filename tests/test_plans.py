@@ -589,3 +589,38 @@ def test_ivf_balance_audit_plan(spark, sf_dir):
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     report = P.audit(df)
     assert report["shuffle_joins"] == 0
+
+
+def test_top_pc_power_plan(spark, sf_dir):
+    """One corpus pass: posexplode + partial agg means the 64-key shuffle
+    carries 64 rows per partition; the 1-row maxabs arrives by broadcast."""
+    df = q("emb_top_pc_power", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.audit(df)["shuffle_joins"] == 0
+    assert P.max_scan_width(df) <= 2
+
+
+def test_watermark_lateness_plan(spark, sf_dir):
+    """The running max is the two-phase prefix scan: the corpus-sized
+    window is partitioned by block (shuffled on block, never collapsed to
+    one partition), and the tiny block-prefix table joins by broadcast."""
+    df = q("events_watermark_lateness", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.uses_broadcast_join(df)
+    assert P.audit(df)["shuffle_joins"] == 0
+    plan = P.physical_plan(df)
+    # the only SinglePartition exchanges feed the block-level prefix
+    # window and the 1-row total — never the event-level window
+    import re
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 2
+
+
+def test_quality_dup_corr_plan(spark, sf_dir):
+    """The 6-moment aggregate collapses map-side; corpus text never joins
+    into a shuffle wider than (doc_id, tokens)."""
+    df = q("docs_quality_dup_corr", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2

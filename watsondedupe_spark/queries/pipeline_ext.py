@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from watsondedupe_spark.queries import register
+from watsondedupe_spark.queries import _REGISTRY, register
 from watsondedupe_spark.queries.llm_pipeline import (
     _SHINGLES_SQL,
     _SIG_SQL,
@@ -1450,4 +1450,248 @@ def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_vecs") * F.col("n_cells")).cast("double") / F.col("total")).alias(
             "skew"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy: one power-iteration step toward the top PC
+# ---------------------------------------------------------------------------
+
+
+def _top_pc_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import _QUANT_VEC_SQL
+
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+q AS (
+    SELECT vec_id, {_QUANT_VEC_SQL.format(v='embedding')} AS qv FROM embeddings
+),
+ce AS (
+    SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+           list_extract(qv, CAST(d.i AS INTEGER)) AS v
+    FROM q CROSS JOIN dims d
+),
+dv AS (
+    SELECT vec_id, SUM(CASE WHEN i % 2 = 1 THEN v ELSE -v END) AS d
+    FROM ce GROUP BY vec_id
+),
+comp AS (
+    SELECT c.i AS dim, CAST(SUM(c.v * dv.d) AS BIGINT) AS component
+    FROM ce c JOIN dv ON dv.vec_id = c.vec_id
+    GROUP BY c.i
+),
+mx AS (SELECT MAX(abs(component)) AS maxabs FROM comp)
+SELECT dim, component, CAST(component AS DOUBLE) / maxabs AS share
+FROM comp CROSS JOIN mx
+"""
+
+
+@register(
+    "emb_top_pc_power",
+    _top_pc_oracle(),
+    doc="embedding anisotropy probe: one exact power-iteration step "
+    "v1 = (X^T X) v0 toward the top principal component, from the fixed "
+    "alternating-sign start vector v0[i] = (-1)^(i+1). A dominant "
+    "direction in v1 is the classic symptom of anisotropic (rank-"
+    "collapsed) embeddings, the drift diagnostic run before trusting "
+    "cosine similarity on a new encoder drop. Computed without ever "
+    "materializing the covariance matrix: per row the scalar d = q.v0 "
+    "(row-local), then sum of q*d per dimension — posexplode + partial "
+    "aggregation means each of the corpus partitions ships exactly 64 "
+    "rows into the final 64-key shuffle, so the plan at 100 TB is one "
+    "scan + a constant-width merge. Quantized-integer arithmetic keeps "
+    "every sum order-free and the final IEEE divisions bit-identical "
+    "across engines",
+)
+def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _quant_vec
+
+    qv = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("qv"))
+    # d = q . v0 with v0 = +1 at odd 1-based dims (even 0-based pos), -1 else
+    signed = F.transform(
+        "qv", lambda x, pos: F.when(pos % 2 == 0, x).otherwise(-x)
+    )
+    withd = qv.select(
+        "qv",
+        F.aggregate(
+            signed, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("d"),
+    )
+    comp = (
+        withd.select(F.posexplode("qv").alias("pos", "v"), "d")
+        .groupBy("pos")
+        .agg(F.sum(F.col("v") * F.col("d")).cast("long").alias("component"))
+    )
+    mx = comp.agg(F.max(F.abs("component")).alias("maxabs"))
+    return comp.crossJoin(F.broadcast(mx)).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "component",
+        (F.col("component").cast("double") / F.col("maxabs")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ops: watermark-delay tuning from the out-of-orderness profile
+# ---------------------------------------------------------------------------
+
+_LATE_BLOCK = 10_000
+
+
+@register(
+    "events_watermark_lateness",
+    f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+wm AS (
+    SELECT us,
+           MAX(us) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+    FROM e
+),
+hist AS (
+    SELECT (w - us) // 60000000 AS late_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(w - us) AS BIGINT) AS max_late_us
+    FROM wm GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS total FROM hist)
+SELECT late_min, n_events, max_late_us,
+       CAST(n_events AS DOUBLE) / total AS share
+FROM hist CROSS JOIN tot
+""",
+    doc="out-of-orderness profile: per event, lateness vs the running "
+    "maximum event-time over arrival order (event_id), bucketed into "
+    "minutes — THE table a streaming pipeline reads to choose its "
+    "withWatermark delay (pick the bucket covering the tail you are "
+    "willing to drop). The global running max is computed scalably as a "
+    "two-phase prefix scan: a per-block window (blocks of {_LATE_BLOCK} "
+    "arrivals), a tiny block-level prefix max (rows = N/{_LATE_BLOCK}, "
+    "broadcast back), and greatest() of the two — no single-partition "
+    "window over the corpus, the round-4 lesson from docs_pack_sequences. "
+    "Oracle: DuckDB's straightforward single-window formulation, which "
+    "the two-phase plan must match row-for-row",
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("event_id") / _LATE_BLOCK).cast("long").alias("block"),
+    )
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = e.groupBy("block").agg(F.max("us").alias("bmax"))
+    w_blk = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.select("block", F.max("bmax").over(w_blk).alias("prev_max"))
+    wm = (
+        e.withColumn("run_in", F.max("us").over(w_in))
+        .join(F.broadcast(prefix), "block")
+        .select(
+            "us",
+            F.greatest(
+                F.col("run_in"), F.coalesce(F.col("prev_max"), F.col("run_in"))
+            ).alias("w"),
+        )
+    )
+    hist = (
+        wm.select(((F.col("w") - F.col("us")) / F.lit(60_000_000)).cast("long").alias("late_min"),
+                  (F.col("w") - F.col("us")).alias("late_us"))
+        .groupBy("late_min")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+    )
+    tot = hist.agg(F.sum("n_events").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "late_min",
+        "n_events",
+        "max_late_us",
+        (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation insight: does duplication correlate with document length?
+# ---------------------------------------------------------------------------
+
+
+def _dup_corr_oracle() -> str:
+    cluster_sql = _REGISTRY["docs_dup_clusters"].oracle
+    return f"""
+WITH cc AS (SELECT doc_id, cluster_id FROM ({cluster_sql}) c0),
+sz AS (
+    SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+),
+xy AS (
+    SELECT s.cluster_size AS x,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS y
+    FROM sz s JOIN documents d ON d.doc_id = s.doc_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       sx / n AS mean_cluster_size,
+       sy / n AS mean_tokens,
+       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS corr_dup_tokens
+FROM m
+"""
+
+
+@register(
+    "docs_quality_dup_corr",
+    _dup_corr_oracle(),
+    doc="curation insight: Pearson correlation between a document's "
+    "near-dup cluster size (from the MinHash-LSH connected components) "
+    "and its whitespace token count — the one-number answer to 'are our "
+    "duplicates systematically shorter/longer than unique content?', "
+    "which decides whether dedup shifts the corpus length distribution "
+    "enough to re-tune sequence packing. Moments are exact BIGINT sums "
+    "(order-free) cast to double once, then the closed-form corr "
+    "evaluated with the identical IEEE expression tree in both engines "
+    "(the stats_corr_qty_price recipe). Plan: the CC output joined to a "
+    "2-column projection of documents, collapsed by partial aggregation "
+    "to a single 6-moment row — the corpus text is never shuffled",
+)
+def docs_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_dup_clusters
+
+    cc = docs_dup_clusters(spark, sf_dir)
+    sz = cc.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).cast("long").alias("x"),
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("y")
+    )
+    m = (
+        sz.join(toks, "doc_id")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        n.cast("long").alias("n_docs"),
+        (sx / n).alias("mean_cluster_size"),
+        (sy / n).alias("mean_tokens"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_dup_tokens"),
     )

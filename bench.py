@@ -174,6 +174,18 @@ HEADLINE = [
     "docs_source_overlap_minhash",
     "emb_label_centroid_sim",
     "emb_matryoshka_recall",
+    # round-6 diagnostics batch: the IVF list-balance audit (full-corpus
+    # coarse assignment — the probe rows only ever time n_probe lists,
+    # so this is the one row that budgets assignment over every vector),
+    # the top-PC power-iteration pass (posexplode + 64-key partial agg),
+    # and the watermark-lateness profile (two-phase prefix-max window).
+    # docs_quality_dup_corr stays untimed for the composite reason: it
+    # re-runs the timed docs_dup_clusters plus one 6-moment aggregate;
+    # emb_ivf_probe_sweep likewise (3 probe widths of the timed
+    # emb_ann_topk_ivf shape against the timed emb_knn_cosine arm).
+    "emb_ivf_balance_audit",
+    "emb_top_pc_power",
+    "events_watermark_lateness",
 ]
 
 

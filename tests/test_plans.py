@@ -624,3 +624,14 @@ def test_quality_dup_corr_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_ivf_probe_sweep_plan(spark, sf_dir):
+    """Three bounded arms: the list probes join by broadcast of the
+    query sample, and no arm degenerates into a cartesian corpus scan.
+    (The exact-vs-approx comparison joins are <= 30-row sets — their
+    physical strategy is immaterial, so it is not pinned.)"""
+    df = q("emb_ivf_probe_sweep", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.uses_broadcast_join(df)

@@ -594,3 +594,25 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         s_hits = len(exact[qq] & single.get(qq, set()))
         m_hits = len(exact[qq] & multi.get(qq, set()))
         assert m_hits >= s_hits
+
+
+# ---------------------------------------------------------------------------
+# IVF probe sweep
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """Recall is monotone non-decreasing in n_probe: any exact-top-10
+    member reachable at probe width p stays reachable at p' > p (wider
+    probing only adds candidate lists, and anything outscoring an exact
+    member is itself an exact member), so hits can only grow."""
+    from watsondedupe_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["emb_ivf_probe_sweep"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4]
+    assert all(r.n_exact == 30 for r in rows)  # 3 queries x k=10
+    assert all(r.recall == r.n_hits / r.n_exact for r in rows)
+    assert rows[0].n_hits <= rows[1].n_hits <= rows[2].n_hits

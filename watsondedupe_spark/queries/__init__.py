@@ -90,6 +90,12 @@ _GRADING_PRIORITY = [
     # cosine matrix — never driver-graded.
     "docs_source_overlap_minhash", "emb_label_centroid_sim",
     "emb_matryoshka_recall",
+    # ... and the round-6 diagnostics batch: IVF list-balance audit,
+    # top-PC power iteration, watermark-lateness profile, and the
+    # dup-size/token-count correlation — never driver-graded.
+    "emb_ivf_balance_audit", "emb_top_pc_power",
+    "events_watermark_lateness", "docs_quality_dup_corr",
+    "emb_ivf_probe_sweep",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1096,3 +1096,113 @@ def emb_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF n_probe sweep: the recall/cost tuning curve
+# ---------------------------------------------------------------------------
+
+
+def _ivf_topk_sql(n_probe: int) -> str:
+    """The emb_ann_topk_ivf oracle parameterized by n_probe."""
+    from watsondedupe_spark.queries.engine_native import (
+        _IVF_CENT_KEY,
+        _QUANT_VEC_SQL,
+        _cos_sql,
+        _iq_cos_sql,
+    )
+
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cv,
+           {_QUANT_VEC_SQL.format(v='embedding')} AS qcv
+    FROM embeddings
+    ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+base AS (
+    SELECT vec_id, embedding, {_QUANT_VEC_SQL.format(v='embedding')} AS qv
+    FROM embeddings
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {_iq_cos_sql('e.qv', 'c.qcv')} AS csim
+    FROM base e CROSS JOIN cents c
+),
+assign1 AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored)
+    WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+        FROM scored WHERE vec_id < 3)
+    WHERE rn <= {n_probe}
+),
+sims AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_cos_sql('p.qv', 'a.embedding')} AS cosine
+    FROM assign1 a JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM sims)
+WHERE rnk <= 10
+"""
+
+
+def _probe_sweep_oracle() -> str:
+    exact_sql = _REGISTRY["emb_knn_cosine"].oracle
+    arms = []
+    for p in (1, 2, 4):
+        arms.append(f"""
+SELECT CAST({p} AS BIGINT) AS n_probe,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM (SELECT query_id, neighbor_id FROM ({exact_sql}) x) e
+LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM ({_ivf_topk_sql(p)}) y) a
+       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+""")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "emb_ivf_probe_sweep",
+    _probe_sweep_oracle(),
+    doc="IVF tuning curve: pooled recall@10 against the exact top-k at "
+    "n_probe = 1, 2, 4 — the table that sets the probe width for a "
+    "deployment's recall SLO (each probed list costs |corpus|/n_cells "
+    "of scan, so this row IS the recall-vs-latency frontier; read it "
+    "next to emb_ivf_balance_audit, which says whether the per-list "
+    "cost is uniform). Each arm reuses the graded IVF plan at a "
+    "different probe width against the same exact arm; the three arms "
+    "union into one 3-row table, and every join is bounded by the "
+    "query sample (never corpus-sized). Oracle composes the "
+    "emb_ann_topk_ivf oracle parameterized by probe width with the "
+    "exact-kNN oracle, so the graded contract covers the whole curve.",
+)
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from watsondedupe_spark.operators.similarity import ann_topk_ivf
+    from watsondedupe_spark.queries.llm_pipeline import emb_knn_cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    arms = []
+    for p in (1, 2, 4):
+        approx = ann_topk_ivf(emb, q, k=10, n_centroids=16, n_probe=p).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        arms.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.count("*").cast("long").alias("n_exact"),
+                F.count("hit").cast("long").alias("n_hits"),
+                (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+            )
+        )
+    return reduce(DataFrame.unionByName, arms)

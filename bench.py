@@ -186,6 +186,13 @@ HEADLINE = [
     "emb_ivf_balance_audit",
     "emb_top_pc_power",
     "events_watermark_lateness",
+    # round-6 diagnostics batch 2: the JL-sketch recall audit (the
+    # 16-dim signed-projection build + sketch-space kNN are new plans,
+    # not composites — only the exact arm reuses a timed plan) and the
+    # vocab-coverage audit (token-count agg + TakeOrdered vocab
+    # broadcast + per-source agg: two real corpus passes).
+    "emb_jl_recall",
+    "docs_oov_rate",
 ]
 
 

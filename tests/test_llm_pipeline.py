@@ -312,3 +312,64 @@ def test_quality_dup_corr_matches_numpy(spark, sf_dir):
     assert row.n_docs == len(xs)
     assert -1.0 <= row.corr_dup_tokens <= 1.0
     assert math.isclose(row.corr_dup_tokens, want, rel_tol=1e-12)
+
+
+def test_jl_recall_matches_numpy(spark, sf_dir):
+    """Recall@10 equals a numpy recomputation: project the quantized
+    corpus with the md5-keyed sign matrix, take cosine top-10 in both
+    spaces, intersect."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _jl_signs
+    from watsondedupe_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array(
+        [np.floor(np.array(r.embedding, dtype=np.float64) * 1000 + 0.5) for r in emb],
+        dtype=np.int64,
+    )
+    S = np.array(_jl_signs(), dtype=np.int64)  # 16 x 64
+    Y = X @ S.T
+
+    def topk(M, qrow, self_id):
+        sims = (M @ M[qrow]) / np.sqrt((M * M).sum(axis=1)) / np.sqrt(M[qrow] @ M[qrow])
+        order = sorted(range(len(ids)), key=lambda r: (-sims[r], ids[r]))
+        return [ids[r] for r in order if ids[r] != self_id][:10]
+
+    rows = all_queries()["emb_jl_recall"].spark(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        qrow = int(np.where(ids == r.query_id)[0][0])
+        exact = set(topk(X.astype(np.float64), qrow, r.query_id))
+        approx = set(topk(Y.astype(np.float64), qrow, r.query_id))
+        assert (r.n_exact, r.n_hits) == (10, len(exact & approx))
+        assert r.recall == r.n_hits / 10
+
+
+def test_oov_rate_contract(spark, sf_dir):
+    """Every source reports; token totals tile the corpus token stream;
+    the OOV rate reproduces a driver-side recount against the same
+    deterministic top-V vocab."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _OOV_VOCAB
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    cnt = Counter()
+    per_src = {}
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        cnt.update(toks)
+        per_src.setdefault(r.source, []).extend(toks)
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_OOV_VOCAB]}
+    rows = all_queries()["docs_oov_rate"].spark(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(per_src)
+    for r in rows:
+        toks = per_src[r.source]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert (r.n_tokens, r.n_oov) == (len(toks), oov)
+        assert r.oov_rate == oov / len(toks)

@@ -635,3 +635,23 @@ def test_ivf_probe_sweep_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.uses_broadcast_join(df)
+
+
+def test_jl_recall_plan(spark, sf_dir):
+    """Projection is row-local (no shuffle to sketch); the kNN arm
+    broadcasts the 3-query sample; nothing degenerates into a
+    corpus x corpus cartesian."""
+    df = q("emb_jl_recall", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2
+
+
+def test_oov_rate_plan(spark, sf_dir):
+    """Vocab probe arrives by broadcast; both aggregations keep their
+    map-side partial phase; no shuffle join of the token stream."""
+    df = q("docs_oov_rate", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.uses_broadcast_join(df)
+    assert P.audit(df)["shuffle_joins"] == 0
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

@@ -1695,3 +1695,219 @@ def docs_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr_dup_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss signed projection + recall audit
+# ---------------------------------------------------------------------------
+
+_JL_DIMS = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """The deterministic +-1 projection matrix, keyed by md5(i || '_' || j)
+    over 1-based (input dim i, output dim j) — byte-identical to the SQL
+    derivation in the oracle (same md5, same 60-bit prefix parity)."""
+    import hashlib
+
+    def sgn(i: int, j: int) -> int:
+        h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    return [[sgn(i, j) for i in range(1, 65)] for j in range(1, _JL_DIMS + 1)]
+
+
+def _jl_recall_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import _QUANT_VEC_SQL, _iq_cos_sql
+
+    exact_sql = _REGISTRY["emb_knn_cosine"].oracle
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+pd AS (SELECT unnest(generate_series(1, {_JL_DIMS})) AS j),
+s AS (
+    SELECT i, j,
+           CASE WHEN (('0x' || substr(md5(i || '_' || j), 1, 15))::BIGINT % 2) = 0
+                THEN 1 ELSE -1 END AS sgn
+    FROM dims CROSS JOIN pd
+),
+q AS (SELECT vec_id, {_QUANT_VEC_SQL.format(v='embedding')} AS qv FROM embeddings),
+ce AS (
+    SELECT vec_id, d.i AS i, list_extract(qv, CAST(d.i AS INTEGER)) AS v
+    FROM q CROSS JOIN dims d
+),
+proj AS (
+    SELECT c.vec_id, s.j, SUM(c.v * s.sgn) AS y
+    FROM ce c JOIN s ON s.i = c.i
+    GROUP BY c.vec_id, s.j
+),
+pv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY vec_id),
+sims AS (
+    SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_iq_cos_sql('p.yv', 'b.yv')} AS cosine
+    FROM pv p CROSS JOIN pv b
+    WHERE p.vec_id < 3 AND b.vec_id != p.vec_id
+),
+approx AS (
+    SELECT query_id, neighbor_id, 1 AS hit
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM sims)
+    WHERE rnk <= 10
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM (SELECT query_id, neighbor_id FROM ({exact_sql}) x) e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "emb_jl_recall",
+    _jl_recall_oracle(),
+    doc="Johnson-Lindenstrauss sketch audit: recall@10 of cosine kNN in "
+    "a 16-dim signed-random-projection space (y = S q, S an md5-keyed "
+    "+-1 matrix — the database-friendly JL construction; Achlioptas "
+    "2003) against the exact 64-dim top-k. The JL sketch is the "
+    "standing alternative to matryoshka truncation when the encoder "
+    "was NOT trained nested: 4x fewer bytes per vector with distance "
+    "distortion bounded w.h.p., and this row measures the realized "
+    "recall cost on OUR corpus before a deployment swaps the sketch "
+    "into its candidate-generation tier. Projection is row-local "
+    "integer arithmetic (16 exact dot products per vector, no shuffle); "
+    "the kNN arm broadcasts the 3-query sample; the comparison joins "
+    "<= 30-row sets. All sums are order-free integers, so the sketch, "
+    "the ranking, and the recall are bit-identical across engines",
+)
+def emb_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _quant_vec, emb_knn_cosine
+
+    signs = _jl_signs()
+    qv = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("qv"))
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                "qv",
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"y{j}")
+        for j in range(_JL_DIMS)
+    ]
+    pv = qv.select("vec_id", F.array(*[c for c in proj_cols]).alias("yv"))
+    queries = pv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("yv").alias("qy")
+    )
+    dot = F.aggregate(
+        F.zip_with("yv", "qy", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    sims = (
+        pv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot.cast("double") / F.sqrt(nrm("yv").cast("double")) / F.sqrt(nrm("qy").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    approx = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: OOV rate per source against the corpus top-V vocab
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 24
+
+
+@register(
+    "docs_oov_rate",
+    f"""
+WITH toks AS (
+    SELECT d.source, t.tok
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+    WHERE t.tok != ''
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT {_OOV_VOCAB})
+),
+per AS (
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.source
+)
+SELECT source, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM per
+""",
+    doc="tokenizer-coverage audit: per-source out-of-vocabulary token "
+    "rate against the corpus-global top-{V} vocabulary (count DESC, "
+    "token ASC — deterministic). THE per-source number a pipeline reads "
+    "before freezing a fixed vocab/tokenizer: a source with an outlier "
+    "OOV rate will fragment into over-long token sequences (inflating "
+    "its effective token budget) or degrade to UNK-heavy training text. "
+    "Plan: one token-count aggregation (partial-agg, shuffle keyed by "
+    "token ~ vocabulary-sized, never corpus-sized), a TakeOrdered "
+    "top-{V} that broadcasts back as the vocab probe, and one "
+    "per-source partial agg over the token stream — the corpus text "
+    "itself is never shuffled, so the plan at 100 TB is two scans + "
+    "vocabulary-sized exchanges".format(V=_OOV_VOCAB),
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_OOV_VOCAB)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

@@ -367,6 +367,14 @@ SCALE_QUERIES = [
     # constant-size while the corpus grows
     "docs_source_overlap_minhash",
     "emb_label_centroid_sim",
+    # round-6 diagnostics batch: the vocab-coverage audit (token explode
+    # -> vocabulary-keyed agg: the shuffle is vocab-sized and the cipher
+    # shards multiply vocabulary, so this entry guards the token-agg
+    # shape exactly where it could go super-linear) and the JL-sketch
+    # recall audit (row-local projection + broadcast kNN — must stay
+    # linear in corpus rows)
+    "docs_oov_rate",
+    "emb_jl_recall",
 ]
 
 

@@ -193,6 +193,10 @@ HEADLINE = [
     # broadcast + per-source agg: two real corpus passes).
     "emb_jl_recall",
     "docs_oov_rate",
+    # emb_ann_partitioned_probe stays untimed: its steady-state probe
+    # reads the staged store (build-once/probe-many), so the timed cost
+    # would be the same routing math emb_ann_topk_ivf already budgets
+    # plus a pruned sub-scan; the build is the staged write-once.
 ]
 
 

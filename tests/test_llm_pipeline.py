@@ -373,3 +373,20 @@ def test_oov_rate_contract(spark, sf_dir):
         oov = sum(1 for t in toks if t not in vocab)
         assert (r.n_tokens, r.n_oov) == (len(toks), oov)
         assert r.oov_rate == oov / len(toks)
+
+
+def test_partitioned_probe_equals_ivf_topk(spark, sf_dir):
+    """Probing the persisted partitioned store returns exactly the
+    in-memory IVF top-k: same routing, same lists, same ranking."""
+    from watsondedupe_spark.queries import all_queries
+
+    qs = all_queries()
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in qs["emb_ann_topk_ivf"].spark(spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in qs["emb_ann_partitioned_probe"].spark(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 30

@@ -655,3 +655,18 @@ def test_oov_rate_plan(spark, sf_dir):
     assert P.uses_broadcast_join(df)
     assert P.audit(df)["shuffle_joins"] == 0
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_partitioned_probe_prunes_partitions(spark, sf_dir):
+    """The probe scan must carry the centroid_id partition predicate —
+    partition pruning is THE point of the persisted layout (at 100 TB
+    this is the difference between reading n_probe lists and the whole
+    corpus)."""
+    df = q("emb_ann_partitioned_probe", spark, sf_dir)
+    plan = P.physical_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1) and "IN" in m.group(1).upper()
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.uses_broadcast_join(df)

@@ -96,8 +96,9 @@ _GRADING_PRIORITY = [
     "emb_ivf_balance_audit", "emb_top_pc_power",
     "events_watermark_lateness", "docs_quality_dup_corr",
     "emb_ivf_probe_sweep",
-    # ... the JL-sketch recall audit and the vocab-coverage audit
-    "emb_jl_recall", "docs_oov_rate",
+    # ... the JL-sketch recall audit, the vocab-coverage audit, and the
+    # partition-pruned persisted-IVF probe
+    "emb_jl_recall", "docs_oov_rate", "emb_ann_partitioned_probe",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1911,3 +1911,123 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned ANN probe: the IVF lists as a partitioned parquet store
+# ---------------------------------------------------------------------------
+
+_IVF_STORE_CACHE: dict[str, str] = {}
+
+
+def _stage_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF inverted lists as a parquet store PARTITIONED
+    BY centroid_id — the on-disk layout a 100 TB ANN deployment uses so a
+    probe's I/O is |corpus| * n_probe / n_cells instead of a full scan.
+    Write-once per sf_dir with the atomic scratch-then-rename publish
+    (the events staging recipe: a crash leaves only an orphan scratch
+    dir; concurrent stagers race harmlessly; a stale incomplete occupant
+    is evicted under a flock)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from watsondedupe_spark.operators.similarity import ivf_assign_np, ivf_centroids
+
+    key = os.path.abspath(sf_dir)
+    if key in _IVF_STORE_CACHE:
+        return _IVF_STORE_CACHE[key]
+    tag = hashlib.md5(f"{key}:ivf16".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wds_ivf_store_{tag}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        scratch = tempfile.mkdtemp(prefix=f"wds_ivf_store_build_{tag}_")
+        emb = _emb(spark, sf_dir)
+        cents = ivf_centroids(emb, n_centroids=16)
+        (
+            ivf_assign_np(emb, cents, n_probe=1)
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(scratch)
+        )
+        with open(os.path.join(scratch, "_STAGED"), "w") as fh:
+            fh.write("ok")
+        try:
+            os.rename(scratch, stage)
+        except OSError:
+            import fcntl
+            import shutil
+
+            fdl = os.open(stage + ".lock", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fdl, fcntl.LOCK_EX)
+                if not os.path.exists(done):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    try:
+                        os.rename(scratch, stage)
+                    except OSError:
+                        shutil.rmtree(scratch, ignore_errors=True)
+                else:
+                    shutil.rmtree(scratch, ignore_errors=True)  # lost the race
+            finally:
+                fcntl.flock(fdl, fcntl.LOCK_UN)
+                os.close(fdl)
+    if not os.path.exists(done):
+        raise RuntimeError(f"IVF store staging at {stage} is incomplete")
+    _IVF_STORE_CACHE[key] = stage
+    return stage
+
+
+@register(
+    "emb_ann_partitioned_probe",
+    _REGISTRY["emb_ann_topk_ivf"].oracle,
+    doc="IVF probe against the PERSISTED partitioned index: the inverted "
+    "lists live as a parquet store partitioned by centroid_id, queries "
+    "route to their n_probe=4 nearest cells, and the probe reads ONLY "
+    "those partition directories — the plan carries a PartitionFilters "
+    "entry (pinned by test_plans), so at 100 TB the scan is "
+    "|corpus| * n_probe / n_cells bytes, not the corpus. This is the "
+    "storage-side half of the IVF story: emb_ann_topk_ivf proves the "
+    "routing math, this row proves the LAYOUT prunes (identical "
+    "results, same oracle — build once, probe forever). The probed "
+    "cell-id set is <= 12 ids (n_queries x n_probe), a bounded "
+    "driver-side collect that becomes the static partition predicate",
+)
+def emb_ann_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import (
+        cosine,
+        ivf_assign_np,
+        ivf_centroids,
+    )
+
+    store = _stage_ivf_store(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_centroids=16)
+    probes = ivf_assign_np(
+        emb.filter(F.col("vec_id") < 3), cents, n_probe=4
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "centroid_id"
+    )
+    probed = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
+    )
+    lists = (
+        spark.read.parquet(store)
+        .filter(F.col("centroid_id").isin(probed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)

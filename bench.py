@@ -140,9 +140,11 @@ HEADLINE = [
     # engine builds of fixed cost, not a query plan worth budgeting).
     "docs_hashed_linear_score",
     "docs_repetition_schedule",
-    # events_user_totals_streamed stays untimed for the streamed-replay
-    # reason (three serial micro-batches of engine fixed cost dwarf the
-    # per-row work); it is correctness-graded via its DuckDB oracle.
+    # events_user_totals_streamed and events_sliding_streamed stay
+    # untimed for the streamed-replay reason (serial micro-batches of
+    # engine fixed cost dwarf the per-row work; the timed set carries
+    # events_tumbling_streamed as the streaming canary); both are
+    # correctness-graded via their DuckDB oracles.
     # docs_dup_clusters_star stays untimed: it computes the identical
     # answer to the timed docs_dup_clusters via the other CC algorithm
     # (its value is the graded equivalence, and at sf0.1 the dup graph

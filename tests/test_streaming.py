@@ -632,3 +632,22 @@ def test_rocksdb_state_store_matches_batch(spark, events_dir):
     except Exception:
         leaked = None
     assert leaked != S.ROCKSDB_PROVIDER
+
+
+def test_registered_streamed_sliding_matches_batch_query(spark, sf_dir):
+    """The graded sliding-window replay must equal the batch sliding
+    query row-for-row — the overlap expansion (each event in 2 window
+    keys) happens inside the streaming engine and must not double- or
+    drop-count across micro-batch state merges."""
+    from watsondedupe_spark.queries import all_queries
+
+    specs = all_queries()
+    streamed = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in specs["events_sliding_streamed"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in specs["events_sliding"].spark(spark, sf_dir).collect()
+    }
+    assert streamed == batch

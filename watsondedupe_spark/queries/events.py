@@ -504,3 +504,45 @@ def events_user_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "n_events", F.col("total_dec").cast("double").alias("total_value")
         )
     )
+
+
+@register(
+    "events_sliding_streamed",
+    """
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+           value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+GROUP BY window_start
+""",
+    doc="the sliding-window variant of the graded streamed replay: "
+    "events through a file-source stream, watermarked 1h/30min sliding "
+    "window (each event expands into window/slide = 2 overlapping "
+    "window keys INSIDE the streaming engine), complete-mode memory "
+    "sink — must converge to the batch sliding aggregate DuckDB "
+    "computes. Completes the streamed window-shape matrix: tumbling "
+    "(complete mode, both state-store providers), sliding (this row), "
+    "session (events_session_streamed), interval join (append), keyed "
+    "totals (update). Decimal-exact sums keep the streamed "
+    "accumulation hash-identical to the one-shot aggregate.",
+)
+def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stream = S.stream_from_dir(spark, _stage_events_stream_dir(sf_dir))
+    agg = S.sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="2 hours")
+    # window-key state is 2x tumbling's (overlap factor) but still tiny
+    # vs the batch shuffle width — same sizing lever as the other replays
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(agg, "graded_sliding_sink", "complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("graded_sliding_sink").select(
+        "window_start", "n_events", "total_value"
+    )

@@ -195,6 +195,10 @@ HEADLINE = [
     # broadcast + per-source agg: two real corpus passes).
     "emb_jl_recall",
     "docs_oov_rate",
+    # round-6 diagnostics batch 3: the label-impurity screen — a
+    # bucket-keyed corpus pair join, the one timed entry whose shuffle
+    # is the LSH bucket fan-out itself.
+    "emb_label_impurity",
     # emb_ann_partitioned_probe stays untimed: its steady-state probe
     # reads the staged store (build-once/probe-many), so the timed cost
     # would be the same routing math emb_ann_topk_ivf already budgets

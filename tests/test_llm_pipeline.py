@@ -390,3 +390,39 @@ def test_partitioned_probe_equals_ivf_topk(spark, sf_dir):
         for r in qs["emb_ann_partitioned_probe"].spark(spark, sf_dir).collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_label_impurity_contract(spark, sf_dir):
+    """Pair counts are symmetric-complete (sum over labels == total
+    ordered co-member pairs), impurity is exactly n_diff/n_pairs, and a
+    driver-side recount over the same buckets agrees."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    b = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", sign_lsh_bucket(F.col("embedding"), n_planes=6).alias("bucket"))
+        .collect()
+    )
+    buckets = defaultdict(list)
+    for r in b:
+        buckets[r.bucket].append(r.label)
+    want = Counter()
+    want_diff = Counter()
+    for labels in buckets.values():
+        n = len(labels)
+        cnt = Counter(labels)
+        for lab, k in cnt.items():
+            want[lab] += k * (n - 1)
+            want_diff[lab] += k * (n - cnt[lab])
+    rows = all_queries()["emb_label_impurity"].spark(spark, sf_dir).collect()
+    assert {r.label: (r.n_pairs, r.n_diff) for r in rows} == {
+        lab: (want[lab], want_diff[lab]) for lab in want
+    }
+    for r in rows:
+        assert r.impurity == r.n_diff / r.n_pairs

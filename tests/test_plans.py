@@ -670,3 +670,12 @@ def test_partitioned_probe_prunes_partitions(spark, sf_dir):
     assert m and "centroid_id" in m.group(1) and "IN" in m.group(1).upper()
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.uses_broadcast_join(df)
+
+
+def test_label_impurity_plan(spark, sf_dir):
+    """The pair join is keyed by bucket (equi-join, never cartesian) and
+    the per-label counts keep their map-side partial phase."""
+    df = q("emb_label_impurity", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert not P.has_cartesian(df)
+    assert P.max_scan_width(df) <= 3

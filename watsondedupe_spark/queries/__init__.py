@@ -100,8 +100,9 @@ _GRADING_PRIORITY = [
     # partition-pruned persisted-IVF probe
     "emb_jl_recall", "docs_oov_rate", "emb_ann_partitioned_probe",
     # ... and the sliding-window streamed replay (completes the
-    # streamed window-shape matrix)
-    "events_sliding_streamed",
+    # streamed window-shape matrix) plus the LSH-bucket label-impurity
+    # screen
+    "events_sliding_streamed", "emb_label_impurity",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -2031,3 +2031,78 @@ def emb_ann_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Label-quality screen: LSH-bucket label impurity
+# ---------------------------------------------------------------------------
+
+
+def _label_impurity_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import _lsh_bucket_sql
+
+    return f"""
+WITH b AS (
+    SELECT vec_id, label, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+co AS (
+    SELECT a.label AS label,
+           CASE WHEN a.label != c.label THEN 1 ELSE 0 END AS diff
+    FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id != a.vec_id
+),
+per AS (
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(diff) AS BIGINT) AS n_diff
+    FROM co GROUP BY label
+)
+SELECT label, n_pairs, n_diff,
+       CAST(n_diff AS DOUBLE) / n_pairs AS impurity
+FROM per
+"""
+
+
+@register(
+    "emb_label_impurity",
+    _label_impurity_oracle(),
+    doc="label-noise screen: per label, the fraction of same-LSH-bucket "
+    "co-member pairs whose labels DISAGREE — geometric neighbors with "
+    "conflicting labels are either mislabeled points or genuinely "
+    "ambiguous classes, and an outlier impurity row is the signal to "
+    "audit that label's examples before training a classifier on them "
+    "(the confident-learning intuition run as one cheap SQL-shaped "
+    "pass, no model needed). Uses the SAME md5-derived sign-LSH buckets "
+    "as the graded ANN path, so candidate neighborhoods are the index's "
+    "own — the pair join is keyed by bucket (never all-pairs) and at "
+    "100 TB inherits the bounded-bucket salting strategy of the "
+    "embedding near-dup operator. Counts are exact integers; the one "
+    "division is the only double",
+)
+def emb_label_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+
+    b = _emb(spark, sf_dir).select(
+        "vec_id", "label", sign_lsh_bucket(F.col("embedding"), n_planes=6).alias("bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("vid_a"), F.col("label").alias("label"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("vid_c"), F.col("label").alias("label_c"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vid_c") != F.col("vid_a"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("label_c") != F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_diff"),
+        )
+        .select(
+            "label",
+            "n_pairs",
+            "n_diff",
+            (F.col("n_diff").cast("double") / F.col("n_pairs")).alias("impurity"),
+        )
+    )

@@ -199,6 +199,10 @@ HEADLINE = [
     # bucket-keyed corpus pair join, the one timed entry whose shuffle
     # is the LSH bucket fan-out itself.
     "emb_label_impurity",
+    # ... collocation mining (two vocab-keyed count passes + top-k) and
+    # last-touch attribution (user-keyed union window + channel rollup).
+    "docs_collocation_lift",
+    "events_attribution",
     # emb_ann_partitioned_probe stays untimed: its steady-state probe
     # reads the staged store (build-once/probe-many), so the timed cost
     # would be the same routing math emb_ann_topk_ivf already budgets

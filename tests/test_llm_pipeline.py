@@ -426,3 +426,34 @@ def test_label_impurity_contract(spark, sf_dir):
     }
     for r in rows:
         assert r.impurity == r.n_diff / r.n_pairs
+
+
+def test_collocation_lift_contract(spark, sf_dir):
+    """Top-K by bigram count with driver-side recount; lift is exactly
+    n_ab * N_bigrams / (n_a * n_b)."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _COLLOC_K
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("text").collect()
+    uni, bi = Counter(), Counter()
+    n_big = 0
+    for r in docs:
+        t = r.text.split(" ")
+        if len(t) < 2:
+            continue
+        uni.update(t)
+        for i in range(len(t) - 1):
+            bi[t[i] + " " + t[i + 1]] += 1
+            n_big += 1
+    want = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:_COLLOC_K]
+    rows = all_queries()["docs_collocation_lift"].spark(spark, sf_dir).collect()
+    got = {r.bigram: r for r in rows}
+    assert set(got) == {g for g, _ in want}
+    for g, n in want:
+        r = got[g]
+        wa, wb = g.split(" ")
+        assert (r.n_ab, r.n_a, r.n_b) == (n, uni[wa], uni[wb])
+        assert r.lift == (n * n_big) / (uni[wa] * uni[wb])

@@ -679,3 +679,22 @@ def test_label_impurity_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert not P.has_cartesian(df)
     assert P.max_scan_width(df) <= 3
+
+
+def test_collocation_lift_plan(spark, sf_dir):
+    """Both count passes keep map-side partials; the unigram lookups run
+    against the 20-row top-k side; no cartesian."""
+    df = q("docs_collocation_lift", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 1
+
+
+def test_attribution_plan(spark, sf_dir):
+    """The carry is one window over the user-keyed union — no join at
+    all between purchases and touches, no cartesian, and the channel
+    rollup keeps its partial phase."""
+    df = q("events_attribution", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert not P.has_cartesian(df)
+    assert P.audit(df)["shuffle_joins"] == 0

@@ -95,3 +95,39 @@ def test_q6_agrees_with_direct_recount(spark, sf_dir, specs):
         & (F.col("l_quantity") < 24)
     ).count()
     assert row.n_rows == n
+
+
+def test_attribution_contract(spark, sf_dir):
+    """Channel buckets partition the purchase set; a driver-side replay
+    of the last-touch rule (latest view/click at-or-before within 1h,
+    else direct) reproduces every bucket's count."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    want = Counter()
+    n_purchases = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, 0 if r.event_type != "purchase" else 1, r.event_id))
+        last = None  # (ts, event_type)
+        for r in rows:
+            if r.event_type in ("view", "click"):
+                last = (r.ts, r.event_type)
+            elif r.event_type == "purchase":
+                n_purchases += 1
+                if last is not None and (r.ts - last[0]).total_seconds() <= 3600:
+                    want[last[1]] += 1
+                else:
+                    want["direct"] += 1
+    out = all_queries()["events_attribution"].spark(spark, sf_dir).collect()
+    assert {r.channel: r.n_purchases for r in out} == dict(want)
+    assert sum(r.n_purchases for r in out) == n_purchases

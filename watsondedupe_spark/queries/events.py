@@ -546,3 +546,92 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("graded_sliding_sink").select(
         "window_start", "n_events", "total_value"
     )
+
+
+@register(
+    "events_attribution",
+    """
+WITH tagged AS (
+    SELECT user_id, epoch_us(ts) AS us, NULL AS ch, NULL::BIGINT AS src_us,
+           value, event_id, 1 AS side
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, epoch_us(ts) AS us, event_type AS ch, epoch_us(ts) AS src_us,
+           NULL::DOUBLE AS value, event_id, 0 AS side
+    FROM events WHERE event_type IN ('view', 'click')
+),
+carried AS (
+    SELECT user_id, us, value, side,
+           last_value(ch IGNORE NULLS) OVER w AS last_ch,
+           last_value(src_us IGNORE NULLS) OVER w AS last_us
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+                 ROWS UNBOUNDED PRECEDING)
+),
+attributed AS (
+    SELECT CASE WHEN last_us IS NOT NULL AND us - last_us <= 3600000000
+                THEN last_ch ELSE 'direct' END AS channel,
+           value
+    FROM carried WHERE side = 1
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM attributed GROUP BY channel
+""",
+    doc="last-touch marketing attribution: each purchase credits the "
+    "latest view/click by the same user at-or-before it and within a "
+    "1-hour lookback, else the 'direct' bucket — the revenue-"
+    "attribution rollup behind every channel-spend decision. Same "
+    "union+carried-window formulation as the as-of join (one shuffle "
+    "keyed by user, last_value IGNORE NULLS carries the touch forward "
+    "— no range-join row explosion, no per-purchase scan-back), with "
+    "the freshness bound applied AFTER the carry so the window stays a "
+    "plain running frame. Microsecond integer time (unix_micros == "
+    "epoch_us) and decimal-exact sums keep both engines hash-identical",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_type").alias("ch"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("src_us"),
+        F.lit(None).cast("double").alias("value"),
+        "event_id",
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(None).cast("string").alias("ch"),
+        F.lit(None).cast("long").alias("src_us"),
+        "value",
+        "event_id",
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = touches.unionByName(purchases).select(
+        "us",
+        "value",
+        "side",
+        F.last("ch", ignorenulls=True).over(w).alias("last_ch"),
+        F.last("src_us", ignorenulls=True).over(w).alias("last_us"),
+    )
+    fresh = F.col("last_us").isNotNull() & (
+        (F.col("us") - F.col("last_us")) <= 3_600_000_000
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(F.when(fresh, F.col("last_ch")).otherwise("direct").alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

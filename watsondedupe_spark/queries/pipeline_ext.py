@@ -2106,3 +2106,92 @@ def emb_label_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_diff").cast("double") / F.col("n_pairs")).alias("impurity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: adjacent-bigram lift (rational PMI stand-in)
+# ---------------------------------------------------------------------------
+
+_COLLOC_K = 20
+
+
+@register(
+    "docs_collocation_lift",
+    f"""
+WITH tok AS (
+    SELECT string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                                 i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM tok
+),
+bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY bigram),
+ug AS (SELECT unnest(t) AS w FROM tok),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM ug GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM bg),
+top AS (
+    SELECT bigram, n_ab FROM bc ORDER BY n_ab DESC, bigram LIMIT {_COLLOC_K}
+)
+SELECT t.bigram, t.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       CAST(t.n_ab * n_big AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE) AS lift
+FROM top t
+JOIN uc a ON a.w = string_split(t.bigram, ' ')[1]
+JOIN uc b ON b.w = string_split(t.bigram, ' ')[2]
+CROSS JOIN tot
+""",
+    doc="collocation mining: the top-{K} adjacent word bigrams with "
+    "their association lift n_ab * N / (n_a * n_b) — a rational PMI "
+    "stand-in (identical ranking signal, no log, so it stays IEEE-"
+    "bit-identical across engines). The phrase-mining pass a tokenizer "
+    "team runs to decide which multi-word units deserve dedicated "
+    "vocabulary entries. Plan: bigram + unigram counts are two "
+    "partial-agg passes whose shuffles carry vocabulary-sized keys, "
+    "the top-{K} is a TakeOrdered, and the unigram lookups join "
+    "against a {K}-row broadcast side — the corpus text is never "
+    "shuffled, so 100 TB costs two scans + vocab-sized exchanges"
+    "".format(K=_COLLOC_K),
+)
+def docs_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _docs_parallel
+
+    toks = _docs_parallel(spark, sf_dir).select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.get("t", i), F.get("t", i + 1)),
+            )
+        ).alias("bigram")
+    )
+    bc = bigrams.groupBy("bigram").agg(F.count("*").cast("long").alias("n_ab"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    tot = bigrams.agg(F.count("*").cast("long").alias("n_big"))
+    top = bc.orderBy(F.desc("n_ab"), "bigram").limit(_COLLOC_K)
+    a = uc.select(F.col("w").alias("wa"), F.col("n_w").alias("n_a"))
+    b = uc.select(F.col("w").alias("wb"), F.col("n_w").alias("n_b"))
+    parts = F.split("bigram", " ")
+    return (
+        top.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(a, "wa")
+        .join(b, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_big")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

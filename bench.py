@@ -203,6 +203,10 @@ HEADLINE = [
     # last-touch attribution (user-keyed union window + channel rollup).
     "docs_collocation_lift",
     "events_attribution",
+    # emb_pq_distortion stays untimed for the probe-over-shared-
+    # substrate reason: it reads the cached ann-index code table whose
+    # build is the locked ann_index_build row, plus one corpus pass of
+    # the shape emb_top_pc_power already budgets.
     # emb_ann_partitioned_probe stays untimed: its steady-state probe
     # reads the staged store (build-once/probe-many), so the timed cost
     # would be the same routing math emb_ann_topk_ivf already budgets

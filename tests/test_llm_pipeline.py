@@ -457,3 +457,33 @@ def test_collocation_lift_contract(spark, sf_dir):
         wa, wb = g.split(" ")
         assert (r.n_ab, r.n_a, r.n_b) == (n, uni[wa], uni[wb])
         assert r.lift == (n * n_big) / (uni[wa] * uni[wb])
+
+
+def test_pq_distortion_matches_numpy(spark, sf_dir):
+    """Exact per-subspace reconstruction error recomputed with numpy from
+    the same md5-sampled codebooks and argmin assignment."""
+    import numpy as np
+
+    from watsondedupe_spark.operators.similarity import pq_codebooks
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    emb_df = read_table(spark, sf_dir, "embeddings")
+    emb = emb_df.select("vec_id", "embedding").collect()
+    X = np.array(
+        [np.floor(np.array(r.embedding, dtype=np.float64) * 1000 + 0.5) for r in emb],
+        dtype=np.int64,
+    )
+    cbs = pq_codebooks(emb_df, m=8, ks=16)
+    rows = all_queries()["emb_pq_distortion"].spark(spark, sf_dir).collect()
+    assert len(rows) == 8
+    got = {r.subspace: r for r in rows}
+    for s in range(8):
+        C = np.floor(np.asarray(cbs[s], dtype=np.float64) * 1000 + 0.5).astype(np.int64)
+        sv = X[:, s * 8 : (s + 1) * 8]
+        d2 = ((sv[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        want_err = int(d2.min(axis=1).sum())
+        want_energy = int((sv * sv).sum())
+        r = got[s]
+        assert (r.n_vecs, r.sq_err, r.energy) == (len(X), want_err, want_energy)
+        assert r.distortion == want_err / want_energy

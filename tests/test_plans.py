@@ -698,3 +698,12 @@ def test_attribution_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert not P.has_cartesian(df)
     assert P.audit(df)["shuffle_joins"] == 0
+
+
+def test_pq_distortion_plan(spark, sf_dir):
+    """One corpus pass against the cached code table: the codebook rides
+    as a literal (no join for it), the 8-key rollup keeps its partial
+    phase, nothing goes cartesian."""
+    df = q("emb_pq_distortion", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

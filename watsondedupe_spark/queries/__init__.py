@@ -103,8 +103,9 @@ _GRADING_PRIORITY = [
     # streamed window-shape matrix) plus the LSH-bucket label-impurity
     # screen
     "events_sliding_streamed", "emb_label_impurity",
-    # ... collocation mining and last-touch attribution
-    "docs_collocation_lift", "events_attribution",
+    # ... collocation mining, last-touch attribution, and the PQ
+    # distortion audit (completes the ANN diagnostics trio)
+    "docs_collocation_lift", "events_attribution", "emb_pq_distortion",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

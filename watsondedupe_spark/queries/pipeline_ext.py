@@ -2195,3 +2195,135 @@ def docs_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantization-distortion audit: which subspace loses the most signal
+# ---------------------------------------------------------------------------
+
+_PQ_DISTORTION_ORACLE = """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (
+        SELECT vec_id, qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM base
+        ORDER BY skey, vec_id
+        LIMIT 16
+    )
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x) AS d2
+    FROM base b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+          FROM enc)
+    WHERE rn = 1
+),
+per AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS sq_err
+    FROM chosen GROUP BY s
+),
+eng AS (
+    SELECT sp.s,
+           CAST(SUM(list_reduce(list_transform(
+               list_slice(b.qv, sp.s * 8 + 1, sp.s * 8 + 8), x -> x * x),
+               (acc, x) -> acc + x)) AS BIGINT) AS energy
+    FROM base b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+    GROUP BY sp.s
+)
+SELECT CAST(per.s AS BIGINT) AS subspace, n_vecs, sq_err, energy,
+       CAST(sq_err AS DOUBLE) / energy AS distortion
+FROM per JOIN eng ON eng.s = per.s
+"""
+
+
+@register(
+    "emb_pq_distortion",
+    _PQ_DISTORTION_ORACLE,
+    doc="PQ quantization-distortion audit: per subspace, the exact "
+    "integer squared reconstruction error of the assigned code entry "
+    "summed over the corpus, normalized by the subspace's signal energy "
+    "— the table that says WHICH 8-dim slice the 32x-compressed index "
+    "is butchering (an outlier row means that subspace needs more "
+    "codes, a k-means refine, or an OPQ-style rotation before the ADC "
+    "scores can be trusted). Completes the ANN diagnostics trio: list "
+    "balance (where probes cost), probe sweep (what recall buys), "
+    "distortion (where the compression loses it). Reuses the shared "
+    "one-build index (codes + codebooks); the Spark side recomputes "
+    "each vector's d2 to its STORED code via a literal-broadcast "
+    "codebook — one corpus pass, 8-key partial agg, all integers until "
+    "the final division",
+)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from watsondedupe_spark.queries.curation_ext import _ann_index
+    from watsondedupe_spark.queries.llm_pipeline import _quant_vec
+
+    _, _, cbs, codes = _ann_index(spark, sf_dir)
+    qcb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(math.floor(x * 1000 + 0.5))) for x in code])
+                    for code in sub
+                ]
+            )
+            for sub in cbs
+        ]
+    )
+    base = _emb(spark, sf_dir).select("vec_id", _quant_vec().alias("qv"))
+    per_sub = (
+        base.join(codes.select("vec_id", "codes"), "vec_id")
+        .select("qv", "codes", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"))
+        .select(
+            "s",
+            F.slice("qv", F.col("s") * 8 + 1, F.lit(8)).alias("sv"),
+            F.element_at(
+                F.element_at(qcb, F.col("s") + 1),
+                F.element_at("codes", F.col("s") + 1) + 1,
+            ).alias("cv"),
+        )
+        .select(
+            "s",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.aggregate(
+                F.transform("sv", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("e"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("d2").cast("long").alias("sq_err"),
+            F.sum("e").cast("long").alias("energy"),
+        )
+    )
+    return per_sub.select(
+        F.col("s").cast("long").alias("subspace"),
+        "n_vecs",
+        "sq_err",
+        "energy",
+        (F.col("sq_err").cast("double") / F.col("energy")).alias("distortion"),
+    )

@@ -203,6 +203,10 @@ HEADLINE = [
     # last-touch attribution (user-keyed union window + channel rollup).
     "docs_collocation_lift",
     "events_attribution",
+    # ... and the int8 scalar-quantization recall audit: the per-dim
+    # min/max corpus pass + the reconstructed-vector brute-force arm
+    # are new plans (only the exact arm reuses the timed kNN shape).
+    "emb_sq8_recall",
     # emb_pq_distortion stays untimed for the probe-over-shared-
     # substrate reason: it reads the cached ann-index code table whose
     # build is the locked ann_index_build row, plus one corpus pass of

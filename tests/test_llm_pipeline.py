@@ -487,3 +487,47 @@ def test_pq_distortion_matches_numpy(spark, sf_dir):
         r = got[s]
         assert (r.n_vecs, r.sq_err, r.energy) == (len(X), want_err, want_energy)
         assert r.distortion == want_err / want_energy
+
+
+def test_sq8_recall_matches_numpy(spark, sf_dir):
+    """Recall@10 equals a numpy recomputation: same per-dim min/max
+    affine int8 encode, same 255-scaled integer reconstruction, same
+    cosine-desc-then-id tie order for both the approx and exact arms."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["emb_sq8_recall"].spark(spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    mn, mx = M.min(axis=0), M.max(axis=0)
+    den = mx - mn
+    code = np.where(den == 0, 0, (M - mn) * 255 // np.where(den == 0, 1, den))
+    R = mn * 255 + code * den  # 255x the dequantized value, all integer
+
+    def topk(X, qv):
+        dots = X @ qv
+        cos = dots / np.sqrt(float(qv @ qv)) / np.sqrt((X * X).sum(axis=1))
+        return cos
+
+    got = {r.query_id: r for r in rows}
+    assert set(got) == set(_KNN_QUERIES)
+    for qid in _KNN_QUERIES:
+        qv = M[ids == qid][0]
+        exact = sorted(
+            [(c, i) for c, i in zip(topk(M, qv), ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        approx = sorted(
+            [(c, i) for c, i in zip(topk(R, qv), ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        want = len({i for _, i in exact[:10]} & {i for _, i in approx[:10]})
+        r = got[qid]
+        assert (r.n_exact, r.n_hits) == (10, want)
+        assert abs(r.recall - want / 10) < 1e-15

@@ -707,3 +707,14 @@ def test_pq_distortion_plan(spark, sf_dir):
     df = q("emb_pq_distortion", spark, sf_dir)
     assert P.has_partial_aggregation(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_sq8_recall_plan(spark, sf_dir):
+    """The per-dim min/max is one partial-aggregated corpus pass joined
+    back by 1-row broadcast (no explode shuffle); the query side
+    broadcasts; scans stay 2 columns wide; no cartesian fan-out
+    survives (both crossJoins are broadcast-of-tiny)."""
+    df = q("emb_sq8_recall", spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.max_scan_width(df) <= 2
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

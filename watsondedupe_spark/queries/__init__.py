@@ -106,6 +106,9 @@ _GRADING_PRIORITY = [
     # ... collocation mining, last-touch attribution, and the PQ
     # distortion audit (completes the ANN diagnostics trio)
     "docs_collocation_lift", "events_attribution", "emb_pq_distortion",
+    # ... and the int8 scalar-quantization recall audit (the 4x
+    # no-codebook compression arm of the storage/recall frontier)
+    "emb_sq8_recall",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -207,6 +207,9 @@ HEADLINE = [
     # min/max corpus pass + the reconstructed-vector brute-force arm
     # are new plans (only the exact arm reuses the timed kNN shape).
     "emb_sq8_recall",
+    # emb_hard_negatives stays untimed for the composite reason: it is
+    # the timed emb_knn_cosine plan with a label column and a pre-rank
+    # inequality filter, so its time is that row plus epsilon.
     # emb_pq_distortion stays untimed for the probe-over-shared-
     # substrate reason: it reads the cached ann-index code table whose
     # build is the locked ann_index_build row, plus one corpus pass of

@@ -531,3 +531,45 @@ def test_sq8_recall_matches_numpy(spark, sf_dir):
         r = got[qid]
         assert (r.n_exact, r.n_hits) == (10, want)
         assert abs(r.recall - want / 10) < 1e-15
+
+
+def test_hard_negatives_contract(spark, sf_dir):
+    """Every mined pair crosses labels, ranks are dense per query, and
+    the set equals a numpy recomputation (top-5 cosine among
+    different-label candidates, cosine-desc-then-id tie order)."""
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["emb_hard_negatives"].spark(spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    labels = {r.vec_id: r.label for r in emb}
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+    for qid in _KNN_QUERIES:
+        qv = M[ids == qid][0]
+        cos = (M @ qv) / np.sqrt(float(qv @ qv)) / np.sqrt((M * M).sum(axis=1))
+        order = sorted(
+            [
+                (c, i)
+                for c, i in zip(cos, ids)
+                if i != qid and labels[i] != labels[qid]
+            ],
+            key=lambda t: (-t[0], t[1]),
+        )
+        want = [i for _, i in order[:5]]
+        got = sorted(
+            [r for r in rows if r.query_id == qid], key=lambda r: r.rank
+        )
+        assert [r.neighbor_id for r in got] == want
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]

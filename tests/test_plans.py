@@ -718,3 +718,12 @@ def test_sq8_recall_plan(spark, sf_dir):
     assert P.has_partial_aggregation(df)
     assert P.max_scan_width(df) <= 2
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_hard_negatives_plan(spark, sf_dir):
+    """The probe set broadcasts (crossJoin of tiny side), the label
+    inequality filters BEFORE the rank windows, the salted two-phase
+    top-k keeps partial ranking, and scans stay 2 columns wide."""
+    df = q("emb_hard_negatives", spark, sf_dir)
+    assert P.max_scan_width(df) <= 2
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

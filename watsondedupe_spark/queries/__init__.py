@@ -108,7 +108,9 @@ _GRADING_PRIORITY = [
     "docs_collocation_lift", "events_attribution", "emb_pq_distortion",
     # ... and the int8 scalar-quantization recall audit (the 4x
     # no-codebook compression arm of the storage/recall frontier)
-    "emb_sq8_recall",
+    # plus contrastive hard-negative mining (top-k different-label
+    # neighbors per anchor — the selection step of retrieval training)
+    "emb_sq8_recall", "emb_hard_negatives",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

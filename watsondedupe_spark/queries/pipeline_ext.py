@@ -2488,3 +2488,120 @@ def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: nearest neighbors that must NOT match — the pairs
+# a contrastive embedding trainer actually learns from
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 5
+
+
+def _hard_neg_oracle() -> str:
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES, _QUANT
+
+    quant = _QUANT.format(x="list_extract(e.embedding, CAST(d.i AS INTEGER))")
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+ce AS (
+    SELECT e.vec_id, d.i, {quant} AS v
+    FROM embeddings e CROSS JOIN dims d
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nrm FROM ce GROUP BY vec_id),
+lab AS (SELECT vec_id, label FROM embeddings),
+qe AS (SELECT vec_id AS qid, i, v FROM ce WHERE vec_id IN {tuple(_KNN_QUERIES)}),
+dots AS (
+    SELECT q.qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot
+    FROM qe q JOIN ce c ON q.i = c.i AND c.vec_id != q.qid
+    GROUP BY q.qid, c.vec_id
+),
+sims AS (
+    SELECT d.qid, ql.label AS qlabel, d.cid, cl.label AS clabel,
+           CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE))
+                                 / sqrt(CAST(nc.nrm AS DOUBLE)) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.qid
+    JOIN norms nc ON nc.vec_id = d.cid
+    JOIN lab ql ON ql.vec_id = d.qid
+    JOIN lab cl ON cl.vec_id = d.cid
+    WHERE ql.label != cl.label
+)
+SELECT qid AS query_id, CAST(qlabel AS INTEGER) AS query_label,
+       cid AS neighbor_id, CAST(clabel AS INTEGER) AS neighbor_label,
+       cosine, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM sims)
+WHERE rnk <= {_HARDNEG_K}
+"""
+
+
+@register(
+    "emb_hard_negatives",
+    _hard_neg_oracle(),
+    doc="contrastive hard-negative mining: for each probe vector, the "
+    "top-5 highest-cosine neighbors whose LABEL DIFFERS — the "
+    "semantically-confusable pairs an embedding trainer pairs with "
+    "each anchor so the margin is learned where it is thinnest "
+    "(random in-batch negatives are too easy to move the loss). This "
+    "is the selection step of every retrieval/rerank training "
+    "pipeline; at 100 TB it is the exact same plan — the probe set "
+    "broadcasts as whole quantized vectors, every candidate row "
+    "computes dot/norms row-locally inside codegen, the label "
+    "inequality is a pre-rank filter (so mined pairs never shuffle), "
+    "and the top-k is the salted two-phase rank. Quantized-integer "
+    "dot/norms keep the float cosine bit-identical on both engines",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_QUERIES
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", _quant_vec().alias("v"))
+    nrm = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
+    q = cand.filter(F.col("vec_id").isin(*_KNN_QUERIES)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        cand.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            (
+                dot.cast("double")
+                / F.sqrt(F.col("qnrm").cast("double"))
+                / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w_part = Window.partitionBy("qid", "salt").orderBy(F.desc("cosine"), "cid")
+    w_full = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        sims.withColumn("salt", F.pmod(F.col("cid"), F.lit(32)))
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= _HARDNEG_K)
+        .withColumn("rank", F.row_number().over(w_full).cast("int"))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").cast("int").alias("query_label"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("clabel").cast("int").alias("neighbor_label"),
+            "cosine",
+            "rank",
+        )
+    )

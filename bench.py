@@ -207,6 +207,10 @@ HEADLINE = [
     # min/max corpus pass + the reconstructed-vector brute-force arm
     # are new plans (only the exact arm reuses the timed kNN shape).
     "emb_sq8_recall",
+    # ... and the tokenizer-fertility audit: one corpus pass of three
+    # row-local regex/length counts + a (lang, source) partial agg —
+    # the regex runs are the cost, and nothing else times that shape.
+    "docs_token_fertility",
     # emb_hard_negatives stays untimed for the composite reason: it is
     # the timed emb_knn_cosine plan with a label column and a pre-rank
     # inequality filter, so its time is that row plus epsilon.

@@ -573,3 +573,35 @@ def test_hard_negatives_contract(spark, sf_dir):
         )
         assert [r.neighbor_id for r in got] == want
         assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_token_fertility_contract(spark, sf_dir):
+    """Group sums equal a driver-side regex recount and the ratios are
+    exactly the quotient of the integer sums."""
+    import re
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _PRETOK_RE
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    want = {}
+    for r in docs:
+        k = (r.lang, r.source)
+        d, w, p, c = want.get(k, (0, 0, 0, 0))
+        want[k] = (
+            d + 1,
+            w + len(r.text.split(" ")),
+            p + len(re.findall(_PRETOK_RE, r.text)),
+            c + len(r.text.replace(" ", "")),
+        )
+    rows = all_queries()["docs_token_fertility"].spark(spark, sf_dir).collect()
+    got = {(r.lang, r.source): r for r in rows}
+    assert set(got) == set(want)
+    for k, (d, w, p, c) in want.items():
+        r = got[k]
+        assert (r.n_docs, r.n_words, r.n_pretok, r.n_tok_chars) == (d, w, p, c)
+        assert r.fertility == p / w
+        assert r.avg_tok_len == c / p

@@ -727,3 +727,13 @@ def test_hard_negatives_plan(spark, sf_dir):
     df = q("emb_hard_negatives", spark, sf_dir)
     assert P.max_scan_width(df) <= 2
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_token_fertility_plan(spark, sf_dir):
+    """One corpus pass: row-local regex counts then a (lang, source)
+    partial agg — text itself never shuffles, no joins at all."""
+    df = q("docs_token_fertility", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert report["shuffles"] <= 1
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0

@@ -111,6 +111,9 @@ _GRADING_PRIORITY = [
     # plus contrastive hard-negative mining (top-k different-label
     # neighbors per anchor — the selection step of retrieval training)
     "emb_sq8_recall", "emb_hard_negatives",
+    # ... and the per-(lang, source) tokenizer-fertility audit (the
+    # cross-language fairness table behind token-budgeted mixtures)
+    "docs_token_fertility",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

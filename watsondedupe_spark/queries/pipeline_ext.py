@@ -2605,3 +2605,61 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility: tokens-per-word by language — the number that
+# decides whose documents get silently over-billed by the token budget
+# ---------------------------------------------------------------------------
+
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@register(
+    "docs_token_fertility",
+    f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_pretok) AS BIGINT) AS n_pretok,
+       CAST(SUM(n_tok_chars) AS BIGINT) AS n_tok_chars,
+       CAST(SUM(n_pretok) AS DOUBLE) / SUM(n_words) AS fertility,
+       CAST(SUM(n_tok_chars) AS DOUBLE) / SUM(n_pretok) AS avg_tok_len
+FROM (
+    SELECT lang, source,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{_PRETOK_RE}')) AS n_pretok,
+           len(replace(text, ' ', '')) AS n_tok_chars
+    FROM documents
+)
+GROUP BY lang, source
+""",
+    doc="tokenizer fertility audit: per (lang, source), whitespace words "
+    "vs BPE-style pre-tokens (alpha runs | digit runs | punct runs — "
+    "the GPT-2-style pre-tokenization every BPE trainer segments "
+    "within) and characters per pre-token. Fertility (pre-tokens per "
+    "word) is THE cross-language fairness number for a token-budgeted "
+    "corpus: a language tokenizing at 2x fertility pays twice the "
+    "budget per word, so mixture weights computed in tokens silently "
+    "under-sample it — this table is what you read before setting the "
+    "docs_token_budget_mix rates. One corpus pass, row-local regex "
+    "counts, (lang, source)-keyed partial agg; text never shuffles. "
+    "The disjoint alternation classes make Java-regex and RE2 "
+    "semantics provably identical, keeping the counts oracle-exact",
+)
+def docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_PRETOK_RE), 0)).alias("n_pretok"),
+        F.length(F.replace("text", F.lit(" "), F.lit(""))).alias("n_tok_chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_pretok").cast("long").alias("n_pretok"),
+        F.sum("n_tok_chars").cast("long").alias("n_tok_chars"),
+        (F.sum("n_pretok").cast("double") / F.sum("n_words")).alias("fertility"),
+        (F.sum("n_tok_chars").cast("double") / F.sum("n_pretok")).alias("avg_tok_len"),
+    )

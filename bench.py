@@ -211,6 +211,10 @@ HEADLINE = [
     # row-local regex/length counts + a (lang, source) partial agg —
     # the regex runs are the cost, and nothing else times that shape.
     "docs_token_fertility",
+    # ... and rolling-distinct DAU/WAU: the (day, user) dedup + 7-day
+    # bounded explode + (window_day, user) dedup are two real distinct
+    # shuffles over the events table — a new shape worth a budget.
+    "events_dau_wau",
     # emb_hard_negatives stays untimed for the composite reason: it is
     # the timed emb_knn_cosine plan with a label column and a pre-rank
     # inequality filter, so its time is that row plus epsilon.

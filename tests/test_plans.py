@@ -737,3 +737,15 @@ def test_token_fertility_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert report["shuffles"] <= 1
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+
+
+def test_dau_wau_plan(spark, sf_dir):
+    """Raw events dedup once at (day, user) grain; the window fan-out is
+    the bounded 7-day explode joined to the broadcast day spine — never
+    a range join of events against events; aggs keep partials."""
+    df = q("events_dau_wau", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert report["cartesian"] is False
+    assert P.uses_broadcast_join(df)
+    assert P.max_scan_width(df) <= 2

@@ -131,3 +131,32 @@ def test_attribution_contract(spark, sf_dir):
     out = all_queries()["events_attribution"].spark(spark, sf_dir).collect()
     assert {r.channel: r.n_purchases for r in out} == dict(want)
     assert sum(r.n_purchases for r in out) == n_purchases
+
+
+def test_dau_wau_contract(spark, sf_dir):
+    """DAU/WAU equal a driver-side set recomputation per active day and
+    stickiness is exactly dau/wau; WAU is monotone >= DAU."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "CAST(ts AS DATE) AS day", "user_id"
+    ).collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r.day].add(r.user_id)
+    rows = all_queries()["events_dau_wau"].spark(spark, sf_dir).collect()
+    got = {r.day: r for r in rows}
+    assert set(got) == set(by_day)
+    import datetime as dt
+
+    for day, users in by_day.items():
+        week = set()
+        for back in range(7):
+            week |= by_day.get(day - dt.timedelta(days=back), set())
+        r = got[day]
+        assert (r.dau, r.wau_7d) == (len(users), len(week))
+        assert r.stickiness == len(users) / len(week)
+        assert r.wau_7d >= r.dau

@@ -113,7 +113,9 @@ _GRADING_PRIORITY = [
     "emb_sq8_recall", "emb_hard_negatives",
     # ... and the per-(lang, source) tokenizer-fertility audit (the
     # cross-language fairness table behind token-budgeted mixtures)
-    "docs_token_fertility",
+    # plus rolling-distinct DAU/WAU/stickiness (COUNT DISTINCT over a
+    # RANGE frame via the bounded-explode decomposition)
+    "docs_token_fertility", "events_dau_wau",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -792,3 +792,70 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (measure, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct users (DAU / WAU / stickiness) — COUNT(DISTINCT) over a
+# RANGE frame, the window shape Spark has no native operator for
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau",
+    """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+win AS (
+    SELECT d.day, p.user_id
+    FROM (SELECT day FROM days) d
+    JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+),
+wau AS (
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+    FROM win GROUP BY day
+)
+SELECT d.day, d.dau, w.wau_7d, CAST(d.dau AS DOUBLE) / w.wau_7d AS stickiness
+FROM days d JOIN wau w ON w.day = d.day
+""",
+    doc="rolling distinct users: per active day, the distinct users that "
+    "day (DAU), over the trailing 7 days (WAU), and the DAU/WAU "
+    "stickiness ratio. COUNT(DISTINCT) over a RANGE frame has no "
+    "native Spark window operator — the scalable decomposition is: "
+    "distinct (day, user) pairs (one dedup at day grain, the only "
+    "pass over raw events), then each pair EXPLODES to the <=7 "
+    "window-end days it serves (bounded fan-out = window length, "
+    "never a range join of events against events), semi-joins the "
+    "tiny active-day spine by broadcast, dedups at (window_day, user) "
+    "grain, and counts. Work is O(active_pairs x 7) regardless of how "
+    "many raw events share a (user, day) — the raw table fans into "
+    "the window exactly once",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = pairs.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    spine = days.select("day").withColumnRenamed("day", "wday")
+    wau = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("wday"),
+            "user_id",
+        )
+        .join(F.broadcast(spine), "wday")
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count("*").cast("long").alias("wau_7d"))
+    )
+    return (
+        days.join(wau, days.day == wau.wday)
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            (F.col("dau").cast("double") / F.col("wau_7d")).alias("stickiness"),
+        )
+    )

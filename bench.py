@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_weighted_sample stays untimed for the TakeOrdered reason:
+    # one scan + row-local hash math + a bounded top-k — the shape
+    # docs_hash_topk_sample already budgets.
     # emb_hard_negatives stays untimed for the composite reason: it is
     # the timed emb_knn_cosine plan with a label column and a pre-rank
     # inequality filter, so its time is that row plus epsilon.

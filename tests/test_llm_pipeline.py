@@ -605,3 +605,34 @@ def test_token_fertility_contract(spark, sf_dir):
         assert (r.n_docs, r.n_words, r.n_pretok, r.n_tok_chars) == (d, w, p, c)
         assert r.fertility == p / w
         assert r.avg_tok_len == c / p
+
+
+def test_weighted_sample_contract(spark, sf_dir):
+    """Exactly k rows, ranks dense, winners equal a driver-side
+    recomputation of the u // w priority order, and the sample is
+    size-biased (mean sampled weight exceeds the corpus mean)."""
+    import hashlib
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _SPS_K
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def pri(doc_id, w):
+        u = int(hashlib.md5(f"sps:{doc_id}".encode()).hexdigest()[:15], 16)
+        return u // w
+
+    order = sorted(((pri(r.doc_id, r.n_chars), r.doc_id) for r in docs))
+    want = [d for _, d in order[:_SPS_K]]
+    rows = all_queries()["docs_weighted_sample"].spark(spark, sf_dir).collect()
+    got = sorted(rows, key=lambda r: r.rank)
+    assert [r.doc_id for r in got] == want
+    assert [r.rank for r in got] == list(range(1, _SPS_K + 1))
+    for r in got:
+        assert r.priority == pri(r.doc_id, r.weight)
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.weight for r in got) / len(got)
+    assert sample_mean > corpus_mean

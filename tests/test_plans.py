@@ -749,3 +749,15 @@ def test_dau_wau_plan(spark, sf_dir):
     assert report["cartesian"] is False
     assert P.uses_broadcast_join(df)
     assert P.max_scan_width(df) <= 2
+
+
+def test_weighted_sample_plan(spark, sf_dir):
+    """One scan with row-local hash arithmetic into a distributed
+    TakeOrdered — the corpus never shuffles; the only window runs over
+    the k surviving rows."""
+    df = q("docs_weighted_sample", spark, sf_dir)
+    assert P.count_occurrences(df, r"TakeOrderedAndProject") >= 1
+    assert P.max_scan_width(df) <= 3
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["shuffle_joins"] == 0

@@ -116,6 +116,9 @@ _GRADING_PRIORITY = [
     # plus rolling-distinct DAU/WAU/stickiness (COUNT DISTINCT over a
     # RANGE frame via the bounded-explode decomposition)
     "docs_token_fertility", "events_dau_wau",
+    # ... and exact-k size-biased sequential Poisson sampling (priority
+    # = md5-uniform // weight, k smallest — permanent random numbers)
+    "docs_weighted_sample",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -2663,3 +2663,59 @@ def docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_pretok").cast("double") / F.sum("n_words")).alias("fertility"),
         (F.sum("n_tok_chars").cast("double") / F.sum("n_pretok")).alias("avg_tok_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential Poisson sampling: exact-k, size-biased, coordination-free
+# ---------------------------------------------------------------------------
+
+_SPS_K = 100
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, priority,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+    SELECT doc_id, source, n_chars,
+           CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               // n_chars AS priority,
+           ROW_NUMBER() OVER (ORDER BY
+               CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   // n_chars,
+               doc_id) AS rnk
+    FROM documents
+)
+WHERE rnk <= {_SPS_K}
+""",
+    doc="sequential Poisson sampling (Ohlsson): exact-k weighted sample "
+    "with inclusion probability ~ proportional to size — each doc "
+    "draws a deterministic 60-bit md5 uniform, its priority is "
+    "u // weight (integer floor division, weight = n_chars), and the "
+    "k SMALLEST priorities win. This is the curation sampler that "
+    "hash-threshold gates can't be: exact sample size (thresholds "
+    "give binomial counts) AND size-biased (big documents "
+    "proportionally likelier), while staying coordination-free and "
+    "reproducible across runs, engines, partitionings, and corpus "
+    "growth (a doc's priority never changes, so samples are "
+    "consistent under refresh — the property survey sampling calls "
+    "permanent random numbers). Plan: one scan, row-local hash "
+    "arithmetic, distributed TakeOrdered top-k — no shuffle of the "
+    "corpus, no rand(), oracle-exact by construction",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pri = F.expr(
+        "CAST(conv(substr(md5(concat('sps:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " DIV n_chars"
+    )
+    ranked = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(_SPS_K)
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return ranked.select(
+        "doc_id", "source", "weight", "priority", F.row_number().over(w).cast("int").alias("rank")
+    )

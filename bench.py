@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_scd2_intervals stays untimed for the composite reason:
+    # two window phases over one per-user shuffle — the shape (and the
+    # shuffle) events_sessionize_gap already budgets.
     # docs_weighted_sample stays untimed for the TakeOrdered reason:
     # one scan + row-local hash math + a bounded top-k — the shape
     # docs_hash_topk_sample already budgets.

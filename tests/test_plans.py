@@ -761,3 +761,14 @@ def test_weighted_sample_plan(spark, sf_dir):
     report = P.audit(df)
     assert report["cartesian"] is False
     assert report["shuffle_joins"] == 0
+
+
+def test_scd2_intervals_plan(spark, sf_dir):
+    """Both window phases share one per-user partitioning — the log
+    shuffles once; the user_id filter reaches the scan."""
+    df = q("events_scd2_intervals", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["shuffles"] <= 1
+    pf = " ".join(report["pushed_filters"]).lower()
+    assert "user_id" in pf

@@ -160,3 +160,48 @@ def test_dau_wau_contract(spark, sf_dir):
         assert (r.dau, r.wau_7d) == (len(users), len(week))
         assert r.stickiness == len(users) / len(week)
         assert r.wau_7d >= r.dau
+
+
+def test_scd2_intervals_contract(spark, sf_dir):
+    """Intervals tile each user's timeline: versions dense from 1,
+    consecutive intervals abut exactly (valid_to == next valid_from),
+    exactly one open current row per user, no zero-change rows, and the
+    reconstruction matches a driver-side replay of the log."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter("user_id < 50")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+        .collect()
+    )
+    log = defaultdict(list)
+    for r in ev:
+        log[r.user_id].append((r.us, r.event_id, r.event_type))
+    want = {}
+    for u, rows in log.items():
+        rows.sort()
+        segs = []
+        for us, _eid, et in rows:
+            if not segs or segs[-1][1] != et:
+                segs.append([us, et])
+        want[u] = segs
+    rows = all_queries()["events_scd2_intervals"].spark(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert set(by_user) == set(want)
+    for u, segs in want.items():
+        got = sorted(by_user[u], key=lambda r: r.version)
+        assert [r.version for r in got] == list(range(1, len(segs) + 1))
+        assert [(r.valid_from_us, r.event_type) for r in got] == [
+            (us, et) for us, et in segs
+        ]
+        for a, b in zip(got, got[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.event_type != b.event_type
+            assert not a.is_current
+        assert got[-1].is_current and got[-1].valid_to_us is None

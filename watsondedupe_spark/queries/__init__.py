@@ -118,7 +118,9 @@ _GRADING_PRIORITY = [
     "docs_token_fertility", "events_dau_wau",
     # ... and exact-k size-biased sequential Poisson sampling (priority
     # = md5-uniform // weight, k smallest — permanent random numbers)
-    "docs_weighted_sample",
+    # plus the SCD Type-2 interval build (change compression -> LEAD
+    # validity stitching, one per-user shuffle)
+    "docs_weighted_sample", "events_scd2_intervals",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

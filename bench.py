@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_quality_calibration stays untimed for the composite reason:
+    # the timed docs_quality scan plus one source-keyed window — the
+    # window shuffle shape window_rank_family already budgets.
     # events_scd2_intervals stays untimed for the composite reason:
     # two window phases over one per-user shuffle — the shape (and the
     # shuffle) events_sessionize_gap already budgets.

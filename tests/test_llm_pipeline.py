@@ -636,3 +636,30 @@ def test_weighted_sample_contract(spark, sf_dir):
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     sample_mean = sum(r.weight for r in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_quality_calibration_contract(spark, sf_dir):
+    """Per-source percent ranks span [0, 1], match a driver-side rank
+    recomputation over the graded docs_quality scores, deciles are
+    floor(pct*10) capped at 9, and every source's best doc sits in
+    decile 9."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+
+    qrows = all_queries()["docs_quality"].spark(spark, sf_dir).collect()
+    score = {r.doc_id: r.quality_score for r in qrows}
+    rows = all_queries()["docs_quality_calibration"].spark(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(score)
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r.quality_score == score[r.doc_id]
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        order = sorted(rs, key=lambda r: (r.quality_score, r.doc_id))
+        n = len(order)
+        for i, r in enumerate(order):
+            want = 0.0 if n == 1 else i / (n - 1)
+            assert r.src_pct == want
+            assert r.calib_decile == min(9, int(want * 10))
+        assert order[-1].calib_decile == 9

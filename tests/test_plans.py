@@ -772,3 +772,13 @@ def test_scd2_intervals_plan(spark, sf_dir):
     assert report["shuffles"] <= 1
     pf = " ".join(report["pushed_filters"]).lower()
     assert "user_id" in pf
+
+
+def test_quality_calibration_plan(spark, sf_dir):
+    """Score and source ride one scan (no join back to documents); the
+    only exchange is the per-source window partitioning."""
+    df = q("docs_quality_calibration", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+    assert report["shuffles"] <= 1

@@ -121,6 +121,9 @@ _GRADING_PRIORITY = [
     # plus the SCD Type-2 interval build (change compression -> LEAD
     # validity stitching, one per-user shuffle)
     "docs_weighted_sample", "events_scd2_intervals",
+    # ... and per-source quality-score rank calibration (quantile
+    # normalization before any cross-source threshold)
+    "docs_quality_calibration",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -2719,3 +2719,82 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "source", "weight", "priority", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality calibration: rank-normalize scores inside each source
+# so one global threshold can't silently empty the hard sources
+# ---------------------------------------------------------------------------
+
+
+def _quality_calibration_oracle() -> str:
+    q = _REGISTRY["docs_quality"].oracle
+    return f"""
+WITH q AS ({q}),
+scored AS (
+    SELECT d.doc_id, d.source, q.quality_score,
+           PERCENT_RANK() OVER (PARTITION BY d.source
+                                ORDER BY q.quality_score, d.doc_id) AS src_pct
+    FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality_score, src_pct,
+       CAST(least(9, CAST(floor(src_pct * 10) AS BIGINT)) AS INTEGER) AS calib_decile
+FROM scored
+"""
+
+
+@register(
+    "docs_quality_calibration",
+    _quality_calibration_oracle(),
+    doc="per-source quality calibration: percent-rank each document's "
+    "composite quality score WITHIN its source, then bucket into "
+    "calibrated deciles. Raw quality scores are not comparable across "
+    "sources (a scanned-book corpus and a forum dump have different "
+    "score distributions), so a single global threshold silently "
+    "empties the hard sources and keeps the easy ones — rank "
+    "calibration is the standard fix before cross-source selection "
+    "(equivalent to per-source quantile normalization). The score is "
+    "the graded docs_quality formula recomputed in the same scan that "
+    "carries source (no join); the only shuffle is the per-source "
+    "window partitioning, with doc_id tie-break so ranks are total "
+    "and engine-portable",
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    toks = F.split("text", " ")
+    # mirrors the graded docs_quality formula, with source kept in-scan
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (
+            F.least(F.lit(1.0), F.size(toks).cast("long") / 50.0)
+            * (
+                1.0
+                - (
+                    (
+                        F.length("text")
+                        - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+                    ).cast("double")
+                    / F.length("text")
+                )
+            )
+            * (
+                0.5
+                + F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+                / F.size(toks)
+            )
+        ).alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.percent_rank().over(w).alias("src_pct"),
+    ).select(
+        "*",
+        F.least(F.lit(9), F.floor(F.col("src_pct") * 10).cast("long"))
+        .cast("int")
+        .alias("calib_decile"),
+    )

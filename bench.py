@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_seasonal_anomaly stays untimed for the composite reason:
+    # a 168-key exact-moment agg + broadcast join-back — the moment agg
+    # is the events_user_zscore shape, the join-back is free.
     # docs_quality_calibration stays untimed for the composite reason:
     # the timed docs_quality scan plus one source-keyed window — the
     # window shuffle shape window_rank_family already budgets.

@@ -782,3 +782,14 @@ def test_quality_calibration_plan(spark, sf_dir):
     assert report["cartesian"] is False
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
     assert report["shuffles"] <= 1
+
+
+def test_seasonal_anomaly_plan(spark, sf_dir):
+    """The 168-row baseline joins back by broadcast — the fact table
+    never shuffles for the join; both aggregates keep partials."""
+    df = q("events_seasonal_anomaly", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert P.uses_broadcast_join(df)
+    assert report["shuffle_joins"] == 0
+    assert report["partial_agg"]

@@ -205,3 +205,39 @@ def test_scd2_intervals_contract(spark, sf_dir):
             assert a.event_type != b.event_type
             assert not a.is_current
         assert got[-1].is_current and got[-1].valid_to_us is None
+
+
+def test_seasonal_anomaly_contract(spark, sf_dir):
+    """Bucket stats match a driver-side recomputation (decimal-exact
+    moments), outlier counts match the 3-sigma test against each
+    event's own calendar bucket, and rates are exactly count/n."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "(dayofweek(ts) - 1) AS dow", "hour(ts) AS hr", "CAST(value AS DECIMAL(18,2)) AS v"
+    ).collect()
+    buckets = defaultdict(list)
+    for r in ev:
+        buckets[(r.dow, r.hr)].append(Decimal(r.v))
+    rows = all_queries()["events_seasonal_anomaly"].spark(spark, sf_dir).collect()
+    got = {(r.dow, r.hr): r for r in rows}
+    want_keys = {k for k, vs in buckets.items() if len(vs) > 1}
+    assert set(got) == want_keys
+    for k in want_keys:
+        vs = buckets[k]
+        n = len(vs)
+        s1 = float(sum(vs))
+        s2 = float(sum((v * v).quantize(Decimal("0.0001")) for v in vs))
+        mean = s1 / n
+        sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        n_out = sum(1 for v in vs if abs((float(v) - mean) / sd) >= 3.0)
+        r = got[k]
+        assert r.n == n
+        assert r.mean == mean and r.sd == sd
+        assert r.n_outliers == n_out
+        assert r.outlier_rate == n_out / n

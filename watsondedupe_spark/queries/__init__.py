@@ -122,8 +122,9 @@ _GRADING_PRIORITY = [
     # validity stitching, one per-user shuffle)
     "docs_weighted_sample", "events_scd2_intervals",
     # ... and per-source quality-score rank calibration (quantile
-    # normalization before any cross-source threshold)
-    "docs_quality_calibration",
+    # normalization before any cross-source threshold) plus the
+    # (dow, hour) seasonal-baseline 3-sigma anomaly profile
+    "docs_quality_calibration", "events_seasonal_anomaly",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

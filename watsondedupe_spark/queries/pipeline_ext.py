@@ -2798,3 +2798,87 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("calib_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly profile: (day-of-week, hour) baseline + 3-sigma rate —
+# the calendar-aware outlier screen flat z-scores can't be
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_anomaly",
+    """
+WITH keyed AS (
+    SELECT CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+           CAST(value AS DECIMAL(18,2)) AS vdec
+    FROM events
+),
+m AS (
+    SELECT dow, hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vdec) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(vdec * vdec AS DECIMAL(28,4))) AS DOUBLE) AS s2
+    FROM keyed GROUP BY dow, hr
+)
+SELECT k.dow, k.hr, m.n,
+       m.s1 / m.n AS mean,
+       sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS sd,
+       CAST(SUM(CASE WHEN abs((k.v - m.s1 / m.n)
+                / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) >= 3.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN abs((k.v - m.s1 / m.n)
+                / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))) >= 3.0
+                THEN 1 ELSE 0 END) AS DOUBLE) / m.n AS outlier_rate
+FROM keyed k JOIN m ON m.dow = k.dow AND m.hr = k.hr
+WHERE m.n > 1
+GROUP BY k.dow, k.hr, m.n, m.s1, m.s2
+""",
+    doc="seasonal anomaly profile: per (day-of-week, hour-of-day) "
+    "bucket, the exact-moment mean/sd baseline and the share of "
+    "events sitting 3+ sigma from THEIR OWN calendar bucket — the "
+    "screen that separates 'weekday 9am is always hot' from a real "
+    "anomaly, which a flat per-user z-score (events_user_zscore) "
+    "cannot. Two passes over events re-shuffling on the same 168-key "
+    "grain: a decimal-exact moment aggregate, then the baseline joins "
+    "back BY BROADCAST (the profile is at most 7x24 rows at any "
+    "corpus size) for the outlier count — the fact table never "
+    "shuffles for the join. Portable DOW via Spark dayofweek()-1 == "
+    "DuckDB EXTRACT(DOW) (both Sunday-0); fixed-order IEEE math for "
+    "the sigma test",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vdec = F.col("value").cast("decimal(18,2)")
+    keyed = _events(spark, sf_dir).select(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        vdec.cast("double").alias("v"),
+        vdec.alias("vdec"),
+    )
+    m = keyed.groupBy("dow", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vdec").cast("double").alias("s1"),
+        F.sum((F.col("vdec") * F.col("vdec")).cast("decimal(28,4)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    is_out = (F.abs((F.col("v") - F.col("s1") / F.col("n")) / sd) >= 3.0).cast("long")
+    return (
+        keyed.join(F.broadcast(m), ["dow", "hr"])
+        .filter(F.col("n") > 1)
+        .groupBy("dow", "hr", "n", "s1", "s2")
+        .agg(
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "dow",
+            "hr",
+            "n",
+            mean.alias("mean"),
+            sd.alias("sd"),
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n")).alias("outlier_rate"),
+        )
+    )

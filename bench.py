@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_dedupe_streamed stays untimed for the streamed-replay
+    # reason (serial micro-batch fixed costs; events_tumbling_streamed
+    # is the timed streaming canary).
     # events_seasonal_anomaly stays untimed for the composite reason:
     # a 168-key exact-moment agg + broadcast join-back — the moment agg
     # is the events_user_zscore shape, the join-back is free.

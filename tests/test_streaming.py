@@ -651,3 +651,24 @@ def test_registered_streamed_sliding_matches_batch_query(spark, sf_dir):
         for r in specs["events_sliding"].spark(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_dedupe_streamed_cross_batch_suppression(spark, sf_dir):
+    """The three event-id slices interleave keys across micro-batches,
+    so every multi-batch key would emit twice if dedup state were not
+    carried across commits — the sink must hold each key EXACTLY once
+    and equal the batch DISTINCT."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = all_queries()["events_dedupe_streamed"].spark(spark, sf_dir).collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly-once per key across batches
+    want = {
+        (r.user_id, r.event_type)
+        for r in read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(keys) == want

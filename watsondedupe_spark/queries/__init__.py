@@ -125,6 +125,9 @@ _GRADING_PRIORITY = [
     # normalization before any cross-source threshold) plus the
     # (dow, hour) seasonal-baseline 3-sigma anomaly profile
     "docs_quality_calibration", "events_seasonal_anomaly",
+    # ... and the streamed dropDuplicates replay (cross-micro-batch
+    # key suppression — the fourth stateful streaming operator family)
+    "events_dedupe_streamed",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

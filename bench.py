@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # orders_rfm_segments stays untimed for the composite reason: a
+    # per-customer agg (tpch_q13 shape) + 1-row percentile reduce +
+    # broadcast comparison — no new heavy shape.
     # events_dedupe_streamed stays untimed for the streamed-replay
     # reason (serial micro-batch fixed costs; events_tumbling_streamed
     # is the timed streaming canary).

@@ -793,3 +793,19 @@ def test_seasonal_anomaly_plan(spark, sf_dir):
     assert P.uses_broadcast_join(df)
     assert report["shuffle_joins"] == 0
     assert report["partial_agg"]
+
+
+def test_rfm_segments_plan(spark, sf_dir):
+    """Thresholds reduce through a partial-aggregable percentile and
+    come back as a 1-row broadcast; the orders scan shuffles once for
+    the per-customer agg; no unpartitioned window sort anywhere."""
+    df = q("orders_rfm_segments", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    # the threshold side is ONE row arriving by broadcast nested-loop —
+    # free; what must not appear is a CartesianProduct of real tables
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.count_occurrences(df, r"BroadcastNestedLoopJoin") >= 1
+    assert report["shuffle_joins"] == 0
+    assert P.count_occurrences(df, r"Window") == 0
+    assert P.max_scan_width(df) <= 3

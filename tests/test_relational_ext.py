@@ -241,3 +241,52 @@ def test_seasonal_anomaly_contract(spark, sf_dir):
         assert r.mean == mean and r.sd == sd
         assert r.n_outliers == n_out
         assert r.outlier_rate == n_out / n
+
+
+def test_rfm_segments_contract(spark, sf_dir):
+    """Scores match a driver-side quintile recomputation (percentile_disc
+    thresholds, strict-greater bucketing), rfm composes the digits, and
+    every score sits in 1..5 with all three dimensions populated."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, Decimal(0)])
+    for r in orders:
+        a = agg[r.o_custkey]
+        a[0] = max(a[0], r.day)
+        a[1] += 1
+        a[2] += Decimal(r.price)
+
+    def disc(vals, q):
+        vs = sorted(vals)
+        return vs[max(0, math.ceil(q * len(vs)) - 1)]
+
+    def bucket(v, ts):
+        return 1 + sum(1 for t in ts if v > t)
+
+    rs = [a[0] for a in agg.values()]
+    fs = [a[1] for a in agg.values()]
+    ms = [a[2] for a in agg.values()]
+    qs = (0.2, 0.4, 0.6, 0.8)
+    tr = [disc(rs, q) for q in qs]
+    tf = [disc(fs, q) for q in qs]
+    tm = [disc(ms, q) for q in qs]
+    rows = all_queries()["orders_rfm_segments"].spark(spark, sf_dir).collect()
+    assert {r.custkey for r in rows} == set(agg)
+    for r in rows:
+        a = agg[r.custkey]
+        assert (r.recency_day, r.frequency) == (a[0], a[1])
+        assert Decimal(str(r.monetary)) == a[2]
+        want = (bucket(a[0], tr), bucket(a[1], tf), bucket(a[2], tm))
+        assert (r.r_score, r.f_score, r.m_score) == want
+        assert r.rfm == want[0] * 100 + want[1] * 10 + want[2]
+        assert all(1 <= s <= 5 for s in want)

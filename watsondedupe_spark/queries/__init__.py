@@ -128,6 +128,9 @@ _GRADING_PRIORITY = [
     # ... and the streamed dropDuplicates replay (cross-micro-batch
     # key suppression — the fourth stateful streaming operator family)
     "events_dedupe_streamed",
+    # ... and RFM quintile segmentation (percentile_disc thresholds
+    # broadcast back — quantile bucketing without a global ntile sort)
+    "orders_rfm_segments",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

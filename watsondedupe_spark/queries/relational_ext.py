@@ -929,3 +929,96 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wv).cast("int").alias("version"),
         F.lead("us").over(wv).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintiles per customer —
+# quantile bucketing WITHOUT the single-partition ntile sort
+# ---------------------------------------------------------------------------
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _rfm_oracle() -> str:
+    thr = ", ".join(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY {d}) AS {d}{i}"
+        for d in ("r", "f", "m")
+        for i, q in enumerate(_RFM_QS, start=1)
+    )
+
+    def score(d: str) -> str:
+        return " + ".join([f"CASE WHEN c.{d} > t.{d}{i} THEN 1 ELSE 0 END" for i in range(1, 5)])
+
+    return f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS BIGINT) AS r,
+           CAST(COUNT(*) AS BIGINT) AS f,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+    FROM orders GROUP BY o_custkey
+),
+t AS (SELECT {thr} FROM cust)
+SELECT c.o_custkey AS custkey, c.r AS recency_day, c.f AS frequency,
+       CAST(c.m AS DOUBLE) AS monetary,
+       CAST(1 + {score('r')} AS INTEGER) AS r_score,
+       CAST(1 + {score('f')} AS INTEGER) AS f_score,
+       CAST(1 + {score('m')} AS INTEGER) AS m_score,
+       CAST((1 + {score('r')}) * 100 + (1 + {score('f')}) * 10
+            + (1 + {score('m')}) AS INTEGER) AS rfm
+FROM cust c CROSS JOIN t
+"""
+
+
+@register(
+    "orders_rfm_segments",
+    _rfm_oracle(),
+    doc="RFM segmentation: per customer, recency (latest order day), "
+    "frequency (order count), monetary (decimal-exact spend), each "
+    "bucketed into quintiles via percentile_disc thresholds and "
+    "composed into the classic 3-digit RFM segment. The plan is the "
+    "SCALE-CORRECT quantile bucketing: ntile()/percent_rank() over an "
+    "unpartitioned window would sort every customer in ONE task, "
+    "while here the 12 thresholds reduce through a partial-aggregable "
+    "percentile and broadcast back as one row — the fact scan "
+    "shuffles once (per-customer agg) and the bucketing is a "
+    "row-local comparison. percentile_disc picks actual data values "
+    "(SQL-standard smallest-cume_dist>=q), so thresholds are "
+    "bit-identical across engines with no interpolation drift; "
+    "strict-greater bucketing makes ties deterministic",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")))
+            .cast("long")
+            .alias("r"),
+            F.count("*").cast("long").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        )
+    )
+    thr = cust.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {d})").alias(f"{d}{i}")
+            for d in ("r", "f", "m")
+            for i, q in enumerate(_RFM_QS, start=1)
+        ]
+    )
+
+    def score(d: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + F.when(F.col(d) > F.col(f"{d}{i}"), 1).otherwise(0)
+        return s
+
+    return cust.crossJoin(F.broadcast(thr)).select(
+        "custkey",
+        F.col("r").alias("recency_day"),
+        F.col("f").alias("frequency"),
+        F.col("m").cast("double").alias("monetary"),
+        score("r").cast("int").alias("r_score"),
+        score("f").cast("int").alias("f_score"),
+        score("m").cast("int").alias("m_score"),
+        (score("r") * 100 + score("f") * 10 + score("m")).cast("int").alias("rfm"),
+    )

@@ -215,6 +215,12 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # part_skyline_by_brand stays untimed for the composite reason:
+    # two window specs over one brand partitioning — the per-key window
+    # shuffle shape window_rank_family already budgets.
+    # lineitem_market_basket: the basket pair self-join + two distinct
+    # passes over lineitem are a real new shuffle shape — timed.
+    "lineitem_market_basket",
     # orders_rfm_segments stays untimed for the composite reason: a
     # per-customer agg (tpch_q13 shape) + 1-row percentile reduce +
     # broadcast comparison — no new heavy shape.

@@ -809,3 +809,25 @@ def test_rfm_segments_plan(spark, sf_dir):
     assert report["shuffle_joins"] == 0
     assert P.count_occurrences(df, r"Window") == 0
     assert P.max_scan_width(df) <= 3
+
+
+def test_market_basket_plan(spark, sf_dir):
+    """The pair join is keyed on the order (equi-join, bounded per-basket
+    fan-out), counts keep partials, and the top-k is a distributed
+    TakeOrdered — never a global sort of all pairs."""
+    df = q("lineitem_market_basket", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.count_occurrences(df, r"TakeOrderedAndProject") >= 1
+    assert P.max_scan_width(df) <= 2
+
+
+def test_skyline_plan(spark, sf_dir):
+    """Sort-based skyline: two window specs over one brand partitioning,
+    zero joins of any kind — never the quadratic dominance self-join."""
+    df = q("part_skyline_by_brand", spark, sf_dir)
+    report = P.audit(df)
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+    assert report["cartesian"] is False
+    assert P.max_scan_width(df) <= 4

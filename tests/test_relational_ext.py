@@ -290,3 +290,78 @@ def test_rfm_segments_contract(spark, sf_dir):
         assert (r.r_score, r.f_score, r.m_score) == want
         assert r.rfm == want[0] * 100 + want[1] * 10 + want[2]
         assert all(1 <= s <= 5 for s in want)
+
+
+def test_market_basket_contract(spark, sf_dir):
+    """Top-k pairs equal a driver-side recount of basket co-occurrence,
+    and support/confidence/lift are exactly the declared ratios."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _BASKET_K
+    from watsondedupe_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair[(ps[i], ps[j])] += 1
+    n_baskets = len(baskets)
+    want = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:_BASKET_K]
+    rows = all_queries()["lineitem_market_basket"].spark(spark, sf_dir).collect()
+    got = {(r.part_a, r.part_b): r for r in rows}
+    assert set(got) == {k for k, _ in want}
+    for (pa, pb), n_ab in want:
+        r = got[(pa, pb)]
+        assert (r.n_ab, r.n_a, r.n_b) == (n_ab, item[pa], item[pb])
+        assert r.support == n_ab / n_baskets
+        assert r.confidence == n_ab / item[pa]
+        assert r.lift == (n_ab * n_baskets) / (item[pa] * item[pb])
+
+
+def test_skyline_contract(spark, sf_dir):
+    """The frontier equals a brute-force O(n^2) dominance check per
+    brand, and every non-frontier part is dominated by some frontier
+    part (the frontier is sufficient, not just undominated)."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    parts = read_table(spark, sf_dir, "part").selectExpr(
+        "p_brand", "p_partkey", "p_size",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc",
+    ).collect()
+    by_brand = defaultdict(list)
+    for r in parts:
+        by_brand[r.p_brand].append((r.pc, r.p_size, r.p_partkey))
+
+    def dominates(a, b):
+        return (a[0] <= b[0] and a[1] >= b[1]) and (a[0] < b[0] or a[1] > b[1])
+
+    want = set()
+    for brand, ps in by_brand.items():
+        for x in ps:
+            if not any(dominates(y, x) for y in ps):
+                want.add((brand, x[2]))
+    rows = all_queries()["part_skyline_by_brand"].spark(spark, sf_dir).collect()
+    got = {(r.p_brand, r.p_partkey) for r in rows}
+    assert got == want
+    # sufficiency: every excluded part is dominated by a frontier member
+    front = defaultdict(list)
+    for r in rows:
+        front[r.p_brand].append((round(r.retail_price * 100), r.size))
+    for brand, ps in by_brand.items():
+        for x in ps:
+            if (brand, x[2]) not in want:
+                assert any(dominates(f, x) for f in front[brand])

@@ -130,7 +130,12 @@ _GRADING_PRIORITY = [
     "events_dedupe_streamed",
     # ... and RFM quintile segmentation (percentile_disc thresholds
     # broadcast back — quantile bucketing without a global ntile sort)
-    "orders_rfm_segments",
+    # plus market-basket support/confidence/lift (order-keyed bounded
+    # pair fan-out, never all-pairs over the catalog)
+    "orders_rfm_segments", "lineitem_market_basket",
+    # ... and the sort-based skyline (Pareto dominance via two window
+    # specs — never the quadratic dominance self-join)
+    "part_skyline_by_brand",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1022,3 +1022,162 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("m").cast("int").alias("m_score"),
         (score("r") * 100 + score("f") * 10 + score("m")).cast("int").alias("rfm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules: support / confidence / lift over
+# parts co-purchased in one order — bounded pair fan-out, never all-pairs
+# ---------------------------------------------------------------------------
+
+_BASKET_K = 20
+
+
+@register(
+    "lineitem_market_basket",
+    f"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM basket),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM basket GROUP BY l_partkey),
+pair AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM basket a JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+top AS (
+    SELECT part_a, part_b, n_ab FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_ab DESC, part_a, part_b) AS rnk
+        FROM pair)
+    WHERE rnk <= {_BASKET_K}
+)
+SELECT t.part_a, t.part_b, t.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(t.n_ab AS DOUBLE) / n.n_baskets AS support,
+       CAST(t.n_ab AS DOUBLE) / ia.n_item AS confidence,
+       CAST(t.n_ab * n.n_baskets AS DOUBLE) / (ia.n_item * ib.n_item) AS lift
+FROM top t
+JOIN item ia ON ia.l_partkey = t.part_a
+JOIN item ib ON ib.l_partkey = t.part_b
+CROSS JOIN n
+""",
+    doc="market-basket association rules: the top-20 part pairs "
+    "co-purchased within an order, with exact support (share of "
+    "baskets), confidence (P(b|a)), and lift (observed co-rate over "
+    "the independence rate) — the classic affinity table behind "
+    "recommendations and assortment planning. The pair join is keyed "
+    "on l_orderkey with a canonical part ordering, so fan-out is "
+    "bounded by lines-per-order choose 2 (a per-basket constant), "
+    "never all-pairs over the catalog; pair counts partial-aggregate, "
+    "the top-k is a distributed TakeOrdered, and the unigram counts "
+    "join only the 20 surviving rows. Relational sibling of "
+    "docs_collocation_lift (adjacency-windowed text bigrams); here "
+    "co-occurrence is set-valued per basket with support/confidence "
+    "added. All-integer counts, fixed-order double ratios",
+)
+def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_baskets = basket.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    item = basket.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    top = pair.orderBy(F.desc("n_ab"), "part_a", "part_b").limit(_BASKET_K)
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        top.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_baskets")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier): cheapest-for-the-size parts per brand —
+# the dominance query, via windows instead of the quadratic self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_skyline_by_brand",
+    """
+WITH p AS (
+    SELECT p_brand, p_partkey, p_size,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc
+    FROM part
+),
+w AS (
+    SELECT *,
+           MAX(p_size) OVER (PARTITION BY p_brand ORDER BY pc
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+           MAX(p_size) OVER (PARTITION BY p_brand, pc) AS max_eq
+    FROM p
+)
+SELECT p_brand, p_partkey,
+       CAST(pc AS DOUBLE) / 100 AS retail_price,
+       CAST(p_size AS INTEGER) AS size
+FROM w
+WHERE (max_lt IS NULL OR max_lt < p_size) AND max_eq = p_size
+""",
+    doc="skyline / Pareto-frontier query: per brand, the parts no other "
+    "part dominates (cheaper-or-equal AND bigger-or-equal with one "
+    "strict) on (retail price down, size up) — the multi-criteria "
+    "shortlist operator behind 'best value for the size' product "
+    "views. The textbook formulation is a quadratic dominance "
+    "self-join; this plan is the sort-based skyline: one brand-"
+    "partitioned window pass where a part survives iff no strictly-"
+    "cheaper part reaches its size (running RANGE max over integer "
+    "cents, the 1-PRECEDING bound excluding price ties) and no "
+    "equal-priced part exceeds it (per-(brand, price) max). Two "
+    "window specs, one shuffle, zero joins. Price compared in "
+    "integer cents so the frame bound is exact on both engines; "
+    "equal (price, size) twins are both kept (neither dominates)",
+)
+def part_skyline_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("pc"),
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("p_brand", "pc")
+    flagged = p.select(
+        "*",
+        F.max("p_size").over(w_lt).alias("max_lt"),
+        F.max("p_size").over(w_eq).alias("max_eq"),
+    )
+    return flagged.filter(
+        (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("p_size")))
+        & (F.col("max_eq") == F.col("p_size"))
+    ).select(
+        "p_brand",
+        "p_partkey",
+        (F.col("pc").cast("double") / 100).alias("retail_price"),
+        F.col("p_size").cast("int").alias("size"),
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_minhash_bbit stays untimed for the composite reason: the
+    # bounded candidate-pair joins of the timed docs_jaccard_pairs plus
+    # row-local parity — no new heavy shape.
     # part_skyline_by_brand stays untimed for the composite reason:
     # two window specs over one brand partitioning — the per-key window
     # shuffle shape window_rank_family already budgets.

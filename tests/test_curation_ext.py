@@ -626,3 +626,30 @@ def test_dup_weighting_mass_per_cluster(spark, sf_dir):
         n = len(members)
         assert all(m.cluster_size == n for m in members)
         assert abs(sum(m.train_weight for m in members) - 1.0) < 1e-9
+
+
+def test_minhash_bbit_contract(spark, sf_dir):
+    """The b=1 estimator equals a driver-side parity recount of the
+    signature tails (J = 2C - 1), pairs coincide with the exact
+    jaccard-pair set, and abs_error is literally |exact - estimate|."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import _BBIT_K
+    from watsondedupe_spark.queries.llm_pipeline import minhash_sig_df
+
+    sigs = {r.doc_id: r for r in minhash_sig_df(spark, sf_dir).collect()}
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in all_queries()["docs_jaccard_pairs"].spark(spark, sf_dir).collect()
+    }
+    rows = all_queries()["docs_minhash_bbit"].spark(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == set(exact)
+    for r in rows:
+        sa, sb = sigs[r.doc_a], sigs[r.doc_b]
+        agree = sum(
+            int(getattr(sa, f"m{j}")[-1], 16) % 2 == int(getattr(sb, f"m{j}")[-1], 16) % 2
+            for j in range(1, _BBIT_K + 1)
+        )
+        want = (2 * agree - _BBIT_K) / _BBIT_K
+        assert r.bbit_estimate == want
+        assert r.exact_jaccard == exact[(r.doc_a, r.doc_b)]
+        assert r.abs_error == abs(r.exact_jaccard - want)

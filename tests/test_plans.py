@@ -831,3 +831,13 @@ def test_skyline_plan(spark, sf_dir):
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
     assert report["cartesian"] is False
     assert P.max_scan_width(df) <= 4
+
+
+def test_minhash_bbit_plan(spark, sf_dir):
+    """Joins stay on the bounded candidate-pair set (equi-joins on
+    doc ids), bit extraction is row-local — no cartesian, no widening
+    of the corpus scan."""
+    df = q("docs_minhash_bbit", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert P.max_scan_width(df) <= 2

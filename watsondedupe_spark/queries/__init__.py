@@ -134,8 +134,9 @@ _GRADING_PRIORITY = [
     # pair fan-out, never all-pairs over the catalog)
     "orders_rfm_segments", "lineitem_market_basket",
     # ... and the sort-based skyline (Pareto dominance via two window
-    # specs — never the quadratic dominance self-join)
-    "part_skyline_by_brand",
+    # specs — never the quadratic dominance self-join) plus the b-bit
+    # MinHash estimator audit (1/32 sketch bytes, collision-corrected)
+    "part_skyline_by_brand", "docs_minhash_bbit",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

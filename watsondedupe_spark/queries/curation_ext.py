@@ -1658,3 +1658,100 @@ def docs_dup_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         (F.col("n_dup").cast("double") / F.col("n_grams")).alias("dup_gram_ratio"),
     ).filter(F.col("n_dup") > 0)
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash (Li & Koenig): keep ONE bit per hash slot, correct the
+# collision floor — 1/32 the sketch bytes, graded against exact Jaccard
+# ---------------------------------------------------------------------------
+
+_BBIT_K = 6
+
+
+def _bbit_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN CAST(('0x' || substr(a.m{j}, 32, 1)) AS BIGINT) % 2 = "
+        f"CAST(('0x' || substr(b.m{j}, 32, 1)) AS BIGINT) % 2 THEN 1 ELSE 0 END"
+        for j in range(1, _BBIT_K + 1)
+    )
+    return f"CAST(2 * ({agree}) - {_BBIT_K} AS DOUBLE) / {_BBIT_K}"
+
+
+def _minhash_bbit_oracle() -> str:
+    est = _bbit_sql()
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
+)
+SELECT p.doc_a, p.doc_b,
+       p.jaccard AS exact_jaccard,
+       {est} AS bbit_estimate,
+       abs(p.jaccard - {est}) AS abs_error
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+"""
+
+
+@register(
+    "docs_minhash_bbit",
+    _minhash_bbit_oracle(),
+    doc="b-bit MinHash audit (Li & Koenig, b=1): keep only the LOWEST "
+    "BIT of each of the k minhash slots — 1/32 the signature bytes of "
+    "the 128-bit slots — and estimate Jaccard with the collision-floor "
+    "correction J = 2C - 1 (random non-matching bits collide half the "
+    "time, so raw agreement C floors at 1/2 and the unbiased "
+    "estimator rescales it). Graded per candidate pair against the "
+    "exact rare-shingle Jaccard, beside docs_minhash_accuracy's "
+    "full-slot estimator — together they are the bytes-vs-variance "
+    "frontier for the sketch a 100 TB dedup pipeline must ship "
+    "through every shuffle. Same bounded candidate-pair joins as the "
+    "accuracy audit; the bit extraction is row-local hex parity, "
+    "portable via conv()/'0x' casting on the md5 tail",
+)
+def docs_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_jaccard_pairs, minhash_sig_df
+
+    sigs = minhash_sig_df(spark, sf_dir)
+    slots = [f"m{j}" for j in range(1, _BBIT_K + 1)]
+
+    def parity(col):
+        return F.expr(f"CAST(conv(substr({col}, 32, 1), 16, 10) AS BIGINT) % 2")
+
+    est = docs_jaccard_pairs(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[parity(c).alias(f"a_{c}") for c in slots]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[parity(c).alias(f"b_{c}") for c in slots]
+    )
+    agree = sum((F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in slots)
+    bbit = (2 * agree - _BBIT_K).cast("double") / _BBIT_K
+    return (
+        est.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            bbit.alias("bbit_estimate"),
+            F.abs(F.col("jaccard") - bbit).alias("abs_error"),
+        )
+    )

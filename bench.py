@@ -215,6 +215,10 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_simhash_accuracy stays untimed for the probe-over-shared-
+    # substrate reason: the cached simhash fingerprint table's build is
+    # the locked simhash_fp_build row; the audit adds a bounded
+    # candidate join + row-local array intersection.
     # docs_minhash_bbit stays untimed for the composite reason: the
     # bounded candidate-pair joins of the timed docs_jaccard_pairs plus
     # row-local parity — no new heavy shape.

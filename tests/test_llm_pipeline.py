@@ -663,3 +663,33 @@ def test_quality_calibration_contract(spark, sf_dir):
             assert r.src_pct == want
             assert r.calib_decile == min(9, int(want * 10))
         assert order[-1].calib_decile == 9
+
+
+def test_simhash_accuracy_contract(spark, sf_dir):
+    """Pairs equal the graded candidate set; exact_jaccard matches a
+    driver-side token-set intersection; hamming_frac is hamming/60; and
+    the estimator is monotone in aggregate (mean exact jaccard at low
+    hamming >= mean at high hamming)."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    cand = {
+        (r.id_a, r.id_b): r.hamming
+        for r in all_queries()["docs_simhash_candidates"].spark(spark, sf_dir).collect()
+    }
+    toks = {
+        r.doc_id: set(r.text.split(" "))
+        for r in read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = all_queries()["docs_simhash_accuracy"].spark(spark, sf_dir).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == set(cand)
+    lo, hi = [], []
+    for r in rows:
+        assert r.hamming == cand[(r.id_a, r.id_b)]
+        assert r.hamming_frac == r.hamming / 60
+        a, b = toks[r.id_a], toks[r.id_b]
+        want = len(a & b) / len(a | b)
+        assert r.exact_jaccard == want
+        (lo if r.hamming <= 6 else hi).append(want)
+    if lo and hi:
+        assert sum(lo) / len(lo) >= sum(hi) / len(hi)

@@ -841,3 +841,13 @@ def test_minhash_bbit_plan(spark, sf_dir):
     report = P.audit(df)
     assert report["cartesian"] is False
     assert P.max_scan_width(df) <= 2
+
+
+def test_simhash_accuracy_plan(spark, sf_dir):
+    """The exact arm joins the bounded candidate set to per-doc token
+    arrays by id and intersects row-locally — tokens never explode into
+    posting lists, so no token-keyed self-join appears."""
+    df = q("docs_simhash_accuracy", spark, sf_dir)
+    report = P.audit(df)
+    assert report["cartesian"] is False
+    assert P.max_scan_width(df) <= 2

@@ -1264,3 +1264,63 @@ def emb_kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").cast("long").alias("min_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash calibration audit: Hamming distance vs exact token-set Jaccard —
+# the table that decides max_hamming, completing the sketch-audit family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_simhash_accuracy",
+    _simhash60_sql(with_candidates=True).replace(
+        "SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12",
+        """
+, ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT c.id_a, c.id_b, c.hamming,
+       CAST(c.hamming AS DOUBLE) / 60 AS hamming_frac,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+           AS exact_jaccard
+FROM cand c
+JOIN ts a ON a.doc_id = c.id_a
+JOIN ts b ON b.doc_id = c.id_b
+WHERE c.hamming <= 12""",
+    ),
+    doc="SimHash calibration audit: for every band candidate pair, the "
+    "60-bit Hamming distance (and its fraction — the angle estimator "
+    "SimHash actually measures) beside the EXACT token-set Jaccard, "
+    "computed row-locally by array intersection on the pair's two "
+    "distinct-token sets. This is the threshold-calibration table for "
+    "max_hamming — the SimHash sibling of docs_minhash_accuracy and "
+    "docs_minhash_bbit, completing the sketch-audit family (every "
+    "sketch the dedup pipeline ships now carries a graded accuracy "
+    "contract). The exact arm never explodes tokens into posting "
+    "lists (the vocabulary is heavy-tailed; a token-keyed self-join "
+    "would be quadratic in posting length): the bounded candidate set "
+    "joins the per-doc token arrays by id and intersects inside the "
+    "row, so the quadratic work is capped by the band fan-out",
+)
+def docs_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = docs_simhash_candidates(spark, sf_dir)
+    ts = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = ts.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = ts.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            (F.col("hamming").cast("double") / 60).alias("hamming_frac"),
+            (
+                inter.cast("double")
+                / (F.size("toks_a") + F.size("toks_b") - inter)
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # multimodal_audio_features stays untimed for the Arrow-channel
+    # reason: per-row synthesis + parse over the mapInPandas floor the
+    # other multimodal entries already time.
     # docs_simhash_accuracy stays untimed for the probe-over-shared-
     # substrate reason: the cached simhash fingerprint table's build is
     # the locked simhash_fp_build row; the audit adds a bounded

@@ -138,8 +138,9 @@ _GRADING_PRIORITY = [
     # MinHash estimator audit (1/32 sketch bytes, collision-corrected)
     "part_skyline_by_brand", "docs_minhash_bbit",
     # ... and the SimHash Hamming-vs-exact-Jaccard calibration audit
-    # (completes the sketch-audit family)
-    "docs_simhash_accuracy",
+    # (completes the sketch-audit family) plus the sample-domain audio
+    # feature path (closed-form square-wave oracle)
+    "docs_simhash_accuracy", "multimodal_audio_features",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1324,3 +1324,75 @@ def docs_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "multimodal_audio_features",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(200 + doc_id % 700 AS BIGINT) AS n_samples,
+       CAST(1000 + doc_id % 29000 AS BIGINT) AS peak,
+       CAST((200 + doc_id % 700 - 1) // (1 + doc_id % 16) AS BIGINT) AS zero_crossings,
+       CAST(200 + doc_id % 700 AS BIGINT)
+           * (1000 + doc_id % 29000) * (1000 + doc_id % 29000) AS energy
+FROM documents
+""",
+    doc="the REAL audio FEATURE path, graded end to end (the sample-"
+    "domain sibling of multimodal_wav_roundtrip's header walk): every "
+    "document synthesizes a mono PCM16 square wave whose amplitude, "
+    "period, and length are closed forms of doc_id; the default "
+    "extractor parses the RIFF chunks, decodes the little-endian "
+    "samples, and computes peak / strict-sign-flip zero crossings / "
+    "exact integer energy; the oracle recomputes the closed forms "
+    "(peak = A, crossings = (n-1) // P, energy = n * A^2). An "
+    "extractor that misreads sample endianness, drops the last "
+    "sample, or miscounts flips hash-mismatches. Synthesis and "
+    "extraction are one fused Arrow pass each; payloads never "
+    "shuffle, and the output is 4 integers per row",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.multimodal import (
+        extract_audio_features,
+        wrap_media,
+    )
+
+    def _make(batches):
+        import struct
+        import sys
+        from array import array
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1000 + did % 29000
+                period = 1 + did % 16
+                n = 200 + did % 700
+                samples = array(
+                    "h", [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+                )
+                if sys.byteorder == "big":
+                    samples.byteswap()  # WAV data is little-endian by spec
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+                junk = b"INFOx"  # odd size -> word-alignment skip
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(_make, schema="doc_id long, payload binary")
+    )
+    media = wrap_media(wavs, "payload", "audio/wav", "doc_id")
+    return extract_audio_features(media).select(
+        "id", "n_samples", "peak", "zero_crossings", "energy"
+    )

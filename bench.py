@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_conversion_latency stays untimed for the composite reason:
+    # the events_funnel_conversion conditional-MIN agg + a 1-row
+    # percentile reduce.
     # multimodal_audio_features stays untimed for the Arrow-channel
     # reason: per-row synthesis + parse over the mapInPandas floor the
     # other multimodal entries already time.

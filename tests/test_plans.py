@@ -851,3 +851,14 @@ def test_simhash_accuracy_plan(spark, sf_dir):
     report = P.audit(df)
     assert report["cartesian"] is False
     assert P.max_scan_width(df) <= 2
+
+
+def test_conversion_latency_plan(spark, sf_dir):
+    """One user-keyed partial agg, then a single percentile reduce to
+    one row — no windows, no joins."""
+    df = q("events_conversion_latency", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+    assert P.count_occurrences(df, r"Window") == 0
+    assert P.max_scan_width(df) <= 3

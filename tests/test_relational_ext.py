@@ -365,3 +365,38 @@ def test_skyline_contract(spark, sf_dir):
         for x in ps:
             if (brand, x[2]) not in want:
                 assert any(dominates(f, x) for f in front[brand])
+
+
+def test_conversion_latency_contract(spark, sf_dir):
+    """The single row equals a driver-side recomputation: conditional
+    first-view/first-buy per user, percentile_disc picks actual data
+    values at each quantile."""
+    import math
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us"
+    ).collect()
+    fv, fb = {}, {}
+    for r in ev:
+        if r.event_type == "view":
+            fv[r.user_id] = min(fv.get(r.user_id, r.us), r.us)
+        elif r.event_type == "purchase":
+            fb[r.user_id] = min(fb.get(r.user_id, r.us), r.us)
+    lats = sorted(
+        fb[u] - fv[u] for u in set(fv) & set(fb) if fb[u] >= fv[u]
+    )
+
+    def disc(q):
+        return lats[max(0, math.ceil(q * len(lats)) - 1)]
+
+    [r] = all_queries()["events_conversion_latency"].spark(spark, sf_dir).collect()
+    assert r.n_converting == len(lats)
+    assert (r.min_us, r.max_us) == (lats[0], lats[-1])
+    assert (r.p25_us, r.p50_us, r.p75_us, r.p90_us) == (
+        disc(0.25), disc(0.5), disc(0.75), disc(0.9)
+    )
+    assert r.min_us <= r.p25_us <= r.p50_us <= r.p75_us <= r.p90_us <= r.max_us

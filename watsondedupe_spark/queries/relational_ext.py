@@ -1181,3 +1181,77 @@ def part_skyline_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pc").cast("double") / 100).alias("retail_price"),
         F.col("p_size").cast("int").alias("size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion-latency distribution: how long from first view to first
+# purchase — the funnel's time axis, reduced to exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_conversion_latency",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
+    FROM events GROUP BY user_id
+),
+lat AS (
+    SELECT user_id, first_buy - first_view AS latency_us
+    FROM firsts
+    WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+      AND first_buy >= first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
+       CAST(MIN(latency_us) AS BIGINT) AS min_us,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_us) AS BIGINT) AS p25_us,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY latency_us) AS BIGINT) AS p50_us,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY latency_us) AS BIGINT) AS p75_us,
+       CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_us) AS BIGINT) AS p90_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_us
+FROM lat
+""",
+    doc="conversion-latency distribution: per user, the gap between "
+    "FIRST view and FIRST purchase (conditional MIN aggregation — the "
+    "events_funnel_conversion recipe), reduced to exact "
+    "percentile_disc quartiles/p90 in integer microseconds — the time "
+    "axis of the funnel, read beside its conversion rate when sizing "
+    "attribution lookbacks and retargeting windows. One user-keyed "
+    "partial agg then a 1-row percentile reduce; percentile_disc "
+    "returns actual data values, so the row is bit-identical across "
+    "engines with no interpolation",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = F.unix_micros("ts")
+    firsts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_buy"),
+        )
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select((F.col("first_buy") - F.col("first_view")).alias("latency_us"))
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converting"),
+        F.min("latency_us").cast("long").alias("min_us"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p25_us"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p75_us"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("long")
+        .alias("p90_us"),
+        F.max("latency_us").cast("long").alias("max_us"),
+    )

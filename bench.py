@@ -215,6 +215,11 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # emb_opq_distortion: the energy-rank pass + permuted codebook
+    # build + full re-encode are a real standalone build shape (it
+    # cannot reuse the shared index — the permutation changes every
+    # code) — timed.
+    "emb_opq_distortion",
     # events_conversion_latency stays untimed for the composite reason:
     # the events_funnel_conversion conditional-MIN agg + a 1-row
     # percentile reduce.

@@ -693,3 +693,47 @@ def test_simhash_accuracy_contract(spark, sf_dir):
         (lo if r.hamming <= 6 else hi).append(want)
     if lo and hi:
         assert sum(lo) / len(lo) >= sum(hi) / len(hi)
+
+
+def test_opq_distortion_contract(spark, sf_dir):
+    """Permuted-space per-subspace squared errors equal a numpy
+    recomputation (energy-ranked round-robin permutation, md5-sampled
+    codebooks, argmin-L2 with lowest-code ties), and the permutation
+    achieves its purpose: subspace energy imbalance (max/min) is no
+    worse than the identity layout's."""
+    import hashlib
+
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    e = (M * M).sum(axis=0)
+    order = sorted(range(64), key=lambda d: (-e[d], d))
+    assign = sorted((r % 8, r // 8, d) for r, d in enumerate(order))
+    pi = [d for _s, _p, d in assign]
+    P = M[:, pi]
+    skey = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids])
+    samp = P[np.lexsort((ids, skey))[:16]]
+    sq_err = np.zeros(8, dtype=np.int64)
+    for s in range(8):
+        x = P[:, s * 8 : (s + 1) * 8]
+        cb = samp[:, s * 8 : (s + 1) * 8]
+        d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+        sq_err[s] = d2.min(axis=1).sum()
+    rows = all_queries()["emb_opq_distortion"].spark(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        s = int(r.subspace)
+        assert r.sq_err == sq_err[s]
+        assert r.energy == int(P[:, s * 8 : (s + 1) * 8].astype(object).__pow__(2).sum())
+        assert r.distortion == r.sq_err / r.energy
+    perm_en = sorted(r.energy for r in rows)
+    ident = all_queries()["emb_pq_distortion"].spark(spark, sf_dir).collect()
+    ident_en = sorted(r.energy for r in ident)
+    assert perm_en[-1] / perm_en[0] <= ident_en[-1] / ident_en[0]

@@ -862,3 +862,14 @@ def test_conversion_latency_plan(spark, sf_dir):
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
     assert P.count_occurrences(df, r"Window") == 0
     assert P.max_scan_width(df) <= 3
+
+
+def test_opq_distortion_plan(spark, sf_dir):
+    """The permutation is a literal array re-index (no join introduces
+    it); the audit is one code-table join + an 8-key partial agg — no
+    cartesian of real tables."""
+    df = q("emb_opq_distortion", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 3

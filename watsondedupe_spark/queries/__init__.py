@@ -142,8 +142,9 @@ _GRADING_PRIORITY = [
     # feature path (closed-form square-wave oracle)
     "docs_simhash_accuracy", "multimodal_audio_features",
     # ... and the conversion-latency percentile row (the funnel's time
-    # axis via conditional MINs + a 1-row percentile_disc reduce)
-    "events_conversion_latency",
+    # axis via conditional MINs + a 1-row percentile_disc reduce) plus
+    # the OPQ-lite energy-balanced permutation distortion audit
+    "events_conversion_latency", "emb_opq_distortion",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

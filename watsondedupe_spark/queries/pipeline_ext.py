@@ -2882,3 +2882,168 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_outliers").cast("double") / F.col("n")).alias("outlier_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: energy-balanced dimension permutation before PQ — does
+# rotating (permuting) the space fix the subspace the 32x compression hurts?
+# ---------------------------------------------------------------------------
+
+
+def _opq_distortion_oracle() -> str:
+    return """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+ed AS (
+    SELECT d.d, SUM(list_extract(b.qv, CAST(d.d AS INTEGER))
+                    * list_extract(b.qv, CAST(d.d AS INTEGER))) AS e
+    FROM base b CROSS JOIN dims d GROUP BY d.d
+),
+ranked AS (SELECT d, ROW_NUMBER() OVER (ORDER BY e DESC, d) - 1 AS r FROM ed),
+perm AS (SELECT d, r % 8 AS s, r // 8 AS pos FROM ranked),
+pbase AS (
+    SELECT b.vec_id,
+           list(list_extract(b.qv, CAST(p.d AS INTEGER)) ORDER BY p.s, p.pos) AS qv
+    FROM base b CROSS JOIN perm p GROUP BY b.vec_id
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (
+        SELECT vec_id, qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM pbase
+        ORDER BY skey, vec_id
+        LIMIT 16
+    )
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x) AS d2
+    FROM pbase b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+          FROM enc)
+    WHERE rn = 1
+),
+per AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS sq_err
+    FROM chosen GROUP BY s
+),
+eng AS (
+    SELECT sp.s,
+           CAST(SUM(list_reduce(list_transform(
+               list_slice(b.qv, sp.s * 8 + 1, sp.s * 8 + 8), x -> x * x),
+               (acc, x) -> acc + x)) AS BIGINT) AS energy
+    FROM pbase b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+    GROUP BY sp.s
+)
+SELECT CAST(per.s AS BIGINT) AS subspace, n_vecs, sq_err, energy,
+       CAST(sq_err AS DOUBLE) / energy AS distortion
+FROM per JOIN eng ON eng.s = per.s
+"""
+
+
+@register(
+    "emb_opq_distortion",
+    _opq_distortion_oracle(),
+    doc="OPQ-lite distortion audit: permute dimensions into energy-"
+    "BALANCED subspaces (rank dims by corpus signal energy, deal them "
+    "round-robin across the 8 subspaces — the standard dimension-"
+    "permutation initialization of Optimized Product Quantization) "
+    "and re-run the exact emb_pq_distortion measurement on the "
+    "permuted space. Read beside the identity-layout row: when the "
+    "contiguous-slice PQ shows one hot subspace hoarding the signal "
+    "energy, this table is the evidence for (or against) shipping "
+    "the permutation — a free 2x-ish distortion equalizer that "
+    "changes NO storage format, only the slice map. The permutation "
+    "derives from one 128-scalar corpus pass (a bounded 64-int "
+    "collect, the BPE-argmax precedent) and bakes into the plan as a "
+    "literal array re-index; codebook build and encode reuse the "
+    "graded pq_codebooks/pq_encode kernels on the permuted vectors",
+)
+def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from watsondedupe_spark.operators.similarity import pq_codebooks, pq_encode
+    from watsondedupe_spark.queries.llm_pipeline import _quant_vec
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", _quant_vec().alias("qv"))
+    e_row = emb.agg(
+        *[
+            F.sum(F.element_at("qv", i) * F.element_at("qv", i)).alias(f"e{i}")
+            for i in range(1, 65)
+        ]
+    ).collect()[0]
+    order = sorted(range(1, 65), key=lambda d: (-e_row[f"e{d}"], d))
+    assign = [(r % 8, r // 8, d) for r, d in enumerate(order)]
+    pi = [d for _s, _p, d in sorted(assign)]  # permuted position -> source dim
+    pemb = emb.select(
+        "vec_id",
+        F.array(*[F.element_at("embedding", d) for d in pi]).alias("pemb"),
+        F.array(*[F.element_at("qv", d) for d in pi]).alias("pqv"),
+    )
+    cbs = pq_codebooks(pemb, m=8, ks=16, vec_col="pemb")
+    codes = pq_encode(pemb, cbs, vec_col="pemb", quantize=1000)
+    qcb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(math.floor(x * 1000 + 0.5))) for x in code])
+                    for code in sub
+                ]
+            )
+            for sub in cbs
+        ]
+    )
+    per_sub = (
+        pemb.select("vec_id", "pqv")
+        .join(codes.select("vec_id", "codes"), "vec_id")
+        .select("pqv", "codes", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"))
+        .select(
+            "s",
+            F.slice("pqv", F.col("s") * 8 + 1, F.lit(8)).alias("sv"),
+            F.element_at(
+                F.element_at(qcb, F.col("s") + 1),
+                F.element_at("codes", F.col("s") + 1) + 1,
+            ).alias("cv"),
+        )
+        .select(
+            "s",
+            F.aggregate(
+                F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.aggregate(
+                F.transform("sv", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("e"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("d2").cast("long").alias("sq_err"),
+            F.sum("e").cast("long").alias("energy"),
+        )
+    )
+    return per_sub.select(
+        F.col("s").cast("long").alias("subspace"),
+        "n_vecs",
+        "sq_err",
+        "energy",
+        (F.col("sq_err").cast("double") / F.col("energy")).alias("distortion"),
+    )

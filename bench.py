@@ -215,6 +215,10 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_lsh_precision_recall stays untimed for the probe-over-
+    # shared-substrate reason: both arms read cached substrates whose
+    # builds are locked rows (minhash_sig_build, jaccard_pairs_build);
+    # the audit adds bounded pair joins.
     # emb_opq_distortion: the energy-rank pass + permuted codebook
     # build + full re-encode are a real standalone build shape (it
     # cannot reuse the shared index — the permutation changes every

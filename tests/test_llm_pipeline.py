@@ -737,3 +737,32 @@ def test_opq_distortion_contract(spark, sf_dir):
     ident = all_queries()["emb_pq_distortion"].spark(spark, sf_dir).collect()
     ident_en = sorted(r.energy for r in ident)
     assert perm_en[-1] / perm_en[0] <= ident_en[-1] / ident_en[0]
+
+
+def test_lsh_precision_recall_contract(spark, sf_dir):
+    """P/R equal a driver-side set comparison of the graded candidate
+    and exact-pair substrates; recall is monotone non-decreasing in the
+    threshold (higher-similarity pairs are easier for LSH)."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import jaccard_pair_stats_df
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["docs_minhash_pairs"].spark(spark, sf_dir).collect()
+    }
+    j = jaccard_pair_stats_df(spark, sf_dir).collect()
+    rows = sorted(
+        all_queries()["docs_lsh_precision_recall"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.thr,
+    )
+    prev_recall = -1.0
+    for r in rows:
+        truth = {
+            (x.doc_a, x.doc_b) for x in j if x.n_common * 100 >= r.thr * x.un
+        }
+        hit = truth & cand
+        assert (r.n_truth, r.n_cand, r.n_hit) == (len(truth), len(cand), len(hit))
+        assert r.precision == len(hit) / len(cand)
+        assert r.recall == len(hit) / len(truth)
+        assert r.recall >= prev_recall
+        prev_recall = r.recall

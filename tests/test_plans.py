@@ -873,3 +873,13 @@ def test_opq_distortion_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 3
+
+
+def test_lsh_precision_recall_plan(spark, sf_dir):
+    """Truth-vs-candidate comparison stays on the bounded pair sets
+    (equi left join), thresholds broadcast, counts keep partials."""
+    df = q("docs_lsh_precision_recall", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2

@@ -1206,3 +1206,113 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, arms)
+
+
+# ---------------------------------------------------------------------------
+# LSH end-to-end precision/recall: does the banded candidate generation
+# actually FIND the duplicates the exact measure defines?
+# ---------------------------------------------------------------------------
+
+
+def _lsh_pr_oracle() -> str:
+    from watsondedupe_spark.queries.llm_pipeline import _SIG_SQL
+
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+cand AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+j AS (
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.sz + sb.sz - i.n_common AS un
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+),
+thr AS (SELECT unnest({list(_SWEEP_THRESHOLDS)}) AS thr),
+truth AS (
+    SELECT t.thr, j.doc_a, j.doc_b
+    FROM j CROSS JOIN thr t
+    WHERE j.n_common * 100 >= t.thr * j.un
+),
+hits AS (
+    SELECT tr.thr, CAST(COUNT(c.doc_a) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM truth tr
+    LEFT JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b
+    GROUP BY tr.thr
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+SELECT CAST(h.thr AS INTEGER) AS thr, h.n_truth, nc.n_cand, h.n_hit,
+       CAST(h.n_hit AS DOUBLE) / nc.n_cand AS precision,
+       CAST(h.n_hit AS DOUBLE) / h.n_truth AS recall
+FROM hits h CROSS JOIN nc
+"""
+
+
+@register(
+    "docs_lsh_precision_recall",
+    _lsh_pr_oracle(),
+    doc="LSH end-to-end retrieval audit: at each Jaccard threshold, how "
+    "many of the EXACT duplicate pairs (rare-shingle ground truth) the "
+    "banded MinHash candidate generation actually surfaces (recall), "
+    "and what fraction of its candidates are true at that bar "
+    "(precision). docs_minhash_accuracy grades the ESTIMATOR per "
+    "pair; this grades the RETRIEVAL — the number that decides band "
+    "geometry (more bands = recall, longer bands = precision) before "
+    "a 100 TB run, where a recall miss is an undetected duplicate "
+    "and a precision miss is wasted verify compute. Reuses the "
+    "cached signature and pair substrates; the truth-vs-candidate "
+    "comparison is a left join on the bounded pair sets, counted "
+    "per broadcast threshold — integer-exact (100*inter >= thr*union)",
+)
+def docs_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import (
+        docs_minhash_pairs,
+        jaccard_pair_stats_df,
+    )
+
+    cand = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    j = jaccard_pair_stats_df(spark, sf_dir)
+    thr = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "thr int")
+    truth = (
+        j.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_common") * 100 >= F.col("thr") * F.col("un"))
+        .select("thr", "doc_a", "doc_b")
+    )
+    hits = (
+        truth.join(cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("thr")
+        .agg(
+            F.count("hit").cast("long").alias("n_hit"),
+            F.count("*").cast("long").alias("n_truth"),
+        )
+    )
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    return (
+        hits.crossJoin(F.broadcast(nc))
+        .select(
+            F.col("thr").cast("int").alias("thr"),
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_cand")).alias("precision"),
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

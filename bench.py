@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # emb_pq_adc_sdc stays untimed for the probe-over-shared-substrate
+    # reason: both scoring arms read the cached ann-index code table
+    # (ann_index_build is the locked row); the SDC arm is table lookups.
     # docs_lsh_precision_recall stays untimed for the probe-over-
     # shared-substrate reason: both arms read cached substrates whose
     # builds are locked rows (minhash_sig_build, jaccard_pairs_build);

@@ -653,3 +653,54 @@ def test_minhash_bbit_contract(spark, sf_dir):
         assert r.bbit_estimate == want
         assert r.exact_jaccard == exact[(r.doc_a, r.doc_b)]
         assert r.abs_error == abs(r.exact_jaccard - want)
+
+
+def test_pq_adc_sdc_contract(spark, sf_dir):
+    """SDC hits equal a numpy recomputation (encode queries and
+    candidates with the md5-sampled codebooks, score via the 8x16x16
+    code-distance table), and both recalls are hits/10."""
+    import hashlib
+
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    skey = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids])
+    samp = M[np.lexsort((ids, skey))[:16]]
+    codes = np.empty((len(ids), 8), dtype=np.int64)
+    for s in range(8):
+        x = M[:, s * 8 : (s + 1) * 8]
+        cb = samp[:, s * 8 : (s + 1) * 8]
+        d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+        codes[:, s] = d2.argmin(axis=1)
+    dtab = np.empty((8, 16, 16), dtype=np.int64)
+    for s in range(8):
+        cb = samp[:, s * 8 : (s + 1) * 8]
+        dtab[s] = ((cb[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+    # exact top-10 (cosine, quantized ints — the graded kNN recipe)
+    rows = all_queries()["emb_pq_adc_sdc"].spark(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for r in rows:
+        qpos = int(np.where(ids == r.query_id)[0][0])
+        sdist = dtab[np.arange(8), codes[qpos][None, :], codes[:, :]].sum(axis=1)
+        order = sorted(
+            [(d, i) for d, i in zip(sdist, ids) if i != r.query_id]
+        )
+        sdc_top = {i for _, i in order[:10]}
+        qv = M[qpos]
+        cos = (M @ qv) / np.sqrt(float(qv @ qv)) / np.sqrt((M * M).sum(axis=1))
+        ex = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != r.query_id],
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact_top = {i for _, i in ex[:10]}
+        assert r.n_exact == 10
+        assert r.sdc_hits == len(exact_top & sdc_top)
+        assert r.adc_recall == r.adc_hits / 10
+        assert r.sdc_recall == r.sdc_hits / 10

@@ -883,3 +883,13 @@ def test_lsh_precision_recall_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_pq_adc_sdc_plan(spark, sf_dir):
+    """The SDC distance table is a literal (no join builds it); the
+    query codes broadcast; ranking keeps the salted two-phase shape;
+    no cartesian of real tables."""
+    df = q("emb_pq_adc_sdc", spark, sf_dir)
+    report = P.audit(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 3

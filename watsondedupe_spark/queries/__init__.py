@@ -146,8 +146,9 @@ _GRADING_PRIORITY = [
     # the OPQ-lite energy-balanced permutation distortion audit
     "events_conversion_latency", "emb_opq_distortion",
     # ... and the LSH end-to-end precision/recall audit (retrieval
-    # quality of the banded candidates vs exact ground truth)
-    "docs_lsh_precision_recall",
+    # quality of the banded candidates vs exact ground truth) plus the
+    # ADC-vs-SDC PQ scoring-mode recall comparison
+    "docs_lsh_precision_recall", "emb_pq_adc_sdc",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

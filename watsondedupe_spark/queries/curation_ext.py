@@ -1755,3 +1755,174 @@ def docs_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard") - bbit).alias("abs_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC vs SDC: the two PQ scoring modes, recall-graded side by side —
+# what symmetric (code-to-code) scoring costs in accuracy
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_sdc_oracle() -> str:
+    from watsondedupe_spark.queries.llm_pipeline import _KNN_ORACLE_SQL
+
+    sdc_ctes = """
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+),
+samp AS (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY skey, vec_id) - 1 AS code
+    FROM (
+        SELECT vec_id, qv,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+        FROM base
+        ORDER BY skey, vec_id
+        LIMIT 16
+    )
+),
+cb AS (
+    SELECT sp.s, samp.code, list_slice(samp.qv, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+    FROM samp CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sp
+),
+enc AS (
+    SELECT b.vec_id, cb.s, cb.code,
+           list_reduce(list_transform(
+               list_zip(list_slice(b.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x) AS d2
+    FROM base b CROSS JOIN cb
+),
+chosen AS (
+    SELECT vec_id, s, code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+          FROM enc)
+    WHERE rn = 1
+),
+dtab AS (
+    SELECT a.s, a.code AS ci, b.code AS cj,
+           list_reduce(list_transform(list_zip(a.cv, b.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x) AS dd
+    FROM cb a JOIN cb b ON a.s = b.s
+),
+sd AS (
+    SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+           CAST(SUM(dt.dd) AS BIGINT) AS sdist
+    FROM chosen qc
+    JOIN chosen cc ON cc.s = qc.s AND cc.vec_id != qc.vec_id
+    JOIN dtab dt ON dt.s = qc.s AND dt.ci = qc.code AND dt.cj = cc.code
+    WHERE qc.vec_id < 3
+    GROUP BY 1, 2
+),
+sdc_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdist, neighbor_id) AS rnk
+        FROM sd)
+    WHERE rnk <= 10
+)"""
+    return f"""{sdc_ctes},
+exactq AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) x),
+adc AS (SELECT query_id, neighbor_id FROM ({_PQ_ORACLE}) y)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS adc_hits,
+       CAST(COUNT(s.neighbor_id) AS BIGINT) AS sdc_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS adc_recall,
+       CAST(COUNT(s.neighbor_id) AS DOUBLE) / COUNT(*) AS sdc_recall
+FROM exactq e
+LEFT JOIN adc a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+LEFT JOIN sdc_top s ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "emb_pq_adc_sdc",
+    _pq_adc_sdc_oracle(),
+    doc="ADC vs SDC recall audit: the two PQ scoring modes side by "
+    "side, per query, against the exact top-10. ADC (asymmetric — "
+    "exact query vs candidate codes) is what emb_ann_topk_pq ships; "
+    "SDC (symmetric — the QUERY is quantized too, scores come from a "
+    "precomputed 8x16x16 code-to-code distance table, zero per-query "
+    "arithmetic beyond table lookups) is what a code-only pipeline "
+    "(e.g. scoring inside the compressed index without the raw "
+    "query vector, or all-pairs dedup over codes) must use. This "
+    "table prices that convenience in recall. The SDC distance "
+    "table bakes in as a literal (2048 ints — the actual production "
+    "trick); lookups are row-local aggregate() over the 8 subspaces; "
+    "both arms rank with the same tie discipline and integer-exact "
+    "arithmetic, composing three graded oracles (exact kNN, ADC "
+    "top-k, and the shared codebook derivation)",
+)
+def emb_pq_adc_sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from watsondedupe_spark.queries.llm_pipeline import emb_knn_cosine
+
+    emb, cents, cbs, codes = _ann_index(spark, sf_dir)
+    qcb = [
+        [[int(math.floor(x * 1000 + 0.5)) for x in code] for code in sub] for sub in cbs
+    ]
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(sum((a - b) * (a - b) for a, b in zip(ci, cj)))
+                            for cj in qcb[s]
+                        ]
+                    )
+                    for ci in qcb[s]
+                ]
+            )
+            for s in range(8)
+        ]
+    )
+    c = codes.select("vec_id", "codes")
+    qc = c.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    sdist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(dtab, s + 1), F.element_at("qcodes", s + 1) + 1
+            ),
+            F.element_at("codes", s + 1) + 1,
+        ),
+    )
+    sd = (
+        c.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sdist.alias("sdist"))
+    )
+    w_part = Window.partitionBy("query_id", "salt").orderBy("sdist", "neighbor_id")
+    w_full = Window.partitionBy("query_id").orderBy("sdist", "neighbor_id")
+    sdc_top = (
+        sd.withColumn("salt", F.pmod(F.col("neighbor_id"), F.lit(32)))
+        .withColumn("prank", F.row_number().over(w_part))
+        .filter(F.col("prank") <= 10)
+        .withColumn("rank", F.row_number().over(w_full))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.lit(1).alias("sdc_hit"))
+    )
+    adc_top = emb_ann_topk_pq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("adc_hit")
+    )
+    exact = emb_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(adc_top, ["query_id", "neighbor_id"], "left")
+        .join(sdc_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("adc_hit").cast("long").alias("adc_hits"),
+            F.count("sdc_hit").cast("long").alias("sdc_hits"),
+            (F.count("adc_hit").cast("double") / F.count("*")).alias("adc_recall"),
+            (F.count("sdc_hit").cast("double") / F.count("*")).alias("sdc_recall"),
+        )
+    )

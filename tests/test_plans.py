@@ -893,3 +893,15 @@ def test_pq_adc_sdc_plan(spark, sf_dir):
     report = P.audit(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 3
+
+
+def test_abc_analysis_plan(spark, sf_dir):
+    """No global sort of customers: thresholds reduce via partial-agg
+    percentile, buckets are row-local comparisons, and the only window
+    runs over the ten decile rows (post-aggregation)."""
+    df = q("orders_abc_analysis", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert report["shuffle_joins"] == 0
+    assert P.max_scan_width(df) <= 2

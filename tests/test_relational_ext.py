@@ -400,3 +400,50 @@ def test_conversion_latency_contract(spark, sf_dir):
         disc(0.25), disc(0.5), disc(0.75), disc(0.9)
     )
     assert r.min_us <= r.p25_us <= r.p50_us <= r.p75_us <= r.p90_us <= r.max_us
+
+
+def test_abc_analysis_contract(spark, sf_dir):
+    """Deciles partition all customers, shares sum to 1, cum_share is
+    monotone ending at 1, decile 1 carries the highest mean revenue,
+    and counts match a driver-side threshold recomputation."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS p"
+    ).collect()
+    rev = defaultdict(lambda: Decimal(0))
+    for r in orders:
+        rev[r.o_custkey] += Decimal(r.p)
+    vals = sorted(rev.values())
+
+    def disc(q):
+        return vals[max(0, math.ceil(q * len(vals)) - 1)]
+
+    ts = [disc(i / 10) for i in range(1, 10)]
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for v in rev.values():
+        d = 10 - sum(1 for t in ts if v > t)
+        want[d][0] += 1
+        want[d][1] += v
+    rows = sorted(
+        all_queries()["orders_abc_analysis"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert sum(r.n_customers for r in rows) == len(rev)
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-9
+    total = sum(rev.values())
+    for r in rows:
+        assert r.n_customers == want[r.decile][0]
+        assert Decimal(str(r.revenue)) == want[r.decile][1]
+    assert rows[-1].cum_share == 1.0  # exact: total decimal / itself
+    prev = 0.0
+    for r in rows:
+        assert r.cum_share >= prev
+        prev = r.cum_share
+    means = {r.decile: r.revenue / r.n_customers for r in rows}
+    assert means[1] == max(means.values())

@@ -1255,3 +1255,105 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         F.max("latency_us").cast("long").alias("max_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto concentration: how much revenue the top decile of
+# customers carries — without ever globally sorting customers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_analysis",
+    """
+WITH cust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+t AS (
+    SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY rev) AS t1,
+           percentile_disc(0.2) WITHIN GROUP (ORDER BY rev) AS t2,
+           percentile_disc(0.3) WITHIN GROUP (ORDER BY rev) AS t3,
+           percentile_disc(0.4) WITHIN GROUP (ORDER BY rev) AS t4,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY rev) AS t5,
+           percentile_disc(0.6) WITHIN GROUP (ORDER BY rev) AS t6,
+           percentile_disc(0.7) WITHIN GROUP (ORDER BY rev) AS t7,
+           percentile_disc(0.8) WITHIN GROUP (ORDER BY rev) AS t8,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY rev) AS t9
+    FROM cust
+),
+bucketed AS (
+    SELECT c.o_custkey, c.rev,
+           10 - (CASE WHEN c.rev > t.t1 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t2 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t3 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t4 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t5 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t6 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t7 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t8 THEN 1 ELSE 0 END
+               + CASE WHEN c.rev > t.t9 THEN 1 ELSE 0 END) AS decile
+    FROM cust c CROSS JOIN t
+),
+per AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(rev) AS revd
+    FROM bucketed GROUP BY decile
+),
+tot AS (SELECT SUM(rev) AS total FROM cust)
+SELECT CAST(p.decile AS INTEGER) AS decile, p.n_customers,
+       CAST(p.revd AS DOUBLE) AS revenue,
+       CAST(p.revd AS DOUBLE) / CAST(tot.total AS DOUBLE) AS revenue_share,
+       CAST(SUM(p.revd) OVER (ORDER BY p.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(tot.total AS DOUBLE) AS cum_share
+FROM per p CROSS JOIN tot
+""",
+    doc="ABC / Pareto concentration table: customers bucketed into "
+    "revenue deciles (decile 1 = top) and each decile's share plus the "
+    "running cumulative share — the 80/20 curve behind account "
+    "tiering and risk concentration limits. The plan never globally "
+    "sorts customers: deciles come from 9 percentile_disc thresholds "
+    "reduced via partial-aggregable percentile and broadcast back as "
+    "one row (the orders_rfm_segments recipe at decile grain), and "
+    "the only window runs over the TEN decile rows. Decimal-exact "
+    "revenue sums; thresholds are actual data values, strict-greater "
+    "bucketing keeps ties deterministic on both engines",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    thr = cust.agg(
+        *[
+            F.expr(f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY rev)").alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(10) - sum(
+        F.when(F.col("rev") > F.col(f"t{i}"), 1).otherwise(0) for i in range(1, 10)
+    )
+    bucketed = cust.crossJoin(F.broadcast(thr)).select(
+        "o_custkey", "rev", decile.alias("decile")
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").alias("revd"),
+    )
+    tot = cust.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.col("revd").cast("double").alias("revenue"),
+            (F.col("revd").cast("double") / F.col("total").cast("double")).alias(
+                "revenue_share"
+            ),
+            (
+                F.sum("revd").over(w).cast("double") / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

@@ -215,6 +215,8 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_burst_hours stays untimed for the composite reason: one
+    # hourly partial agg + a RANGE window over the bounded rollup.
     # orders_abc_analysis stays untimed for the composite reason: the
     # orders_rfm_segments percentile-threshold recipe at decile grain.
     # emb_pq_adc_sdc stays untimed for the probe-over-shared-substrate

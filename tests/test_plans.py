@@ -905,3 +905,13 @@ def test_abc_analysis_plan(spark, sf_dir):
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert report["shuffle_joins"] == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_burst_hours_plan(spark, sf_dir):
+    """The trailing frame runs over the HOURLY ROLLUP (one partial agg
+    first), never over raw events; no joins."""
+    df = q("events_burst_hours", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+    assert P.max_scan_width(df) <= 1

@@ -447,3 +447,31 @@ def test_abc_analysis_contract(spark, sf_dir):
         prev = r.cum_share
     means = {r.decile: r.revenue / r.n_customers for r in rows}
     assert means[1] == max(means.values())
+
+
+def test_burst_hours_contract(spark, sf_dir):
+    """Rows match a driver-side trailing-window recomputation over the
+    hourly rollup: sums/counts over [hr-24, hr-1], the integer-exact
+    doubling test, and the warm-up guard."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "unix_micros(ts) DIV 3600000000 AS hr"
+    ).collect()
+    hourly = Counter(r.hr for r in ev)
+    rows = all_queries()["events_burst_hours"].spark(spark, sf_dir).collect()
+    got = {r.hr: r for r in rows}
+    want = {}
+    for hr in hourly:
+        trail = [hourly[h] for h in range(hr - 24, hr) if h in hourly]
+        if len(trail) >= 12:
+            want[hr] = (sum(trail), len(trail))
+    assert set(got) == set(want)
+    for hr, (ts_, th) in want.items():
+        r = got[hr]
+        assert (r.n, r.trail_sum, r.trail_hours) == (hourly[hr], ts_, th)
+        assert r.burst_ratio == (hourly[hr] * th) / ts_
+        assert r.is_burst == (hourly[hr] * th >= 2 * ts_)

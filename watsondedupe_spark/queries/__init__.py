@@ -151,7 +151,8 @@ _GRADING_PRIORITY = [
     "docs_lsh_precision_recall", "emb_pq_adc_sdc",
     # ... and the ABC/Pareto revenue-concentration table (decile
     # bucketing via broadcast percentile thresholds, window over 10 rows)
-    "orders_abc_analysis",
+    # plus trailing-baseline burst detection over the hourly rollup
+    "orders_abc_analysis", "events_burst_hours",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1357,3 +1357,69 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# burst detection: hours running hot against their own trailing baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burst_hours",
+    """
+WITH hourly AS (
+    SELECT epoch_us(ts) // 3600000000 AS hr, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT hr, n,
+           SUM(n) OVER (ORDER BY hr RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS trail_sum,
+           COUNT(*) OVER (ORDER BY hr RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS trail_hours
+    FROM hourly
+)
+SELECT CAST(hr AS BIGINT) AS hr, n,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       CAST(trail_hours AS BIGINT) AS trail_hours,
+       CAST(n * trail_hours AS DOUBLE) / trail_sum AS burst_ratio,
+       n * trail_hours >= 2 * trail_sum AS is_burst
+FROM w
+WHERE trail_hours >= 12
+""",
+    doc="burst detection: each hour's event count against ITS OWN "
+    "trailing 24-hour mean (RANGE frame over integer hour index, "
+    "current hour excluded via the 1-PRECEDING bound), flagged when "
+    "the rate doubles — the ops-page primitive for ingest spikes, "
+    "scraper storms, and upstream replays, complementary to the "
+    "calendar-bucket screen (events_seasonal_anomaly compares hours "
+    "to their weekly slot; this compares them to their immediate "
+    "history). Warm-up guarded (>= 12 trailing hours). The window "
+    "runs over the HOURLY ROLLUP (bounded by wall-clock hours, not "
+    "corpus size — metadata scale at 100 TB); the burst test is "
+    "integer-exact (n * hours >= 2 * sum), the ratio one double "
+    "divide",
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_micros(ts) DIV 3600000000").alias("hr"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.orderBy("hr").rangeBetween(-24, -1)
+    flagged = hourly.select(
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_hours"),
+    ).filter(F.col("trail_hours") >= 12)
+    return flagged.select(
+        F.col("hr").cast("long").alias("hr"),
+        "n",
+        F.col("trail_sum").cast("long").alias("trail_sum"),
+        F.col("trail_hours").cast("long").alias("trail_hours"),
+        ((F.col("n") * F.col("trail_hours")).cast("double") / F.col("trail_sum")).alias(
+            "burst_ratio"
+        ),
+        (F.col("n") * F.col("trail_hours") >= 2 * F.col("trail_sum")).alias("is_burst"),
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # events_activity_streaks stays untimed for the composite reason:
+    # one (user, day) dedup + the shared per-user window/agg shape
+    # events_sessionize_gap already budgets.
     # events_burst_hours stays untimed for the composite reason: one
     # hourly partial agg + a RANGE window over the bounded rollup.
     # orders_abc_analysis stays untimed for the composite reason: the

@@ -915,3 +915,13 @@ def test_burst_hours_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
     assert P.max_scan_width(df) <= 1
+
+
+def test_activity_streaks_plan(spark, sf_dir):
+    """Island window and both aggs share one user partitioning; raw
+    events dedup once at (user, day) grain; no joins."""
+    df = q("events_activity_streaks", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
+    assert P.max_scan_width(df) <= 2

@@ -475,3 +475,40 @@ def test_burst_hours_contract(spark, sf_dir):
         assert (r.n, r.trail_sum, r.trail_hours) == (hourly[hr], ts_, th)
         assert r.burst_ratio == (hourly[hr] * th) / ts_
         assert r.is_burst == (hourly[hr] * th >= 2 * ts_)
+
+
+def test_activity_streaks_contract(spark, sf_dir):
+    """Streak stats equal a driver-side consecutive-run scan per user:
+    longest run of consecutive active days, run count, total active
+    days, and the earliest maximal-run start."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day"
+    ).collect()
+    by_user = defaultdict(set)
+    for r in ev:
+        by_user[r.user_id].add(r.day)
+    rows = all_queries()["events_activity_streaks"].spark(spark, sf_dir).collect()
+    got = {r.user_id: r for r in rows}
+    assert set(got) == set(by_user)
+    for u, days in by_user.items():
+        ds = sorted(days)
+        runs = []
+        start = ds[0]
+        prev = ds[0]
+        for d in ds[1:]:
+            if d != prev + 1:
+                runs.append((start, prev - start + 1))
+                start = d
+            prev = d
+        runs.append((start, prev - start + 1))
+        longest = max(ln for _, ln in runs)
+        first_start = min(s for s, ln in runs if ln == longest)
+        r = got[u]
+        assert (r.n_streaks, r.n_active_days, r.longest_streak, r.longest_streak_start) == (
+            len(runs), len(ds), longest, first_start
+        )

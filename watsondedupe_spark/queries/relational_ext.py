@@ -1423,3 +1423,79 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n") * F.col("trail_hours") >= 2 * F.col("trail_sum")).alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+    FROM events
+),
+islands AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+           CAST(MIN(day) AS BIGINT) AS start_day
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(MIN(CASE WHEN len = ml THEN start_day END) AS BIGINT)
+           AS longest_streak_start
+FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM streaks)
+GROUP BY user_id
+""",
+    doc="gaps-and-islands: per user, the longest run of CONSECUTIVE "
+    "active days (plus streak count, total active days, and the "
+    "earliest start of a maximal streak as the deterministic "
+    "tie-break) — the engagement-streak primitive behind habit "
+    "metrics and churn features. The canonical island key is day - "
+    "row_number(): constant within a consecutive run, distinct "
+    "across gaps — one dedup at (user, day) grain, one per-user "
+    "window, two partial aggs, all sharing the user partitioning; "
+    "integer day arithmetic keeps island ids engine-exact",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    wm = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("ml", F.max("len").over(wm))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.min(F.when(F.col("len") == F.col("ml"), F.col("start_day")))
+            .cast("long")
+            .alias("longest_streak_start"),
+        )
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_text_vs_embedding_dedup stays untimed for the probe-over-
+    # shared-substrate reason: both pair arms are cached substrates
+    # with locked build rows; the audit is one bounded full-outer join.
     # events_activity_streaks stays untimed for the composite reason:
     # one (user, day) dedup + the shared per-user window/agg shape
     # events_sessionize_gap already budgets.
@@ -464,6 +467,17 @@ SCALE_QUERIES = [
     # linear in corpus rows)
     "docs_oov_rate",
     "emb_jl_recall",
+    # round-6 session additions: the OPQ permuted rebuild (full
+    # re-encode — the heaviest per-vector build in the suite), the SQ8
+    # reconstruction arm (per-dim stats + brute-force over decoded
+    # vectors), the tokenizer-fertility regex pass (three row-local
+    # regexes per doc — pure scan shape, must stay byte-linear), and
+    # the LSH P/R audit (candidate + exact pair substrates joined —
+    # guards BOTH bounded-pair shapes at once)
+    "emb_opq_distortion",
+    "emb_sq8_recall",
+    "docs_token_fertility",
+    "docs_lsh_precision_recall",
 ]
 
 

@@ -766,3 +766,28 @@ def test_lsh_precision_recall_contract(spark, sf_dir):
         assert r.recall == len(hit) / len(truth)
         assert r.recall >= prev_recall
         prev_recall = r.recall
+
+
+def test_text_vs_embedding_dedup_contract(spark, sf_dir):
+    """Class counts equal a driver-side set comparison of the two graded
+    pair substrates, and the classes partition the union."""
+    from watsondedupe_spark.queries import all_queries
+
+    tp = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["docs_jaccard_pairs"].spark(spark, sf_dir).collect()
+    }
+    ep = {
+        (r.vec_a, r.vec_b)
+        for r in all_queries()["emb_near_dup_pairs"].spark(spark, sf_dir).collect()
+    }
+    rows = all_queries()["docs_text_vs_embedding_dedup"].spark(spark, sf_dir).collect()
+    got = {r.agreement: r.n_pairs for r in rows}
+    want = {
+        "both": len(tp & ep),
+        "text_only": len(tp - ep),
+        "embedding_only": len(ep - tp),
+    }
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+    assert sum(got.values()) == len(tp | ep)

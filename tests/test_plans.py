@@ -925,3 +925,13 @@ def test_activity_streaks_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert report["shuffle_joins"] == 0 and report["broadcast_joins"] == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_text_vs_embedding_dedup_plan(spark, sf_dir):
+    """One equi full-outer join of the two bounded pair sets; no
+    cartesian, narrow scans."""
+    df = q("docs_text_vs_embedding_dedup", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2

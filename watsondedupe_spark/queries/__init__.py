@@ -153,8 +153,9 @@ _GRADING_PRIORITY = [
     # bucketing via broadcast percentile thresholds, window over 10 rows)
     # plus trailing-baseline burst detection over the hourly rollup
     "orders_abc_analysis", "events_burst_hours",
-    # ... and gaps-and-islands consecutive-day streaks per user
-    "events_activity_streaks",
+    # ... and gaps-and-islands consecutive-day streaks per user plus
+    # the cross-modality (text-vs-embedding) dedup agreement audit
+    "events_activity_streaks", "docs_text_vs_embedding_dedup",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

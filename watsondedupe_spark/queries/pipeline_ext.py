@@ -3047,3 +3047,61 @@ def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "energy",
         (F.col("sq_err").cast("double") / F.col("energy")).alias("distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-modality dedup agreement: do the text measure and the embedding
+# measure flag the SAME pairs?
+# ---------------------------------------------------------------------------
+
+
+def _text_vs_emb_oracle() -> str:
+    jac = _REGISTRY["docs_jaccard_pairs"].oracle
+    emb = _near_dup_oracle()
+    return f"""
+WITH tp AS (SELECT doc_a, doc_b FROM ({jac}) t),
+ep AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({emb}) e)
+SELECT CASE WHEN tp.doc_a IS NOT NULL AND ep.doc_a IS NOT NULL THEN 'both'
+            WHEN tp.doc_a IS NOT NULL THEN 'text_only'
+            ELSE 'embedding_only' END AS agreement,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tp FULL OUTER JOIN ep ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+GROUP BY 1
+"""
+
+
+@register(
+    "docs_text_vs_embedding_dedup",
+    _text_vs_emb_oracle(),
+    doc="cross-modality dedup agreement: exact text duplicate pairs "
+    "(rare-shingle Jaccard >= 0.4) full-outer-joined against "
+    "embedding near-dup pairs (LSH-bucketed exact cosine), counted by "
+    "agreement class — both / text_only / embedding_only. The "
+    "disagreement rows are the interesting ones at 100 TB: text_only "
+    "means the embedding model maps duplicates apart (a model-quality "
+    "smell the dedup pipeline would silently inherit), embedding_only "
+    "means semantic duplicates exact-text measures cannot see (the "
+    "pairs SemDeDup exists for) — and the sizes of those two buckets "
+    "decide whether a text-only dedup pass is sufficient for the "
+    "corpus. Both pair sets are the cached bounded substrates; the "
+    "comparison is one equi full-outer join on pair keys, vec/doc id "
+    "spaces deliberately shared by the corpus generator",
+)
+def docs_text_vs_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_jaccard_pairs
+
+    tp = docs_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("t"))
+    ep = emb_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), F.lit(1).alias("e")
+    )
+    return (
+        tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), "both")
+            .when(F.col("t").isNotNull(), "text_only")
+            .otherwise("embedding_only")
+            .alias("agreement")
+        )
+        .groupBy("agreement")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_bloom_fpr_audit stays untimed for the composite reason: two
+    # hash-gated scans + a broadcast position join — shapes the timed
+    # decontaminate/bloom entries already budget.
     # docs_text_vs_embedding_dedup stays untimed for the probe-over-
     # shared-substrate reason: both pair arms are cached substrates
     # with locked build rows; the audit is one bounded full-outer join.

@@ -704,3 +704,42 @@ def test_pq_adc_sdc_contract(spark, sf_dir):
         assert r.sdc_hits == len(exact_top & sdc_top)
         assert r.adc_recall == r.adc_hits / 10
         assert r.sdc_recall == r.sdc_hits / 10
+
+
+def test_bloom_fpr_audit_contract(spark, sf_dir):
+    """A driver-side bit-set replay reproduces every count; the Bloom
+    guarantee holds (zero false negatives); observed FPR is the exact
+    quotient; theoretical FPR is fill^4."""
+    import hashlib
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import _BLOOM_K, _BLOOM_M
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def pos(h, j):
+        return int(hashlib.md5(f"b{j}:{h}".encode()).hexdigest()[:8], 16) % _BLOOM_M
+
+    a_hashes = {
+        hashlib.md5(r.text.encode()).hexdigest() for r in docs if r.doc_id % 2 == 0
+    }
+    bits = {pos(h, j) for h in a_hashes for j in range(_BLOOM_K)}
+    b_hashes = [
+        hashlib.md5(r.text.encode()).hexdigest() for r in docs if r.doc_id % 2 == 1
+    ]
+    n_members = sum(1 for h in b_hashes if h in a_hashes)
+    flagged = [all(pos(h, j) in bits for j in range(_BLOOM_K)) for h in b_hashes]
+    n_fp = sum(
+        1 for h, f in zip(b_hashes, flagged) if f and h not in a_hashes
+    )
+    [r] = all_queries()["docs_bloom_fpr_audit"].spark(spark, sf_dir).collect()
+    assert (r.n_probes, r.n_members, r.n_flagged) == (
+        len(b_hashes), n_members, sum(flagged)
+    )
+    assert r.n_false_pos == n_fp
+    assert r.n_false_neg == 0  # THE Bloom guarantee
+    assert r.bits_set == len(bits)
+    assert r.observed_fpr == n_fp / (len(b_hashes) - n_members)
+    fill = len(bits) / _BLOOM_M
+    assert r.theoretical_fpr == fill * fill * fill * fill

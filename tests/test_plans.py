@@ -935,3 +935,15 @@ def test_text_vs_embedding_dedup_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_bloom_fpr_audit_plan(spark, sf_dir):
+    """The bit relation (bounded by m) broadcasts into the probe-side
+    position join; doc_id parity filters reach the scans; counts keep
+    partials."""
+    df = q("docs_bloom_fpr_audit", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.uses_broadcast_join(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2

@@ -156,6 +156,9 @@ _GRADING_PRIORITY = [
     # ... and gaps-and-islands consecutive-day streaks per user plus
     # the cross-modality (text-vs-embedding) dedup agreement audit
     "events_activity_streaks", "docs_text_vs_embedding_dedup",
+    # ... and the relational Bloom-filter FPR audit (observed vs
+    # fill-ratio^k, zero-false-negative guarantee graded)
+    "docs_bloom_fpr_audit",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

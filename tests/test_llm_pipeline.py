@@ -791,3 +791,35 @@ def test_text_vs_embedding_dedup_contract(spark, sf_dir):
     want = {k: v for k, v in want.items() if v}
     assert got == want
     assert sum(got.values()) == len(tp | ep)
+
+
+def test_langid_confusion_contract(spark, sf_dir):
+    """Cells equal a driver-side recount over the graded predictions,
+    each actual language's row_rates sum to 1, and cell counts
+    partition the corpus."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    pred = {
+        r.doc_id: r.pred_lang
+        for r in all_queries()["docs_langid"].spark(spark, sf_dir).collect()
+    }
+    actual = {
+        r.doc_id: r.lang
+        for r in read_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    cells = Counter((actual[d], pred[d]) for d in pred)
+    rows = all_queries()["docs_langid_confusion"].spark(spark, sf_dir).collect()
+    got = {(r.actual_lang, r.pred_lang): r for r in rows}
+    assert set(got) == set(cells)
+    assert sum(r.n_docs for r in rows) == len(pred)
+    totals = Counter(actual[d] for d in pred)
+    by_actual = Counter()
+    for r in rows:
+        assert r.n_docs == cells[(r.actual_lang, r.pred_lang)]
+        assert r.row_rate == r.n_docs / totals[r.actual_lang]
+        by_actual[r.actual_lang] += r.row_rate
+    for lang, s in by_actual.items():
+        assert abs(s - 1.0) < 1e-12

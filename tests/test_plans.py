@@ -947,3 +947,13 @@ def test_bloom_fpr_audit_plan(spark, sf_dir):
     assert P.uses_broadcast_join(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_langid_confusion_plan(spark, sf_dir):
+    """Scores and labels join once on doc_id; the language totals join
+    back by broadcast; aggs keep partials."""
+    df = q("docs_langid_confusion", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.uses_broadcast_join(df)
+    assert P.count_occurrences(df, r"CartesianProduct") == 0

@@ -157,8 +157,9 @@ _GRADING_PRIORITY = [
     # the cross-modality (text-vs-embedding) dedup agreement audit
     "events_activity_streaks", "docs_text_vs_embedding_dedup",
     # ... and the relational Bloom-filter FPR audit (observed vs
-    # fill-ratio^k, zero-false-negative guarantee graded)
-    "docs_bloom_fpr_audit",
+    # fill-ratio^k, zero-false-negative guarantee graded) plus the
+    # language-ID confusion matrix (classifier vs corpus labels)
+    "docs_bloom_fpr_audit", "docs_langid_confusion",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

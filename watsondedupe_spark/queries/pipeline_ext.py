@@ -3105,3 +3105,62 @@ def docs_text_vs_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("agreement")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix: the classifier graded against its labels
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    pred = _REGISTRY["docs_langid"].oracle
+    return f"""
+WITH p AS (SELECT doc_id, pred_lang FROM ({pred}) x),
+j AS (
+    SELECT d.lang AS actual_lang, p.pred_lang
+    FROM documents d JOIN p ON p.doc_id = d.doc_id
+),
+tot AS (SELECT actual_lang, CAST(COUNT(*) AS BIGINT) AS n_actual FROM j GROUP BY actual_lang)
+SELECT j.actual_lang, j.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / t.n_actual AS row_rate
+FROM j JOIN tot t ON t.actual_lang = j.actual_lang
+GROUP BY j.actual_lang, j.pred_lang, t.n_actual
+"""
+
+
+@register(
+    "docs_langid_confusion",
+    _langid_confusion_oracle(),
+    doc="language-ID confusion matrix: the graded marker-count "
+    "classifier (docs_langid) scored against the corpus's own lang "
+    "labels — per (actual, predicted) cell, the doc count and its "
+    "share of the actual language's row. The model-evaluation shape "
+    "every heuristic classifier in the curation stack needs before "
+    "its output gates anything (a language mis-ID silently reroutes "
+    "documents through the wrong quality thresholds and mixture "
+    "buckets). Score and label ride one scan each, joined on doc_id; "
+    "the per-language totals join back keyed on the handful of "
+    "languages; everything partial-aggregates",
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_langid
+
+    pred = docs_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    j = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+    )
+    tot = j.groupBy("actual_lang").agg(F.count("*").cast("long").alias("n_actual"))
+    return (
+        j.groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_actual")).alias("row_rate"),
+        )
+    )

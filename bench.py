@@ -215,6 +215,8 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_vocab_coverage_curve stays untimed for the composite reason:
+    # the docs_oov_rate token-agg shape + vocabulary-scale windowing.
     # docs_langid_confusion stays untimed for the composite reason: the
     # timed docs_langid scan + a doc_id join and two tiny aggs.
     # docs_bloom_fpr_audit stays untimed for the composite reason: two

@@ -823,3 +823,35 @@ def test_langid_confusion_contract(spark, sf_dir):
         by_actual[r.actual_lang] += r.row_rate
     for lang, s in by_actual.items():
         assert abs(s - 1.0) < 1e-12
+
+
+def test_vocab_coverage_curve_contract(spark, sf_dir):
+    """Coverage equals a driver-side recount at every cut, is monotone
+    non-decreasing in the cut, and hits 1.0 once the cut spans the
+    whole vocabulary."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _COVERAGE_CUTS
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter(t for r in docs for t in r.text.split(" ") if t)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    rows = sorted(
+        all_queries()["docs_vocab_coverage_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.cut,
+    )
+    assert [r.cut for r in rows] == list(_COVERAGE_CUTS)
+    prev = -1.0
+    for r in rows:
+        want = sum(c for _, c in ranked[: r.cut])
+        assert (r.covered_tokens, r.total_tokens, r.vocab_size) == (
+            want, total, len(cnt)
+        )
+        assert r.coverage == want / total
+        assert r.coverage >= prev
+        prev = r.coverage
+        if r.cut >= len(cnt):
+            assert r.coverage == 1.0

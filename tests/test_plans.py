@@ -957,3 +957,15 @@ def test_langid_confusion_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.uses_broadcast_join(df)
     assert P.count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_vocab_coverage_curve_plan(spark, sf_dir):
+    """Corpus text shuffles only into the token-count agg; the rank
+    window and cut sums run over the vocabulary-sized relation; cuts
+    and the total broadcast."""
+    df = q("docs_vocab_coverage_curve", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert report["shuffle_joins"] == 0
+    assert P.max_scan_width(df) <= 1

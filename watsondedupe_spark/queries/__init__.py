@@ -160,6 +160,8 @@ _GRADING_PRIORITY = [
     # fill-ratio^k, zero-false-negative guarantee graded) plus the
     # language-ID confusion matrix (classifier vs corpus labels)
     "docs_bloom_fpr_audit", "docs_langid_confusion",
+    # ... and the vocabulary coverage curve (token mass per vocab cut)
+    "docs_vocab_coverage_curve",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

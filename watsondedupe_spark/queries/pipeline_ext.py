@@ -3164,3 +3164,78 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs").cast("double") / F.col("n_actual")).alias("row_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve: corpus token mass covered at each vocab cut
+# ---------------------------------------------------------------------------
+
+_COVERAGE_CUTS = (4, 8, 16, 32)
+
+
+@register(
+    "docs_vocab_coverage_curve",
+    f"""
+WITH toks AS (
+    SELECT t AS tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) WHERE t != ''
+),
+vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+    FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(cnt) AS total, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM vocab),
+cuts AS (SELECT unnest({list(_COVERAGE_CUTS)}) AS cut)
+SELECT CAST(c.cut AS INTEGER) AS cut,
+       CAST(SUM(CASE WHEN v.rnk <= c.cut THEN v.cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.rnk <= c.cut THEN v.cnt ELSE 0 END) AS DOUBLE) / t.total
+           AS coverage,
+       t.vocab_size
+FROM vocab v CROSS JOIN cuts c CROSS JOIN tot t
+GROUP BY c.cut, t.total, t.vocab_size
+""",
+    doc="vocabulary coverage curve: the share of ALL corpus token "
+    "occurrences covered by the top-N vocabulary, swept across cut "
+    "sizes in one pass — the vocab-size decision curve read before "
+    "freezing a tokenizer (docs_oov_rate audits ONE chosen cut per "
+    "source; this is the curve that chooses the cut). Token counts "
+    "partial-aggregate to a vocabulary-sized relation; the rank "
+    "window and the conditional cut sums run over THAT relation "
+    "(vocabulary-scale, not corpus-scale — corpus text shuffles only "
+    "into the count agg); cuts and the 1-row total broadcast. "
+    "Deterministic (count desc, token) ranking makes every cut's "
+    "membership engine-exact",
+)
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    ranked = vocab.select("cnt", F.row_number().over(w).alias("rnk"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").cast("long").alias("vocab_size")
+    )
+    cuts = spark.createDataFrame([(c,) for c in _COVERAGE_CUTS], "cut int")
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cut", "total", "vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("cut"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+        .select(
+            F.col("cut").cast("int").alias("cut"),
+            "covered_tokens",
+            F.col("total").cast("long").alias("total_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("total")).alias("coverage"),
+            "vocab_size",
+        )
+    )

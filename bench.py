@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_mixture_diversity / emb_vector_quality stay untimed for the
+    # composite reason: tiny-grain partial aggs + 1-row broadcast
+    # reduces over shapes the profile/dim-stats rows already budget.
     # docs_vocab_coverage_curve stays untimed for the composite reason:
     # the docs_oov_rate token-agg shape + vocabulary-scale windowing.
     # docs_langid_confusion stays untimed for the composite reason: the

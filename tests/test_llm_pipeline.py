@@ -855,3 +855,74 @@ def test_vocab_coverage_curve_contract(spark, sf_dir):
         prev = r.coverage
         if r.cut >= len(cnt):
             assert r.coverage == 1.0
+
+
+def test_mixture_diversity_contract(spark, sf_dir):
+    """Indices equal a driver-side recount: simpson = sum p^2,
+    effective_sources = 1/simpson, top_share = max share; effective
+    sources never exceeds the source count."""
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    per = Counter((r.lang, r.source) for r in docs)
+    rows = all_queries()["docs_mixture_diversity"].spark(spark, sf_dir).collect()
+    langs = {lang for lang, _ in per}
+    assert {r.lang for r in rows} == langs
+    for r in rows:
+        ns = {s: n for (lg, s), n in per.items() if lg == r.lang}
+        t = sum(ns.values())
+        ss = sum(n * n for n in ns.values())
+        assert (r.n_sources, r.n_docs) == (len(ns), t)
+        assert r.simpson == ss / (t * t)
+        assert r.effective_sources == (t * t) / ss
+        assert r.top_share == max(ns.values()) / t
+        assert r.effective_sources <= r.n_sources + 1e-9
+
+
+def test_vector_quality_contract(spark, sf_dir):
+    """Classes partition the corpus, bounds come from the 1/99
+    percentile_disc of integer norms, and a driver-side reclassification
+    agrees cell for cell."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    nrm2 = (M * M).sum(axis=1)
+    zero_dims = (M == 0).sum(axis=1)
+    vs = sorted(nrm2.tolist())
+
+    def disc(q):
+        return vs[max(0, math.ceil(q * len(vs)) - 1)]
+
+    lo, hi = disc(0.01), disc(0.99)
+    want = defaultdict(lambda: [0, None, None, 0])
+    for n2, zd in zip(nrm2.tolist(), zero_dims.tolist()):
+        c = (
+            "zero" if n2 == 0
+            else "low_norm" if n2 < lo
+            else "high_norm" if n2 > hi
+            else "normal"
+        )
+        w = want[c]
+        w[0] += 1
+        w[1] = n2 if w[1] is None else min(w[1], n2)
+        w[2] = n2 if w[2] is None else max(w[2], n2)
+        w[3] += zd
+    rows = all_queries()["emb_vector_quality"].spark(spark, sf_dir).collect()
+    got = {r.quality: r for r in rows}
+    assert set(got) == set(want)
+    assert sum(r.n_vectors for r in rows) == len(emb)
+    for c, (n, mn, mx, zd) in want.items():
+        r = got[c]
+        assert (r.n_vectors, r.min_nrm2, r.max_nrm2, r.total_zero_dims) == (n, mn, mx, zd)

@@ -969,3 +969,24 @@ def test_vocab_coverage_curve_plan(spark, sf_dir):
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert report["shuffle_joins"] == 0
     assert P.max_scan_width(df) <= 1
+
+
+def test_mixture_diversity_plan(spark, sf_dir):
+    """Two partial aggs on the (lang, source) grain; the per-lang totals
+    broadcast; no corpus-wide shuffle beyond the first agg."""
+    df = q("docs_mixture_diversity", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2
+
+
+def test_vector_quality_plan(spark, sf_dir):
+    """Norms are row-local; the percentile bounds reduce to one row and
+    come back by broadcast; one class rollup."""
+    df = q("emb_vector_quality", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert report["shuffle_joins"] == 0
+    assert P.max_scan_width(df) <= 2

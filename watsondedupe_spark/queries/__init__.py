@@ -161,7 +161,10 @@ _GRADING_PRIORITY = [
     # language-ID confusion matrix (classifier vs corpus labels)
     "docs_bloom_fpr_audit", "docs_langid_confusion",
     # ... and the vocabulary coverage curve (token mass per vocab cut)
-    "docs_vocab_coverage_curve",
+    # plus the Simpson mixture-diversity monitor and the pre-ANN
+    # embedding vector-quality screen
+    "docs_vocab_coverage_curve", "docs_mixture_diversity",
+    "emb_vector_quality",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

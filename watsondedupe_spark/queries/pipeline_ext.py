@@ -3239,3 +3239,150 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture diversity: Simpson concentration of the corpus over sources —
+# the one-number monitor for a drifting mixture
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_mixture_diversity",
+    """
+WITH per AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT lang, SUM(n) AS t FROM per GROUP BY lang)
+SELECT p.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(t.t AS BIGINT) AS n_docs,
+       CAST(SUM(p.n * p.n) AS DOUBLE) / (t.t * t.t) AS simpson,
+       CAST(t.t * t.t AS DOUBLE) / SUM(p.n * p.n) AS effective_sources,
+       CAST(MAX(p.n) AS DOUBLE) / t.t AS top_share
+FROM per p JOIN tot t ON t.lang = p.lang
+GROUP BY p.lang, t.t
+""",
+    doc="mixture diversity monitor: per language, the Simpson "
+    "concentration index over sources (sum p_i^2 — the probability "
+    "two random docs share a source), its inverse (the EFFECTIVE "
+    "number of sources — 10 equal sources score 10.0, one dominant "
+    "source scores ~1), and the top source's share. This is the "
+    "one-line dashboard number that catches mixture drift: a crawler "
+    "outage or an over-eager dedup pass shows up as effective_sources "
+    "dropping long before anyone reads the full mixture table. "
+    "Rational arithmetic only (n^2 sums over exact counts, one "
+    "division) — no entropy logs, so the index is bit-portable. Two "
+    "partial aggs sharing the (lang, source) grain; the per-lang "
+    "totals join a relation bounded by languages x sources",
+)
+def docs_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _docs(spark, sf_dir).groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.groupBy("lang").agg(F.sum("n").alias("t"))
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "t")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum(F.col("n") * F.col("n")).alias("ss"),
+            F.max("n").alias("mx"),
+        )
+        .select(
+            "lang",
+            "n_sources",
+            F.col("t").cast("long").alias("n_docs"),
+            (F.col("ss").cast("double") / (F.col("t") * F.col("t"))).alias("simpson"),
+            ((F.col("t") * F.col("t")).cast("double") / F.col("ss")).alias(
+                "effective_sources"
+            ),
+            (F.col("mx").cast("double") / F.col("t")).alias("top_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding vector-quality screen: degenerate-vector audit before ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_vector_quality",
+    """
+WITH b AS (
+    SELECT vec_id,
+           list_reduce(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),
+               (acc, x) -> acc + x) AS nrm2,
+           len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS n_nan,
+           len(list_filter(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),
+               x -> x = 0)) AS n_zero_dims
+    FROM embeddings
+),
+t AS (
+    SELECT percentile_disc(0.01) WITHIN GROUP (ORDER BY nrm2) AS lo,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY nrm2) AS hi
+    FROM b WHERE n_nan = 0
+)
+SELECT CASE WHEN b.n_nan > 0 THEN 'nan'
+            WHEN b.nrm2 = 0 THEN 'zero'
+            WHEN b.nrm2 < t.lo THEN 'low_norm'
+            WHEN b.nrm2 > t.hi THEN 'high_norm'
+            ELSE 'normal' END AS quality,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(b.nrm2) AS BIGINT) AS min_nrm2,
+       CAST(MAX(b.nrm2) AS BIGINT) AS max_nrm2,
+       CAST(SUM(b.n_zero_dims) AS BIGINT) AS total_zero_dims
+FROM b CROSS JOIN t
+GROUP BY 1
+""",
+    doc="embedding vector-quality screen: classify every vector as "
+    "nan / zero / low_norm / high_norm / normal against 1st/99th "
+    "percentile_disc bounds on the exact integer squared norm, with "
+    "zero-dimension tallies per class — the pre-ANN data-quality "
+    "gate (a batch of zero or NaN vectors from a crashed encoder "
+    "silently poisons every cosine; norm outliers distort IVF "
+    "centroids and PQ codebooks). One corpus pass for the row-local "
+    "norms, a 1-row percentile reduce broadcast back, one class "
+    "rollup — the emb-side sibling of dq_expectations. Integer "
+    "norms make the class boundaries bit-exact across engines",
+)
+def emb_vector_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quant_vec()
+    nrm2 = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    b = _emb(spark, sf_dir).select(
+        "vec_id",
+        nrm2.alias("nrm2"),
+        F.size(F.filter("embedding", lambda x: F.isnan(x.cast("double")))).alias("n_nan"),
+        F.size(F.filter(qv, lambda x: x == 0)).alias("n_zero_dims"),
+    )
+    t = b.filter(F.col("n_nan") == 0).agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY nrm2)").alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY nrm2)").alias("hi"),
+    )
+    cls = (
+        F.when(F.col("n_nan") > 0, "nan")
+        .when(F.col("nrm2") == 0, "zero")
+        .when(F.col("nrm2") < F.col("lo"), "low_norm")
+        .when(F.col("nrm2") > F.col("hi"), "high_norm")
+        .otherwise("normal")
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(cls.alias("quality"), "nrm2", "n_zero_dims")
+        .groupBy("quality")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("nrm2").cast("long").alias("min_nrm2"),
+            F.max("nrm2").cast("long").alias("max_nrm2"),
+            F.sum("n_zero_dims").cast("long").alias("total_zero_dims"),
+        )
+    )

@@ -215,6 +215,8 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_dedup_impact_audit stays untimed for the composite reason:
+    # the timed CC + canonical plans plus one join and two rollups.
     # docs_mixture_diversity / emb_vector_quality stay untimed for the
     # composite reason: tiny-grain partial aggs + 1-row broadcast
     # reduces over shapes the profile/dim-stats rows already budget.

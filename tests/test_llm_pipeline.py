@@ -926,3 +926,43 @@ def test_vector_quality_contract(spark, sf_dir):
     for c, (n, mn, mx, zd) in want.items():
         r = got[c]
         assert (r.n_vectors, r.min_nrm2, r.max_nrm2, r.total_zero_dims) == (n, mn, mx, zd)
+
+
+def test_dedup_impact_audit_contract(spark, sf_dir):
+    """Cells equal a driver-side recount against the graded canonical
+    set; kept docs equal the canonical count; per-source shares of
+    kept+dropped sum to 1."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    canon = {
+        r.canonical_doc
+        for r in all_queries()["docs_canonical_per_cluster"].spark(spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    ).collect()
+    want = defaultdict(lambda: [0, 0, 0])
+    src_docs = defaultdict(int)
+    for r in docs:
+        src_docs[r.source] += 1
+        st = "kept" if r.doc_id in canon else "dropped"
+        w = want[(st, r.source)]
+        w[0] += 1
+        w[1] += r.n_chars
+        w[2] += len(r.text.split(" "))
+    rows = all_queries()["docs_dedup_impact_audit"].spark(spark, sf_dir).collect()
+    got = {(r.status, r.source): r for r in rows}
+    assert set(got) == set(want)
+    assert sum(r.n_docs for r in rows if r.status == "kept") == len(canon)
+    share = defaultdict(float)
+    for r in rows:
+        n, ch, tk = want[(r.status, r.source)]
+        assert (r.n_docs, r.total_chars, r.total_tokens) == (n, ch, tk)
+        assert r.mean_chars == ch / n
+        assert r.share_of_source == n / src_docs[r.source]
+        share[r.source] += r.share_of_source
+    for s, v in share.items():
+        assert abs(v - 1.0) < 1e-12

@@ -990,3 +990,13 @@ def test_vector_quality_plan(spark, sf_dir):
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert report["shuffle_joins"] == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_dedup_impact_audit_plan(spark, sf_dir):
+    """The audit joins documents once against the canonical set and
+    rolls up with partials; the per-source totals broadcast."""
+    df = q("docs_dedup_impact_audit", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.uses_broadcast_join(df)

@@ -3386,3 +3386,86 @@ def emb_vector_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_zero_dims").cast("long").alias("total_zero_dims"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup impact audit: what the canonical-per-cluster pass actually removes
+# ---------------------------------------------------------------------------
+
+
+def _dedup_impact_oracle() -> str:
+    canon = _REGISTRY["docs_canonical_per_cluster"].oracle
+    return f"""
+WITH canon AS (SELECT canonical_doc FROM ({canon}) x),
+tagged AS (
+    SELECT d.source,
+           CASE WHEN c.canonical_doc IS NOT NULL THEN 'kept' ELSE 'dropped' END AS status,
+           d.n_chars,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d LEFT JOIN canon c ON c.canonical_doc = d.doc_id
+),
+srctot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs FROM documents GROUP BY source)
+SELECT t.status, t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(t.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       CAST(COUNT(*) AS DOUBLE) / s.src_docs AS share_of_source
+FROM tagged t JOIN srctot s ON s.source = t.source
+GROUP BY t.status, t.source, s.src_docs
+"""
+
+
+@register(
+    "docs_dedup_impact_audit",
+    _dedup_impact_oracle(),
+    doc="dedup survivorship audit: per (kept | dropped, source), the "
+    "doc/char/token mass the canonical-per-cluster dedup pass keeps "
+    "vs removes, with each cell's share of its source — the bias "
+    "check run AFTER dedup and BEFORE training, because near-dup "
+    "removal is never uniform (boilerplate-heavy sources lose far "
+    "more than long-form ones, and a mixture tuned pre-dedup is "
+    "silently wrong post-dedup; this table is the correction's "
+    "input). Composes the graded CC + canonical selection; the "
+    "audit itself is one left semi-style join of documents against "
+    "the canonical set and two partial aggs — all integer sums plus "
+    "two fixed-order double divisions, no float accumulation",
+)
+def docs_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import docs_canonical_per_cluster
+
+    canon = docs_canonical_per_cluster(spark, sf_dir).select(
+        F.col("canonical_doc").alias("doc_id"), F.lit(1).alias("is_canon")
+    )
+    tagged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(canon, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("is_canon").isNotNull(), "kept").otherwise("dropped").alias("status"),
+            "n_chars",
+            "n_tokens",
+        )
+    )
+    srctot = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count("*").cast("long").alias("src_docs")
+    )
+    return (
+        tagged.groupBy("status", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .join(F.broadcast(srctot), "source")
+        .select(
+            "status",
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (F.col("total_chars").cast("double") / F.col("n_docs")).alias("mean_chars"),
+            (F.col("n_docs").cast("double") / F.col("src_docs")).alias("share_of_source"),
+        )
+    )

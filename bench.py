@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # docs_length_ks_drift stays untimed for the composite reason: two
+    # counting aggs + value-domain-scale windows (the length_histogram
+    # shape with an ECDF spine).
     # docs_dedup_impact_audit stays untimed for the composite reason:
     # the timed CC + canonical plans plus one join and two rollups.
     # docs_mixture_diversity / emb_vector_quality stay untimed for the

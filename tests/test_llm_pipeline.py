@@ -966,3 +966,42 @@ def test_dedup_impact_audit_contract(spark, sf_dir):
         share[r.source] += r.share_of_source
     for s, v in share.items():
         assert abs(v - 1.0) < 1e-12
+
+
+def test_length_ks_drift_contract(spark, sf_dir):
+    """KS numerators equal a scipy-free driver recomputation over exact
+    ECDFs (cross-multiplied integers), at_length attains the max, and
+    D is in [0, 1]."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    per = defaultdict(Counter)
+    for r in docs:
+        per[r.source][r.n_chars] += 1
+    total = len(docs)
+    xs = sorted({r.n_chars for r in docs})
+    rows = all_queries()["docs_length_ks_drift"].spark(spark, sf_dir).collect()
+    got = {r.source: r for r in rows}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        t1 = sum(cnt.values())
+        t2 = total - t1
+        rest = Counter()
+        for s2, c2 in per.items():
+            if s2 != src:
+                rest.update(c2)
+        cs = cr = 0
+        best, at = -1, None
+        for x in xs:
+            cs += cnt.get(x, 0)
+            cr += rest.get(x, 0)
+            d = abs(cs * t2 - cr * t1)
+            if d > best:
+                best, at = d, x
+        r = got[src]
+        assert (r.n_source, r.n_rest, r.ks_num, r.at_length) == (t1, t2, best, at)
+        assert r.ks_d == best / (t1 * t2)
+        assert 0.0 <= r.ks_d <= 1.0

@@ -1000,3 +1000,13 @@ def test_dedup_impact_audit_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.uses_broadcast_join(df)
+
+
+def test_length_ks_drift_plan(spark, sf_dir):
+    """The corpus is touched by counting aggs only; ECDF windows run
+    over the value-domain spine per source; the 1-row total broadcasts."""
+    df = q("docs_length_ks_drift", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.count_occurrences(df, r"CartesianProduct") == 0
+    assert P.max_scan_width(df) <= 2

@@ -166,8 +166,9 @@ _GRADING_PRIORITY = [
     "docs_vocab_coverage_curve", "docs_mixture_diversity",
     "emb_vector_quality",
     # ... and the dedup survivorship audit (kept-vs-dropped mass per
-    # source — the post-dedup mixture-correction input)
-    "docs_dedup_impact_audit",
+    # source — the post-dedup mixture-correction input) plus the
+    # integer-exact per-source KS drift test
+    "docs_dedup_impact_audit", "docs_length_ks_drift",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

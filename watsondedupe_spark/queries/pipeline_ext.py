@@ -3469,3 +3469,112 @@ def docs_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs").cast("double") / F.col("src_docs")).alias("share_of_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact Kolmogorov-Smirnov drift test: each source's length distribution
+# vs the rest of the corpus — the distribution-shift alarm, made integer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_length_ks_drift",
+    """
+WITH pts AS (SELECT source, n_chars AS x FROM documents),
+per AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY source, x),
+gtab AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS g FROM pts GROUP BY x),
+srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t1 FROM pts GROUP BY source),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pts),
+spine AS (
+    SELECT s.source, s.t1, gx.x, gx.g, COALESCE(p.c, 0) AS c
+    FROM srcs s
+    CROSS JOIN gtab gx
+    LEFT JOIN per p ON p.source = s.source AND p.x = gx.x
+),
+cum AS (
+    SELECT source, t1, x,
+           SUM(c) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+           SUM(g) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+    FROM spine
+),
+num AS (
+    SELECT c.source, c.t1, n.total - c.t1 AS t2, c.x,
+           abs(c.cs * (n.total - c.t1) - (c.cg - c.cs) * c.t1) AS d_num
+    FROM cum c CROSS JOIN n
+)
+SELECT source,
+       CAST(t1 AS BIGINT) AS n_source,
+       CAST(t2 AS BIGINT) AS n_rest,
+       CAST(MAX(d_num) AS BIGINT) AS ks_num,
+       CAST(MAX(d_num) AS DOUBLE) / (t1 * t2) AS ks_d,
+       CAST(MIN(CASE WHEN d_num = md THEN x END) AS BIGINT) AS at_length
+FROM (SELECT *, MAX(d_num) OVER (PARTITION BY source) AS md FROM num)
+GROUP BY source, t1, t2
+""",
+    doc="exact two-sample Kolmogorov-Smirnov drift test: per source, "
+    "the KS statistic between ITS length distribution and the rest of "
+    "the corpus — the standing distribution-shift alarm for ingest "
+    "monitoring (a re-crawled source whose pages doubled in length "
+    "fires here while every mean/stddev monitor sleeps). The whole "
+    "computation is INTEGER-exact: ECDF differences are compared via "
+    "the cross-multiplied numerator |c1*t2 - c2*t1| (no float ECDFs, "
+    "so the max and its attaining length are bit-portable), with one "
+    "final double division for the reported D. The ECDF spine is the "
+    "distinct value domain x sources (value-domain scale, not corpus "
+    "scale); cumulative sums run per source over that spine; the "
+    "corpus itself is touched by two counting aggs only",
+)
+def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs(spark, sf_dir).select("source", F.col("n_chars").alias("x"))
+    per = pts.groupBy("source", "x").agg(F.count("*").cast("long").alias("c"))
+    glob = pts.groupBy("x").agg(F.count("*").cast("long").alias("g"))
+    srcs = pts.groupBy("source").agg(F.count("*").cast("long").alias("t1"))
+    n = pts.agg(F.count("*").cast("long").alias("total"))
+    spine = (
+        srcs.crossJoin(glob)
+        .join(per, ["source", "x"], "left")
+        .select("source", "t1", "x", "g", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.select(
+        "source",
+        "t1",
+        "x",
+        F.sum("c").over(wc).alias("cs"),
+        F.sum("g").over(wc).alias("cg"),
+    )
+    num = cum.crossJoin(F.broadcast(n)).select(
+        "source",
+        "t1",
+        (F.col("total") - F.col("t1")).alias("t2"),
+        "x",
+        F.abs(
+            F.col("cs") * (F.col("total") - F.col("t1"))
+            - (F.col("cg") - F.col("cs")) * F.col("t1")
+        ).alias("d_num"),
+    )
+    wm = Window.partitionBy("source")
+    return (
+        num.withColumn("md", F.max("d_num").over(wm))
+        .groupBy("source", "t1", "t2")
+        .agg(
+            F.max("d_num").cast("long").alias("ks_num"),
+            F.min(F.when(F.col("d_num") == F.col("md"), F.col("x")))
+            .cast("long")
+            .alias("at_length"),
+        )
+        .select(
+            "source",
+            F.col("t1").cast("long").alias("n_source"),
+            F.col("t2").cast("long").alias("n_rest"),
+            "ks_num",
+            (F.col("ks_num").cast("double") / (F.col("t1") * F.col("t2"))).alias("ks_d"),
+            "at_length",
+        )
+    )

@@ -215,6 +215,9 @@ HEADLINE = [
     # bounded explode + (window_day, user) dedup are two real distinct
     # shuffles over the events table — a new shape worth a budget.
     "events_dau_wau",
+    # lineitem_price_regression stays untimed for the composite reason:
+    # a broadcast dim join + one moment agg — the tpch_q14/stats_corr
+    # shapes already budget it.
     # docs_length_ks_drift stays untimed for the composite reason: two
     # counting aggs + value-domain-scale windows (the length_histogram
     # shape with an ECDF spine).

@@ -1010,3 +1010,14 @@ def test_length_ks_drift_plan(spark, sf_dir):
     assert report["partial_agg"]
     assert P.count_occurrences(df, r"CartesianProduct") == 0
     assert P.max_scan_width(df) <= 2
+
+
+def test_price_regression_plan(spark, sf_dir):
+    """One moment pass with partials after a broadcast dim join —
+    never per-group iteration; lineitem scan stays 3 columns."""
+    df = q("lineitem_price_regression", spark, sf_dir)
+    report = P.audit(df)
+    assert report["partial_agg"]
+    assert P.uses_broadcast_join(df)
+    assert report["shuffle_joins"] == 0
+    assert P.max_scan_width(df) <= 3

@@ -512,3 +512,44 @@ def test_activity_streaks_contract(spark, sf_dir):
         assert (r.n_streaks, r.n_active_days, r.longest_streak, r.longest_streak_start) == (
             len(runs), len(ds), longest, first_start
         )
+
+
+def test_price_regression_contract(spark, sf_dir):
+    """Slope/intercept equal a numpy lstsq-free closed form over exact
+    cents moments per brand, and the integer numerators match."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi",
+    ).collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in read_table(spark, sf_dir, "part").select("p_partkey", "p_brand").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sx, sy, sxy, sxx
+    for r in li:
+        a = agg[brand[r.l_partkey]]
+        a[0] += 1
+        a[1] += r.xi
+        a[2] += r.yi
+        a[3] += r.xi * r.yi
+        a[4] += r.xi * r.xi
+    rows = all_queries()["lineitem_price_regression"].spark(spark, sf_dir).collect()
+    got = {r.p_brand: r for r in rows}
+    for b, (n, sx, sy, sxy, sxx) in agg.items():
+        covn = n * sxy - sx * sy
+        varn = n * sxx - sx * sx
+        if n <= 1 or varn == 0:
+            assert b not in got
+            continue
+        r = got[b]
+        assert (r.n, r.cov_num, r.var_num) == (n, covn, varn)
+        slope = float(covn) / float(varn)
+        assert r.slope == slope
+        assert r.intercept == (float(sy) - slope * float(sx)) / (100 * n)

@@ -169,6 +169,9 @@ _GRADING_PRIORITY = [
     # source — the post-dedup mixture-correction input) plus the
     # integer-exact per-source KS drift test
     "docs_dedup_impact_audit", "docs_length_ks_drift",
+    # ... and grouped OLS from exact decimal moments (per-brand
+    # price~quantity slope/intercept/r^2)
+    "lineitem_price_regression",
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

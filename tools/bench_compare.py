@@ -123,7 +123,14 @@ def main() -> int:
         print(f"  NEW  {name}: {sec:.3f}s (no baseline row)")
     if not warn and not fail:
         print(f"  all {len(times)} timed entries within {args.warn}x of baseline")
-    return 1 if fail or (total is not None and total > BASELINE_HEADLINE * 2) else 0
+    # Headline guard: the raw round-2 headline constant (57 entries) is
+    # kept for continuity in the printout, but the pass/fail basis is the
+    # COMPARABLE subtotal — measured sum of locked entries vs the sum of
+    # their locks — because newly added timed entries inflate the raw
+    # headline without indicating any regression (the per-entry 2x budget
+    # above still catches any individual blow-up).
+    subtotal_bust = bool(locked_base) and locked_meas > locked_base * 2
+    return 1 if fail or subtotal_bust else 0
 
 
 if __name__ == "__main__":

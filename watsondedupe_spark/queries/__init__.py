@@ -172,6 +172,11 @@ _GRADING_PRIORITY = [
     # ... and grouped OLS from exact decimal moments (per-brand
     # price~quantity slope/intercept/r^2)
     "lineitem_price_regression",
+    # NOTE (r6 close): the never-driver-graded round-6 backlog now
+    # exceeds the 50-slot window — everything from emb_opq_distortion
+    # down sits at slot 51+ and is verified this round by the committed
+    # 226/226 full-registry sweep (CHECK_r06.json); these overflow
+    # entries are the r7 window's natural Tier 1.
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -553,3 +553,47 @@ def test_price_regression_contract(spark, sf_dir):
         slope = float(covn) / float(varn)
         assert r.slope == slope
         assert r.intercept == (float(sy) - slope * float(sx)) / (100 * n)
+
+
+def test_cusum_shift_matches_sequential_recurrence(spark, sf_dir):
+    """The windowed closed form (prefix - running-extreme) equals the
+    textbook sequential CUSUM recurrence S_d = max(0, S_{d-1} + dev_d)
+    run in plain Python, in both directions, including the argmax day."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    epoch = dt.date(1970, 1, 1)
+    for r in ev:
+        daily[r.event_type][(r.ts.date() - epoch).days] += 1
+
+    rows = all_queries()["events_cusum_shift"].spark(spark, sf_dir).collect()
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(daily)
+    for et, counts in daily.items():
+        days = sorted(counts)
+        n_days = len(days)
+        total = sum(counts.values())
+        s_up = s_dn = 0
+        best_up = best_dn = 0
+        up_day = dn_day = days[0]
+        for d in days:
+            dev = counts[d] * n_days - total
+            s_up = max(0, s_up + dev)
+            s_dn = max(0, s_dn - dev)
+            if s_up > best_up:
+                best_up, up_day = s_up, d
+            if s_dn > best_dn:
+                best_dn, dn_day = s_dn, d
+        r = got[et]
+        assert (r.n_days, r.total) == (n_days, total)
+        assert (r.max_up_scaled, r.max_down_scaled) == (best_up, best_dn)
+        assert r.max_up_events == float(best_up) / n_days
+        if best_up > 0:
+            assert r.up_day == up_day
+        if best_dn > 0:
+            assert r.down_day == dn_day

@@ -1599,3 +1599,125 @@ def lineitem_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection over the daily rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_shift",
+    """
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM daily GROUP BY 1
+),
+pfx AS (
+    SELECT d.event_type, d.day, t.n_days, t.total,
+           SUM(d.n * t.n_days - t.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS pfx
+    FROM daily d JOIN tot t USING (event_type)
+),
+cu AS (
+    SELECT event_type, day, n_days, total,
+           pfx - LEAST(0, MIN(pfx) OVER (PARTITION BY event_type ORDER BY day))
+               AS up,
+           GREATEST(0, MAX(pfx) OVER (PARTITION BY event_type ORDER BY day)) - pfx
+               AS down
+    FROM pfx
+)
+SELECT event_type, n_days, total,
+       CAST(MAX(up) AS BIGINT) AS max_up_scaled,
+       CAST(MIN(CASE WHEN up = mu THEN day END) AS BIGINT) AS up_day,
+       CAST(MAX(down) AS BIGINT) AS max_down_scaled,
+       CAST(MIN(CASE WHEN down = md THEN day END) AS BIGINT) AS down_day,
+       CAST(MAX(up) AS DOUBLE) / n_days AS max_up_events
+FROM (SELECT *, MAX(up) OVER (PARTITION BY event_type) AS mu,
+             MAX(down) OVER (PARTITION BY event_type) AS md
+      FROM cu)
+GROUP BY event_type, n_days, total
+""",
+    doc="CUSUM level-shift detection per event type: the classic "
+    "changepoint statistic S_d = max(0, S_{d-1} + (x_d - mean)) over "
+    "daily counts, in BOTH directions, with the earliest argmax day "
+    "as the shift-point estimate. The recurrence is not a SQL window "
+    "-- but its closed form is: S_d = prefix_d - min(0, running-min "
+    "prefix), and the downward twin is running-max prefix - prefix, "
+    "so two running-extreme windows over the daily rollup replace "
+    "the sequential scan (the same trick that turns max-subarray "
+    "into prefix sums). Deviations are scaled by n_days (dev = "
+    "n*n_days - total) so every intermediate stays an exact BIGINT "
+    "-- no mean division inside the recurrence, one final double "
+    "divide to express the peak in events/day units. Scale: the "
+    "windows run over the DAILY ROLLUP (calendar-bounded metadata, "
+    "not corpus rows); one shuffle to (type, day) grain, then "
+    "windows and the final agg share the type partitioning",
+)
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pfx = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        F.sum(F.col("n") * F.col("n_days") - F.col("total")).over(w).alias("pfx"),
+    )
+    cu = pfx.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        (F.col("pfx") - F.least(F.lit(0).cast("long"), F.min("pfx").over(w))).alias("up"),
+        (F.greatest(F.lit(0).cast("long"), F.max("pfx").over(w)) - F.col("pfx")).alias(
+            "down"
+        ),
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        cu.withColumn("mu", F.max("up").over(wt))
+        .withColumn("md", F.max("down").over(wt))
+        .groupBy("event_type", "n_days", "total")
+        .agg(
+            F.max("up").cast("long").alias("max_up_scaled"),
+            F.min(F.when(F.col("up") == F.col("mu"), F.col("day")))
+            .cast("long")
+            .alias("up_day"),
+            F.max("down").cast("long").alias("max_down_scaled"),
+            F.min(F.when(F.col("down") == F.col("md"), F.col("day")))
+            .cast("long")
+            .alias("down_day"),
+            (F.max("up").cast("double") / F.first("n_days")).alias("max_up_events"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            "max_up_scaled",
+            "up_day",
+            "max_down_scaled",
+            "down_day",
+            "max_up_events",
+        )
+    )

@@ -1005,3 +1005,59 @@ def test_length_ks_drift_contract(spark, sf_dir):
         assert (r.n_source, r.n_rest, r.ks_num, r.at_length) == (t1, t2, best, at)
         assert r.ks_d == best / (t1 * t2)
         assert 0.0 <= r.ks_d <= 1.0
+
+
+def test_mutual_knn_pairs_matches_bruteforce(spark, sf_dir):
+    """The bucket-bounded reciprocal-kNN graph equals a plain-Python
+    reference: same quantized cosines, same per-source top-k ranks over
+    the same bucket-restricted candidates, reciprocity both ways."""
+    import math
+    from collections import defaultdict
+
+    from watsondedupe_spark.operators.similarity import _plane_sign
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import _MUTUAL_K, _MUTUAL_PLANES
+    from watsondedupe_spark.sources import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [int(math.floor(float(x) * 1000 + 0.5)) for x in r.embedding] for r in rows}
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def bucket(vid):
+        b = 0
+        for j in range(1, _MUTUAL_PLANES + 1):
+            proj = 0.0
+            for i, x in enumerate(raw[vid], start=1):
+                proj += x * _plane_sign(j, i)
+            if proj >= 0:
+                b |= 1 << (j - 1)
+        return b
+
+    buckets = defaultdict(list)
+    for vid in vecs:
+        buckets[bucket(vid)].append(vid)
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va)
+        nb = sum(y * y for y in vb)
+        return dot / math.sqrt(na) / math.sqrt(nb)
+
+    topk = {}
+    for members in buckets.values():
+        for src in members:
+            cand = sorted(
+                ((-cos(src, dst), dst) for dst in members if dst != src)
+            )[:_MUTUAL_K]
+            topk[src] = {dst: rnk for rnk, (_, dst) in enumerate(cand, start=1)}
+
+    expected = {}
+    for src, nbrs in topk.items():
+        for dst, rnk in nbrs.items():
+            if src < dst and src in topk.get(dst, {}):
+                expected[(src, dst)] = (rnk, topk[dst][src], cos(src, dst))
+
+    got = all_queries()["emb_mutual_knn_pairs"].spark(spark, sf_dir).collect()
+    assert {(r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba, r.cosine) for r in got} == expected
+    assert expected  # non-degenerate: sf0.001 must yield at least one pair

@@ -3578,3 +3578,123 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_length",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: mutual (reciprocal) kNN pairs — the dedup-verification graph
+# ---------------------------------------------------------------------------
+
+_MUTUAL_K = 5
+_MUTUAL_PLANES = 4
+
+
+def _mutual_knn_oracle() -> str:
+    from watsondedupe_spark.queries.curation_ext import _icos_sql
+    from watsondedupe_spark.queries.engine_native import _lsh_bucket_sql
+
+    return f"""
+WITH b AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v,
+           {_lsh_bucket_sql('embedding', n_planes=_MUTUAL_PLANES)} AS bucket
+    FROM embeddings
+),
+directed AS (
+    SELECT x.vec_id AS src, y.vec_id AS dst,
+           {_icos_sql('x.v', 'y.v')} AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+),
+topk AS (
+    SELECT src, dst, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst) AS rnk
+        FROM directed)
+    WHERE rnk <= {_MUTUAL_K}
+)
+SELECT a.src AS vec_a, a.dst AS vec_b, a.cosine AS cosine,
+       a.rnk AS rank_ab, b.rnk AS rank_ba
+FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+"""
+
+
+@register(
+    "emb_mutual_knn_pairs",
+    _mutual_knn_oracle(),
+    doc="reciprocal-kNN pairs: the high-precision near-dup verification "
+    "graph (a, b kept only when each is in the OTHER's top-k) — the "
+    "standard asymmetry filter that kills hub vectors, which sit in "
+    "everyone's top-k without reciprocating. Candidates come from the "
+    "shared sign-LSH bucket (never all-pairs over the corpus), ranks "
+    "from one per-source window over the bucket-bounded directed "
+    "edges, and reciprocity from a self-join of the top-k edge list "
+    "on the reversed key — at 100 TB that join carries k rows per "
+    "vector, not the candidate fan-out. Cosines are quantized-integer "
+    "exact (order-free), so Spark folds and the SQL oracle agree "
+    "bit-for-bit.",
+)
+def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        _quant_vec().alias("v"),
+        sign_lsh_bucket(F.col("embedding"), n_planes=_MUTUAL_PLANES).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xv", "yv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x = emb.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("xv"), F.col("bucket")
+    )
+    y = emb.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("yv"), F.col("bucket")
+    )
+    nrm = {
+        side: F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for side, c in (("x", "xv"), ("y", "yv"))
+    }
+    directed = (
+        x.join(y, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot.cast("double")
+                / F.sqrt(nrm["x"].cast("double"))
+                / F.sqrt(nrm["y"].cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    topk = (
+        directed.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _MUTUAL_K)
+        .select("src", "dst", "cosine", "rnk")
+    )
+    back = topk.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        topk.join(
+            back,
+            (F.col("src") == F.col("b_dst")) & (F.col("dst") == F.col("b_src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cosine",
+            F.col("rnk").alias("rank_ab"),
+            "rank_ba",
+        )
+    )

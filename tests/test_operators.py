@@ -663,3 +663,47 @@ def test_pack_bestfit_invariants(spark, sf_dir):
     assert sorted((r.id, r.bin_id) for r in again) == sorted(
         (r.id, r.bin_id) for r in rows
     )
+
+
+def test_compaction_plan_matches_sequential_binning(spark, sf_dir):
+    """The windowed cumulative-quota binning equals the sequential
+    planner: walk files in id order, a file joins the bin its start
+    offset falls in; byte totals are conserved per source."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.scale_ops import _COMPACT_TARGET
+    from watsondedupe_spark.sources import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    )
+    by_source = defaultdict(list)
+    for r in docs:
+        by_source[r.source].append((r.doc_id, r.n_chars))
+
+    expected = {}
+    for src, files in by_source.items():
+        offset = 0
+        for doc_id, n in sorted(files):
+            b = offset // _COMPACT_TARGET
+            key = (src, b)
+            cnt, tot, lo, hi = expected.get(key, (0, 0, doc_id, doc_id))
+            expected[key] = (cnt + 1, tot + n, min(lo, doc_id), max(hi, doc_id))
+            offset += n
+
+    rows = all_queries()["docs_compaction_plan"].spark(spark, sf_dir).collect()
+    got = {
+        (r.source, r.bin): (r.n_files, r.total_bytes, r.first_doc, r.last_doc)
+        for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        assert r.fill_ratio == r.total_bytes / _COMPACT_TARGET
+    # conservation: per-source byte totals survive the re-binning
+    tot = defaultdict(int)
+    for (src, _), (_, b, _, _) in expected.items():
+        tot[src] += b
+    assert tot == {s: sum(n for _, n in fs) for s, fs in by_source.items()}

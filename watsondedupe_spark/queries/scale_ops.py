@@ -495,3 +495,71 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.position, s.address, s.length "
         "FROM ___docs_for_udtf, LATERAL chunk_spans(length(text), 64) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# storage maintenance: small-file compaction planner
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2000  # bytes per output file (scaled to the sf0.01 corpus)
+
+
+@register(
+    "docs_compaction_plan",
+    f"""
+WITH sized AS (
+    SELECT source, doc_id, n_chars,
+           COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pfx
+    FROM documents
+)
+SELECT source,
+       CAST(floor(pfx / {_COMPACT_TARGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(SUM(n_chars) AS DOUBLE) / {_COMPACT_TARGET} AS fill_ratio
+FROM sized
+GROUP BY source, CAST(floor(pfx / {_COMPACT_TARGET}) AS BIGINT)
+""",
+    doc="small-file compaction planner (the OPTIMIZE/bin-packing step "
+    "every 100 TB table needs): within each partition (source), files "
+    "in id order are assigned to output bins by floor(exclusive-"
+    "prefix-bytes / target) — the deterministic cumulative-quota "
+    "binning Delta/Iceberg compactors use, where a file joins the bin "
+    "its start offset falls in (bins may overshoot by at most one "
+    "file; never undershoot below target except the tail). Pure "
+    "metadata arithmetic: one window + one agg, both partitioned by "
+    "source, so the plan never touches file CONTENTS and shuffles "
+    "only the file listing — at 100 TB that is millions of rows of "
+    "metadata, not the bytes",
+)
+def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("pfx"),
+    )
+    return (
+        sized.withColumn(
+            "bin", F.floor(F.col("pfx") / _COMPACT_TARGET).cast("long")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            (F.sum("n_chars").cast("double") / _COMPACT_TARGET).alias("fill_ratio"),
+        )
+    )

@@ -743,3 +743,46 @@ def test_bloom_fpr_audit_contract(spark, sf_dir):
     assert r.observed_fpr == n_fp / (len(b_hashes) - n_members)
     fill = len(bits) / _BLOOM_M
     assert r.theoretical_fpr == fill * fill * fill * fill
+
+
+def test_silhouette_matches_reference(spark, sf_dir):
+    """Per-cluster simplified silhouette equals a plain-Python reference
+    over the same deterministic centroids and quantized cosines."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import _SIL_SCALE
+    from watsondedupe_spark.sources import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    q = {r.vec_id: [int(math.floor(float(x) * 1000 + 0.5)) for x in r.embedding] for r in rows}
+
+    def cent_key(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    cent_ids = sorted(q, key=lambda v: (cent_key(v), v))[:16]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_scaled, n_negative
+    for vid, v in q.items():
+        sims = sorted(
+            ((-cos(v, q[c]), c) for c in cent_ids)
+        )
+        own_sim, own_c = -sims[0][0], sims[0][1]
+        next_sim = -sims[1][0]
+        a, b = 1 - own_sim, 1 - next_sim
+        s = 0 if max(a, b) == 0 else int(math.floor((b - a) / max(a, b) * _SIL_SCALE + 0.5))
+        e = agg[own_c]
+        e[0] += 1
+        e[1] += s
+        e[2] += s < 0
+
+    got = all_queries()["emb_silhouette"].spark(spark, sf_dir).collect()
+    assert {r.centroid_id: [r.n_members, r.sum_s_scaled, r.n_negative] for r in got} == dict(agg)
+    for r in got:
+        assert r.mean_silhouette == r.sum_s_scaled / _SIL_SCALE / r.n_members

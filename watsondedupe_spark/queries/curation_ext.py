@@ -2062,3 +2062,133 @@ def docs_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio * ratio * ratio * ratio).alias("theoretical_fpr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster quality: simplified silhouette over the IVF coarse clusters
+# ---------------------------------------------------------------------------
+
+_SIL_SCALE = 1_000_000
+
+
+@register(
+    "emb_silhouette",
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qcv
+    FROM embeddings ORDER BY {_IVF_CENT_KEY}, vec_id LIMIT 16
+),
+base AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id, {_icos_sql('e.v', 'c.qcv')} AS csim
+    FROM base e CROSS JOIN cents c
+),
+ranked AS (
+    SELECT vec_id, centroid_id, csim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, centroid_id) AS rn
+    FROM scored
+),
+sil AS (
+    SELECT own.vec_id, own.centroid_id,
+           CASE WHEN GREATEST(1 - own.csim, 1 - nxt.csim) = 0 THEN 0
+                ELSE CAST(floor(((1 - nxt.csim) - (1 - own.csim))
+                          / GREATEST(1 - own.csim, 1 - nxt.csim)
+                          * {_SIL_SCALE} + 0.5) AS BIGINT)
+           END AS s_scaled
+    FROM (SELECT * FROM ranked WHERE rn = 1) own
+    JOIN (SELECT * FROM ranked WHERE rn = 2) nxt USING (vec_id)
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_scaled) AS BIGINT) AS sum_s_scaled,
+       CAST(SUM(s_scaled) AS DOUBLE) / {_SIL_SCALE} / COUNT(*)
+           AS mean_silhouette,
+       CAST(SUM(CASE WHEN s_scaled < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+FROM sil GROUP BY centroid_id
+""",
+    doc="simplified silhouette (centroid-based, Hruschka et al.): per "
+    "vector, a = cosine distance to its OWN (nearest) coarse centroid, "
+    "b = distance to the best OTHER centroid, s = (b-a)/max(a,b) — the "
+    "O(n*k) cluster-quality diagnostic that replaces the O(n^2) "
+    "classical silhouette at scale (n*k is the price IVF assignment "
+    "already pays; centroids broadcast, corpus never shuffles). "
+    "Negative s flags vectors closer to a foreign centroid than their "
+    "own — the misassignment count k-means refinement should drive to "
+    "zero. Per-row s is quantized to 1e-6 ticks BEFORE the group sum, "
+    "so the per-cluster mean is order-free and oracle-exact.",
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, 16).select(
+        "centroid_id",
+        F.transform(
+            "cv", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+        ).alias("qcv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qcv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm_v = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm_c = F.aggregate(
+        F.zip_with("qcv", "qcv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select("vec_id", _quant_vec().alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "centroid_id",
+            (
+                dot.cast("double")
+                / F.sqrt(nrm_v.cast("double"))
+                / F.sqrt(nrm_c.cast("double"))
+            ).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    own = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "centroid_id", F.col("csim").alias("own_sim")
+    )
+    nxt = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("csim").alias("next_sim")
+    )
+    a_d = F.lit(1) - F.col("own_sim")
+    b_d = F.lit(1) - F.col("next_sim")
+    sil = own.join(nxt, "vec_id").select(
+        "centroid_id",
+        F.when(F.greatest(a_d, b_d) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((b_d - a_d) / F.greatest(a_d, b_d) * _SIL_SCALE + 0.5).cast("long")
+        )
+        .alias("s_scaled"),
+    )
+    return sil.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("s_scaled").cast("long").alias("sum_s_scaled"),
+        (F.sum("s_scaled").cast("double") / _SIL_SCALE / F.count("*")).alias(
+            "mean_silhouette"
+        ),
+        F.sum(F.when(F.col("s_scaled") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )

@@ -597,3 +597,41 @@ def test_cusum_shift_matches_sequential_recurrence(spark, sf_dir):
             assert r.up_day == up_day
         if best_dn > 0:
             assert r.down_day == dn_day
+
+
+def test_pit_features_match_bruteforce(spark, sf_dir):
+    """Every label row's trailing features equal a brute-force scan of
+    that user's history with the strictly-before bound."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _PIT_H1, _PIT_H2
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "value", "unix_micros(ts) AS us")
+        .collect()
+    )
+    hist = defaultdict(list)
+    for r in ev:
+        hist[r.user_id].append(r)
+
+    rows = all_queries()["events_pit_features"].spark(spark, sf_dir).collect()
+    labels = [r for r in ev if r.event_type == "purchase"]
+    assert len(rows) == len(labels)
+    got = {r.event_id: r for r in rows}
+    for lab in labels:
+        h = hist[lab.user_id]
+        w1 = [x for x in h if lab.us - _PIT_H1 <= x.us < lab.us]
+        w2 = [x for x in h if lab.us - _PIT_H2 <= x.us < lab.us]
+        prev = [x.us for x in h if (x.us, x.event_id) < (lab.us, lab.event_id)]
+        r = got[lab.event_id]
+        assert r.views_24h == sum(1 for x in w1 if x.event_type == "view")
+        assert r.clicks_24h == sum(1 for x in w1 if x.event_type == "click")
+        assert r.n_72h == len(w2)
+        assert r.value_72h == float(
+            sum((Decimal(str(x.value)).quantize(Decimal("0.01")) for x in w2), Decimal(0))
+        )
+        assert r.us_since_prev == (lab.us - max(prev) if prev else -1)

@@ -1721,3 +1721,100 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_up_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time feature assembly (leakage-safe training-set backfill)
+# ---------------------------------------------------------------------------
+
+_PIT_H1 = 24 * 3600 * 1_000_000  # 24h in microseconds
+_PIT_H2 = 72 * 3600 * 1_000_000  # 72h
+
+
+@register(
+    "events_pit_features",
+    f"""
+WITH feat AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {_PIT_H1} PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS views_24h,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {_PIT_H1} PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS clicks_24h,
+           CAST(COUNT(*)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {_PIT_H2} PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS n_72h,
+           CAST(SUM(CAST(value AS DECIMAL(14,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {_PIT_H2} PRECEDING AND 1 PRECEDING)
+                AS DOUBLE) AS value_72h,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+)
+SELECT user_id, event_id, us,
+       COALESCE(views_24h, 0) AS views_24h,
+       COALESCE(clicks_24h, 0) AS clicks_24h,
+       COALESCE(n_72h, 0) AS n_72h,
+       COALESCE(value_72h, 0.0) AS value_72h,
+       CAST(COALESCE(us - prev_us, -1) AS BIGINT) AS us_since_prev
+FROM feat WHERE event_type = 'purchase'
+""",
+    doc="point-in-time feature backfill: for every label event "
+    "(purchase), trailing features computed over a STRICTLY-BEFORE "
+    "frame (RANGE ... 1 PRECEDING on integer microseconds — the "
+    "exclusive bound is what makes the training set leakage-safe; "
+    "CURRENT ROW would let the label see itself and its timestamp "
+    "ties). Two horizons (24h type-conditional counts, 72h "
+    "count+decimal-exact spend) and recency (LAG to the previous "
+    "event) come from ONE pass: all five features share the per-user "
+    "shuffle, the frames differ only in bounds, and the label filter "
+    "runs after the windows so history includes non-label events. At "
+    "100 TB this is the feature-store backfill shape: one shuffle on "
+    "user_id, never a per-(label, horizon) range join.",
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    base = Window.partitionBy("user_id").orderBy("us")
+    w1 = base.rangeBetween(-_PIT_H1, -1)
+    w2 = base.rangeBetween(-_PIT_H2, -1)
+    wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    feat = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w1)
+        .cast("long")
+        .alias("views_24h"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w1)
+        .cast("long")
+        .alias("clicks_24h"),
+        F.count("*").over(w2).cast("long").alias("n_72h"),
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .over(w2)
+        .cast("double")
+        .alias("value_72h"),
+        F.lag("us").over(wlag).alias("prev_us"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "us",
+        F.coalesce("views_24h", F.lit(0)).alias("views_24h"),
+        F.coalesce("clicks_24h", F.lit(0)).alias("clicks_24h"),
+        F.coalesce("n_72h", F.lit(0)).alias("n_72h"),
+        F.coalesce("value_72h", F.lit(0.0)).alias("value_72h"),
+        F.coalesce(F.col("us") - F.col("prev_us"), F.lit(-1))
+        .cast("long")
+        .alias("us_since_prev"),
+    )

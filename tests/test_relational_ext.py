@@ -635,3 +635,52 @@ def test_pit_features_match_bruteforce(spark, sf_dir):
             sum((Decimal(str(x.value)).quantize(Decimal("0.01")) for x in w2), Decimal(0))
         )
         assert r.us_since_prev == (lab.us - max(prev) if prev else -1)
+
+
+def test_ewma_anomaly_matches_sequential_recurrence(spark, sf_dir):
+    """The bounded-lag integer decomposition tracks the true sequential
+    EWMA recurrence: forecasts agree to within the 2^-L truncation tail,
+    and the integer flags match exact rational comparisons."""
+    import datetime as dt
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _EWMA_L
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    epoch = dt.date(1970, 1, 1)
+    for r in ev:
+        daily[r.event_type][(r.ts.date() - epoch).days] += 1
+
+    rows = all_queries()["events_ewma_anomaly"].spark(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): r for r in rows}
+    n_rows = 0
+    for et, counts in daily.items():
+        days = sorted(counts)
+        for t, d in enumerate(days):
+            if t == 0:
+                assert (et, d) not in got  # no history -> no forecast row
+                continue
+            n_rows += 1
+            lags = days[max(0, t - _EWMA_L):t]
+            fs = sum(counts[x] * (1 << (_EWMA_L - (t - j) )) for j, x in
+                     zip(range(max(0, t - _EWMA_L), t), lags))
+            ns = sum(1 << (_EWMA_L - (t - j)) for j in range(max(0, t - _EWMA_L), t))
+            r = got[(et, d)]
+            assert (r.n, r.fs, r.ns) == (counts[d], fs, ns)
+            assert r.forecast == fs / ns
+            # flags equal the exact rational comparison vs the truncated
+            # forecast, and the truncated forecast is within 2^-(L-1) *
+            # max_count of the untruncated sequential EWMA
+            assert r.flag_hi == (1 if Fraction(counts[d]) > 2 * Fraction(fs, ns) else 0)
+            assert r.flag_lo == (1 if Fraction(counts[d]) < Fraction(fs, ns) / 2 else 0)
+            exact = Fraction(0)
+            wsum = Fraction(0)
+            for j in range(1, t + 1):
+                exact += Fraction(1, 2**j) * counts[days[t - j]]
+                wsum += Fraction(1, 2**j)
+            assert abs(float(exact / wsum) - r.forecast) <= max(counts.values()) * 2 ** -(_EWMA_L - 1)
+    assert len(got) == n_rows

@@ -1818,3 +1818,107 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("us_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA one-step-ahead forecast / anomaly flags over the daily rollup
+# ---------------------------------------------------------------------------
+
+_EWMA_L = 20  # truncation lag: 2^-20 tail is below one count at any SF
+
+
+@register(
+    "events_ewma_anomaly",
+    f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, day, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+),
+ew AS (
+    SELECT a.event_type, a.day, a.n, a.rn,
+           SUM(b.n * CAST(pow(2, {_EWMA_L} - (a.rn - b.rn)) AS BIGINT)) AS fs,
+           SUM(CAST(pow(2, {_EWMA_L} - (a.rn - b.rn)) AS BIGINT)) AS ns
+    FROM seq a JOIN seq b
+      ON a.event_type = b.event_type
+     AND b.rn BETWEEN a.rn - {_EWMA_L} AND a.rn - 1
+    GROUP BY a.event_type, a.day, a.n, a.rn
+)
+SELECT event_type, day, n,
+       CAST(fs AS BIGINT) AS fs, CAST(ns AS BIGINT) AS ns,
+       CAST(fs AS DOUBLE) / ns AS forecast,
+       CAST(CASE WHEN n * ns > 2 * fs THEN 1 ELSE 0 END AS INT) AS flag_hi,
+       CAST(CASE WHEN 2 * n * ns < fs THEN 1 ELSE 0 END AS INT) AS flag_lo
+FROM ew
+""",
+    doc="EWMA anomaly detection (alpha = 1/2, one-step-ahead): "
+    "forecast_t = sum_j 2^-j * x_(t-j) over the prior observed days — "
+    "the sequential smoothing recurrence made distributable by "
+    "truncating at lag 20 (the 2^-20 tail is below one count at any "
+    "scale) so each day's forecast is a BOUNDED weighted sum, computed "
+    "as a fan-out-20 range self-join on the per-type row index instead "
+    "of an order-dependent scan. Weights 2^(L-j) keep every partial "
+    "sum an exact BIGINT (no float accumulation order to disagree on); "
+    "the partial-window normalizer ns re-scales early rows, and the "
+    "anomaly flags (2x over / 2x under forecast) are pure integer "
+    "cross-multiplications. Runs on the DAILY ROLLUP (metadata grain): "
+    "one shuffle to (type, day), a 20-wide bounded join, one agg.",
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    seq = daily.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    )
+    a = seq.select("event_type", "day", "n", "rn")
+    b = seq.select(
+        F.col("event_type").alias("b_type"),
+        F.col("n").alias("b_n"),
+        F.col("rn").alias("b_rn"),
+    )
+    weight = F.pow(F.lit(2.0), F.lit(_EWMA_L) - (F.col("rn") - F.col("b_rn"))).cast(
+        "long"
+    )
+    ew = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("b_type"))
+            & (F.col("b_rn") >= F.col("rn") - _EWMA_L)
+            & (F.col("b_rn") <= F.col("rn") - 1),
+        )
+        .groupBy("event_type", "day", "n", "rn")
+        .agg(
+            F.sum(F.col("b_n") * weight).cast("long").alias("fs"),
+            F.sum(weight).cast("long").alias("ns"),
+        )
+    )
+    return ew.select(
+        "event_type",
+        "day",
+        "n",
+        "fs",
+        "ns",
+        (F.col("fs").cast("double") / F.col("ns")).alias("forecast"),
+        F.when(F.col("n") * F.col("ns") > 2 * F.col("fs"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flag_hi"),
+        F.when(2 * F.col("n") * F.col("ns") < F.col("fs"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flag_lo"),
+    )

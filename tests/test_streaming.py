@@ -672,3 +672,48 @@ def test_dedupe_streamed_cross_batch_suppression(spark, sf_dir):
         .collect()
     }
     assert set(keys) == want
+
+
+def test_interval_left_join_flushes_unmatched_on_sentinel(spark, sf_dir):
+    """LEFT OUTER stream-stream join: the sentinel end-of-stream slice
+    must force eviction of every unmatched view, so the streamed output
+    equals the batch left join — null rows included."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    got = (
+        all_queries()["events_interval_left_join_streamed"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter((F.col("event_type") == "view") & (F.col("user_id") < 30)).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 30)).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        "view_ts",
+        F.coalesce("click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")).alias(
+            "click_ts"
+        ),
+    ).collect()
+    key = lambda r: (r.user_id, r.view_id, r.click_id, r.view_ts, r.click_ts)
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    # the fixture must exercise BOTH arms: matches and watermark-flushed nulls
+    assert any(r.click_id == -1 for r in batch)
+    assert any(r.click_id != -1 for r in batch)

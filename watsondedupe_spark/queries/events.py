@@ -382,18 +382,29 @@ def events_interval_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3) -> str:
+def _stage_events_split_dir(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3, sentinel: bool = False
+) -> str:
     """Stage the events table as ``n_slices`` separate parquet files so
     ``maxFilesPerTrigger=1`` replays it in multiple REAL micro-batches —
     the single-file symlink staging above yields one batch, which never
     exercises cross-batch state merging. Slices are deterministic
-    event_id ranges; write-once per (sf_dir, slices) keyed tmp dir."""
+    event_id ranges; write-once per (sf_dir, slices) keyed tmp dir.
+
+    ``sentinel=True`` appends one extra slice, replayed LAST (its file
+    mtime is bumped past every data slice — the file source orders
+    pending files by mtime), holding a far-future 'view' + 'click' pair
+    (event_id -1/-2, user_id 29, ts = max + 4h). Replaying it drives the
+    event-time watermark past every real row, which is what forces an
+    outer join to FLUSH its unmatched state before the query stops —
+    without it, rows younger than the final watermark horizon never emit
+    their null match and the streamed result is replay-length-dependent."""
     import hashlib
     import os
     import tempfile
 
     target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    tag = hashlib.md5(f"{target}:{n_slices}".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{target}:{n_slices}:s{int(sentinel)}".encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"wds_stream_events_split_{tag}")
     done = os.path.join(stage, "_STAGED")  # underscore-prefixed: source ignores it
     if not os.path.exists(done):
@@ -415,6 +426,27 @@ def _stage_events_split_dir(spark: SparkSession, sf_dir: str, n_slices: int = 3)
                 .write.mode("append")
                 .parquet(scratch)
             )
+        if sentinel:
+            import datetime as _dt
+
+            max_ts = ev.agg(F.max("ts")).collect()[0][0]
+            pad_ts = max_ts + _dt.timedelta(hours=4)
+            pad = spark.createDataFrame(
+                [
+                    (-1, pad_ts, 29, "view", 0.0, "{}"),
+                    (-2, pad_ts, 29, "click", 0.0, "{}"),
+                ],
+                ev.schema,
+            )
+            before = {
+                os.path.join(scratch, f) for f in os.listdir(scratch)
+            }
+            pad.coalesce(1).write.mode("append").parquet(scratch)
+            latest = max(os.path.getmtime(p) for p in before if p.endswith(".parquet"))
+            for f in os.listdir(scratch):
+                p = os.path.join(scratch, f)
+                if p not in before and f.endswith(".parquet"):
+                    os.utime(p, (latest + 10, latest + 10))
         with open(os.path.join(scratch, "_STAGED"), "w") as fh:
             fh.write("ok")
         try:
@@ -677,3 +709,67 @@ def events_dedupe_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table("graded_dedupe_sink").select("user_id", "event_type")
+
+
+@register(
+    "events_interval_left_join_streamed",
+    """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       v.ts AS view_ts,
+       COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+FROM events v
+LEFT JOIN events c
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND c.user_id < 30
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view' AND v.user_id < 30
+""",
+    doc="stream-stream LEFT OUTER interval join through the real "
+    "streaming engine: same views-to-clicks attribution as the graded "
+    "inner join, but a view with no click inside the 30-minute bound "
+    "must STILL emit (with a null match) — the semantics that make "
+    "outer joins the hardest streaming state problem, because the null "
+    "row can only be emitted when the watermark PROVES no match can "
+    "arrive (state eviction doubles as negative evidence). A finite "
+    "replay would leave the youngest views' state unflushed forever, "
+    "so the staging appends a far-future sentinel slice (replayed "
+    "last) that drives the watermark past every real row — the "
+    "stream-side analogue of an end-of-stream marker. Null matches "
+    "are coalesced to sentinels (-1 / epoch) so the streamed output "
+    "hash-equals the batch LEFT JOIN DuckDB computes.",
+)
+def events_interval_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark import streaming as S
+
+    stage = _stage_events_split_dir(spark, sf_dir, sentinel=True)
+    views = S.stream_from_dir(spark, stage).filter(
+        (F.col("event_type") == "view") & (F.col("user_id") < 30)
+    )
+    clicks = S.stream_from_dir(spark, stage).filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 30)
+    )
+    joined = S.interval_join_views_to_clicks(
+        views, clicks, within="30 minutes", watermark="2 hours", how="leftOuter"
+    )
+    with S.state_partitions(spark, 8):
+        q = S.run_to_memory(joined, "graded_interval_left_join_sink", "append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.table("graded_interval_left_join_sink")
+        .filter(F.col("view_id") >= 0)  # drop the sentinel view's own row
+        .select(
+            "user_id",
+            "view_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            "view_ts",
+            F.coalesce(
+                "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+            ).alias("click_ts"),
+        )
+    )

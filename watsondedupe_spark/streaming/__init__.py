@@ -178,6 +178,7 @@ def interval_join_views_to_clicks(
     clicks: DataFrame,
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each click to a preceding
     view by the same user within ``within``.
@@ -206,6 +207,7 @@ def interval_join_views_to_clicks(
         (F.col("v_user") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )

@@ -786,3 +786,44 @@ def test_silhouette_matches_reference(spark, sf_dir):
     assert {r.centroid_id: [r.n_members, r.sum_s_scaled, r.n_negative] for r in got} == dict(agg)
     for r in got:
         assert r.mean_silhouette == r.sum_s_scaled / _SIL_SCALE / r.n_members
+
+
+def test_gopher_rules_audit_matches_reference(spark, sf_dir):
+    """Per-source per-rule gate counts equal a plain-Python pass over the
+    corpus, and every rule is exercised somewhere in the fixture."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import (
+        _GR_MIN_STOP, _GR_MWL_HI, _GR_MWL_LO, _GR_REP_DEN, _GR_REP_NUM,
+        _GR_WC_HI, _GR_WC_LO,
+    )
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in docs:
+        toks = r.text.split(" ")
+        wc = len(toks)
+        chars_ns = sum(len(t) for t in toks)
+        n_stop = len({t for t in toks if t in _STOPWORDS})
+        top = max(Counter(toks).values())
+        f_wc = wc < _GR_WC_LO or wc > _GR_WC_HI
+        f_mwl = chars_ns < _GR_MWL_LO * wc or chars_ns > _GR_MWL_HI * wc
+        f_stop = n_stop < _GR_MIN_STOP
+        f_rep = top * _GR_REP_DEN > wc * _GR_REP_NUM
+        e = agg[r.source]
+        e[0] += 1
+        e[1] += f_wc
+        e[2] += f_mwl
+        e[3] += f_stop
+        e[4] += f_rep
+        e[5] += not (f_wc or f_mwl or f_stop or f_rep)
+
+    got = all_queries()["docs_gopher_rules_audit"].spark(spark, sf_dir).collect()
+    assert {
+        r.source: [r.n_docs, r.n_fail_wordcount, r.n_fail_meanwordlen,
+                   r.n_fail_stopwords, r.n_fail_repetition, r.n_pass_all]
+        for r in got
+    } == dict(agg)

@@ -41,6 +41,7 @@ from watsondedupe_spark.queries.llm_pipeline import (
     _SHINGLES_SQL,
     _SIG_SQL,
     _STOP_SHINGLE_MAX,
+    _STOP_SQL,
     _docs,
     _docs_parallel,
     _emb,
@@ -2191,4 +2192,115 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("s_scaled") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style per-rule quality gate audit
+# ---------------------------------------------------------------------------
+
+# Rule thresholds, scaled to the synthetic corpus (the published Gopher
+# bounds — 50..100k words, mean word length 3..10, repetition caps — are
+# for web documents; the shape of the audit is what matters).
+_GR_WC_LO, _GR_WC_HI = 20, 90
+_GR_MWL_LO, _GR_MWL_HI = 4, 10  # published low bound is 3; 4 splits this corpus
+_GR_MIN_STOP = 2
+_GR_REP_NUM, _GR_REP_DEN = 1, 5  # top token must be <= 1/5 of the words
+
+
+@register(
+    "docs_gopher_rules_audit",
+    f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+cnts AS (
+    SELECT doc_id, source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3
+),
+per_doc AS (
+    SELECT doc_id, source,
+           SUM(cnt) AS wc,
+           SUM(length(tok) * cnt) AS chars_ns,
+           COUNT(DISTINCT CASE WHEN tok IN {{stop_sql}} THEN tok END) AS n_stop,
+           MAX(cnt) AS top_cnt
+    FROM cnts
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT source,
+           CASE WHEN wc < {_GR_WC_LO} OR wc > {_GR_WC_HI} THEN 1 ELSE 0 END AS f_wc,
+           CASE WHEN chars_ns < {_GR_MWL_LO} * wc
+                  OR chars_ns > {_GR_MWL_HI} * wc THEN 1 ELSE 0 END AS f_mwl,
+           CASE WHEN n_stop < {_GR_MIN_STOP} THEN 1 ELSE 0 END AS f_stop,
+           CASE WHEN top_cnt * {_GR_REP_DEN} > wc * {_GR_REP_NUM} THEN 1 ELSE 0 END
+               AS f_rep
+    FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+       CAST(SUM(f_mwl) AS BIGINT) AS n_fail_meanwordlen,
+       CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopwords,
+       CAST(SUM(f_rep) AS BIGINT) AS n_fail_repetition,
+       CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_all
+FROM flagged GROUP BY source
+""".replace("{stop_sql}", _STOP_SQL),
+    doc="Gopher-rule quality gates (Rae et al. 2021; the ruleset Dolma/"
+    "RedPajama curation reuses), audited PER RULE per source: word-count "
+    "bounds, mean-word-length bounds (as the integer cross-product "
+    "chars < lo*wc, never a float divide), minimum distinct stopwords "
+    "(the 'natural language' gate), and top-token repetition cap (the "
+    "degenerate-text gate). Per-rule attribution is what a curation "
+    "operator actually tunes on — a single composite score can't say "
+    "WHICH gate is carving a source. One explode pass builds token "
+    "stats; every gate is integer arithmetic; per-source counts come "
+    "off the same shuffle key the corpus is already partitioned by.",
+)
+def docs_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnts = toks.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("cnt"))
+    per_doc = cnts.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("wc"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("chars_ns"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(*_STOPWORDS), F.col("tok"))
+        ).alias("n_stop"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    flagged = per_doc.select(
+        "source",
+        F.when(
+            (F.col("wc") < _GR_WC_LO) | (F.col("wc") > _GR_WC_HI), 1
+        ).otherwise(0).alias("f_wc"),
+        F.when(
+            (F.col("chars_ns") < _GR_MWL_LO * F.col("wc"))
+            | (F.col("chars_ns") > _GR_MWL_HI * F.col("wc")),
+            1,
+        ).otherwise(0).alias("f_mwl"),
+        F.when(F.col("n_stop") < _GR_MIN_STOP, 1).otherwise(0).alias("f_stop"),
+        F.when(
+            F.col("top_cnt") * _GR_REP_DEN > F.col("wc") * _GR_REP_NUM, 1
+        ).otherwise(0).alias("f_rep"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("n_fail_wordcount"),
+        F.sum("f_mwl").cast("long").alias("n_fail_meanwordlen"),
+        F.sum("f_stop").cast("long").alias("n_fail_stopwords"),
+        F.sum("f_rep").cast("long").alias("n_fail_repetition"),
+        F.sum(
+            F.when(
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_stop") + F.col("f_rep")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass_all"),
     )

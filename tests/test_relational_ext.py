@@ -684,3 +684,61 @@ def test_ewma_anomaly_matches_sequential_recurrence(spark, sf_dir):
                 wsum += Fraction(1, 2**j)
             assert abs(float(exact / wsum) - r.forecast) <= max(counts.values()) * 2 ** -(_EWMA_L - 1)
     assert len(got) == n_rows
+
+
+def test_ushape_attribution_matches_reference(spark, sf_dir):
+    """U-shaped credits equal a per-purchase Python reference, and the
+    per-purchase credit sum never exceeds the purchase value (floor
+    rounding loss is bounded by the middle-touch count)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "event_type", "value", "unix_micros(ts) AS us")
+        .collect()
+    )
+    touches = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("view", "click"):
+            touches[r.user_id].append(r)
+
+    agg = defaultdict(lambda: [set(), 0])
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        micro = cents * 1_000_000
+        win = sorted(
+            (t for t in touches[r.user_id] if r.us - 3_600_000_000 <= t.us < r.us),
+            key=lambda t: (t.us, t.event_id),
+        )
+        k = len(win)
+        per_purchase = 0
+        if k == 0:
+            agg["direct"][0].add(r.event_id)
+            agg["direct"][1] += micro
+            continue
+        for i, t in enumerate(win):
+            if k == 1:
+                c = micro
+            elif k == 2:
+                c = micro // 2
+            elif i == 0 or i == k - 1:
+                c = micro * 2 // 5
+            else:
+                c = micro // (5 * (k - 2))
+            agg[t.event_type][0].add(r.event_id)
+            agg[t.event_type][1] += c
+            per_purchase += c
+        assert micro - (5 * max(k - 2, 1)) <= per_purchase <= micro
+
+    got = all_queries()["events_attribution_ushape"].spark(spark, sf_dir).collect()
+    assert {r.channel: (r.n_purchases, r.attributed_microcents) for r in got} == {
+        ch: (len(ids), total) for ch, (ids, total) in agg.items()
+    }
+    for r in got:
+        assert r.attributed_value == r.attributed_microcents / 1_000_000 / 100

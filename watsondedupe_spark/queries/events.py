@@ -773,3 +773,118 @@ def events_interval_left_join_streamed(spark: SparkSession, sf_dir: str) -> Data
             ).alias("click_ts"),
         )
     )
+
+
+@register(
+    "events_attribution_ushape",
+    """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id AS t_id,
+           event_type AS channel
+    FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+    SELECT p.purchase_id, p.cents, t.channel,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                              ORDER BY t.t_us, t.t_id) AS rn,
+           COUNT(*) OVER (PARTITION BY p.purchase_id) AS k
+    FROM p JOIN t
+      ON p.user_id = t.user_id
+     AND t.t_us >= p.us - 3600000000 AND t.t_us < p.us
+),
+credited AS (
+    SELECT channel,
+           purchase_id,
+           CASE
+             WHEN k = 1 THEN cents * 1000000
+             WHEN k = 2 THEN (cents * 1000000) // 2
+             WHEN rn = 1 OR rn = k THEN (cents * 1000000 * 2) // 5
+             ELSE (cents * 1000000) // (5 * (k - 2))
+           END AS credit
+    FROM j
+    UNION ALL
+    SELECT 'direct' AS channel, purchase_id, cents * 1000000 AS credit
+    FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
+)
+SELECT channel,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(SUM(credit) AS BIGINT) AS attributed_microcents,
+       CAST(SUM(credit) AS DOUBLE) / 1000000 / 100 AS attributed_value
+FROM credited GROUP BY channel
+""",
+    doc="position-based (U-shaped 40/20/40) multi-touch attribution: "
+    "each purchase's credit splits 40% to the first touch, 40% to the "
+    "last, 20% evenly across the middles (100% / 50-50 for one / two "
+    "touches; no touch in the 1-hour lookback -> 'direct') — the "
+    "multi-touch counterpart of the graded last-touch rollup. Credits "
+    "are integer MICRO-CENTS with explicit floor division (truncation "
+    "is part of the declared semantics, so both engines floor the "
+    "same exact integers — no float shares to drift). The "
+    "purchase-to-touch join is bounded by the lookback window (per-"
+    "user fan-out, never a full history scan-back), the position "
+    "ranks come from one window over the joined rows, and everything "
+    "shuffles once on user then once on purchase.",
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") >= F.col("us") - 3_600_000_000)
+        & (F.col("t_us") < F.col("us")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    j = j.select(
+        "purchase_id",
+        "cents",
+        "channel",
+        F.row_number().over(wp.orderBy("t_us", "t_id")).alias("rn"),
+        F.count("*").over(wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("k"),
+    )
+    micro = F.col("cents") * 1_000_000
+    credit = (
+        F.when(F.col("k") == 1, micro)
+        .when(F.col("k") == 2, F.expr("cents * 1000000 DIV 2"))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.expr("cents * 1000000 * 2 DIV 5"),
+        )
+        .otherwise(F.expr("cents * 1000000 DIV (5 * (k - 2))"))
+    )
+    credited = j.select("channel", "purchase_id", credit.alias("credit"))
+    direct = (
+        p.join(j.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            "purchase_id",
+            micro.alias("credit"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("purchase_id").cast("long").alias("n_purchases"),
+            F.sum("credit").cast("long").alias("attributed_microcents"),
+            (F.sum("credit").cast("double") / 1_000_000 / 100).alias(
+                "attributed_value"
+            ),
+        )
+    )

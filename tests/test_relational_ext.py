@@ -742,3 +742,46 @@ def test_ushape_attribution_matches_reference(spark, sf_dir):
     }
     for r in got:
         assert r.attributed_value == r.attributed_microcents / 1_000_000 / 100
+
+
+def test_weighted_median_matches_reference(spark, sf_dir):
+    """The cumulative-crossing weighted median equals the textbook
+    definition computed sequentially per group."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    mass = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        p = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+        w = int(Decimal(str(r.l_quantity)).quantize(Decimal("0.01")) * 100)
+        mass[r.l_returnflag][p] += w
+
+    got = {
+        r.l_returnflag: r
+        for r in all_queries()["lineitem_weighted_median_price"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(mass)
+    for flag, prices in mass.items():
+        tw = sum(prices.values())
+        cw = 0
+        med = None
+        for p in sorted(prices):
+            cw += prices[p]
+            if cw * 2 >= tw:
+                med = p
+                break
+        r = got[flag]
+        assert r.total_weight_scaled == tw
+        assert r.weighted_median_price == float(med)
+        # the weighted median splits the mass: at least half at-or-below
+        below = sum(w for p, w in prices.items() if p <= med)
+        above = sum(w for p, w in prices.items() if p >= med)
+        assert below * 2 >= tw and above * 2 >= tw - 2 * prices[med]

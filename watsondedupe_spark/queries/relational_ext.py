@@ -1922,3 +1922,70 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("flag_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median via cumulative-mass crossing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_weighted_median_price",
+    """
+WITH pp AS (
+    SELECT l_returnflag,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, price, w,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM pp
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight_scaled,
+       CAST(MIN(CASE WHEN cw * 2 >= tw THEN price END) AS DOUBLE)
+           AS weighted_median_price
+FROM cum GROUP BY l_returnflag
+""",
+    doc="exact weighted median (price weighted by quantity) per return "
+    "flag: the smallest price whose cumulative weight reaches half the "
+    "total — computed by collapsing to (group, price) grain first (tie "
+    "mass merges, so the crossing is unambiguous), then one cumulative "
+    "window and a conditional MIN. No global sort of raw rows and no "
+    "percentile UDAF: the heavy table reduces at (group, price) grain "
+    "map-side before the window, which at 100 TB is the difference "
+    "between sorting the fact table and sorting its price dictionary. "
+    "Quantities scale to integer centi-units so every mass comparison "
+    "is BIGINT-exact.",
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        .agg(
+            F.sum((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("price")
+    wa = Window.partitionBy("l_returnflag")
+    cum = pp.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(wa).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_weight_scaled"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))
+        .cast("double")
+        .alias("weighted_median_price"),
+    )

@@ -1396,3 +1396,119 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media).select(
         "id", "n_samples", "peak", "zero_crossings", "energy"
     )
+
+
+_CUT_THRESH = 2  # mean-byte jump (in byte-value units) that marks a cut
+
+
+@register(
+    "multimodal_scene_cuts",
+    f"""
+WITH d AS (
+    SELECT doc_id, text, strlen(text) AS len
+    FROM documents WHERE doc_id % 7 = 0 AND strlen(text) > 0
+),
+s AS (
+    SELECT doc_id, text, len, GREATEST(1, len // 4) AS step FROM d
+),
+f AS (
+    SELECT doc_id, text, len, step,
+           unnest(generate_series(
+               0, LEAST(4, (len + step - 1) // step) - 1)) AS idx
+    FROM s
+),
+fr AS (
+    SELECT doc_id, idx, text, idx * step AS off,
+           LEAST((idx + 1) * step, len) - idx * step AS flen
+    FROM f
+),
+pos AS (
+    SELECT doc_id, idx, flen, text, off,
+           unnest(generate_series(0, flen - 1)) AS o
+    FROM fr
+),
+feat AS (
+    SELECT doc_id, idx, MAX(flen) AS flen,
+           SUM(ascii(substr(text, off + o + 1, 1))) AS f_sum
+    FROM pos GROUP BY doc_id, idx
+),
+lagged AS (
+    SELECT doc_id, idx, flen, f_sum,
+           LAG(f_sum) OVER w AS p_sum,
+           LAG(flen) OVER w AS p_len
+    FROM feat
+    WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+cuts AS (
+    SELECT doc_id, idx,
+           CASE WHEN p_sum IS NOT NULL
+                 AND abs(f_sum * p_len - p_sum * flen) >
+                     {_CUT_THRESH} * flen * p_len
+                THEN 1 ELSE 0 END AS is_cut
+    FROM lagged
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN idx END), -1) AS INT)
+           AS first_cut
+FROM cuts GROUP BY doc_id
+""",
+    doc="scene-cut detection over the sampled-frame pipeline: frames "
+    "(the graded multimodal_frame_sample seam) flow through an Arrow "
+    "per-frame feature kernel (operators/multimodal.py::"
+    "frame_byte_features — the byte-sum brightness proxy standing in "
+    "for a luma histogram), then a per-video LAG window flags a cut "
+    "wherever the mean byte value jumps by more than 2 units — "
+    "compared as the integer cross-product |f1*l0 - f0*l1| > T*l0*l1, "
+    "so no float means. The oracle re-derives frame offsets AND byte "
+    "sums from pure character arithmetic (ascii(substr(..)) over "
+    "generated positions), so a feature kernel that mis-slices, "
+    "mis-sums, or mis-orders frames hash-mismatches. Scale shape: "
+    "frames explode boundedly (<=4 per video), features reduce "
+    "per-frame map-side, the window shuffles on video id once.",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.multimodal import (
+        frame_byte_features,
+        sample_frames,
+        wrap_media,
+    )
+
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = wrap_media(df, "payload", "video/mp4", "doc_id")
+    feats = frame_byte_features(sample_frames(media, every_ms=500, max_frames=4))
+    w = Window.partitionBy("id").orderBy("frame_index")
+    lagged = feats.select(
+        "id",
+        "frame_index",
+        "f_sum",
+        "f_len",
+        F.lag("f_sum").over(w).alias("p_sum"),
+        F.lag("f_len").over(w).alias("p_len"),
+    )
+    cuts = lagged.select(
+        "id",
+        "frame_index",
+        F.when(
+            F.col("p_sum").isNotNull()
+            & (
+                F.abs(F.col("f_sum") * F.col("p_len") - F.col("p_sum") * F.col("f_len"))
+                > _CUT_THRESH * F.col("f_len") * F.col("p_len")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    return cuts.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut") == 1, F.col("frame_index"))), F.lit(-1)
+        )
+        .cast("int")
+        .alias("first_cut"),
+    )

@@ -785,3 +785,42 @@ def test_weighted_median_matches_reference(spark, sf_dir):
         below = sum(w for p, w in prices.items() if p <= med)
         above = sum(w for p, w in prices.items() if p >= med)
         assert below * 2 >= tw and above * 2 >= tw - 2 * prices[med]
+
+
+def test_chi2_assoc_matches_reference(spark, sf_dir):
+    """Contingency cells, chi-square, and lift equal a plain-Python
+    user-grain reference (exact integer products, one double divide)."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    users = defaultdict(set)
+    for r in ev:
+        users[r.user_id].add(r.event_type)
+
+    got = {r.feature: r for r in all_queries()["events_chi2_assoc"].spark(spark, sf_dir).collect()}
+    for t in ("view", "click", "signup", "error"):
+        a = b = c = d = 0
+        for types in users.values():
+            conv = "purchase" in types
+            if t in types:
+                a += conv
+                b += not conv
+            else:
+                c += conv
+                d += not conv
+        marg = (a + b) * (c + d) * (a + c) * (b + d)
+        if marg == 0 or c == 0:
+            assert t not in got
+            continue
+        r = got[t]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        n = a + b + c + d
+        det = a * d - b * c
+        assert r.chi2 == (n * det * det) / marg
+        assert r.conv_lift == (a * (c + d)) / (c * (a + b))
+        # lift direction must agree with the sign of the determinant
+        assert (Fraction(r.conv_lift) > 1) == (det > 0) or det == 0

@@ -1989,3 +1989,101 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 chi-square association screen (exact-integer statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_chi2_assoc",
+    """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+melted AS (
+    SELECT 'view' AS feature, has_view AS x, conv FROM per_user
+    UNION ALL SELECT 'click', has_click, conv FROM per_user
+    UNION ALL SELECT 'signup', has_signup, conv FROM per_user
+    UNION ALL SELECT 'error', has_error, conv FROM per_user
+),
+cells AS (
+    SELECT feature,
+           SUM(x * conv) AS a,
+           SUM(x * (1 - conv)) AS b,
+           SUM((1 - x) * conv) AS c,
+           SUM((1 - x) * (1 - conv)) AS d
+    FROM melted GROUP BY feature
+)
+SELECT feature,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+           / ((a + b) * (c + d) * (a + c) * (b + d)) AS chi2,
+       CAST(a * (c + d) AS DOUBLE) / (c * (a + b)) AS conv_lift
+FROM cells
+WHERE (a + b) * (c + d) * (a + c) * (b + d) > 0 AND c > 0
+""",
+    doc="2x2 chi-square association screen: does having interacted with "
+    "feature X associate with converting? chi2 = N*(ad-bc)^2 / "
+    "((a+b)(c+d)(a+c)(b+d)) evaluated as ONE double division of exact "
+    "BIGINT products (the classic shortcut form needs no expected-"
+    "frequency floats, so both engines emit identical bits), plus the "
+    "conversion-rate lift as the same style of integer cross-ratio. "
+    "The user-grain contingency cells reduce map-side from one melt "
+    "pass; guards drop degenerate margins instead of dividing by "
+    "zero. Scale: user-grain rollup -> 4 rows; the only shuffle is "
+    "the per-user collapse the corpus is usually already bucketed by.",
+)
+def events_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = {
+        t: F.max(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"has_{t}")
+        for t in ("view", "click", "signup", "error", "purchase")
+    }
+    per_user = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        flags["view"], flags["click"], flags["signup"], flags["error"],
+        flags["purchase"],
+    ).withColumnRenamed("has_purchase", "conv")
+    # melt via stack(): ONE pass over the user rollup (a 4-arm union
+    # would recompute the per-user aggregate once per feature)
+    melted = per_user.selectExpr(
+        "stack(4, 'view', has_view, 'click', has_click, "
+        "'signup', has_signup, 'error', has_error) AS (feature, x)",
+        "conv",
+    )
+    cells = melted.groupBy("feature").agg(
+        F.sum(F.col("x") * F.col("conv")).alias("a"),
+        F.sum(F.col("x") * (1 - F.col("conv"))).alias("b"),
+        F.sum((1 - F.col("x")) * F.col("conv")).alias("c"),
+        F.sum((1 - F.col("x")) * (1 - F.col("conv"))).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    marg = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    return (
+        cells.filter((marg > 0) & (F.col("c") > 0))
+        .select(
+            "feature",
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            ((n * det * det).cast("double") / marg).alias("chi2"),
+            (
+                (F.col("a") * (F.col("c") + F.col("d"))).cast("double")
+                / (F.col("c") * (F.col("a") + F.col("b")))
+            ).alias("conv_lift"),
+        )
+    )

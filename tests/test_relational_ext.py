@@ -824,3 +824,43 @@ def test_chi2_assoc_matches_reference(spark, sf_dir):
         assert r.conv_lift == (a * (c + d)) / (c * (a + b))
         # lift direction must agree with the sign of the determinant
         assert (Fraction(r.conv_lift) > 1) == (det > 0) or det == 0
+
+
+def test_inflight_by_day_matches_bruteforce(spark, sf_dir):
+    """The sweep-line running count equals a brute-force per-day stab
+    count over the order spans at several probe days."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    close = defaultdict(lambda: None)
+    for r in l:
+        d = r.l_shipdate.date()
+        if close[r.l_orderkey] is None or d > close[r.l_orderkey]:
+            close[r.l_orderkey] = d
+    epoch = dt.date(1970, 1, 1)
+    spans = [
+        (
+            (r.o_orderdate.date() - epoch).days,
+            max((r.o_orderdate.date() - epoch).days, (close[r.o_orderkey] - epoch).days),
+        )
+        for r in o
+        if close[r.o_orderkey] is not None
+    ]
+
+    rows = sorted(
+        all_queries()["orders_inflight_by_day"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    got = {r.day: r for r in rows}
+    # every event day present, monotone bookkeeping, and brute-force
+    # stab counts agree on a spread of probe days
+    assert sum(r.n_opened for r in rows) == len(spans)
+    assert sum(r.n_closed for r in rows) == len(spans)
+    assert rows[-1].open_orders == 0
+    for r in rows[:: max(1, len(rows) // 25)]:
+        assert r.open_orders == sum(1 for a, b in spans if a <= r.day <= b)

@@ -2087,3 +2087,83 @@ def events_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap counting via sweep line (+1/-1 running sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_inflight_by_day",
+    """
+WITH spans AS (
+    SELECT o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS open_day,
+           GREATEST(
+               CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT),
+               CAST(MAX(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT))
+               AS close_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT open_day AS day, 1 AS delta FROM spans
+    UNION ALL
+    SELECT close_day + 1 AS day, -1 AS delta FROM spans
+),
+daily AS (
+    SELECT day,
+           CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+           CAST(SUM(delta) AS BIGINT) AS net
+    FROM deltas GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM daily
+""",
+    doc="interval-overlap counting (how many orders are in flight on "
+    "each day an order opens or closes) via the sweep line: each order "
+    "span [orderdate, max(orderdate, last shipdate)] (the synthetic data has ship dates independent of order dates, so the close is clamped to the open) becomes a +1 and a -1 event, the "
+    "event stream collapses to day grain map-side, and ONE running sum "
+    "over the day spine yields the concurrent-interval count — never "
+    "the day-x-order interval join, whose fan-out is |days| * "
+    "|open-orders| at any scale. The running window is over the "
+    "CALENDAR-BOUNDED day grain (a few thousand rows regardless of "
+    "fact size), so the unpartitioned window is safe by construction.",
+)
+def orders_inflight_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    spans = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_date"))
+        .select(
+            F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("open_day"),
+            F.greatest(
+                F.datediff(F.to_date("o_orderdate"), epoch).cast("long"),
+                F.datediff("close_date", epoch).cast("long"),
+            ).alias("close_day"),
+        )
+    )
+    deltas = spans.select(F.col("open_day").alias("day"), F.lit(1).alias("delta")).unionByName(
+        spans.select((F.col("close_day") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("long").alias("n_opened"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("long").alias("n_closed"),
+        F.sum("delta").cast("long").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

@@ -303,6 +303,50 @@ HEADLINE = [
     # reads the staged store (build-once/probe-many), so the timed cost
     # would be the same routing math emb_ann_topk_ivf already budgets
     # plus a pruned sub-scan; the build is the staged write-once.
+    # round-6 session batch 2: reciprocal-kNN pairs (bucket-bounded
+    # directed pair join + per-source rank + reversed-key self-join —
+    # the mutual filter's k-bounded join is a new shuffle shape),
+    "emb_mutual_knn_pairs",
+    # ... the simplified silhouette (n x k broadcast scoring + a
+    # rank-2 per-vector window + per-cluster rollup — the per-vector
+    # window over the full assignment fan-out is the new cost;
+    # emb_ivf_balance_audit times assignment but not the window),
+    "emb_silhouette",
+    # ... the point-in-time feature backfill (five RANGE/lag frames
+    # sharing one per-user shuffle over the full events table — the
+    # multi-frame single-pass shape nothing else times),
+    "events_pit_features",
+    # ... the Gopher per-rule gate audit (token explode -> (doc, tok)
+    # count agg -> per-doc rollup: two real corpus-grain shuffles,
+    # heavier than the oov_rate single-agg shape),
+    "docs_gopher_rules_audit",
+    # ... U-shaped attribution (purchase-to-touch bounded range join +
+    # per-purchase rank window + credit rollup — the lookback join's
+    # fan-out is a new budgeted shape),
+    "events_attribution_ushape",
+    # ... the weighted median (lineitem collapsed to (flag, price)
+    # grain map-side, then cumulative-mass windows — budgets the
+    # price-dictionary sort that replaces a fact-table sort),
+    "lineitem_weighted_median_price",
+    # ... and the sweep-line in-flight counter (orders x lineitem join
+    # -> span agg -> day-grain sweep: the join is the cost; the
+    # running window is calendar-bounded).
+    "orders_inflight_by_day",
+    # docs_compaction_plan stays untimed for the composite reason: one
+    # per-source window + agg over the file-listing grain — the
+    # docs_top_quality_per_source window shape already budgets it.
+    # events_ewma_anomaly and events_cusum_shift stay untimed for the
+    # calendar-grain reason: both run on the (type, day) daily rollup
+    # (~150 rows at any SF), so their cost is the rollup shuffle the
+    # timed events entries already budget.
+    # events_chi2_assoc stays untimed for the composite reason: one
+    # user-grain rollup (tpch_q13 shape) + a 4-row stack/agg.
+    # multimodal_scene_cuts stays untimed for the Arrow-channel reason:
+    # two mapInPandas passes over the frame fan-out the other
+    # multimodal entries already time, plus a tiny per-video window.
+    # events_interval_left_join_streamed stays untimed for the
+    # streamed-replay reason (serial micro-batches + sentinel flush;
+    # events_tumbling_streamed is the timed streaming canary).
 ]
 
 
@@ -496,6 +540,13 @@ SCALE_QUERIES = [
     "emb_sq8_recall",
     "docs_token_fertility",
     "docs_lsh_precision_recall",
+    # round-6 session batch 2: the reciprocal-kNN pair graph (its
+    # bucket fan-out pair join + k-bounded reciprocity join must both
+    # stay ~linear as shards multiply — buckets grow with rows, k is
+    # fixed) and the Gopher gate audit (token explode -> (doc, tok)
+    # agg: per-doc token maps grow with doc count, never corpus-wide)
+    "emb_mutual_knn_pairs",
+    "docs_gopher_rules_audit",
 ]
 
 

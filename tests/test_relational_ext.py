@@ -864,3 +864,49 @@ def test_inflight_by_day_matches_bruteforce(spark, sf_dir):
     assert rows[-1].open_orders == 0
     for r in rows[:: max(1, len(rows) // 25)]:
         assert r.open_orders == sum(1 for a, b in spans if a <= r.day <= b)
+
+
+def test_autocorr_matches_reference(spark, sf_dir):
+    """ACF at each lag equals the plain-Python lagged-moment estimator
+    (same integer numerators, same declared division order)."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _ACF_LAGS
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    epoch = dt.date(1970, 1, 1)
+    for r in ev:
+        daily[r.event_type][(r.ts.date() - epoch).days] += 1
+
+    got = {
+        (r.event_type, r.lag): r
+        for r in all_queries()["events_autocorr_daily"].spark(spark, sf_dir).collect()
+    }
+    n_expected = 0
+    for et, counts in daily.items():
+        nd = len(counts)
+        s1 = sum(counts.values())
+        s2 = sum(v * v for v in counts.values())
+        if nd * s2 <= s1 * s1:
+            continue
+        for lag in _ACF_LAGS:
+            pairs = [(counts[d], counts[d + lag]) for d in counts if d + lag in counts]
+            if not pairs:
+                assert (et, lag) not in got
+                continue
+            n_expected += 1
+            np_ = len(pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            cov = np_ * sxy - sx * sy
+            varn = float(nd * s2 - s1 * s1)
+            r = got[(et, lag)]
+            assert (r.n_pairs, r.cov_num) == (np_, cov)
+            assert r.acf == cov / math.sqrt(varn) / math.sqrt(varn) * nd / np_
+    assert len(got) == n_expected

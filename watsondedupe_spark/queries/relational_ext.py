@@ -2167,3 +2167,114 @@ def orders_inflight_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the daily count series at bounded lags
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+@register(
+    "events_autocorr_daily",
+    f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag),
+m AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+    FROM daily GROUP BY 1
+),
+cross_terms AS (
+    SELECT a.event_type, l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+           CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy
+    FROM daily a
+    JOIN lags l ON TRUE
+    JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    GROUP BY a.event_type, l.lag
+)
+SELECT c.event_type, CAST(c.lag AS INT) AS lag, c.n_pairs,
+       CAST(c.n_pairs * c.sxy - c.sx * c.sy AS BIGINT) AS cov_num,
+       CAST(c.n_pairs * c.sxy - c.sx * c.sy AS DOUBLE)
+           / sqrt(CAST(m.nd * m.s2 - m.s1 * m.s1 AS DOUBLE))
+           / sqrt(CAST(m.nd * m.s2 - m.s1 * m.s1 AS DOUBLE))
+           * m.nd / c.n_pairs AS acf
+FROM cross_terms c JOIN m USING (event_type)
+WHERE m.nd * m.s2 > m.s1 * m.s1
+""",
+    doc="autocorrelation of the per-type daily count series at lags "
+    "1/2/3/7 (the weekly-seasonality diagnostic behind the seasonal "
+    "anomaly profile): lagged cross-moments come from a day-shifted "
+    "self-join of the DAILY ROLLUP (calendar-bounded, so the join fans "
+    "out |days| x |lags|, never corpus rows), variance from exact "
+    "integer moments, and the ACF estimate normalizes the exact "
+    "integer covariance numerator by the exact variance numerator — "
+    "two BIGINT cross-products and one declared division order, so "
+    "both engines emit identical doubles. Gaps in the calendar "
+    "shorten n_pairs rather than zero-filling (the declared "
+    "semantics; n_pairs is reported so the reader sees the support).",
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    lags = spark.createDataFrame([(lag,) for lag in _ACF_LAGS], "lag long")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("n").alias("b_n"),
+    )
+    cross = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day") == F.col("day") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("n") * F.col("b_n")).cast("long").alias("sxy"),
+            F.sum("n").cast("long").alias("sx"),
+            F.sum("b_n").cast("long").alias("sy"),
+        )
+    )
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varn = (F.col("nd") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    return (
+        cross.join(m, "event_type")
+        .filter(F.col("nd") * F.col("s2") > F.col("s1") * F.col("s1"))
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            cov.cast("long").alias("cov_num"),
+            (
+                cov.cast("double")
+                / F.sqrt(varn)
+                / F.sqrt(varn)
+                * F.col("nd")
+                / F.col("n_pairs")
+            ).alias("acf"),
+        )
+    )

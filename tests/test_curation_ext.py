@@ -827,3 +827,46 @@ def test_gopher_rules_audit_matches_reference(spark, sf_dir):
                    r.n_fail_stopwords, r.n_fail_repetition, r.n_pass_all]
         for r in got
     } == dict(agg)
+
+
+def test_token_chi2_drift_matches_reference(spark, sf_dir):
+    """Per-source chi-square ticks equal the plain-Python per-token
+    computation with identical operand order, and the source-only
+    exclusion count is honest."""
+    import math
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import _CHI2_TICKS
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    st = defaultdict(Counter)
+    for r in docs:
+        st[r.source].update(r.text.split(" "))
+    tot = Counter()
+    for c in st.values():
+        tot.update(c)
+    n_all = sum(tot.values())
+
+    got = {r.source: r for r in all_queries()["docs_token_chi2_drift"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(st)
+    for src, counts in st.items():
+        n_s = sum(counts.values())
+        rest_n = n_all - n_s
+        ticks = 0
+        common = only = 0
+        for t, o in counts.items():
+            rest_ct = tot[t] - o
+            if rest_ct <= 0:
+                only += 1
+                continue
+            common += 1
+            diff = float(o * rest_n - rest_ct * n_s)
+            term = diff * diff / float(n_s) / float(rest_n) / float(rest_ct)
+            ticks += int(math.floor(term * _CHI2_TICKS + 0.5))
+        r = got[src]
+        assert (r.n_common_tokens, r.n_source_only_tokens, r.chi2_ticks) == (
+            common, only, ticks,
+        )
+        assert r.chi2 == ticks / _CHI2_TICKS

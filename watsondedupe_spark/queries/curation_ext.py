@@ -2304,3 +2304,108 @@ def docs_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source token-frequency chi-square drift (categorical twin of the
+# KS length drift)
+# ---------------------------------------------------------------------------
+
+_CHI2_TICKS = 1_000_000
+
+
+@register(
+    "docs_token_chi2_drift",
+    f"""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+),
+st AS (
+    SELECT source, t, CAST(COUNT(*) AS BIGINT) AS o FROM tok GROUP BY 1, 2
+),
+tot AS (
+    SELECT t, CAST(SUM(o) AS BIGINT) AS ct FROM st GROUP BY 1
+),
+ns AS (
+    SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM st GROUP BY 1
+),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_all FROM st),
+terms AS (
+    SELECT s.source,
+           CASE WHEN tot.ct - s.o > 0 THEN 1 ELSE 0 END AS common,
+           CASE WHEN tot.ct - s.o > 0 THEN
+             CAST(floor(
+               CAST(s.o * (n.n_all - ns.n_s) - (tot.ct - s.o) * ns.n_s AS DOUBLE)
+               * CAST(s.o * (n.n_all - ns.n_s) - (tot.ct - s.o) * ns.n_s AS DOUBLE)
+               / CAST(ns.n_s AS DOUBLE)
+               / CAST(n.n_all - ns.n_s AS DOUBLE)
+               / CAST(tot.ct - s.o AS DOUBLE)
+               * {_CHI2_TICKS} + 0.5) AS BIGINT)
+           ELSE 0 END AS tick
+    FROM st s
+    JOIN tot ON tot.t = s.t
+    JOIN ns ON ns.source = s.source
+    CROSS JOIN n
+)
+SELECT source,
+       CAST(SUM(common) AS BIGINT) AS n_common_tokens,
+       CAST(COUNT(*) - SUM(common) AS BIGINT) AS n_source_only_tokens,
+       CAST(SUM(tick) AS BIGINT) AS chi2_ticks,
+       CAST(SUM(tick) AS DOUBLE) / {_CHI2_TICKS} AS chi2
+FROM terms GROUP BY source
+""",
+    doc="per-source token-frequency chi-square drift vs the REST of the "
+    "corpus (the categorical twin of the graded KS length drift — KS "
+    "sees a shifted length distribution, this sees a shifted "
+    "vocabulary): per common token, the one-sample chi-square term "
+    "((o*N_rest - c_rest*N_s) / sqrt-free rational form) evaluated "
+    "from exact BIGINT cross-products in a DECLARED double division "
+    "order, quantized to 1e-6 ticks BEFORE the per-source sum so the "
+    "reduction is order-free. Tokens seen only in the source (infinite "
+    "expected-zero terms) are excluded and REPORTED as a count instead "
+    "— silent exclusion would hide exactly the drift the screen "
+    "exists to catch. Two shuffles: (source, token) grain then token "
+    "grain for the totals; both bounded by vocabulary x sources, "
+    "never corpus rows.",
+)
+def docs_token_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    tot = st.groupBy("t").agg(F.sum("o").cast("long").alias("ct"))
+    ns = st.groupBy("source").agg(F.sum("o").cast("long").alias("n_s"))
+    n = st.agg(F.sum("o").cast("long").alias("n_all"))
+    j = (
+        st.join(tot, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    rest_ct = F.col("ct") - F.col("o")
+    rest_n = F.col("n_all") - F.col("n_s")
+    diff = (F.col("o") * rest_n - rest_ct * F.col("n_s")).cast("double")
+    tick = F.when(
+        rest_ct > 0,
+        F.floor(
+            diff
+            * diff
+            / F.col("n_s").cast("double")
+            / rest_n.cast("double")
+            / rest_ct.cast("double")
+            * _CHI2_TICKS
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = j.select(
+        "source",
+        F.when(rest_ct > 0, 1).otherwise(0).alias("common"),
+        tick.alias("tick"),
+    )
+    return terms.groupBy("source").agg(
+        F.sum("common").cast("long").alias("n_common_tokens"),
+        (F.count("*") - F.sum("common")).cast("long").alias("n_source_only_tokens"),
+        F.sum("tick").cast("long").alias("chi2_ticks"),
+        (F.sum("tick").cast("double") / _CHI2_TICKS).alias("chi2"),
+    )

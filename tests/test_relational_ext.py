@@ -910,3 +910,52 @@ def test_autocorr_matches_reference(spark, sf_dir):
             assert (r.n_pairs, r.cov_num) == (np_, cov)
             assert r.acf == cov / math.sqrt(varn) / math.sqrt(varn) * nd / np_
     assert len(got) == n_expected
+
+
+def test_scd2_lookup_exactly_one_version_per_fact(spark, sf_dir):
+    """Every purchase matches exactly one dimension version, the state
+    equals a sequential replay of the user's change history, and the
+    join plan broadcasts the dimension side."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+        .collect()
+    )
+    hist = defaultdict(list)
+    for r in ev:
+        hist[r.user_id].append(r)
+    for h in hist.values():
+        h.sort(key=lambda r: (r.us, r.event_id))
+
+    df = all_queries()["events_scd2_lookup"].spark(spark, sf_dir)
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString() or \
+           "BroadcastNestedLoopJoin" in df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    purchases = [r for r in ev if r.event_type == "purchase" and r.user_id < 50]
+    assert len(rows) == len(purchases)  # exactly one version per fact
+    got = {r.event_id: r for r in rows}
+    for p in purchases:
+        # sequential replay: state at p.us is the type of the last
+        # change row at-or-before it (ties resolved by (us, event_id))
+        state = None
+        version = 0
+        prev = None
+        for r in hist[p.user_id]:
+            if r.event_type != prev:
+                if (r.us, 0) <= (p.us + 1, 0) and r.us <= p.us:
+                    state, version = r.event_type, version + 1
+                elif r.us > p.us:
+                    break
+                else:
+                    version += 1
+                prev = r.event_type
+            else:
+                prev = r.event_type
+        g = got[p.event_id]
+        assert (g.state, g.version) == (state, version)
+        assert g.us_into_state >= 0

@@ -2278,3 +2278,83 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+@register(
+    "events_scd2_lookup",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, us, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR event_type != prev_type
+),
+dim AS (
+    SELECT user_id, event_type AS state, us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version
+    FROM changes
+),
+facts AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'purchase' AND user_id < 50
+)
+SELECT f.user_id, f.event_id, CAST(f.us AS BIGINT) AS us,
+       d.state, CAST(d.version AS INTEGER) AS version,
+       CAST(f.us - d.valid_from_us AS BIGINT) AS us_into_state
+FROM facts f JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from_us <= f.us
+ AND (d.valid_to_us IS NULL OR f.us < d.valid_to_us)
+""",
+    doc="point-in-time dimension lookup against the SCD Type-2 build: "
+    "each fact (purchase) joins the ONE dimension version whose "
+    "validity interval contains its event time — the join every "
+    "warehouse does between facts and slowly-changing dimensions, and "
+    "the consumer of the graded events_scd2_intervals build. The "
+    "dimension side is the CHANGE-COMPRESSED row set (orders of "
+    "magnitude smaller than the log), so at scale this is a broadcast "
+    "interval join — the fact table never shuffles; the containment "
+    "predicate (from <= t < to, open current row) guarantees exactly "
+    "one match per fact because the intervals tile each user's "
+    "timeline. Integer-microsecond bounds keep both engines exact.",
+)
+def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    changes = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    wv = Window.partitionBy("user_id").orderBy("us", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(wv).alias("valid_to_us"),
+        F.row_number().over(wv).cast("int").alias("version"),
+    )
+    facts = e.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50)).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    return facts.join(
+        F.broadcast(dim),
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from_us") <= F.col("us"))
+        & (F.col("valid_to_us").isNull() | (F.col("us") < F.col("valid_to_us"))),
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("us").cast("long").alias("us"),
+        "state",
+        "version",
+        (F.col("us") - F.col("valid_from_us")).cast("long").alias("us_into_state"),
+    )

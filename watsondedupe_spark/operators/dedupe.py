@@ -458,7 +458,13 @@ def embedding_near_dups_np(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         sign_lsh_bucket(F.col(vec_col), n_planes, n_dims).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
+    # checkpointed because salted_bucket_groups consumes it TWICE (the
+    # bucket-size dimension agg + the main scan) and the sign-LSH fold
+    # is the expensive projection — without it the n_planes x n_dims
+    # bucket arithmetic runs over the corpus twice (house pattern from
+    # emb_semantic_dedup; at 100 TB the bucketed corpus is exactly what
+    # you materialize before a build anyway)
     grouped = salted_bucket_groups(withb, max_bucket_rows)
 
     def _pairs(key, pdf):

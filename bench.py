@@ -347,6 +347,16 @@ HEADLINE = [
     # events_interval_left_join_streamed stays untimed for the
     # streamed-replay reason (serial micro-batches + sentinel flush;
     # events_tumbling_streamed is the timed streaming canary).
+    # ... and fixed-point PageRank: the second iterative graph canary
+    # beside docs_dup_clusters — 8 fixed join+agg rounds over the
+    # candidate edge list; its cost is the per-round shuffle fixed
+    # cost (the Pregel floor), which is exactly what deserves a budget.
+    "docs_dup_graph_pagerank",
+    # events_autocorr_daily stays untimed for the calendar-grain
+    # reason; docs_token_chi2_drift for the composite reason (the
+    # docs_oov_rate token-agg shape plus a token-keyed join);
+    # events_scd2_lookup for the composite reason (the scd2 build's
+    # windows plus one broadcast interval join).
 ]
 
 

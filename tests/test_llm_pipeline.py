@@ -1061,3 +1061,43 @@ def test_mutual_knn_pairs_matches_bruteforce(spark, sf_dir):
     got = all_queries()["emb_mutual_knn_pairs"].spark(spark, sf_dir).collect()
     assert {(r.vec_a, r.vec_b): (r.rank_ab, r.rank_ba, r.cosine) for r in got} == expected
     assert expected  # non-degenerate: sf0.001 must yield at least one pair
+
+
+def test_pagerank_matches_sequential_fixed_point(spark, sf_dir):
+    """The distributed fixed-point PageRank equals a sequential Python
+    run of the same integer recurrence over the same candidate graph,
+    and total mass stays conserved to within the flooring loss."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import (
+        _PR_ROUNDS, _PR_TICK, docs_minhash_pairs,
+    )
+
+    pairs = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r.doc_a].add(r.doc_b)
+        adj[r.doc_b].add(r.doc_a)
+
+    ranks = {v: _PR_TICK for v in adj}
+    teleport = 15 * _PR_TICK // 100
+    for _ in range(_PR_ROUNDS):
+        nxt = {v: teleport for v in adj}
+        for u, nbrs in adj.items():
+            share = (85 * (ranks[u] // len(nbrs))) // 100
+            for v in nbrs:
+                nxt[v] += share
+        ranks = nxt
+
+    got = all_queries()["docs_dup_graph_pagerank"].spark(spark, sf_dir).collect()
+    assert {r.doc_id: (r.degree, r.rank_ticks) for r in got} == {
+        v: (len(adj[v]), ranks[v]) for v in adj
+    }
+    assert got  # the sf0.001 fixture must contain a candidate graph
+    for r in got:
+        assert r.pagerank == r.rank_ticks / _PR_TICK
+    # mass conservation: sum(ranks) ~ N * TICK, short only by floor loss
+    n = len(adj)
+    total = sum(ranks.values())
+    assert n * _PR_TICK * 0.80 <= total <= n * _PR_TICK

@@ -1433,3 +1433,118 @@ def docs_near_dup_filter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+_PR_TICK = 1_000_000_000_000  # 1e12 fixed-point ticks
+_PR_ROUNDS = 8
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for t in range(1, _PR_ROUNDS + 1):
+        prev = f"r{t - 1}"
+        rounds.append(f"""
+r{t} AS (
+    SELECT d.u AS v, d.deg,
+           {15 * _PR_TICK // 100} + SUM((85 * (p.ticks // p.deg)) // 100)
+               AS ticks
+    FROM sym s JOIN r{t - 1} p ON p.v = s.v JOIN deg d ON d.u = s.u
+    GROUP BY d.u, d.deg
+)""")
+    return f"""
+WITH
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+r0 AS (SELECT u AS v, deg, CAST({_PR_TICK} AS BIGINT) AS ticks FROM deg),
+{",".join(rounds)}
+SELECT v AS doc_id, CAST(deg AS BIGINT) AS degree,
+       CAST(ticks AS BIGINT) AS rank_ticks,
+       CAST(ticks AS DOUBLE) / {_PR_TICK} AS pagerank
+FROM r{_PR_ROUNDS}
+"""
+
+
+@register(
+    "docs_dup_graph_pagerank",
+    _pagerank_oracle(),
+    doc="fixed-point PageRank over the near-dup candidate graph (8 "
+    "damped iterations, d=0.85): the centrality signal that picks the "
+    "canonical document of a dup cluster by HOW CONNECTED it is, not "
+    "just min-id — the second iterative graph algorithm beside "
+    "connected components, and graded exactly: ranks live in integer "
+    "1e-12 ticks with floor division at both the share (r/deg) and "
+    "damping (85x/100) steps, so every iteration is a BIGINT "
+    "join-aggregate that cannot drift between engines (float PageRank "
+    "sums contributions in nondeterministic order; fixed-point makes "
+    "the reduction order-free). Spark runs the same recurrence as 8 "
+    "join+agg rounds with per-round localCheckpoint lineage "
+    "truncation (the CC house pattern); the oracle unrolls the 8 "
+    "rounds as CTEs. Edges come from the SAME banded LSH candidate "
+    "join the clustering queries grade; at 100 TB each round shuffles "
+    "the edge list once — O(rounds x |E|), the Pregel cost.",
+)
+def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    # one checkpoint at the head materializes the (tiny) node table; the
+    # 8 FIXED rounds build one bounded-depth plan, so no per-round
+    # lineage truncation is needed (unlike CC, whose round count is
+    # data-dependent) — cutting 8 eager materialization barriers
+    ranks = deg.select(
+        F.col("u").alias("v"), "deg", F.lit(_PR_TICK).cast("long").alias("ticks")
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    teleport = 15 * _PR_TICK // 100
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            sym.join(
+                ranks.select(
+                    F.col("v").alias("p_v"),
+                    F.col("deg").alias("p_deg"),
+                    F.col("ticks").alias("p_ticks"),
+                ),
+                F.col("p_v") == F.col("v"),
+            )
+            .select(
+                "u",
+                F.expr("(85 * (p_ticks DIV p_deg)) DIV 100").alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        ranks = (
+            deg.join(contrib, "u")
+            .select(
+                F.col("u").alias("v"),
+                "deg",
+                (F.lit(teleport).cast("long") + F.col("inflow")).alias("ticks"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("ticks").alias("rank_ticks"),
+        (F.col("ticks").cast("double") / _PR_TICK).alias("pagerank"),
+    )

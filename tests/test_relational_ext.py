@@ -959,3 +959,45 @@ def test_scd2_lookup_exactly_one_version_per_fact(spark, sf_dir):
         g = got[p.event_id]
         assert (g.state, g.version) == (state, version)
         assert g.us_into_state >= 0
+
+
+def test_top_paths_match_sequential_sessionizer(spark, sf_dir):
+    """Path counts equal a sequential Python sessionizer producing the
+    same first-k ordered signatures."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _PATH_GAP_US, _PATH_K
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter("user_id < 60")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+
+    counts = Counter()
+    truncated = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        sessions = []
+        for r in rows:
+            if not sessions or r.us - sessions[-1][-1].us > _PATH_GAP_US:
+                sessions.append([])
+            sessions[-1].append(r)
+        for s in sessions:
+            path = ">".join(r.event_type for r in s[:_PATH_K])
+            counts[path] += 1
+            truncated[path] += len(s) > _PATH_K
+
+    got = all_queries()["events_top_paths"].spark(spark, sf_dir).collect()
+    assert {r.path: (r.n_sessions, r.n_truncated) for r in got} == {
+        p: (n, truncated[p]) for p, n in counts.items()
+    }
+    assert any(">" in p for p in counts)  # fixture has multi-event sessions
+    # (sessions longer than k exist at sf0.01, where the oracle grades
+    # n_truncated; the sf0.001 fixture only reaches k-1)

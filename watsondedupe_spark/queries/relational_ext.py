@@ -2358,3 +2358,102 @@ def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         (F.col("us") - F.col("valid_from_us")).cast("long").alias("us_into_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session path mining: top ordered event-type signatures
+# ---------------------------------------------------------------------------
+
+_PATH_K = 5
+_PATH_GAP_US = 28_800_000_000  # 8-hour gap: the sparse synthetic
+# event stream (~2 events/user/day) needs a wide gap for multi-event
+# sessions; at web density the same query runs with 30 minutes
+
+
+@register(
+    "events_top_paths",
+    f"""
+WITH marked AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_PATH_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events WHERE user_id < 60
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+    SELECT user_id, event_type, us, event_id,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+ranked AS (
+    SELECT user_id, sid, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                              ORDER BY us, event_id) AS rn
+    FROM sess
+),
+paths AS (
+    SELECT user_id, sid,
+           COUNT(*) AS sess_events,
+{",".join(f'''
+           MAX(CASE WHEN rn = {i} THEN event_type END) AS s{i}'''
+          for i in range(1, _PATH_K + 1))}
+    FROM ranked GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN sess_events > {_PATH_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated
+FROM (
+    SELECT concat_ws('>', {", ".join(f"s{i}" for i in range(1, _PATH_K + 1))})
+               AS path,
+           sess_events
+    FROM paths
+)
+GROUP BY path
+""",
+    doc="session path mining: sessions (gap sessionization) "
+    "reduced to their ordered first-5 event-type signature and counted "
+    "— the path-frequency table behind funnel design and UX flow "
+    "analysis. The order-sensitive 'first k in order' aggregation is "
+    "done PORTABLY: a per-session rank window, then k conditional MAX "
+    "pivots (one per position) — never array_agg/collect_list, whose "
+    "within-group order no engine contract guarantees under "
+    "distributed aggregation. Truncation is reported, not hidden "
+    "(n_truncated = sessions longer than k). Shuffle shape: one "
+    "per-user window chain (the sessionize shuffle), one (user, "
+    "session) agg, one path-grain count — all key-local.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("us").over(w)
+    sess = e.withColumn(
+        "brk",
+        F.when(prev.isNull() | ((F.col("us") - prev) > _PATH_GAP_US), 1).otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(run))
+    ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws))
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.count("*").alias("sess_events"),
+        *[
+            F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(f"s{i}")
+            for i in range(1, _PATH_K + 1)
+        ],
+    )
+    return (
+        paths.select(
+            F.concat_ws(">", *[f"s{i}" for i in range(1, _PATH_K + 1)]).alias("path"),
+            "sess_events",
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("sess_events") > _PATH_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+        )
+    )

@@ -1001,3 +1001,30 @@ def test_top_paths_match_sequential_sessionizer(spark, sf_dir):
     assert any(">" in p for p in counts)  # fixture has multi-event sessions
     # (sessions longer than k exist at sf0.01, where the oracle grades
     # n_truncated; the sf0.001 fixture only reaches k-1)
+
+
+def test_gini_matches_mean_absolute_difference_definition(spark, sf_dir):
+    """The rank-formula Gini equals the O(n^2) mean-absolute-difference
+    definition G = sum|xi-xj| / (2*n*sum(x)) computed brute-force."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    counts = defaultdict(Counter)
+    for r in ev:
+        counts[r.event_type][r.user_id] += 1
+
+    got = {r.event_type: r for r in all_queries()["events_gini_concentration"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, c in counts.items():
+        xs = sorted(c.values())
+        n, tot = len(xs), sum(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)
+        expected = Fraction(mad, 2 * n * tot)
+        r = got[et]
+        assert (r.n_users, r.total) == (n, tot)
+        assert Fraction(r.gini_num, n * tot) == expected
+        assert r.gini == r.gini_num / (n * tot)

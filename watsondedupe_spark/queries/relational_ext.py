@@ -2457,3 +2457,58 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_truncated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-user activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gini_concentration",
+    """
+WITH per_user AS (
+    SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, x,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY x, user_id) AS i
+    FROM per_user
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT) AS gini_num,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+           / (COUNT(*) * SUM(x)) AS gini
+FROM ranked GROUP BY event_type
+""",
+    doc="Gini coefficient of per-user activity per event type — the "
+    "scalar concentration metric behind 'do a few users generate all "
+    "the traffic' (and, run over per-source token mass, 'do a few "
+    "sources dominate the corpus'): the rank formulation G = "
+    "(2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over counts sorted "
+    "ascending, which needs ONE rank window over the user-grain "
+    "rollup (never the O(n^2) mean-absolute-difference definition) "
+    "and stays BIGINT-exact until a single final division. "
+    "Deterministic user_id tie-break makes the ranks total; ties in x "
+    "leave the SUM(i*x) invariant across valid orderings, so the "
+    "statistic is well-defined anyway.",
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select("event_type", "x", F.row_number().over(w).alias("i"))
+    num = 2 * F.sum(F.col("i") * F.col("x")) - (F.count("*") + 1) * F.sum("x")
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total"),
+        num.cast("long").alias("gini_num"),
+        (num.cast("double") / (F.count("*") * F.sum("x"))).alias("gini"),
+    )

@@ -707,3 +707,34 @@ def test_compaction_plan_matches_sequential_binning(spark, sf_dir):
     for (src, _), (_, b, _, _) in expected.items():
         tot[src] += b
     assert tot == {s: sum(n for _, n in fs) for s, fs in by_source.items()}
+
+
+def test_boilerplate_prefixes_match_reference(spark, sf_dir):
+    """Prefix groups equal a plain-Python pass; singleton prefixes are
+    excluded; counts and coverage are exact."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.scale_ops import _BP_K
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    ).collect()
+    groups = defaultdict(list)
+    for r in docs:
+        groups[" ".join(r.text.split(" ")[:_BP_K])].append(r)
+
+    expected = {
+        p: (
+            len(rs),
+            len({r.source for r in rs}),
+            sum(r.n_chars for r in rs),
+            min(r.doc_id for r in rs),
+        )
+        for p, rs in groups.items()
+        if len(rs) >= 2
+    }
+    got = all_queries()["docs_boilerplate_prefixes"].spark(spark, sf_dir).collect()
+    assert {r.prefix: (r.n_docs, r.n_sources, r.total_chars, r.min_doc) for r in got} == expected
+    assert expected  # the fixture must contain shared prefixes

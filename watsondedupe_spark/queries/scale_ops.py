@@ -563,3 +563,54 @@ def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / _COMPACT_TARGET).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate/template detection via shared token prefixes
+# ---------------------------------------------------------------------------
+
+_BP_K = 3  # prefix length in tokens
+
+
+@register(
+    "docs_boilerplate_prefixes",
+    f"""
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM (
+    SELECT doc_id, source, n_chars,
+           array_to_string(string_split(text, ' ')[1:{_BP_K}], ' ') AS prefix
+    FROM documents
+)
+GROUP BY prefix HAVING COUNT(*) >= 2
+""",
+    doc="boilerplate/template detection: documents grouped by their "
+    "first-3-token prefix; any prefix shared by >=2 docs is a template "
+    "candidate (the header/banner screen run before near-dup, because "
+    "shared boilerplate inflates every pairwise similarity and a "
+    "prefix group is O(1) to strip). Cross-source counts separate "
+    "site-wide templates from corpus-wide ones. One row-local prefix "
+    "projection + one prefix-keyed agg — at 100 TB this is the "
+    "cheapest dedup-adjacent screen there is (no pairs, no shingles; "
+    "the prefix IS the blocking key).",
+)
+def docs_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.array_join(F.slice(F.split("text", " "), 1, _BP_K), " ").alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

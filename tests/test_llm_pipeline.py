@@ -1016,10 +1016,11 @@ def test_mutual_knn_pairs_matches_bruteforce(spark, sf_dir):
 
     from watsondedupe_spark.operators.similarity import _plane_sign
     from watsondedupe_spark.queries import all_queries
-    from watsondedupe_spark.queries.pipeline_ext import _MUTUAL_K, _MUTUAL_PLANES
+    from watsondedupe_spark.queries.pipeline_ext import _MUTUAL_K, _mutual_planes
     from watsondedupe_spark.sources import read_table
 
     rows = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    _MUTUAL_PLANES = _mutual_planes(len(rows))  # == the floor (4) at fixture size
     vecs = {r.vec_id: [int(math.floor(float(x) * 1000 + 0.5)) for x in r.embedding] for r in rows}
     raw = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
 

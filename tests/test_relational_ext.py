@@ -1028,3 +1028,49 @@ def test_gini_matches_mean_absolute_difference_definition(spark, sf_dir):
         assert (r.n_users, r.total) == (n, tot)
         assert Fraction(r.gini_num, n * tot) == expected
         assert r.gini == r.gini_num / (n * tot)
+
+
+def test_cohort_ltv_matches_reference(spark, sf_dir):
+    """Cohort cells and cumulative LTV equal a plain-Python replay with
+    exact decimal accumulation."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    first = {}
+    for r in o:
+        y = r.o_orderdate.year
+        first[r.o_custkey] = min(first.get(r.o_custkey, y), y)
+
+    cells = defaultdict(lambda: [0, set(), Decimal(0)])
+    for r in o:
+        cy = first[r.o_custkey]
+        age = r.o_orderdate.year - cy
+        e = cells[(cy, age)]
+        e[0] += 1
+        e[1].add(r.o_custkey)
+        e[2] += Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+    cohort_users = defaultdict(int)
+    for cy in first.values():
+        cohort_users[cy] += 1
+
+    got = {(r.cohort_year, r.age_years): r
+           for r in all_queries()["orders_cohort_ltv_curve"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for cy in {k[0] for k in cells}:
+        cum = Decimal(0)
+        for age in sorted(a for c, a in cells if c == cy):
+            n, users, rev = cells[(cy, age)]
+            cum += rev
+            r = got[(cy, age)]
+            assert (r.cohort_users, r.n_orders, r.n_active) == (
+                cohort_users[cy], n, len(users),
+            )
+            assert r.revenue == float(rev)
+            assert r.cum_revenue == float(cum)
+            assert r.ltv_per_user == float(cum) / cohort_users[cy]

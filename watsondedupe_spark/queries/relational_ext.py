@@ -2512,3 +2512,87 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("long").alias("gini_num"),
         (num.cast("double") / (F.count("*") * F.sum("x"))).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve: cumulative revenue by customer-cohort age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    """
+WITH firsts AS (
+    SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+    FROM orders GROUP BY o_custkey
+),
+rev AS (
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) - f.cohort_year AS INT) AS age_years,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue_d
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+sized AS (
+    SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY 1
+)
+SELECT r.cohort_year, r.age_years, s.cohort_users, r.n_orders, r.n_active,
+       CAST(r.revenue_d AS DOUBLE) AS revenue,
+       CAST(SUM(r.revenue_d) OVER (PARTITION BY r.cohort_year
+                                   ORDER BY r.age_years) AS DOUBLE)
+           AS cum_revenue,
+       CAST(CAST(SUM(r.revenue_d) OVER (PARTITION BY r.cohort_year
+                                        ORDER BY r.age_years) AS DOUBLE)
+            / s.cohort_users AS DOUBLE) AS ltv_per_user
+FROM rev r JOIN sized s USING (cohort_year)
+""",
+    doc="cohort LTV curve: customers grouped by first-order year, "
+    "revenue accumulated by cohort age — the lifetime-value table "
+    "behind acquisition-spend decisions (read DOWN a column to compare "
+    "cohort quality at equal age). The running revenue stays DECIMAL "
+    "inside the cumulative window (exact at any accumulation order) "
+    "and casts to double only at the edge; LTV-per-user divides by the "
+    "FULL cohort size, not survivors (n_active is reported beside it "
+    "so retention and spend are not conflated). Shuffles: one "
+    "per-customer first-order agg, one (cohort, age) rollup, one "
+    "cohort-bounded window over a few dozen rows.",
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).cast("int").alias("age_years"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue_d"),
+        )
+    )
+    sized = firsts.groupBy("cohort_year").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_year").orderBy("age_years")
+    return (
+        rev.join(sized, "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "cohort_users",
+            "n_orders",
+            "n_active",
+            F.col("revenue_d").cast("double").alias("revenue"),
+            F.sum("revenue_d").over(w).cast("double").alias("cum_revenue"),
+            (F.sum("revenue_d").over(w).cast("double") / F.col("cohort_users"))
+            .cast("double")
+            .alias("ltv_per_user"),
+        )
+    )

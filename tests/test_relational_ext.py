@@ -1074,3 +1074,38 @@ def test_cohort_ltv_matches_reference(spark, sf_dir):
             assert r.revenue == float(rev)
             assert r.cum_revenue == float(cum)
             assert r.ltv_per_user == float(cum) / cohort_users[cy]
+
+
+def test_pchart_matches_reference(spark, sf_dir):
+    """Control flags equal the exact rational 3-sigma binomial test
+    computed with Fractions (no float shortcut on the reference side)."""
+    import datetime as dt
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: [0, 0])
+    epoch = dt.date(1970, 1, 1)
+    for r in ev:
+        d = daily[(r.ts.date() - epoch).days]
+        d[0] += 1
+        d[1] += r.event_type == "error"
+    nn = sum(v[0] for v in daily.values())
+    xx = sum(v[1] for v in daily.values())
+
+    got = {r.day: r for r in all_queries()["events_pchart_error_rate"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for day, (n, x) in daily.items():
+        r = got[day]
+        assert (r.n, r.x, r.dev_num) == (n, x, x * nn - xx * n)
+        assert r.p_day == x / n and r.p_bar == xx / nn
+        # exact rational form of the 3-sigma test; the engine evaluates
+        # the same comparison in doubles built from identical integers
+        lhs = (Fraction(x, n) - Fraction(xx, nn)) ** 2
+        rhs = 9 * Fraction(xx, nn) * (1 - Fraction(xx, nn)) / n
+        if lhs != rhs:  # double rounding can only matter AT the boundary
+            assert r.out_of_control == (1 if lhs > rhs else 0)
+        assert r.direction == (1 if Fraction(x, n) > Fraction(xx, nn) else -1)

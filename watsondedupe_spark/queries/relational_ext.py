@@ -2596,3 +2596,87 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shewhart p-chart over the daily error rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pchart_error_rate",
+    """
+WITH daily AS (
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx
+    FROM daily
+)
+SELECT d.day, d.n, d.x,
+       CAST(d.x AS DOUBLE) / d.n AS p_day,
+       CAST(t.xx AS DOUBLE) / t.nn AS p_bar,
+       CAST(d.x * t.nn - t.xx * d.n AS BIGINT) AS dev_num,
+       CAST(CASE WHEN CAST(d.x * t.nn - t.xx * d.n AS DOUBLE)
+                      * CAST(d.x * t.nn - t.xx * d.n AS DOUBLE)
+                  > 9.0 * t.xx * (t.nn - t.xx) * d.n
+                 THEN 1 ELSE 0 END AS INT) AS out_of_control,
+       CAST(CASE WHEN d.x * t.nn > t.xx * d.n THEN 1 ELSE -1 END AS INT)
+           AS direction
+FROM daily d CROSS JOIN tot t
+""",
+    doc="Shewhart p-chart over the daily error rate — with CUSUM "
+    "(events_cusum_shift) and EWMA (events_ewma_anomaly) this "
+    "completes the classic SPC trio (Shewhart catches big one-day "
+    "jumps, CUSUM slow level shifts, EWMA drifts in between). The "
+    "3-sigma binomial control test (p_day - p_bar)^2 > 9*p_bar*"
+    "(1-p_bar)/n is evaluated as the cross-multiplied form "
+    "(x*N - X*n)^2 > 9*X*(N-X)*n: every operand is an exact BIGINT "
+    "from the daily rollup and the one squaring runs in doubles built "
+    "from identical integers, so both engines flag identically. "
+    "Center line from a 1-row broadcast total; the chart is "
+    "calendar-bounded metadata.",
+)
+def events_pchart_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("x").cast("long").alias("xx")
+    )
+    dev = F.col("x") * F.col("nn") - F.col("xx") * F.col("n")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "x",
+        (F.col("x").cast("double") / F.col("n")).alias("p_day"),
+        (F.col("xx").cast("double") / F.col("nn")).alias("p_bar"),
+        dev.cast("long").alias("dev_num"),
+        F.when(
+            dev.cast("double") * dev.cast("double")
+            > 9.0 * F.col("xx") * (F.col("nn") - F.col("xx")) * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("out_of_control"),
+        F.when(F.col("x") * F.col("nn") > F.col("xx") * F.col("n"), 1)
+        .otherwise(-1)
+        .cast("int")
+        .alias("direction"),
+    )

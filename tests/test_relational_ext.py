@@ -1109,3 +1109,36 @@ def test_pchart_matches_reference(spark, sf_dir):
         if lhs != rhs:  # double rounding can only matter AT the boundary
             assert r.out_of_control == (1 if lhs > rhs else 0)
         assert r.direction == (1 if Fraction(x, n) > Fraction(xx, nn) else -1)
+
+
+def test_burstiness_matches_reference(spark, sf_dir):
+    """CV^2 and the bursty flag equal an exact-Fraction reference over
+    the same per-type gap sequences."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) AS us", "event_id")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append((r.us, r.event_id))
+
+    got = {r.event_type: r for r in all_queries()["events_interarrival_burstiness"].spark(spark, sf_dir).collect()}
+    for et, rows in by_type.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        if not gaps:
+            assert et not in got
+            continue
+        n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        r = got[et]
+        assert (r.n_gaps, r.sum_gap_us) == (n, s1)
+        assert r.mean_gap_us == s1 / n
+        assert r.cv2 == float(n * s2 - s1 * s1) / (float(s1) * float(s1))
+        assert r.is_bursty == (1 if Fraction(n * s2, s1 * s1) > 2 else 0)

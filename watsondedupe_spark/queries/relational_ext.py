@@ -2680,3 +2680,79 @@ def events_pchart_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival burstiness (squared coefficient of variation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_burstiness",
+    """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+               AS gap
+    FROM events
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(s1 AS BIGINT) AS sum_gap_us,
+       CAST(s1 AS DOUBLE) / n AS mean_gap_us,
+       CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+           / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS cv2,
+       CAST(CASE WHEN n * s2 > 2 * CAST(s1 AS DECIMAL(38,0)) * s1
+                 THEN 1 ELSE 0 END AS INT) AS is_bursty
+FROM (
+    SELECT event_type, COUNT(*) AS n, SUM(gap) AS s1,
+           SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS s2
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY event_type
+)
+""",
+    doc="inter-arrival burstiness per event type: the squared "
+    "coefficient of variation of consecutive arrival gaps — the "
+    "stochastic-process diagnostic that separates Poisson-like "
+    "arrivals (CV^2 ~ 1) from bursty ones (CV^2 >> 1), read before "
+    "sizing streaming state or rate limits. CV^2 = (n*sum(g^2) - "
+    "sum(g)^2) / sum(g)^2 from exact BIGINT microsecond moments "
+    "(variance cross-product form, one declared division); the bursty "
+    "flag (CV^2 > 2, i.e. n*sum(g^2) > 2*sum(g)^2 after adding the "
+    "identity term) is a pure integer comparison. One per-type window "
+    "for the LAG diffs, one moment agg — the gap stream never leaves "
+    "its type partition.",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    # second moment in DECIMAL(38,0): an hour-scale gap in microseconds
+    # squares past BIGINT range; decimal sums stay exact in both engines
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("decimal(38,0)")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("s1").cast("long").alias("sum_gap_us"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_gap_us"),
+        (
+            (F.col("n") * F.col("s2") - s1d * F.col("s1")).cast("double")
+            / (F.col("s1").cast("double") * F.col("s1").cast("double"))
+        ).alias("cv2"),
+        F.when(F.col("n") * F.col("s2") > 2 * s1d * F.col("s1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_bursty"),
+    )

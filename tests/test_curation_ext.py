@@ -870,3 +870,36 @@ def test_token_chi2_drift_matches_reference(spark, sf_dir):
             common, only, ticks,
         )
         assert r.chi2 == ticks / _CHI2_TICKS
+
+
+def test_vocab_growth_curve_matches_reference(spark, sf_dir):
+    """Each decile's vocabulary size equals a plain-Python first-k-docs
+    distinct count, and the curve is monotone (Heaps-law shape)."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.curation_ext import _VG_DECILES
+    from watsondedupe_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    first_doc = {}
+    occ = defaultdict(int)
+    for r in docs:
+        for t in r.text.split(" "):
+            occ[t] += 1
+            if t not in first_doc or r.doc_id < first_doc[t]:
+                first_doc[t] = r.doc_id
+    max_doc = max(r.doc_id for r in docs)
+
+    got = {r.decile: r for r in all_queries()["docs_vocab_growth_curve"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, _VG_DECILES + 1))
+    prev = -1
+    for d in range(1, _VG_DECILES + 1):
+        cutoff = (max_doc + 1) * d // _VG_DECILES
+        vocab = sum(1 for fd in first_doc.values() if fd < cutoff)
+        mass = sum(occ[t] for t, fd in first_doc.items() if fd < cutoff)
+        r = got[d]
+        assert (r.doc_cutoff, r.vocab_size, r.mass_of_seen_vocab) == (cutoff, vocab, mass)
+        assert r.vocab_size >= prev
+        prev = r.vocab_size
+    assert got[_VG_DECILES].vocab_size == len(first_doc)

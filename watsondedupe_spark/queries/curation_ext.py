@@ -2409,3 +2409,81 @@ def docs_token_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tick").cast("long").alias("chi2_ticks"),
         (F.sum("tick").cast("double") / _CHI2_TICKS).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+_VG_DECILES = 10
+
+
+@register(
+    "docs_vocab_growth_curve",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+firsts AS (
+    SELECT t, MIN(doc_id) AS first_doc, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM toks GROUP BY t
+),
+bounds AS (
+    SELECT MAX(doc_id) AS max_doc, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents
+),
+cuts AS (
+    SELECT unnest(generate_series(1, {_VG_DECILES})) AS decile
+)
+SELECT c.decile,
+       CAST(floor((b.max_doc + 1) * c.decile / {_VG_DECILES}) AS BIGINT)
+           AS doc_cutoff,
+       CAST(SUM(CASE WHEN f.first_doc <
+                          floor((b.max_doc + 1) * c.decile / {_VG_DECILES})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN f.first_doc <
+                          floor((b.max_doc + 1) * c.decile / {_VG_DECILES})
+                     THEN f.occurrences ELSE 0 END) AS BIGINT)
+           AS mass_of_seen_vocab
+FROM firsts f CROSS JOIN bounds b CROSS JOIN cuts c
+GROUP BY c.decile,
+         CAST(floor((b.max_doc + 1) * c.decile / {_VG_DECILES}) AS BIGINT)
+""",
+    doc="Heaps-law vocabulary growth curve: distinct-token count among "
+    "the first k docs (by id), at ten cutoffs — the sub-linear V(n) ~ "
+    "K*n^beta curve that says whether a vocabulary/tokenizer frozen on "
+    "a corpus prefix will keep drowning in new tokens as data grows "
+    "(the companion to docs_vocab_coverage_curve, which slices by RANK "
+    "at full corpus; this slices by CORPUS PREFIX). Computed from one "
+    "token pass: each token reduces to its FIRST-occurrence doc id "
+    "map-side, and every decile is a conditional count over that "
+    "vocabulary-grain table — ten cutoffs cost one cross join with a "
+    "10-row literal spine, never ten corpus scans.",
+)
+def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    firsts = toks.groupBy("t").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count("*").cast("long").alias("occurrences"),
+    )
+    bounds = _docs(spark, sf_dir).agg(
+        F.max("doc_id").alias("max_doc"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    cuts = spark.range(1, _VG_DECILES + 1).select(F.col("id").alias("decile"))
+    cutoff = F.floor((F.col("max_doc") + 1) * F.col("decile") / _VG_DECILES).cast("long")
+    return (
+        firsts.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(cuts))
+        .groupBy("decile", cutoff.alias("doc_cutoff"))
+        .agg(
+            F.sum(F.when(F.col("first_doc") < cutoff, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_size"),
+            F.sum(F.when(F.col("first_doc") < cutoff, F.col("occurrences")).otherwise(0))
+            .cast("long")
+            .alias("mass_of_seen_vocab"),
+        )
+    )

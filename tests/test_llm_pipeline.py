@@ -1102,3 +1102,41 @@ def test_pagerank_matches_sequential_fixed_point(spark, sf_dir):
     n = len(adj)
     total = sum(ranks.values())
     assert n * _PR_TICK * 0.80 <= total <= n * _PR_TICK
+
+
+def test_lsh_capacity_plan_matches_reference(spark, sf_dir):
+    """Predicted pair counts equal a plain-Python bucket histogram at
+    every plane choice, coarse buckets are exact masks of the 8-plane
+    bucket, and cost decreases monotonically with plane count."""
+    from collections import Counter
+
+    from watsondedupe_spark.operators.similarity import _plane_sign
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.pipeline_ext import (
+        _CAP_MAX_PLANES, _CAP_PLANE_CHOICES,
+    )
+    from watsondedupe_spark.sources import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").select("embedding").collect()
+
+    def bucket8(vec):
+        b = 0
+        for j in range(1, _CAP_MAX_PLANES + 1):
+            proj = sum(float(x) * _plane_sign(j, i) for i, x in enumerate(vec, start=1))
+            if proj >= 0:
+                b |= 1 << (j - 1)
+        return b
+
+    b8 = [bucket8(r.embedding) for r in rows]
+    got = {r.n_planes: r for r in all_queries()["emb_lsh_capacity_plan"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(_CAP_PLANE_CHOICES)
+    prev_pairs = None
+    for p in sorted(_CAP_PLANE_CHOICES, reverse=True):
+        hist = Counter(b % (1 << p) for b in b8)
+        r = got[p]
+        assert r.n_buckets_used == len(hist)
+        assert r.max_bucket == max(hist.values())
+        assert r.predicted_pairs == sum(n * (n - 1) // 2 for n in hist.values())
+        if prev_pairs is not None:
+            assert r.predicted_pairs >= prev_pairs  # coarser -> more pairs
+        prev_pairs = r.predicted_pairs

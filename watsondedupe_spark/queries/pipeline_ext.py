@@ -3720,3 +3720,82 @@ def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_ba",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH capacity planning: predicted verify cost per plane count
+# ---------------------------------------------------------------------------
+
+_CAP_MAX_PLANES = 8
+_CAP_PLANE_CHOICES = (2, 4, 6, 8)
+
+
+def _capacity_oracle() -> str:
+    from watsondedupe_spark.queries.engine_native import _lsh_bucket_sql
+
+    return f"""
+WITH b AS (
+    SELECT {_lsh_bucket_sql('embedding', n_planes=_CAP_MAX_PLANES)} AS bucket8
+    FROM embeddings
+),
+fanned AS (
+    SELECT p.n_planes, b.bucket8 % CAST(pow(2, p.n_planes) AS BIGINT) AS bucket
+    FROM b CROSS JOIN (SELECT unnest(ARRAY{list(_CAP_PLANE_CHOICES)}) AS n_planes) p
+),
+hist AS (
+    SELECT n_planes, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM fanned GROUP BY 1, 2
+)
+SELECT CAST(n_planes AS INT) AS n_planes,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS predicted_pairs
+FROM hist GROUP BY n_planes
+"""
+
+
+@register(
+    "emb_lsh_capacity_plan",
+    _capacity_oracle(),
+    doc="LSH capacity planning: for each candidate plane count, the "
+    "bucket histogram and the EXACT verify cost it implies (sum of "
+    "C(n_b, 2) over buckets) — the planning table behind the adaptive "
+    "plane rule that keeps the reciprocal-kNN verify linear (the 30x "
+    "scale gate caught the fixed-plane quadratic; this query is how "
+    "you pick the plane count BEFORE paying for the wrong one). One "
+    "corpus pass computes the 8-plane bucket; every coarser bucketing "
+    "is its low-bit mask (plane j's sign does not depend on plane "
+    "count), so the 4-way sweep is a 4x fan-out of 16-byte rows, not "
+    "4 corpus scans. Max-bucket is reported beside the sum because "
+    "the worst GROUP, not the average, is what breaks an executor.",
+)
+def emb_lsh_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import sign_lsh_bucket
+
+    b8 = _emb(spark, sf_dir).select(
+        sign_lsh_bucket(F.col("embedding"), n_planes=_CAP_MAX_PLANES).alias("bucket8")
+    )
+    choices = spark.createDataFrame(
+        [(p,) for p in _CAP_PLANE_CHOICES], "n_planes long"
+    )
+    fanned = b8.crossJoin(F.broadcast(choices)).select(
+        "n_planes",
+        F.pmod(
+            F.col("bucket8"), F.pow(F.lit(2.0), F.col("n_planes")).cast("long")
+        ).alias("bucket"),
+    )
+    hist = fanned.groupBy("n_planes", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return hist.groupBy("n_planes").agg(
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("predicted_pairs"),
+    ).select(
+        F.col("n_planes").cast("int").alias("n_planes"),
+        "n_buckets_used",
+        "max_bucket",
+        "predicted_pairs",
+    )

@@ -352,6 +352,22 @@ HEADLINE = [
     # candidate edge list; its cost is the per-round shuffle fixed
     # cost (the Pregel floor), which is exactly what deserves a budget.
     "docs_dup_graph_pagerank",
+    # ... and the LSH capacity plan: one corpus bucket pass + a 4-way
+    # literal fan-out — the one timed entry whose shuffle key is the
+    # (n_planes, bucket) histogram grain.
+    "emb_lsh_capacity_plan",
+    # orders_cohort_ltv_curve stays untimed for the composite reason
+    # (two orders-grain aggs + a window over a few dozen rows — the
+    # tpch_q13/rollup shapes already budget it); events_pchart_error_
+    # rate, events_interarrival_burstiness, events_gini_concentration,
+    # and events_top_paths for the calendar/user-grain reason (daily
+    # or per-user rollups the timed events entries already budget);
+    # docs_vocab_growth_curve for the composite reason (the
+    # docs_oov_rate token-agg shape + a 10-row literal fan-out);
+    # docs_boilerplate_prefixes for the composite reason (one
+    # row-local projection + one agg — the docs_exact_dedup shape).
+    # events_scd2_lookup, docs_token_chi2_drift, events_autocorr_daily:
+    # reasons recorded above.
     # events_autocorr_daily stays untimed for the calendar-grain
     # reason; docs_token_chi2_drift for the composite reason (the
     # docs_oov_rate token-agg shape plus a token-keyed join);
@@ -557,6 +573,17 @@ SCALE_QUERIES = [
     # agg: per-doc token maps grow with doc count, never corpus-wide)
     "emb_mutual_knn_pairs",
     "docs_gopher_rules_audit",
+    # session-2 batch 2: fixed-point PageRank (8 edge-list rounds —
+    # iterative graph cost must stay linear in |E| as shards multiply),
+    # the simplified silhouette (the n x k scan + per-vector window),
+    # the token chi-square drift (vocab-keyed join — vocabulary
+    # multiplies under cipher shards exactly like docs_oov_rate), and
+    # the LSH capacity plan (the planning pass itself must stay one
+    # linear corpus scan at any scale)
+    "docs_dup_graph_pagerank",
+    "emb_silhouette",
+    "docs_token_chi2_drift",
+    "emb_lsh_capacity_plan",
 ]
 
 

@@ -177,7 +177,7 @@ _GRADING_PRIORITY = [
     # down sits at slot 51+ and is verified this round by the committed
     # 226/226 full-registry sweep (CHECK_r06.json); these overflow
     # entries are the r7 window's natural Tier 1 — together with the
-    # 21 session-2 additions (emb_mutual_knn_pairs, emb_silhouette,
+    # 25 session-2 additions (emb_mutual_knn_pairs, emb_silhouette,
     # events_pit_features, events_ewma_anomaly, events_cusum_shift,
     # events_autocorr_daily, events_chi2_assoc, events_gini_concentration,
     # events_attribution_ushape, events_top_paths, events_scd2_lookup,
@@ -185,8 +185,11 @@ _GRADING_PRIORITY = [
     # lineitem_weighted_median_price, docs_gopher_rules_audit,
     # docs_token_chi2_drift, docs_compaction_plan,
     # docs_boilerplate_prefixes, docs_dup_graph_pagerank,
-    # multimodal_scene_cuts), all registered after this list and all
-    # verified by the committed full-registry sweep this round.
+    # multimodal_scene_cuts, orders_cohort_ltv_curve,
+    # events_pchart_error_rate, events_interarrival_burstiness,
+    # docs_vocab_growth_curve, emb_lsh_capacity_plan), all registered
+    # after this list and all verified by the committed full-registry
+    # sweep this round.
     # Tier 2 — change risk (2): the split-file staging used by the
     # multi-micro-batch replays gained a flock around its evict-and-
     # retry path this round (queries/events.py), so both its consumers

@@ -1142,3 +1142,49 @@ def test_burstiness_matches_reference(spark, sf_dir):
         assert r.mean_gap_us == s1 / n
         assert r.cv2 == float(n * s2 - s1 * s1) / (float(s1) * float(s1))
         assert r.is_bursty == (1 if Fraction(n * s2, s1 * s1) > 2 else 0)
+
+
+def test_bot_screen_matches_reference(spark, sf_dir):
+    """Per-user heuristics equal a plain-Python replay: gap stream, modal
+    gap, fast-gap share, max daily volume, and the flag logic."""
+    from collections import Counter, defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import (
+        _BOT_FAST_GAP_US, _BOT_SHARE_SCALE,
+    )
+    from watsondedupe_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "unix_micros(ts) AS us", "event_id",
+            "cast(cast(ts as date) as string) AS day",
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+
+    got = {r.user_id: r for r in all_queries()["events_bot_screen"].spark(spark, sf_dir).collect()}
+    n_checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        gaps = [b.us - a.us for a, b in zip(rows, rows[1:])]
+        if not gaps:
+            assert uid not in got  # single-event users have no gap row
+            continue
+        n_checked += 1
+        modal = max(Counter(gaps).values())
+        fast = sum(1 for g in gaps if g < _BOT_FAST_GAP_US)
+        max_day = max(Counter(r.day for r in rows).values())
+        r = got[uid]
+        assert (r.n_events, r.max_day_events, r.n_fast_gaps, r.modal_gap_count) == (
+            len(rows), max_day, fast, modal,
+        )
+        assert r.modal_gap_share_scaled == modal * _BOT_SHARE_SCALE // len(gaps)
+        assert r.is_suspect == (
+            1 if fast * 5 > len(gaps) or modal * 2 > len(gaps) else 0
+        )
+    assert n_checked == len(got)

@@ -2756,3 +2756,122 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("int")
         .alias("is_bursty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bot/automation detection heuristics per user
+# ---------------------------------------------------------------------------
+
+_BOT_FAST_GAP_US = 1_000_000  # gaps under 1s are "too fast for a human"
+_BOT_SHARE_SCALE = 1000
+
+
+@register(
+    "events_bot_screen",
+    f"""
+WITH seq AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap
+    FROM events
+),
+per_day AS (
+    SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq GROUP BY 1, 2
+),
+day_stats AS (
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS max_day_events
+    FROM per_day GROUP BY 1
+),
+gap_modes AS (
+    SELECT user_id, CAST(MAX(c) AS BIGINT) AS modal_gap_count
+    FROM (SELECT user_id, gap, COUNT(*) AS c
+          FROM seq WHERE gap IS NOT NULL GROUP BY 1, 2)
+    GROUP BY 1
+),
+gap_stats AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN gap < {_BOT_FAST_GAP_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fast_gaps
+    FROM seq WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT g.user_id,
+       g.n_gaps + 1 AS n_events,
+       d.max_day_events,
+       g.n_fast_gaps,
+       m.modal_gap_count,
+       CAST(floor(m.modal_gap_count * {_BOT_SHARE_SCALE} / g.n_gaps)
+            AS BIGINT) AS modal_gap_share_scaled,
+       CAST(CASE WHEN g.n_fast_gaps * 5 > g.n_gaps
+                   OR m.modal_gap_count * 2 > g.n_gaps
+                 THEN 1 ELSE 0 END AS INT) AS is_suspect
+FROM gap_stats g
+JOIN day_stats d USING (user_id)
+JOIN gap_modes m USING (user_id)
+""",
+    doc="bot/automation screening per user — the traffic-hygiene stage "
+    "a training-data pipeline runs before behavioral events feed "
+    "features or labels: too-fast inter-event gaps (> 1/5 of gaps "
+    "under 1 s) and metronomic timing (the MODAL gap covering > half "
+    "of all gaps — humans do not repeat exact microsecond intervals) "
+    "flag the user; max single-day volume rides along for the rate "
+    "axis. Every heuristic is an integer cross-multiplication over "
+    "per-user rollups; the modal-gap count is a (user, gap) grain agg "
+    "whose key cannot explode past the event count. One per-user "
+    "window + three same-key rollups — the stream shuffles once.",
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    )
+    day_stats = (
+        seq.groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").cast("long").alias("max_day_events"))
+    )
+    gaps = seq.filter(F.col("gap").isNotNull())
+    gap_modes = (
+        gaps.groupBy("user_id", "gap")
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("modal_gap_count"))
+    )
+    gap_stats = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("gap") < _BOT_FAST_GAP_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fast_gaps"),
+    )
+    return (
+        gap_stats.join(day_stats, "user_id")
+        .join(gap_modes, "user_id")
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).alias("n_events"),
+            "max_day_events",
+            "n_fast_gaps",
+            "modal_gap_count",
+            F.floor(
+                F.col("modal_gap_count") * _BOT_SHARE_SCALE / F.col("n_gaps")
+            )
+            .cast("long")
+            .alias("modal_gap_share_scaled"),
+            F.when(
+                (F.col("n_fast_gaps") * 5 > F.col("n_gaps"))
+                | (F.col("modal_gap_count") * 2 > F.col("n_gaps")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_suspect"),
+        )
+    )

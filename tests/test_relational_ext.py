@@ -1188,3 +1188,27 @@ def test_bot_screen_matches_reference(spark, sf_dir):
             1 if fast * 5 > len(gaps) or modal * 2 > len(gaps) else 0
         )
     assert n_checked == len(got)
+
+
+def test_trigram_search_equals_plain_like_and_candidates_are_superset(spark, sf_dir):
+    """The trigram candidate+verify pipeline returns exactly the plain
+    LIKE result, and the raw candidate set (pre-verify) is a superset —
+    the no-false-negatives guarantee trigram containment provides."""
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _TRGM_PATTERN
+    from watsondedupe_spark.sources import read_table
+
+    parts = read_table(spark, sf_dir, "part").select("p_partkey", "p_name").collect()
+    truth = {r.p_partkey for r in parts if _TRGM_PATTERN in r.p_name}
+
+    got = all_queries()["part_trigram_like_search"].spark(spark, sf_dir).collect()
+    assert {r.p_partkey for r in got} == truth
+    assert truth  # the fixture must contain matches
+
+    grams = [_TRGM_PATTERN[i:i + 3] for i in range(len(_TRGM_PATTERN) - 2)]
+    cands = {
+        r.p_partkey
+        for r in parts
+        if all(g in [r.p_name[j:j + 3] for j in range(len(r.p_name) - 2)] for g in grams)
+    }
+    assert truth <= cands  # necessity: no true match escapes the index

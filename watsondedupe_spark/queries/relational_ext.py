@@ -2875,3 +2875,62 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_suspect"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram-index LIKE search (pg_trgm pattern) — graded invisible
+# ---------------------------------------------------------------------------
+
+_TRGM_PATTERN = "idg"  # the literal substring the graded probe searches
+
+
+@register(
+    "part_trigram_like_search",
+    f"""
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name
+FROM part WHERE p_name LIKE '%{_TRGM_PATTERN}%'
+""",
+    doc="trigram-accelerated substring search (the pg_trgm pattern): "
+    "part names explode into 3-gram posting lists ONCE; a LIKE "
+    "'%sub%' probe intersects the posting lists of the pattern's "
+    "trigrams (every true match must contain ALL of them — trigram "
+    "containment is a NECESSARY condition, so candidates are a "
+    "superset) and an exact contains() verify removes false "
+    "positives. The oracle is the plain LIKE scan: like the Bloom "
+    "semi-join row, the index must be SEMANTICALLY INVISIBLE, which "
+    "is the entire contract of an index. At 100 TB the posting list "
+    "is built once and the probe touches |pattern trigrams| posting "
+    "rows, not the corpus — this query grades the candidate+verify "
+    "plumbing at test scale.",
+)
+def part_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = _TRGM_PATTERN
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), "p_name"
+    )
+    # posting lists: one row per (trigram, partkey)
+    grams = parts.select(
+        "p_partkey",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("p_name") - 2),
+                lambda i: F.col("p_name").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    pattern_grams = [pat[i : i + 3] for i in range(len(pat) - 2)]
+    # candidates: keys whose posting rows cover EVERY pattern trigram
+    cand = (
+        grams.filter(F.col("g").isin(*pattern_grams))
+        .groupBy("p_partkey")
+        .agg(F.count_distinct("g").alias("hit"))
+        .filter(F.col("hit") == len(pattern_grams))
+        .select("p_partkey")
+    )
+    # exact verify: false positives (trigrams present but not adjacent)
+    # are removed by contains(); no false negatives exist by necessity
+    return (
+        parts.join(cand, "p_partkey")
+        .filter(F.col("p_name").contains(pat))
+        .select("p_partkey", "p_name")
+    )

@@ -1212,3 +1212,38 @@ def test_trigram_search_equals_plain_like_and_candidates_are_superset(spark, sf_
         if all(g in [r.p_name[j:j + 3] for j in range(len(r.p_name) - 2)] for g in grams)
     }
     assert truth <= cands  # necessity: no true match escapes the index
+
+
+def test_cramers_v_matches_reference(spark, sf_dir):
+    """Ticks, chi2, and V equal a plain-Python contingency computation
+    with identical operand order; V lies in [0, 1]."""
+    import math
+    from collections import Counter
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _CV_TICKS
+    from watsondedupe_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).collect()
+    cells = Counter((r.l_returnflag, r.l_linestatus) for r in li)
+    rows = Counter()
+    cols = Counter()
+    for (a, b), o in cells.items():
+        rows[a] += o
+        cols[b] += o
+    nn = sum(cells.values())
+    ticks = sum(
+        int(math.floor(float(o) * o / rows[a] / cols[b] * _CV_TICKS + 0.5))
+        for (a, b), o in cells.items()
+    )
+    ratio = float(ticks) / _CV_TICKS - 1
+
+    [r] = all_queries()["lineitem_cramers_v"].spark(spark, sf_dir).collect()
+    assert (r.n_rows, r.n_cols, r.n_items, r.sum_ratio_ticks) == (
+        len(rows), len(cols), nn, ticks,
+    )
+    assert r.chi2 == ratio * nn
+    assert r.cramers_v == math.sqrt(max(ratio / (min(len(rows), len(cols)) - 1), 0.0))
+    assert 0.0 <= r.cramers_v <= 1.0 + 1e-9

@@ -2934,3 +2934,92 @@ def part_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").contains(pat))
         .select("p_partkey", "p_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association between categorical columns (r x c chi-square)
+# ---------------------------------------------------------------------------
+
+_CV_TICKS = 1_000_000_000
+
+
+@register(
+    "lineitem_cramers_v",
+    f"""
+WITH cells AS (
+    SELECT l_returnflag AS r, l_linestatus AS c, CAST(COUNT(*) AS BIGINT) AS o
+    FROM lineitem GROUP BY 1, 2
+),
+rows_m AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY 1),
+cols_m AS (SELECT c, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+terms AS (
+    SELECT CAST(floor(CAST(x.o AS DOUBLE) * x.o / r.rm / c.cm
+                      * {_CV_TICKS} + 0.5) AS BIGINT) AS tick
+    FROM cells x JOIN rows_m r USING (r) JOIN cols_m c USING (c)
+),
+dims AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_m) AS nr,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_m) AS nc
+)
+SELECT d.nr AS n_rows, d.nc AS n_cols, n.nn AS n_items,
+       CAST(SUM(t.tick) AS BIGINT) AS sum_ratio_ticks,
+       (CAST(SUM(t.tick) AS DOUBLE) / {_CV_TICKS} - 1) * n.nn AS chi2,
+       sqrt(GREATEST((CAST(SUM(t.tick) AS DOUBLE) / {_CV_TICKS} - 1)
+                     / (LEAST(d.nr, d.nc) - 1), 0.0)) AS cramers_v
+FROM terms t CROSS JOIN n CROSS JOIN dims d
+GROUP BY d.nr, d.nc, n.nn
+""",
+    doc="Cramér's V association between two categorical columns (the "
+    "r x c generalization of the graded 2x2 chi-square screen): chi2 "
+    "= N*(sum_cells o^2/(row*col) - 1), each cell's ratio evaluated "
+    "from exact BIGINT marginals in doubles built from identical "
+    "integers and quantized to 1e-9 ticks BEFORE the order-free sum; "
+    "V normalizes by min(r,c)-1 so the statistic is comparable across "
+    "tables. Contingency cells, marginals, and dims all reduce "
+    "map-side from one fact pass — association between two columns "
+    "costs one scan at any scale.",
+)
+def lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c")
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rows_m = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rm"))
+    cols_m = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cm"))
+    n = cells.agg(F.sum("o").cast("long").alias("nn"))
+    dims = rows_m.agg(F.count("*").cast("long").alias("nr")).crossJoin(
+        cols_m.agg(F.count("*").cast("long").alias("nc"))
+    )
+    tick = F.floor(
+        F.col("o").cast("double") * F.col("o") / F.col("rm") / F.col("cm")
+        * _CV_TICKS
+        + 0.5
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rows_m), "r")
+        .join(F.broadcast(cols_m), "c")
+        .select(tick.alias("tick"))
+    )
+    ratio = F.sum("tick").cast("double") / _CV_TICKS - 1
+    return (
+        terms.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dims))
+        .groupBy(
+            F.col("nr").alias("n_rows"),
+            F.col("nc").alias("n_cols"),
+            F.col("nn").alias("n_items"),
+        )
+        .agg(
+            F.sum("tick").cast("long").alias("sum_ratio_ticks"),
+            (ratio * F.first("nn")).alias("chi2"),
+            F.sqrt(
+                F.greatest(
+                    ratio / (F.least(F.first("nr"), F.first("nc")) - 1), F.lit(0.0)
+                )
+            ).alias("cramers_v"),
+        )
+    )

@@ -1247,3 +1247,41 @@ def test_cramers_v_matches_reference(spark, sf_dir):
     assert r.chi2 == ratio * nn
     assert r.cramers_v == math.sqrt(max(ratio / (min(len(rows), len(cols)) - 1), 0.0))
     assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+
+
+def test_equidepth_histogram_matches_reference(spark, sf_dir):
+    """Bucket assignment equals a sorted-reference equi-depth split:
+    boundaries are exact order statistics, depths are near-equal, and
+    bucket ranges tile the value domain without overlap."""
+    from decimal import Decimal
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.relational_ext import _EQD_BUCKETS
+    from watsondedupe_spark.sources import read_table
+
+    prices = sorted(
+        Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+        for r in read_table(spark, sf_dir, "lineitem").select("l_extendedprice").collect()
+    )
+    n = len(prices)
+    # percentile_disc(q): smallest value at cumulative position >= q
+    import math
+    bounds = [prices[math.ceil(n * i / _EQD_BUCKETS) - 1] for i in range(1, _EQD_BUCKETS)]
+    expected = {}
+    for p in prices:
+        b = sum(p > x for x in bounds)
+        cnt, lo, hi = expected.get(b, (0, p, p))
+        expected[b] = (cnt + 1, min(lo, p), max(hi, p))
+
+    got = {r.bucket: r for r in all_queries()["lineitem_equidepth_histogram"].spark(spark, sf_dir).collect()}
+    assert {b: (r.n_rows, Decimal(str(r.lo)).quantize(Decimal("0.01")),
+                Decimal(str(r.hi)).quantize(Decimal("0.01")))
+            for b, r in got.items()} == expected
+    # depths near-equal: every bucket within (n/B)/2 .. 2*(n/B) + ties
+    target = n / _EQD_BUCKETS
+    for r in got.values():
+        assert target * 0.5 <= r.n_rows <= target * 2 + 1
+    # ranges tile without overlap
+    order = sorted(got.values(), key=lambda r: r.bucket)
+    for a, b in zip(order, order[1:]):
+        assert a.hi <= b.lo

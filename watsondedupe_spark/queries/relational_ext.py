@@ -3023,3 +3023,75 @@ def lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram construction (the ANALYZE/optimizer-stats primitive)
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+@register(
+    "lineitem_equidepth_histogram",
+    f"""
+WITH bounds AS (
+    SELECT {", ".join(
+        f"percentile_disc({i}.0 / {_EQD_BUCKETS}) WITHIN GROUP "
+        f"(ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS b{i}"
+        for i in range(1, _EQD_BUCKETS)
+    )}
+    FROM lineitem
+),
+bucketed AS (
+    SELECT CAST({" + ".join(
+        f"CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2)) > b.b{i} "
+        "THEN 1 ELSE 0 END"
+        for i in range(1, _EQD_BUCKETS)
+    )} AS INT) AS bucket,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem l CROSS JOIN bounds b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(price) AS DOUBLE) AS lo,
+       CAST(MAX(price) AS DOUBLE) AS hi
+FROM bucketed GROUP BY bucket
+""",
+    doc="equi-depth histogram construction — the ANALYZE-statistics "
+    "primitive every cost-based optimizer (and every skew diagnosis) "
+    "rests on: 7 interior percentile_disc boundaries (a discrete "
+    "order statistic — an ACTUAL value, portable across engines, "
+    "unlike interpolating percentile_cont) computed in one reduce, "
+    "broadcast back as one row, and each fact row bucketed by "
+    "COUNTING THE BOUNDARIES BELOW IT (a sum of comparisons — no "
+    "nested CASE ladder, no second sort). Depths come out near-equal "
+    "by construction; lo/hi per bucket are the boundary audit. One "
+    "full-table reduce + one broadcast scan — never a global sort of "
+    "the fact table, which is what makes equi-depth viable at 100 TB.",
+)
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    li = _t(spark, sf_dir, "lineitem").select(price.alias("price"))
+    bounds = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i}.0 / {_EQD_BUCKETS}) WITHIN GROUP (ORDER BY price)"
+            ).alias(f"b{i}")
+            for i in range(1, _EQD_BUCKETS)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("price") > F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(1, _EQD_BUCKETS)
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "price")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+        )
+    )

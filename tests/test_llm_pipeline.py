@@ -1140,3 +1140,47 @@ def test_lsh_capacity_plan_matches_reference(spark, sf_dir):
         if prev_pairs is not None:
             assert r.predicted_pairs >= prev_pairs  # coarser -> more pairs
         prev_pairs = r.predicted_pairs
+
+
+def test_cluster_density_audit_matches_reference(spark, sf_dir):
+    """Edge counts, density, and the chain-risk flag equal a plain-Python
+    union-find over the same candidate pairs."""
+    from collections import defaultdict
+
+    from watsondedupe_spark.queries import all_queries
+    from watsondedupe_spark.queries.llm_pipeline import docs_minhash_pairs
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    members = defaultdict(set)
+    for x in parent:
+        members[find(x)].add(x)
+    edge_cnt = defaultdict(int)
+    for a, b in pairs:
+        edge_cnt[find(a)] += 1
+
+    got = {r.cluster_id: r for r in all_queries()["docs_cluster_density_audit"].spark(spark, sf_dir).collect()}
+    expected = {min(ms): (len(ms), edge_cnt[root]) for root, ms in members.items() if len(ms) >= 2}
+    assert {cid: (r.size, r.n_edges) for cid, r in got.items()} == expected
+    for r in got.values():
+        possible = r.size * (r.size - 1) // 2
+        assert r.n_possible == possible
+        assert r.density == r.n_edges / possible
+        assert r.is_chain_risk == (1 if r.n_edges < r.size else 0)
+        assert r.n_edges >= r.size - 1  # connectivity lower bound

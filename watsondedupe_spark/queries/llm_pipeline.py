@@ -1548,3 +1548,101 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ticks").alias("rank_ticks"),
         (F.col("ticks").cast("double") / _PR_TICK).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-density audit: direct-edge share per dup cluster (chaining risk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cluster_density_audit",
+    f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+),
+cc AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+    FROM cc GROUP BY cluster_id HAVING COUNT(*) >= 2
+),
+edges AS (
+    SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM pairs p JOIN cc c ON c.doc_id = p.doc_a
+    GROUP BY c.cluster_id
+)
+SELECT s.cluster_id, s.size, COALESCE(e.n_edges, 0) AS n_edges,
+       CAST(s.size * (s.size - 1) / 2 AS BIGINT) AS n_possible,
+       CAST(COALESCE(e.n_edges, 0) AS DOUBLE)
+           / (s.size * (s.size - 1) / 2) AS density,
+       CAST(CASE WHEN COALESCE(e.n_edges, 0) < s.size THEN 1 ELSE 0 END AS INT)
+           AS is_chain_risk
+FROM sizes s LEFT JOIN edges e USING (cluster_id)
+""",
+    doc="dup-cluster density audit — the chaining-risk diagnostic for "
+    "connected-component dedup: CC merges by TRANSITIVITY, so a "
+    "cluster can contain pairs that were never direct candidates "
+    "(A~B, B~C chains A with C); density = direct-candidate edges / "
+    "C(size,2) measures how much of each cluster the evidence "
+    "actually covers, and sparse clusters (fewer edges than nodes — "
+    "i.e. tree-shaped, the weakest possible connectivity) get the "
+    "chain-risk flag a careful pipeline re-verifies before dropping "
+    "documents. Edges join to clusters on ONE endpoint (both ends "
+    "share a cluster by CC construction — no pair-side shuffle "
+    "needed); singleton clusters are excluded (density undefined).",
+)
+def docs_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    pairs = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    cc = connected_components(
+        pairs, nodes, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("node").cast("long").alias("doc_id"), "cluster_id")
+    sizes = (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    edges = (
+        pairs.join(cc, pairs.doc_a == cc.doc_id)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    possible = (F.col("size") * (F.col("size") - 1) / 2).cast("long")
+    return (
+        sizes.join(edges, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "size",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            possible.alias("n_possible"),
+            (
+                F.coalesce("n_edges", F.lit(0)).cast("double") / possible
+            ).alias("density"),
+            F.when(F.coalesce("n_edges", F.lit(0)) < F.col("size"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_chain_risk"),
+        )
+    )

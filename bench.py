@@ -368,6 +368,20 @@ HEADLINE = [
     # row-local projection + one agg — the docs_exact_dedup shape).
     # events_scd2_lookup, docs_token_chi2_drift, events_autocorr_daily:
     # reasons recorded above.
+    # ... and the bot screen (one per-user gap window + a (user, gap)
+    # modal agg + two same-key rollups — the modal agg is a new
+    # corpus-grain shuffle shape) and the equi-depth histogram (a
+    # 7-order-statistic full-table reduce + a broadcast bucketing
+    # scan — the ANALYZE primitive, two real lineitem passes).
+    "events_bot_screen",
+    "lineitem_equidepth_histogram",
+    # part_trigram_like_search stays untimed for the composite reason
+    # (one explode+agg over the small part dim + a semi-join — the
+    # docs_top_ngrams/bloom shapes already budget it);
+    # lineitem_cramers_v for the composite reason (one contingency agg
+    # + broadcast marginals — the stats_corr/chi2 shapes);
+    # docs_cluster_density_audit for the composite reason (the timed
+    # docs_dup_clusters CC plus one bounded join and two rollups).
     # events_autocorr_daily stays untimed for the calendar-grain
     # reason; docs_token_chi2_drift for the composite reason (the
     # docs_oov_rate token-agg shape plus a token-keyed join);

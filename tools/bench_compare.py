@@ -119,8 +119,23 @@ def main() -> int:
         print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
     for name, sec, base, ratio in fail:
         print(f"  FAIL {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
+    # NEW entries (no locked row) must still be bounded: an unlocked query
+    # can't regress arbitrarily while it waits to be locked into
+    # BASELINE.md. Cap each at the largest locked per-query baseline (no
+    # new query should dwarf every locked shape), and cap the unlocked
+    # subtotal at 50% of the locked subtotal's budget.
+    new_cap = max(baseline.values()) * args.fail if baseline else float("inf")
+    new_bust = [(name, sec) for name, sec in new if sec > new_cap]
+    new_subtotal = sum(sec for _, sec in new)
+    new_subtotal_cap = (sum(baseline[n] for n in times if n in baseline) or 0) * 0.5
     for name, sec in new:
-        print(f"  NEW  {name}: {sec:.3f}s (no baseline row)")
+        flag = "  (OVER NEW-ENTRY CAP)" if sec > new_cap else ""
+        print(f"  NEW  {name}: {sec:.3f}s (no baseline row){flag}")
+    if new and new_subtotal_cap and new_subtotal > new_subtotal_cap:
+        print(
+            f"  FAIL unlocked subtotal {new_subtotal:.2f}s exceeds "
+            f"{new_subtotal_cap:.2f}s (50% of locked subtotal)"
+        )
     if not warn and not fail:
         print(f"  all {len(times)} timed entries within {args.warn}x of baseline")
     # Headline guard: the raw round-2 headline constant (57 entries) is
@@ -130,7 +145,8 @@ def main() -> int:
     # headline without indicating any regression (the per-entry 2x budget
     # above still catches any individual blow-up).
     subtotal_bust = bool(locked_base) and locked_meas > locked_base * 2
-    return 1 if fail or subtotal_bust else 0
+    new_subtotal_bust = bool(new) and bool(new_subtotal_cap) and new_subtotal > new_subtotal_cap
+    return 1 if fail or subtotal_bust or new_bust or new_subtotal_bust else 0
 
 
 if __name__ == "__main__":

@@ -2017,7 +2017,10 @@ def docs_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     b = docs.filter(F.col("doc_id") % 2 == 1).select("h")
-    probe_pos = b.select(
+    # flagged is a function of the hash VALUE, so compute hit counts once
+    # per DISTINCT h and join back to every probe row — duplicate probe
+    # texts must not inflate n_hit past _BLOOM_K (oracle is per-row CASE).
+    probe_pos = b.distinct().select(
         "h", F.posexplode(F.array(*[pos(F.col("h"), j) for j in range(_BLOOM_K)]))
     ).select("h", F.col("col").alias("p"))
     hit_counts = (

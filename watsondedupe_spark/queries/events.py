@@ -172,20 +172,41 @@ SELECT user_id, ts, click_id, view_id FROM carried WHERE side = 1
 """,
     doc="as-of join: each click paired with the latest view at-or-before "
     "it per user — union+window merge formulation (one shuffle on the "
-    "key, no range-join row explosion; operators/joins.py::asof_join)",
+    "key, no range-join row explosion; operators/joins.py::asof_join is "
+    "the general two-table operator). Both sides come from the SAME "
+    "table here, so the union is fused into ONE events scan: the side "
+    "tag and the per-side id columns are computed in-scan instead of "
+    "unioning two filtered subscans — same merged-window plan after the "
+    "exchange, half the scan work (and at 100 TB, half the IO).",
 )
 def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.joins import asof_join
-
-    ev = _events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    is_click = F.col("event_type") == "click"
+    tagged = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(is_click, F.col("event_id")).alias("click_id"),
+            F.when(~is_click, F.col("event_id")).alias("view_id"),
+            is_click.cast("int").alias("_side"),
+        )
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("_side").asc(), F.col("view_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return asof_join(clicks, views, on="user_id", ts="ts", tie_cols=["view_id"]).select(
-        "user_id", "ts", "click_id", "view_id"
+    return (
+        tagged.select(
+            "user_id",
+            "ts",
+            "click_id",
+            "_side",
+            F.last("view_id", ignorenulls=True).over(w).alias("view_id"),
+        )
+        .filter(F.col("_side") == 1)
+        .select("user_id", "ts", "click_id", "view_id")
     )
 
 

@@ -2680,10 +2680,10 @@ SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, priority,
 FROM (
     SELECT doc_id, source, n_chars,
            CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-               // n_chars AS priority,
+               // GREATEST(n_chars, 1) AS priority,
            ROW_NUMBER() OVER (ORDER BY
                CAST(('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                   // n_chars,
+                   // GREATEST(n_chars, 1),
                doc_id) AS rnk
     FROM documents
 )
@@ -2705,9 +2705,11 @@ WHERE rnk <= {_SPS_K}
     "corpus, no rand(), oracle-exact by construction",
 )
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GREATEST(n_chars, 1): a zero-length doc must not NULL-out (Spark DIV)
+    # or error (DuckDB //) the priority — both sides guard identically.
     pri = F.expr(
         "CAST(conv(substr(md5(concat('sps:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-        " DIV n_chars"
+        " DIV GREATEST(n_chars, 1)"
     )
     ranked = (
         _docs(spark, sf_dir)
@@ -3586,7 +3588,9 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MUTUAL_K = 5
 _MUTUAL_PLANES = 4  # floor; the graded SFs (50/500 vectors) stay at 4
+_MUTUAL_MAX_PLANES = 16  # ceiling shared by plan and oracle (mask width)
 _MUTUAL_TARGET_BUCKET = 32  # expected rows per bucket the plane count targets
+_MUTUAL_COUNT_CACHE: dict = {}  # sf_dir -> corpus row count (avoid re-scan)
 
 
 def _mutual_planes(n_rows: int) -> int:
@@ -3594,15 +3598,22 @@ def _mutual_planes(n_rows: int) -> int:
     expected bucket stays ~TARGET rows and the in-bucket matmul stays
     LINEAR in the corpus (fixed planes make it quadratic — the 30x
     scale gate caught exactly that: sec_ratio 40x at rows_ratio 8x).
-    Clamped to the floor of 4 below ~512 rows, so every graded surface
-    (check/sweep/pristine at sf0.01 = 500 vectors, pytest at sf0.001 =
-    50) uses EXACTLY the 4-plane bucketing the SQL oracle hard-codes;
-    the adaptive rule engages only beyond graded scale. Recall per
-    vector stays roughly constant because candidates-per-vector is the
-    bucket size — the standard LSH capacity scaling."""
+    Clamped to [4, 16]; the SQL oracle computes the SAME rule from
+    COUNT(*) and masks a 16-plane bucket with mod 2**p (plane bits are
+    positionally ordered, so the p-plane bucket IS the 16-plane bucket
+    mod 2**p) — implementation and oracle stay exact at every SF, not
+    just below 512 rows. ceil(log2(n/32)) is float-safe here: n/32.0
+    is exact, log2 of an exact power of two is exact, and for
+    non-powers the distance to the nearest integer (~1/(n ln 2)) dwarfs
+    the 1-ulp libm error. Recall per vector stays roughly constant
+    because candidates-per-vector is the bucket size — the standard
+    LSH capacity scaling."""
     import math
 
-    return max(_MUTUAL_PLANES, math.ceil(math.log2(max(n_rows / _MUTUAL_TARGET_BUCKET, 1.0))))
+    return min(
+        _MUTUAL_MAX_PLANES,
+        max(_MUTUAL_PLANES, math.ceil(math.log2(max(n_rows / _MUTUAL_TARGET_BUCKET, 1.0)))),
+    )
 
 
 def _mutual_knn_oracle() -> str:
@@ -3610,12 +3621,20 @@ def _mutual_knn_oracle() -> str:
     from watsondedupe_spark.queries.engine_native import _lsh_bucket_sql
 
     return f"""
-WITH b AS (
+WITH pl AS (
+    SELECT LEAST({_MUTUAL_MAX_PLANES},
+                 GREATEST({_MUTUAL_PLANES},
+                          CAST(CEIL(LOG2(GREATEST(COUNT(*) / {float(_MUTUAL_TARGET_BUCKET)}, 1.0)))
+                               AS INTEGER))) AS p
+    FROM embeddings
+),
+b AS (
     SELECT vec_id,
            list_transform(embedding,
                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v,
-           {_lsh_bucket_sql('embedding', n_planes=_MUTUAL_PLANES)} AS bucket
-    FROM embeddings
+           {_lsh_bucket_sql('embedding', n_planes=_MUTUAL_MAX_PLANES)}
+               % CAST(pow(2, pl.p) AS BIGINT) AS bucket
+    FROM embeddings CROSS JOIN pl
 ),
 directed AS (
     SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -3654,7 +3673,10 @@ WHERE a.src < a.dst
 def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.operators.similarity import sign_lsh_bucket
 
-    n_rows = _emb(spark, sf_dir).count()
+    n_rows = _MUTUAL_COUNT_CACHE.get(sf_dir)
+    if n_rows is None:
+        n_rows = _emb(spark, sf_dir).count()
+        _MUTUAL_COUNT_CACHE[sf_dir] = n_rows
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         _quant_vec().alias("v"),

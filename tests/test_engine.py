@@ -583,3 +583,69 @@ def test_recover_is_resumable_after_partial_repair(engine, spark):
     assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
     assert engine.get("solo") == b"resumable payload " * 400
     assert engine.recover() == {"object_map": 0, "chunks": -0, "chunk_store": -0}
+
+
+@pytest.mark.parametrize("crash_point", ["object_map", "chunks", "chunk_store", "objects"])
+def test_crash_matrix_real_write_path(engine, spark, crash_point):
+    """Round-7 crash matrix: crash-inject the REAL write path after each
+    of the four table commits (``_crash_after`` forces the deterministic
+    sequential commit order) and assert the exact repair semantics per
+    point. The commit-order invariant — objects commits LAST — makes the
+    post-objects crash a complete ingest (zero repairs) and guarantees a
+    reader can never observe a key with missing map/chunks/payloads.
+    Runs on both backends via the engine fixture."""
+    from watsondedupe_spark.engine import SimulatedCrash
+
+    base = b"crash matrix shared payload " * 200
+    engine.write("base", base)
+    n_base_map = engine.get_object_map("base").count()
+    n_base_chunks = engine.chunks.count()
+    n_base_store = engine.chunk_store.count()
+
+    victims = spark.createDataFrame(
+        [
+            ("vic_dup", bytearray(base)),  # shares EVERY chunk with base
+            ("vic_uniq", bytearray(b"unique victim bytes/" * 400)),
+        ],
+        "object_key string, data binary",
+    )
+    engine._crash_after = crash_point
+    try:
+        with pytest.raises(SimulatedCrash):
+            engine.write_batch(victims)
+    finally:
+        engine._crash_after = None
+
+    if crash_point == "objects":
+        # past the logical commit point: the ingest is complete
+        assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+        assert engine.get("vic_dup") == base
+        assert engine.get("vic_uniq") == b"unique victim bytes/" * 400
+        # shared chunks were deduped, refcounts doubled on base's chunks
+        assert engine.chunks.filter(F.col("ref_count") == 2).count() == n_base_map
+        return
+
+    # pre-objects crash: victims must not exist observably even BEFORE
+    # repair (reads resolve through objects — the invariant's payoff)
+    assert not engine.exists("vic_dup") and not engine.exists("vic_uniq")
+
+    deltas = engine.recover()
+    n_vic_map = deltas["object_map"]
+    assert n_vic_map < 0  # map committed first in every pre-objects state
+    if crash_point == "object_map":
+        # only the map landed: no chunk/payload wreckage to prune
+        assert deltas["chunks"] == 0 and deltas["chunk_store"] == 0
+    elif crash_point == "chunks":
+        # unique victim chunks entered the chunks table; payloads did not
+        assert deltas["chunks"] < 0 and deltas["chunk_store"] == 0
+    else:  # chunk_store
+        assert deltas["chunks"] < 0 and deltas["chunk_store"] < 0
+
+    # wreckage fully gone: tables back at base cardinality, refcounts
+    # rebuilt to exactly the map-derived truth, survivor readable
+    assert engine.object_map.count() == n_base_map
+    assert engine.chunks.count() == n_base_chunks
+    assert engine.chunk_store.count() == n_base_store
+    assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
+    assert engine.get("base") == base
+    assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}

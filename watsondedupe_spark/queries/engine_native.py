@@ -418,6 +418,105 @@ def engine_recover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_scenario(spark, sf_dir, SqliteIndexStore, scenario)
 
 
+def _crash_matrix_scenario(spark: SparkSession, sf_dir: str, store_cls) -> DataFrame:
+    """The 4-point crash matrix through the REAL write path: a victim
+    batch is driven into ``write_batch`` with ``_crash_after`` set to
+    each of the four table commits in turn (the injection makes the
+    commits sequential and deterministic — exactly the partial state a
+    process kill at that point leaves). After each pre-objects crash,
+    ``recover()`` must prune the wreckage completely; after the
+    crash-past-the-objects-commit, the ingest is COMPLETE by the
+    commit-order invariant (objects last = logical commit point), so
+    recover() must report zero repairs and the victims are then removed
+    by the ordinary cascading delete. The final read-back hashes
+    against the untouched clean-ingest closed form. One victim
+    duplicates an existing object's bytes (every chunk shared —
+    refcount inflation under test), the other is unique bytes (orphan
+    chunk + payload GC under test)."""
+    from watsondedupe_spark.engine import SimulatedCrash
+
+    def scenario(eng):
+        dup_text = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") == 0)
+            .select(F.repeat("text", 20).alias("t"))
+            .collect()[0][0]
+        )
+        victims = spark.createDataFrame(
+            [
+                ("___crash_dup", bytearray(dup_text.encode())),
+                ("___crash_uniq", bytearray(b"crash-matrix-unique-payload/" * 512)),
+            ],
+            "object_key string, data binary",
+        )
+
+        def crash_write(point):
+            eng._crash_after = point
+            try:
+                eng.write_batch(victims)
+            except SimulatedCrash:
+                return True
+            finally:
+                eng._crash_after = None
+            return False
+
+        for point in ("object_map", "chunks", "chunk_store"):
+            assert crash_write(point), point
+            deltas = eng.recover()
+            # the victim map rows are always orphaned (objects never
+            # committed); chunks/payload deltas depend on how far the
+            # sequence got — all must land at zero wreckage
+            assert deltas["object_map"] < 0, (point, deltas)
+            assert not eng.exists("___crash_dup"), point
+            assert not eng.exists("___crash_uniq"), point
+        # crash AFTER the objects commit: the logical commit point has
+        # passed, so the batch is durably ingested and repair finds
+        # nothing to do
+        assert crash_write("objects")
+        deltas = eng.recover()
+        assert deltas == {"object_map": 0, "chunks": 0, "chunk_store": 0}, deltas
+        assert eng.exists("___crash_dup") and eng.exists("___crash_uniq")
+        assert eng.get("___crash_uniq") == b"crash-matrix-unique-payload/" * 512
+        eng.delete_batch(victims.select("object_key"))
+
+    return _engine_scenario(spark, sf_dir, store_cls, scenario)
+
+
+@register(
+    "engine_crash_matrix",
+    _ENGINE_ROUNDTRIP_SQL,
+    doc="the commit-order invariant graded as a 4-point crash matrix "
+    "(file-manifest backend): write_batch crash-injected after EACH of "
+    "the four table commits (_crash_after forces the deterministic "
+    "sequential order: object_map -> chunks -> chunk_store -> objects), "
+    "recover() after each — pre-objects crashes must prune to zero "
+    "wreckage (orphan map rows, inflated shared-chunk refcounts, orphan "
+    "unique chunk + payload all under test), and the post-objects crash "
+    "must be a COMPLETE ingest (zero repairs, victims readable) since "
+    "objects commits strictly last as the logical commit point "
+    "(engine.py _commit_ingest; the reference's non-atomic write path "
+    "DedupeLibrary.cs:237-247 is the bug class this ordering beats).",
+)
+def engine_crash_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    return _crash_matrix_scenario(spark, sf_dir, IndexStore)
+
+
+@register(
+    "engine_crash_matrix_sqlite",
+    _ENGINE_ROUNDTRIP_SQL,
+    doc="the same 4-point crash matrix through the SQLite-catalog "
+    "backend — commit-order + recover() semantics must be identical "
+    "under both store implementations (provider pluggability, "
+    "DbProvider.cs:10).",
+)
+def engine_crash_matrix_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    return _crash_matrix_scenario(spark, sf_dir, SqliteIndexStore)
+
+
 # Multi-batch scenario: four sequential write_batch calls (doc_id % 4
 # slices) exercise the O(batch) APPEND path — part accumulation, the
 # manifest-meta max_id high-water across batches, CAS rebase — then

@@ -435,6 +435,61 @@ class IndexStore:
             )
         return new
 
+    def stage_part(self, name: str, df: DataFrame, version_hint: int) -> str:
+        """Write ``df`` as an UNPUBLISHED part dir and return its path —
+        the expensive half of an append (the Spark write job), split out
+        so it can overlap other work; nothing references the part until
+        :meth:`attach_part` flips it into the manifest. A crash between
+        stage and attach leaves an invisible orphan dir that
+        :meth:`_gc` ages out (the same guarantee in-flight concurrent
+        appends already rely on). This is the Delta/Iceberg commit
+        shape: optimistic data-file write, serialized metadata flip."""
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        path = self._new_part_path(name, version_hint)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def attach_part(
+        self,
+        name: str,
+        path: str,
+        meta: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Publish a staged part: the manifest-flip half of an append —
+        no Spark job, just the transactional pointer update (plus the
+        bounded fold when the part list is full, which re-reads the
+        staged rows through the regular :meth:`append`). CAS semantics
+        match :meth:`append`: on conflict the staged part is discarded
+        and :class:`ConcurrentWriteError` raised — the caller re-derives
+        its rows from a fresh snapshot (staged ids/absence sets are
+        snapshot-derived and stale after a conflicting commit)."""
+        state = self._state(name)
+        if len(state["parts"]) >= self.max_parts:
+            df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            try:
+                return self.append(name, df, meta=meta, expected_version=expected_version)
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
+        with self._transact(name):
+            fresh = self._state(name)  # REBASE: another append may have landed
+            if expected_version is not None and fresh["version"] != expected_version:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{name}: expected version {expected_version}, "
+                    f"found {fresh['version']} — another writer committed first"
+                )
+            new = fresh["version"] + 1
+            self._write_state(
+                name,
+                {
+                    "version": new,
+                    "parts": fresh["parts"] + [path],
+                    "meta": fresh.get("meta", {}) if meta is None else meta,
+                },
+            )
+        return new
+
     def compact(self, name: str) -> int:
         """Fold all live parts into one (the OPTIMIZE analogue); no-op on
         an absent table. CAS-retried so compaction never swallows a

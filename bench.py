@@ -390,6 +390,11 @@ HEADLINE = [
     # docs_oov_rate token-agg shape plus a token-keyed join);
     # events_scd2_lookup for the composite reason (the scd2 build's
     # windows plus one broadcast interval join).
+    # docs_cluster_repair (round-7) stays untimed for the composite
+    # reason: the timed docs_dup_clusters CC + the cached jaccard pair
+    # substrate (locked build row) + flagged-bounded joins and a re-CC
+    # over the flagged subgraph; its scale behavior is gated in
+    # SCALE_QUERIES instead, where the flagged-bounded claim is testable.
 ]
 
 
@@ -601,6 +606,11 @@ SCALE_QUERIES = [
     "emb_silhouette",
     "docs_token_chi2_drift",
     "emb_lsh_capacity_plan",
+    # round-7: cluster repair — its promise is that the exact-Jaccard
+    # verify join and the re-CC stay bounded by FLAGGED clusters, so
+    # seconds must track the flagged-edge count (~rows), not the corpus
+    # pair fan-out; the scale gate is exactly where a violation shows
+    "docs_cluster_repair",
 ]
 
 

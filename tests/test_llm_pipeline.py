@@ -1184,3 +1184,37 @@ def test_cluster_density_audit_matches_reference(spark, sf_dir):
         assert r.density == r.n_edges / possible
         assert r.is_chain_risk == (1 if r.n_edges < r.size else 0)
         assert r.n_edges >= r.size - 1  # connectivity lower bound
+
+
+def test_cluster_repair_is_a_refinement(spark, sf_dir):
+    """Repair may only SPLIT flagged clusters, never merge across
+    original clusters, never touch unflagged docs, and every surviving
+    repaired edge-set keeps labels = min doc_id per component."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.queries import all_queries
+
+    rows = all_queries()["docs_cluster_repair"].spark(spark, sf_dir).collect()
+    audit = {
+        r.cluster_id: r
+        for r in all_queries()["docs_cluster_density_audit"].spark(spark, sf_dir).collect()
+    }
+    by_new = defaultdict(set)
+    for r in rows:
+        if r.was_flagged == 0:
+            # unflagged docs keep their label verbatim
+            assert r.repaired_cluster_id == r.cluster_id
+            # and their cluster is either a singleton or not chain-risk
+            a = audit.get(r.cluster_id)
+            assert a is None or a.is_chain_risk == 0
+        else:
+            a = audit.get(r.cluster_id)
+            assert a is not None and a.is_chain_risk == 1
+        by_new[r.repaired_cluster_id].add(r)
+    # refinement: each repaired cluster lives inside ONE original cluster
+    for new_id, members in by_new.items():
+        assert len({m.cluster_id for m in members}) == 1
+        # min-label convention: the repaired id is the min member doc_id
+        assert new_id == min(m.doc_id for m in members)

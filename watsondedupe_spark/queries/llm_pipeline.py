@@ -1646,3 +1646,162 @@ def docs_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_chain_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster repair: exact-Jaccard re-verification + split of flagged clusters
+# ---------------------------------------------------------------------------
+
+
+def _cluster_repair_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_SHINGLES_SQL.strip()},
+{_SIG_SQL},
+pairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    )
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM sym s JOIN reach r ON r.v = s.v
+),
+cc AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY v),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM cc GROUP BY cluster_id),
+ecount AS (
+    SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM pairs p JOIN cc c ON c.doc_id = p.doc_a
+    GROUP BY c.cluster_id
+),
+flagged AS (
+    SELECT s.cluster_id
+    FROM sizes s LEFT JOIN ecount e USING (cluster_id)
+    WHERE s.size >= 2 AND COALESCE(e.n_edges, 0) < s.size
+),
+rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_STOP_SHINGLE_MAX}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY doc_id),
+fedges AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    JOIN cc c ON c.doc_id = p.doc_a
+    JOIN flagged f ON f.cluster_id = c.cluster_id
+),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+verified AS (
+    SELECT fe.doc_a, fe.doc_b
+    FROM fedges fe
+    JOIN inter i ON i.doc_a = fe.doc_a AND i.doc_b = fe.doc_b
+    JOIN szs sa ON sa.doc_id = fe.doc_a
+    JOIN szs sb ON sb.doc_id = fe.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.4
+),
+vsym AS (
+    SELECT doc_a AS u, doc_b AS v FROM verified
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM verified
+),
+fnodes AS (SELECT c.doc_id FROM cc c JOIN flagged f USING (cluster_id)),
+reach2(v, lbl) AS (
+    SELECT CAST(doc_id AS BIGINT) AS v, CAST(doc_id AS BIGINT) AS lbl FROM fnodes
+    UNION
+    SELECT CAST(s.u AS BIGINT) AS v, r.lbl
+    FROM vsym s JOIN reach2 r ON r.v = s.v
+),
+cc2 AS (SELECT v AS doc_id, CAST(MIN(lbl) AS BIGINT) AS new_id FROM reach2 GROUP BY v)
+SELECT c.doc_id, c.cluster_id,
+       CAST(COALESCE(c2.new_id, c.cluster_id) AS BIGINT) AS repaired_cluster_id,
+       CAST(CASE WHEN c2.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS was_flagged
+FROM cc c LEFT JOIN cc2 c2 USING (doc_id)
+"""
+
+
+@register(
+    "docs_cluster_repair",
+    _cluster_repair_oracle(),
+    doc="cluster repair — the follow-through on the chaining-risk "
+    "diagnostic: clusters the density audit flags (fewer direct edges "
+    "than nodes — tree-shaped, held together by unverified bridges) "
+    "get every candidate edge RE-VERIFIED with exact 3-gram Jaccard "
+    "(the shared jaccard_pair_stats substrate, threshold 0.4 — the "
+    "same bar docs_jaccard_pairs publishes), and connected components "
+    "are recomputed over the surviving edges ONLY within the flagged "
+    "clusters — a failed bridge splits its cluster, so transitively "
+    "chained non-duplicates stop being dropped together. Dense "
+    "clusters keep their labels untouched (their evidence already "
+    "covers the membership). Plan: the verify join and the re-CC are "
+    "both bounded by flagged-cluster edges/nodes — at 100 TB the "
+    "repair costs O(flagged), not O(corpus); the exact-Jaccard table "
+    "is the cached pair substrate with its locked build row.",
+)
+def docs_cluster_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.dedupe import connected_components
+
+    pairs = docs_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    cc = connected_components(
+        pairs, nodes, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("node").cast("long").alias("doc_id"), "cluster_id")
+
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("size"))
+    edge_cl = pairs.join(
+        cc.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )  # both endpoints share a cluster by CC construction
+    ecount = edge_cl.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    flagged = (
+        sizes.join(ecount, "cluster_id", "left")
+        .filter(
+            (F.col("size") >= 2)
+            & (F.coalesce("n_edges", F.lit(0)) < F.col("size"))
+        )
+        .select("cluster_id")
+    )
+
+    # exact-Jaccard verification of ONLY the flagged clusters' edges:
+    # the join against the cached pair-stats substrate is keyed on the
+    # (bounded) flagged edge set; an edge with no exact-stats row (no
+    # rare shared shingle at all) fails verification by construction
+    fedges = edge_cl.join(F.broadcast(flagged), "cluster_id").select("doc_a", "doc_b")
+    stats = jaccard_pair_stats_df(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        (F.col("n_common").cast("double") / F.col("un")).alias("jaccard"),
+    )
+    verified = (
+        fedges.join(stats, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+
+    fnodes = cc.join(F.broadcast(flagged), "cluster_id").select("doc_id")
+    cc2 = connected_components(
+        verified, fnodes, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("new_id"),
+    )
+    return cc.join(cc2, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("new_id", "cluster_id").cast("long").alias("repaired_cluster_id"),
+        F.col("new_id").isNotNull().cast("int").alias("was_flagged"),
+    )

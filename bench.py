@@ -471,6 +471,64 @@ def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
     return dt, mb
 
 
+def bench_segmented_ingest(
+    spark, sf_dir: str, n_objects: int = 2, target_mb: int = 256, segment_mb: int = 8
+) -> tuple[float, float]:
+    """The segmented chunker at its DESIGN POINT (SURVEY §7.3): a few
+    single multi-hundred-MB objects, where plain chunk_objects would
+    serialize each object into one task. Builds ``n_objects`` payloads
+    of ~``target_mb`` MB JVM-side (repeat to target — no driver bytes),
+    chunks them through chunk_objects_segmented with ``segment_mb`` MB
+    frames (16 frames per object at the defaults, so 2 objects fan out
+    to 32 tasks — exactly the within-object parallelism the operator
+    exists to buy), and fully materializes. Returns (seconds, MB).
+    The scale gate runs this with n_objects scaled by the factor, so
+    bytes_ratio == factor and the budget is the ordinary linear one."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import (
+        ChunkSettings,
+        SMALL_FILE_PROFILE,
+        chunk_objects_segmented,
+    )
+
+    # stage the giant payloads to parquet ONCE (synthesizing a 64 MB
+    # string via repeat costs more than chunking it — timing that would
+    # measure the generator, not the operator); the timed region reads
+    # the staged objects back, exactly as a real ingest reads its source
+    import hashlib
+    import tempfile
+
+    target = target_mb << 20
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{n_objects}:{target_mb}".encode()
+    ).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"wds_segbench_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        (
+            docs.filter(F.col("n_chars") > 0)
+            .limit(n_objects)
+            .select(
+                F.col("doc_id").cast("string").alias("object_key"),
+                F.encode(
+                    F.expr(f"repeat(text, CAST({target} / n_chars AS INT))"), "UTF-8"
+                ).alias("data"),
+            )
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    objs = spark.read.parquet(stage)
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    t0 = time.time()
+    n = chunk_objects_segmented(
+        objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=segment_mb << 20
+    ).count()
+    dt = time.time() - t0
+    assert n > 0
+    return dt, mb
+
+
 def bench_engine_ingest(
     spark, sf_dir: str, repeat: int = 20, n_objects: int = 1000
 ) -> tuple[float, float]:
@@ -846,6 +904,26 @@ def scale_stress_main(factor: int = 10, json_out: str | None = None) -> int:
         "budget_ok": budget_ok(eng_ratio, se_mb / e_mb),
     }
 
+    # the segmented chunker's within-object parallelism path at scale
+    # (round-7): object COUNT scales with the factor (object size is the
+    # design constant), so bytes_ratio == factor and seconds must track
+    # it — a super-linear trend here means the frame shuffle or the
+    # count-prefix join stopped being payload-proportional
+    g_sec, g_mb = bench_segmented_ingest(spark, sf01, n_objects=2, target_mb=64)
+    sg_sec, sg_mb = bench_segmented_ingest(
+        spark, stage, n_objects=2 * factor, target_mb=64
+    )
+    seg_ratio = round(sg_sec / g_sec, 2)
+    results["segmented_ingest"] = {
+        "sec_sf01": round(g_sec, 2),
+        "mbps_sf01": round(g_mb / g_sec, 1),
+        f"sec_x{factor}": round(sg_sec, 2),
+        f"mbps_x{factor}": round(sg_mb / sg_sec, 1),
+        "sec_ratio": seg_ratio,
+        "bytes_ratio": round(sg_mb / g_mb, 2),
+        "budget_ok": budget_ok(seg_ratio, sg_mb / g_mb),
+    }
+
     # cascading delete + GC over half the index — also never run at 30x
     # before round 6; work is table-proportional, so bytes is the base
     d_sec, d_mb = bench_engine_delete(spark, sf01)
@@ -993,6 +1071,12 @@ def main() -> None:
     eng_runs = [bench_engine_ingest(spark, sf_dir) for _ in range(3)]
     eng_sec, eng_mb = min(eng_runs)
     times["engine_ingest"] = round(eng_sec, 2)
+    # segmented chunker at its design point (round-7): two single 256 MB
+    # objects through 8 MB frames — the within-object parallelism path
+    # for multi-GB objects (~13x the unsegmented chunker here)
+    seg_runs = [bench_segmented_ingest(spark, sf_dir) for _ in range(3)]
+    seg_sec, seg_mb = min(seg_runs)
+    times["segmented_ingest"] = round(seg_sec, 2)
     # bulk ingest reported as MB/s only (not in the headline total, which
     # regresses against the locked per-query baseline table)
     bulk_sec, bulk_mb = bench_engine_ingest(spark, sf_dir, repeat=200, n_objects=5000)
@@ -1034,6 +1118,7 @@ def main() -> None:
         "timing": "min2+ingest_min3",
         "sf": float(sf),
         "cdc_mbps": round(ingest_mb / ingest_sec, 2) if ingest_sec else None,
+        "seg_mbps": round(seg_mb / seg_sec, 2) if seg_sec else None,
         "eng_mbps": round(eng_mb / eng_sec, 2) if eng_sec else None,
         "eng_bulk_mbps": round(bulk_mb / bulk_sec, 2) if bulk_sec else None,
         "cdc_runs": [round(s, 2) for s, _ in cdc_runs],
@@ -1043,7 +1128,16 @@ def main() -> None:
         "ij_rows": ij_rows,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+    # artifact hygiene (round-7): only the round-close runbook writes the
+    # COMMITTED sidecars into the repo; any other invocation (the driver's
+    # per-round bench) writes them to the tmp dir so HEAD always matches
+    # the last gated runbook record and a driver bench leaves git status
+    # clean. The printed line's full_record carries the actual path.
+    import tempfile
+
+    art_dir = repo if os.environ.get("WDS_ROUND_CLOSE") else tempfile.gettempdir()
+    full_path = os.path.join(art_dir, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
@@ -1074,7 +1168,7 @@ def main() -> None:
                     "queries": {n: times[n] for n in order},
                     "queries_inlined": len(order),
                     "queries_total_count": len(times),
-                    "full_record": "BENCH_FULL.json",
+                    "full_record": full_path,
                 },
                 separators=(",", ":"),
             )
@@ -1093,7 +1187,7 @@ def main() -> None:
         "interval_join_streamed": {"sec": ij_sec, "cold_sec": ij_cold, "rows": ij_rows},
         "sf": float(sf),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+    with open(os.path.join(art_dir, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     if len(line) > 1950:
         print(f"WARNING: bench line {len(line)} chars — nearing the "

@@ -14,9 +14,18 @@
 #                     protobuf-equipped environment executes it for real
 # plus the regression gate against BASELINE.md locks.
 #
+# Artifact hygiene (round-7): bench.py writes its BENCH_FULL/DETAIL
+# sidecars into the repo ONLY under WDS_ROUND_CLOSE=1 (set here); the
+# driver's own per-round bench writes them to the tmp dir instead, so
+# HEAD always matches the last gated runbook record and a driver bench
+# leaves git status clean. The final step commits the refreshed
+# artifacts so the tree is clean at grading time.
+#
 # Usage: sh tools/round_close.sh [round_number]
 set -e
 N="${1:-XX}"
+WDS_ROUND_CLOSE=1
+export WDS_ROUND_CLOSE
 
 echo "== full-registry oracle sweep (sf0.01) =="
 python tools/check.py --json "CHECK_r${N}.json"
@@ -38,3 +47,9 @@ python tools/tws_probe.py || true
 
 echo "== tests =="
 python -m pytest tests/ -q
+
+echo "== commit gated artifacts =="
+git add "CHECK_r${N}.json" BENCH_FULL.json BENCH_DETAIL.json \
+        "SCALE_r${N}.json" TWS_PROBE.json 2>/dev/null || true
+git diff --cached --quiet || git commit -m "round ${N}: gated artifacts (sweep, bench, scale, tws probe)"
+git status --short

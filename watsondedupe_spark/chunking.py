@@ -310,6 +310,8 @@ def chunk_objects_segmented(
         for pdf in batches:
             out: dict[str, list] = {
                 "object_key": [],
+                "frame_addr": [],
+                "frame_pos": [],
                 "chunk_key": [],
                 "length": [],
                 "address": [],
@@ -320,6 +322,8 @@ def chunk_objects_segmented(
             ):
                 for ch in chunk_bytes(bytes(payload), settings):
                     out["object_key"].append(key)
+                    out["frame_addr"].append(int(base))
+                    out["frame_pos"].append(ch.position)
                     out["chunk_key"].append(ch.key)
                     out["length"].append(ch.length)
                     out["address"].append(int(base) + ch.address)
@@ -328,9 +332,44 @@ def chunk_objects_segmented(
 
     raw = frames.select(key_col, "frame_addr", "frame_data").mapInPandas(
         _chunk_frames,
-        schema="object_key string, chunk_key string, length int, address long, chunk_data binary",
+        schema="object_key string, frame_addr long, frame_pos int, "
+        "chunk_key string, length int, address long, chunk_data binary",
     )
-    w = Window.partitionBy("object_key").orderBy("address")
-    return raw.withColumn("position", (F.row_number().over(w) - 1).cast("int")).select(
-        "object_key", "chunk_key", "length", "position", "address", "chunk_data"
+    # persist so the per-frame count aggregate (the broadcast build side
+    # below, computed first) populates the cache and the probe side
+    # streams from it — the CDC kernel runs ONCE, not once per join side;
+    # the ContextCleaner unpersists when the returned plan is dropped
+    raw = raw.persist()
+    # Restore the global position WITHOUT shuffling chunk payloads: a
+    # row_number window over the chunk rows would re-shuffle every byte
+    # of chunk_data on object_key (measured ~2x the whole operator's
+    # cost at the multi-hundred-MB design point). Chunks tile each
+    # frame, so position = (chunks in earlier frames) + within-frame
+    # ordinal — the per-frame counts are a tiny (object, frame) table
+    # (bytes/segment_size rows), its prefix sum is a window over that
+    # tiny table, and the join back is a broadcast hash join that
+    # leaves chunk rows in place.
+    counts = raw.groupBy(key_col, "frame_addr").agg(
+        F.count("*").cast("long").alias("n_in_frame")
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("frame_addr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        key_col,
+        "frame_addr",
+        F.coalesce(F.sum("n_in_frame").over(wf), F.lit(0)).alias("pos_base"),
+    )
+    return (
+        raw.join(F.broadcast(base), [key_col, "frame_addr"])
+        .select(
+            "object_key",
+            "chunk_key",
+            "length",
+            (F.col("pos_base") + F.col("frame_pos")).cast("int").alias("position"),
+            "address",
+            "chunk_data",
+        )
     )

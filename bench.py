@@ -672,6 +672,20 @@ SCALE_QUERIES = [
 ]
 
 
+# The next scale decade (round-7, verdict #2): the five worst sec-ratio
+# entries of SCALE_r06 re-run at a DEEPER factor (>= 60x) so their slope
+# is a two-point line, not one extrapolated point — the span family
+# (gram-hash shuffle + island merge) sat at 10x seconds for 30x rows and
+# is exactly where a super-linear break would first show.
+DEEP_QUERIES = [
+    "docs_dup_spans",
+    "docs_strip_dup_spans",
+    "docs_lsh_precision_recall",
+    "docs_winnowing_pairs",
+    "docs_token_chi2_drift",
+]
+
+
 def _clear_substrates(spark) -> None:
     import watsondedupe_spark.queries.curation_ext as cur
     import watsondedupe_spark.queries.engine_native as en
@@ -813,7 +827,9 @@ def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
     return out
 
 
-def scale_stress_main(factor: int = 10, json_out: str | None = None) -> int:
+def scale_stress_main(
+    factor: int = 10, json_out: str | None = None, deep_factor: int | None = None
+) -> int:
     """``bench.py --sf1``: one scale-stress pass of the dedup/ANN suite
     at ``factor``x sf0.1 rows (sf1-equivalent), recording seconds and
     shuffle-write bytes at both scales plus the ratio. Every timed run
@@ -936,6 +952,39 @@ def scale_stress_main(factor: int = 10, json_out: str | None = None) -> int:
         "bytes_ratio": round(sd_mb / d_mb, 2),
         "budget_ok": budget_ok(del_ratio, sd_mb / d_mb),
     }
+
+    # deep probe: the worst-slope entries at >= 2x the standard factor,
+    # recorded as separate "{name}@x{deep}" rows against the SAME sf01
+    # base and budgeted against the deeper factor — two scale points per
+    # entry make the slope inspectable instead of extrapolated
+    deep_factor = deep_factor or max(2 * factor, 60)
+    deep_stage = _stage_scale_dir(spark, sf01, deep_factor)
+    for name in DEEP_QUERIES:
+        spec = specs[name]
+        base = results.get(name)
+        if base is None:
+            continue
+        _clear_substrates(spark)
+        sh0 = _shuffle_bytes(spark)
+        t0 = time.time()
+        rows = spec.spark(spark, deep_stage).count()
+        sec = round(time.time() - t0, 2)
+        sec_ratio = round(sec / base["sec_sf01"], 2) if base["sec_sf01"] else None
+        rows_ratio = (
+            round(rows / base["rows_sf01"], 2) if base["rows_sf01"] else None
+        )
+        results[f"{name}@x{deep_factor}"] = {
+            f"sec_x{deep_factor}": sec,
+            f"rows_x{deep_factor}": rows,
+            f"shuffle_mb_x{deep_factor}": round((_shuffle_bytes(spark) - sh0) / 1e6, 1),
+            "sec_ratio": sec_ratio,
+            "rows_ratio": rows_ratio,
+            "budget_ok": (
+                None
+                if sec_ratio is None
+                else sec_ratio <= 1.25 * max(deep_factor, rows_ratio or 0)
+            ),
+        }
 
     superlinear = [
         n for n, r in results.items()
@@ -1207,6 +1256,9 @@ if __name__ == "__main__":
         json_out = None
         if "--json" in sys.argv:
             json_out = sys.argv[sys.argv.index("--json") + 1]
-        sys.exit(scale_stress_main(factor=factor, json_out=json_out))
+        deep = None
+        if "--deep-factor" in sys.argv:
+            deep = int(sys.argv[sys.argv.index("--deep-factor") + 1])
+        sys.exit(scale_stress_main(factor=factor, json_out=json_out, deep_factor=deep))
     else:
         main()

@@ -59,10 +59,59 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
-    # r6 window — the standing rotation: new-this-round first, then
-    # change-risk, then the LEAST-recently-driver-graded queries (the
-    # r3/r4 pad tier — everything in the r5 window just re-graded green
-    # and rotates out to the pads).
+    # r7 window — standing rotation: new-this-round first, then
+    # change-risk, then the never-driver-graded round-6 backlog (the
+    # overflow the r6 NOTE below predicted would be this window's
+    # Tier 1). Everything in the r6 window re-graded green in
+    # CORRECTNESS_r06 and rotates to the pads.
+    #
+    # Tier 1 — BUILT IN ROUND 7 (3): the 4-point crash matrix on both
+    # store backends (commit-order invariant: objects last) and the
+    # cluster-repair operator (exact-Jaccard re-verify + split of
+    # chain-risk clusters).
+    "engine_crash_matrix", "engine_crash_matrix_sqlite",
+    "docs_cluster_repair",
+    # Tier 2 — change risk (11): every engine lifecycle scenario
+    # re-grades because the commit path changed this round (objects
+    # staged concurrently, manifest flip last); the two advisor-fixed
+    # queries (bloom FPR per-distinct-h, weighted-sample zero guard);
+    # the plane-adaptive mutual-kNN oracle; the fused one-scan as-of
+    # join; and the segmented chunker whose position restore was
+    # rewritten (broadcast count-prefix instead of a payload window).
+    "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
+    "engine_replace_roundtrip", "engine_recover_roundtrip",
+    "engine_multibatch_roundtrip", "engine_incremental_objects",
+    "docs_bloom_fpr_audit", "docs_weighted_sample",
+    "emb_mutual_knn_pairs", "events_asof_view_click",
+    "cdc_chunk_index_segmented",
+    # Tier 3 — never-driver-graded round-6 backlog (36): the r6 list's
+    # slot-51+ overflow plus the session-2 additions, oldest first.
+    "emb_opq_distortion", "docs_lsh_precision_recall", "emb_pq_adc_sdc",
+    "orders_abc_analysis", "events_burst_hours", "events_activity_streaks",
+    "docs_text_vs_embedding_dedup", "docs_langid_confusion",
+    "docs_vocab_coverage_curve", "docs_mixture_diversity",
+    "emb_vector_quality", "docs_dedup_impact_audit", "docs_length_ks_drift",
+    "lineitem_price_regression", "emb_silhouette", "events_pit_features",
+    "events_ewma_anomaly", "events_cusum_shift", "events_autocorr_daily",
+    "events_chi2_assoc", "events_gini_concentration",
+    "events_attribution_ushape", "events_top_paths", "events_scd2_lookup",
+    "events_interval_left_join_streamed", "orders_inflight_by_day",
+    "lineitem_weighted_median_price", "docs_gopher_rules_audit",
+    "docs_token_chi2_drift", "docs_compaction_plan",
+    "docs_boilerplate_prefixes", "docs_dup_graph_pagerank",
+    "multimodal_scene_cuts", "orders_cohort_ltv_curve",
+    "events_pchart_error_rate", "events_interarrival_burstiness",
+    # (end of the r7 50-slot window; the still-ungraded remainder —
+    # docs_vocab_growth_curve, emb_lsh_capacity_plan,
+    # docs_cluster_density_audit, lineitem_equidepth_histogram,
+    # events_bot_screen, part_trigram_like_search, lineitem_cramers_v —
+    # sits immediately below and is covered by the committed
+    # CHECK_r07.json full-registry sweep.)
+    "docs_vocab_growth_curve", "emb_lsh_capacity_plan",
+    "docs_cluster_density_audit", "lineitem_equidepth_histogram",
+    "events_bot_screen", "part_trigram_like_search", "lineitem_cramers_v",
+    #
+    # r6 window (now pads, all re-graded green in CORRECTNESS_r06):
     #
     # Tier 1 — BUILT IN ROUND 6, never driver-graded (12): the engine
     # write->CAS->read-back loop on both store backends plus the

@@ -362,7 +362,7 @@ def chunk_objects_segmented(
         "frame_addr",
         F.coalesce(F.sum("n_in_frame").over(wf), F.lit(0)).alias("pos_base"),
     )
-    return (
+    out = (
         raw.join(F.broadcast(base), [key_col, "frame_addr"])
         .select(
             "object_key",
@@ -373,3 +373,10 @@ def chunk_objects_segmented(
             "chunk_data",
         )
     )
+    # expose the internal cache so a caller that fully consumed the plan
+    # can release it promptly (and so repeated identical invocations —
+    # benchmarks — can force a real re-execution: Spark's CacheManager
+    # matches on the canonicalized plan and would otherwise serve run 2
+    # from run 1's persisted chunk rows)
+    out._cdc_cache = raw
+    return out

@@ -859,8 +859,16 @@ def scale_stress_main(
     from watsondedupe_spark.session import get_spark
 
     # the scale mode needs the UI's REST status API for per-query
-    # shuffle-write bytes (the tuned session disables the UI)
-    spark = get_spark("watsondedupe-scale", extra_conf={"spark.ui.enabled": "true"})
+    # shuffle-write bytes (the tuned session disables the UI); the heap
+    # is sized for the 30x working set (the standard-bench 8g default
+    # is tuned for sf0.1) — explicit SPARK_GRAFT_DRIVER_MEM still wins
+    spark = get_spark(
+        "watsondedupe-scale",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     stage = _stage_scale_dir(spark, sf01, factor)
@@ -930,10 +938,15 @@ def scale_stress_main(
     # (round-7): object COUNT scales with the factor (object size is the
     # design constant), so bytes_ratio == factor and seconds must track
     # it — a super-linear trend here means the frame shuffle or the
-    # count-prefix join stopped being payload-proportional
-    g_sec, g_mb = bench_segmented_ingest(spark, sf01, n_objects=2, target_mb=64)
+    # count-prefix join stopped being payload-proportional. 16 MB
+    # objects here (the 64 MB design point is the TIMED bench row):
+    # this entry tests LINEARITY, and 2*factor x 64 MB payloads staged
+    # through 32 concurrent repeat/encode tasks OOM'd the 8g scale heap
+    g_sec, g_mb = bench_segmented_ingest(
+        spark, sf01, n_objects=2, target_mb=16, segment_mb=4
+    )
     sg_sec, sg_mb = bench_segmented_ingest(
-        spark, stage, n_objects=2 * factor, target_mb=64
+        spark, stage, n_objects=2 * factor, target_mb=16, segment_mb=4
     )
     seg_ratio = round(sg_sec / g_sec, 2)
     results["segmented_ingest"] = {

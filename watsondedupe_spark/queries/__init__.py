@@ -294,6 +294,11 @@ _GRADING_PRIORITY = [
     "events_tumbling_streamed", "events_interval_join_streamed",
     "docs_token_budget_mix", "docs_dup_weighting",
 ]
+# Rotation reuses names: a query promoted into the new window head may
+# still be listed in an older tier below. First occurrence wins (that IS
+# the rotation semantics); the dedupe keeps the list a clean total order
+# for the driver and the no-duplicates hygiene test.
+_GRADING_PRIORITY = list(dict.fromkeys(_GRADING_PRIORITY))
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -867,6 +867,10 @@ def scale_stress_main(
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            # broadcast materialization returns build-side rows to the
+            # driver as task results; at the 100x deep tier one AQE-
+            # converted side crossed the 1g default and killed the run
+            "spark.driver.maxResultSize": "4g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -942,11 +946,16 @@ def scale_stress_main(
     # objects here (the 64 MB design point is the TIMED bench row):
     # this entry tests LINEARITY, and 2*factor x 64 MB payloads staged
     # through 32 concurrent repeat/encode tasks OOM'd the 8g scale heap
+    # codegen/worker warm for this plan shape first (the query entries
+    # get the same treatment): without it the tiny base run is
+    # dominated by one-time JVM/Arrow costs and the ratio is noise —
+    # measured 1.16s vs 15.55s for the identical base across two runs
+    bench_segmented_ingest(spark, sf01, n_objects=2, target_mb=16, segment_mb=4)
     g_sec, g_mb = bench_segmented_ingest(
-        spark, sf01, n_objects=2, target_mb=16, segment_mb=4
+        spark, sf01, n_objects=4, target_mb=16, segment_mb=4
     )
     sg_sec, sg_mb = bench_segmented_ingest(
-        spark, stage, n_objects=2 * factor, target_mb=16, segment_mb=4
+        spark, stage, n_objects=4 * factor, target_mb=16, segment_mb=4
     )
     seg_ratio = round(sg_sec / g_sec, 2)
     results["segmented_ingest"] = {

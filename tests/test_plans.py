@@ -245,7 +245,13 @@ def test_dup_spans_shuffles_on_gram_and_doc_only(spark, sf_dir):
     df = q("docs_dup_spans", spark, sf_dir)
     assert not P.has_cartesian(df)
     assert P.has_partial_aggregation(df)
-    assert P.shuffle_count(df) <= 5
+    # 6th exchange (round-7): the occurrence->dup join is pinned
+    # shuffle-hash — the dup-gram set grows with the corpus, and its
+    # AQE-chosen broadcast was a 1.1 GB driver-side hashed relation at
+    # the 100x tier. One extra probe-side exchange on the uniform gram
+    # hash is the deliberate price; broadcast here must NOT come back.
+    assert P.shuffle_count(df) <= 6
+    assert "BroadcastHashJoin" not in P.physical_plan(df)
 
 
 def test_mixture_sample_broadcasts_rate_table(spark, sf_dir):
@@ -1021,3 +1027,47 @@ def test_price_regression_plan(spark, sf_dir):
     assert P.uses_broadcast_join(df)
     assert report["shuffle_joins"] == 0
     assert P.max_scan_width(df) <= 3
+
+
+def test_cluster_repair_plan_bounded_no_cartesian(spark, sf_dir):
+    """The repair's promise: the exact-Jaccard verify join and the
+    re-CC are keyed joins over flagged-bounded sets — no cartesian
+    anywhere, and the flagged-cluster id set rides a broadcast into
+    both the edge filter and the node filter."""
+    df = q("docs_cluster_repair", spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.uses_broadcast_join(df)
+
+
+def test_segmented_chunker_no_payload_window(spark, sf_dir):
+    """Position restore must be the broadcast count-prefix join, not a
+    window over chunk rows: a window spec over the payload-bearing
+    output would re-shuffle every chunk byte on object_key (the round-7
+    regression this pins against)."""
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE, chunk_objects_segmented
+
+    objs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(4)
+        .select(
+            F.col("doc_id").cast("string").alias("object_key"),
+            F.encode(F.repeat("text", 40), "UTF-8").alias("data"),
+        )
+    )
+    df = chunk_objects_segmented(objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=32768)
+    plan = P.physical_plan(df)
+    # exactly one window, and it aggregates the per-frame COUNTS
+    # (n_in_frame) — never the payload-bearing chunk rows (the round-7
+    # regression: a row_number window over chunk_data re-shuffled every
+    # chunk byte on object_key)
+    import re
+
+    assert plan.count(") Window") == 1, plan
+    win_detail = re.search(r"\(\d+\) Window\n(.*?)\n\n", plan, re.S)
+    assert win_detail and "n_in_frame" in win_detail.group(1), plan
+    assert "chunk_data" not in win_detail.group(1)
+    assert P.uses_broadcast_join(df), "count-prefix table must broadcast"
+    assert not P.has_cartesian(df)
+    df._cdc_cache.unpersist()

@@ -138,7 +138,13 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("g")
     )
-    occ = grams.join(dup, "g").select(
+    # shuffle-hash, never broadcast: the dup-gram set GROWS WITH THE
+    # CORPUS (at the 100x scale tier its AQE-chosen broadcast was a
+    # 1.1 GB hashed relation that blew the driver's result-size cap —
+    # exactly the plan that dies first on a 1000-executor run). Both
+    # sides already hash-partition on g for the aggregate, so the
+    # shuffled join is the exchange-sharing, scale-free plan.
+    occ = grams.join(dup.hint("shuffle_hash"), "g").select(
         "doc_id", "pos", (F.col("pos") + (k - 1)).alias("e")
     )
     # gaps-and-islands: every hit is an interval [pos, pos+k-1]; merge
@@ -1646,7 +1652,8 @@ def docs_dup_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", F.lit(1).alias("is_dup"))
     )
     per_doc = (
-        grams.join(dup, "g", "left")
+        # shuffle-hash for the same corpus-growth reason as dup_spans
+        grams.join(dup.hint("shuffle_hash"), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -418,8 +418,14 @@ def jaccard_pair_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # shuffle-hash with the SIZES side as build: Catalyst's static
+    # estimate makes the post-agg pair table look tiny and broadcasts
+    # IT (BuildLeft) — at the 100x scale tier that hashed relation
+    # crossed Spark's 8 GiB broadcast cap and killed the plan. The
+    # sizes table grows linearly with docs, the pair table super-
+    # linearly; neither should ever broadcast at corpus scale.
+    sa = sizes.alias("sa").hint("shuffle_hash")
+    sb = sizes.alias("sb").hint("shuffle_hash")
     out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))

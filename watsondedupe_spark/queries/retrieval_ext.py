@@ -1297,7 +1297,15 @@ def docs_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("thr", "doc_a", "doc_b")
     )
     hits = (
-        truth.join(cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        # shuffle-hash, never broadcast: the candidate-pair side grows
+        # with the corpus (AQE's broadcast conversion of it died at the
+        # 100x scale tier); both sides are already pair-keyed, so the
+        # shuffled join is the scale-free plan
+        truth.join(
+            cand.withColumn("hit", F.lit(1)).hint("shuffle_hash"),
+            ["doc_a", "doc_b"],
+            "left",
+        )
         .groupBy("thr")
         .agg(
             F.count("hit").cast("long").alias("n_hit"),

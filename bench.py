@@ -1014,9 +1014,15 @@ def scale_stress_main(
             ),
         }
 
+    # each row is judged against ITS OWN scale factor: deep-probe rows
+    # (name@xN) ran at N>=2x the standard factor, so a perfectly linear
+    # deep row (sec_ratio ~N) must not be flagged as superlinear
+    def _row_factor(n: str) -> float:
+        return float(n.rsplit("@x", 1)[1]) if "@x" in n else float(factor)
+
     superlinear = [
         n for n, r in results.items()
-        if r.get("sec_ratio") and r["sec_ratio"] > factor * 1.5
+        if r.get("sec_ratio") and r["sec_ratio"] > _row_factor(n) * 1.5
     ]
     busted = [n for n, r in results.items() if r.get("budget_ok") is False]
     record = {

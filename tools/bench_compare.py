@@ -89,6 +89,28 @@ def main() -> int:
 
     baseline = load_baseline()
     times = bench.get("queries", {})
+
+    # per-sample medians from the BENCH_DETAIL sidecar (written next to
+    # BENCH_FULL by the same run): the gate keys on min-of-N, and the
+    # round-7 adaptive re-sampling is one-sided (slow rows earn extra
+    # runs that can only LOWER the min) — so a marginal real regression
+    # that occasionally dips under jitter is systematically forgiven.
+    # The median of the widened sample set is the two-sided signal: warn
+    # when it stays above the lock even though the min passed.
+    medians: dict[str, float] = {}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(args.bench_json)),
+                               "BENCH_DETAIL.json")
+    if not os.path.exists(detail_path):
+        detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as fh:
+            per_runs = json.load(fh).get("per_query_runs", {})
+        for name, samples in per_runs.items():
+            if samples:
+                s = sorted(samples)
+                medians[name] = s[len(s) // 2]
+    except (OSError, json.JSONDecodeError):
+        pass
     warn, fail, new = [], [], []
     for name, sec in sorted(times.items()):
         base = baseline.get(name)
@@ -117,6 +139,15 @@ def main() -> int:
         )
     for name, sec, base, ratio in warn:
         print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
+    # two-sided sample check: min passed its budget but the median of the
+    # (possibly widened) sample set did not — informational, so a steady
+    # marginal regression can't hide behind one lucky dip forever
+    for name, sec in sorted(times.items()):
+        base = baseline.get(name)
+        med = medians.get(name)
+        if base and med and sec / base < args.warn and med / base >= args.warn:
+            print(f"  WARN-MEDIAN {name}: median {med:.3f}s vs lock {base:.3f}s "
+                  f"({med / base:.2f}x; min {sec:.3f}s passed)")
     for name, sec, base, ratio in fail:
         print(f"  FAIL {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
     # NEW entries (no locked row) must still be bounded: an unlocked query

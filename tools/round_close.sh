@@ -51,5 +51,11 @@ python -m pytest tests/ -q
 echo "== commit gated artifacts =="
 git add "CHECK_r${N}.json" BENCH_FULL.json BENCH_DETAIL.json \
         "SCALE_r${N}.json" TWS_PROBE.json 2>/dev/null || true
-git diff --cached --quiet || git commit -m "round ${N}: gated artifacts (sweep, bench, scale, tws probe)"
+# pathspec'd commit: anything unrelated already sitting in the index
+# must NOT be swept into the artifact commit
+git diff --cached --quiet -- "CHECK_r${N}.json" BENCH_FULL.json BENCH_DETAIL.json \
+        "SCALE_r${N}.json" TWS_PROBE.json || \
+    git commit -m "round ${N}: gated artifacts (sweep, bench, scale, tws probe)" \
+        -- "CHECK_r${N}.json" BENCH_FULL.json BENCH_DETAIL.json \
+           "SCALE_r${N}.json" TWS_PROBE.json
 git status --short

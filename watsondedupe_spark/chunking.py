@@ -264,8 +264,10 @@ def chunk_objects_segmented(
     offset ``sequence`` — no Python touches the payload until the CDC
     loop), each frame is chunked independently in parallel, chunk
     addresses are rebased by the frame offset, and the global ``position``
-    ordinal is restored with one ``row_number`` window over (object,
-    address).
+    ordinal is restored WITHOUT shuffling payloads: a per-frame chunk
+    COUNT aggregate (a tiny (object, frame) table) takes a prefix-sum
+    window, and the resulting base offsets broadcast-join back onto the
+    chunk rows, which never move.
 
     Deviation from unsegmented chunking, by design: boundaries within
     ``max_chunk_size`` of a frame edge may differ (each frame starts a
@@ -337,8 +339,12 @@ def chunk_objects_segmented(
     )
     # persist so the per-frame count aggregate (the broadcast build side
     # below, computed first) populates the cache and the probe side
-    # streams from it — the CDC kernel runs ONCE, not once per join side;
-    # the ContextCleaner unpersists when the returned plan is dropped
+    # streams from it — the CDC kernel runs ONCE, not once per join side.
+    # NOTE: Spark's CacheManager holds this by strong reference until an
+    # explicit unpersist — it is NOT released when the plan is dropped.
+    # Callers that materialize the result must release `out._cdc_cache`
+    # (exposed below) or the payload-bearing chunk rows stay resident
+    # for the session lifetime.
     raw = raw.persist()
     # Restore the global position WITHOUT shuffling chunk payloads: a
     # row_number window over the chunk rows would re-shuffle every byte

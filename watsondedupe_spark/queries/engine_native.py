@@ -953,7 +953,13 @@ def cdc_chunk_index_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_objects_segmented(
         objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=32768
     )
-    return _chunk_invariants(chunks)
+    # materialize the (tiny, per-object) invariant summary eagerly so the
+    # chunker's internal payload-bearing cache can be released here —
+    # Spark's CacheManager would otherwise hold it for the session
+    # lifetime (the caller-must-release contract on _cdc_cache)
+    inv = _chunk_invariants(chunks).localCheckpoint(eager=True)
+    chunks._cdc_cache.unpersist()
+    return inv
 
 
 # Closed-form image payload family shared by multimodal_image_features

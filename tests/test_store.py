@@ -213,3 +213,86 @@ def test_crash_artifacts_do_not_corrupt_store(spark, tmp_path, store_cls):
     os.utime(os.path.join(tdir, "p00000099_dead0000"), (1, 1))
     st.commit("t", df)
     assert not os.path.exists(os.path.join(tdir, "p00000099_dead0000"))
+
+
+# -- manifest min/max data skipping (round 8) --------------------------------
+
+
+def test_part_stats_recorded_on_commit_and_append(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    st.commit("objects", _df(spark, 0, 10))
+    st.append("objects", _df(spark, 10, 20))
+    state = st._state("objects")
+    assert len(state["parts"]) == 2
+    stats = state.get("stats", {})
+    import os as _os
+
+    spans = [stats[_os.path.basename(p)] for p in state["parts"]]
+    assert all(set(s) == {"object_key", "id"} for s in spans)
+    # the id spans are the two disjoint batch ranges
+    assert sorted(s["id"] for s in spans) == [[0, 9], [10, 19]]
+
+
+def test_read_point_prunes_to_matching_parts(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    st.commit("objects", _df(spark, 0, 10))
+    st.append("objects", _df(spark, 10, 20))
+    st.append("objects", _df(spark, 20, 30))
+    state = st._state("objects")
+    # id=25 lives only in the third part
+    kept = st._prune_parts(state, {"id": [(25, 25)]})
+    assert len(kept) == 1 and kept[0] == state["parts"][2]
+    # correctness: the pruned read still returns exactly the probe row
+    got = st.read_point("objects", "id", [25]).filter("id = 25").collect()
+    assert len(got) == 1 and got[0].object_key == "25"
+    # a miss outside every span prunes ALL parts -> empty typed frame
+    assert st.read_point("objects", "id", [99]).count() == 0
+    assert st._prune_parts(state, {"id": [(99, 99)]}) == []
+
+
+def test_read_pruned_string_ranges(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    st.commit("objects", _df(spark, 100, 110))  # keys "100".."109"
+    st.append("objects", _df(spark, 300, 310))  # keys "300".."309"
+    state = st._state("objects")
+    kept = st._prune_parts(state, {"object_key": [("30", "30￿")]})
+    assert kept == [state["parts"][1]]
+    got = st.read_pruned(
+        "objects", {"object_key": [("30", "30￿")]}
+    ).filter("object_key like '30%'")
+    assert got.count() == 10
+
+
+def test_parts_without_stats_are_never_pruned(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    st.commit("objects", _df(spark, 0, 10))
+    state = st._state("objects")
+    state.pop("stats", None)  # simulate a pre-round-8 manifest
+    assert st._prune_parts(state, {"id": [(99, 99)]}) == state["parts"]
+
+
+def test_stage_attach_records_stats(spark, tmp_path, store_cls):
+    st = store_cls(spark, str(tmp_path))
+    path = st.stage_part("objects", _df(spark, 0, 5), 1)
+    st.attach_part("objects", path)
+    state = st._state("objects")
+    import os as _os
+
+    assert state["stats"][_os.path.basename(path)]["id"] == [0, 4]
+
+
+def test_fold_preserves_skipping(spark, tmp_path, store_cls):
+    """After the max_parts fold collapses everything into one part, the
+    folded part's stats cover the whole span — skipping stays correct."""
+    st = store_cls(spark, str(tmp_path))
+    st.max_parts = 3
+    for i in range(5):
+        st.append("objects", _df(spark, i * 10, i * 10 + 10))
+    state = st._state("objects")
+    got = st.read_point("objects", "id", [42]).filter("id = 42").collect()
+    assert len(got) == 1
+    # spans recorded for every live part
+    import os as _os
+
+    for p in state["parts"]:
+        assert _os.path.basename(p) in state.get("stats", {})

@@ -615,29 +615,65 @@ class DedupeEngine:
             write_objects()
 
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
+    #
+    # Every point read resolves through the manifest's min/max skip
+    # stats (IndexStore.read_point / read_pruned, round 8): the part
+    # list is pruned BEFORE Spark plans the scan, so a probe opens only
+    # the parts whose recorded key span can contain it — at 100 TB an
+    # ``exists()`` that plans a scan over every part is an O(parts)
+    # stall; the manifest span check is the Delta/Iceberg data-skipping
+    # analogue of the reference's b-tree PK (SqliteProvider.cs:258-270).
+    # The exact row filter is always applied on top: pruning shrinks the
+    # file list, never the semantics.
 
     def exists(self, key: str) -> bool:
         """O11: key-existence probe (SqliteProvider.cs:258-270)."""
-        return bool(self.objects.filter(F.col("object_key") == key).limit(1).take(1))
+        return bool(
+            self.store.read_point("objects", "object_key", [key], OBJECTS_SCHEMA)
+            .filter(F.col("object_key") == key)
+            .limit(1)
+            .take(1)
+        )
 
     def get_object_map(self, key: str) -> DataFrame:
         """O14: map rows for one object, ordered by address."""
-        return self.object_map.filter(F.col("object_key") == key).orderBy("address")
+        return (
+            self.store.read_point("object_map", "object_key", [key], OBJECT_MAP_SCHEMA)
+            .filter(F.col("object_key") == key)
+            .orderBy("address")
+        )
 
     def get_chunks(self, key: str) -> DataFrame:
-        """O13: distinct chunk metadata for an object — semi-join form of
-        the reference's IN-list lookup (SqliteProvider.cs:333-355)."""
-        keys = self.object_map.filter(F.col("object_key") == key).select("chunk_key").distinct()
-        return self.chunks.join(F.broadcast(keys), "chunk_key", "left_semi")
+        """O13: distinct chunk metadata for an object — the reference's
+        IN-list lookup (SqliteProvider.cs:333-355): the (tiny) chunk-key
+        list for one object is collected first so the chunks read prunes
+        to the parts whose key span can hold any of them."""
+        keys = [
+            r.chunk_key
+            for r in self.get_object_map(key).select("chunk_key").distinct().collect()
+        ]
+        if not keys:
+            return self.chunks.limit(0)
+        return self.store.read_point("chunks", "chunk_key", keys, CHUNKS_SCHEMA).filter(
+            F.col("chunk_key").isin(keys)
+        )
 
     def get_chunk_metadata(self, chunk_key: str):
         """O15: point lookup of one chunk row; None on miss."""
-        rows = self.chunks.filter(F.col("chunk_key") == chunk_key).take(1)
+        rows = (
+            self.store.read_point("chunks", "chunk_key", [chunk_key], CHUNKS_SCHEMA)
+            .filter(F.col("chunk_key") == chunk_key)
+            .take(1)
+        )
         return rows[0] if rows else None
 
     def get_metadata(self, key: str) -> ObjectMetadata:
         """O8: object row + ordered map + chunk list, no payloads."""
-        rows = self.objects.filter(F.col("object_key") == key).take(1)
+        rows = (
+            self.store.read_point("objects", "object_key", [key], OBJECTS_SCHEMA)
+            .filter(F.col("object_key") == key)
+            .take(1)
+        )
         if not rows:
             raise ObjectNotFoundError(key)
         r = rows[0]
@@ -655,21 +691,34 @@ class DedupeEngine:
     def get(self, key: str) -> bytes:
         """O6: point lookup + reassembly (DedupeLibrary.cs:377-404).
 
-        The filtered map is tiny (one object's chunks) so it is broadcast
-        into the chunk_store join; payload scan prunes to matching keys.
+        Two-phase IN-list read: the (tiny) map for one object is
+        collected first, then the payload read prunes chunk_store to the
+        parts whose chunk-key span can hold those keys and fetches each
+        payload once. Reassembly walks the map in address order — a
+        chunk referenced at several addresses (dedup reuse) is fetched
+        once and concatenated at each site.
+
+        Existence still gates on the ``objects`` table — it commits
+        strictly LAST (the logical commit point), so a crash that left
+        orphan map rows must read as not-found, never as data.
         """
         if not self.exists(key):
             raise ObjectNotFoundError(key)
-        pieces = (
-            self.chunk_store.join(
-                F.broadcast(self.object_map.filter(F.col("object_key") == key)),
-                "chunk_key",
+        map_rows = self.get_object_map(key).select("address", "chunk_key").collect()
+        if not map_rows:
+            raise ObjectNotFoundError(key)
+        keys = list({r.chunk_key for r in map_rows})
+        payloads = {
+            r.chunk_key: bytes(r.data)
+            for r in self.store.read_point(
+                "chunk_store", "chunk_key", keys, CHUNK_STORE_SCHEMA
             )
-            .select("address", "data")
-            .orderBy("address")
+            .filter(F.col("chunk_key").isin(keys))
             .collect()
+        }
+        return b"".join(
+            payloads[r.chunk_key] for r in sorted(map_rows, key=lambda r: r.address)
         )
-        return b"".join(bytes(p.data) for p in pieces)
 
     def try_get(self, key: str) -> bytes | None:
         """O7: exception-free get (DedupeLibrary.cs:353-368)."""
@@ -691,7 +740,9 @@ class DedupeEngine:
         batch, objects distributed across executors. Missing keys are
         simply absent from the result (try_get semantics, batched).
         """
-        wanted = self.object_map.filter(F.col("object_key").isin(keys))
+        wanted = self.store.read_point(
+            "object_map", "object_key", keys, OBJECT_MAP_SCHEMA
+        ).filter(F.col("object_key").isin(keys))
         pieces = self.chunk_store.join(F.broadcast(wanted), "chunk_key")
         return (
             pieces.groupBy("object_key")
@@ -711,7 +762,9 @@ class DedupeEngine:
     def map_for_position(self, key: str, position: int) -> DataFrame:
         """O10: the interval-containment predicate — the reference's one
         hand-written SQL query (SqliteProvider.cs:378-382)."""
-        return self.object_map.filter(
+        return self.store.read_point(
+            "object_map", "object_key", [key], OBJECT_MAP_SCHEMA
+        ).filter(
             (F.col("object_key") == key)
             & (F.col("address") <= position)
             & (F.col("address") + F.col("length") > position)
@@ -721,24 +774,32 @@ class DedupeEngine:
         """Ranged read: fetch only the chunks overlapping [offset, offset+length)."""
         if length <= 0:
             return b""
-        overlapping = self.object_map.filter(
-            (F.col("object_key") == key)
-            & (F.col("address") < offset + length)
-            & (F.col("address") + F.col("length") > offset)
-        )
-        pieces = (
-            self.chunk_store.join(F.broadcast(overlapping), "chunk_key")
-            .select("address", "data")
-            .orderBy("address")
+        overlap_rows = (
+            self.store.read_point("object_map", "object_key", [key], OBJECT_MAP_SCHEMA)
+            .filter(
+                (F.col("object_key") == key)
+                & (F.col("address") < offset + length)
+                & (F.col("address") + F.col("length") > offset)
+            )
+            .select("address", "chunk_key")
             .collect()
         )
-        if not pieces:
+        if not overlap_rows:
             return b""
+        keys = list({r.chunk_key for r in overlap_rows})
+        payloads = {
+            r.chunk_key: bytes(r.data)
+            for r in self.store.read_point(
+                "chunk_store", "chunk_key", keys, CHUNK_STORE_SCHEMA
+            )
+            .filter(F.col("chunk_key").isin(keys))
+            .collect()
+        }
         buf = bytearray()
-        for p in pieces:
-            data = bytes(p.data)
-            start = max(0, offset - p.address)
-            end = min(len(data), offset + length - p.address)
+        for r in sorted(overlap_rows, key=lambda r: r.address):
+            data = payloads[r.chunk_key]
+            start = max(0, offset - r.address)
+            end = min(len(data), offset + length - r.address)
             buf += data[start:end]
         return bytes(buf)
 
@@ -759,7 +820,15 @@ class DedupeEngine:
         (SqliteProvider.cs:203-247). ``id > index_start`` seek beats OFFSET
         at scale; page capped at 100 like the reference."""
         n = max(1, min(max_results, MAX_LIST_RESULTS))
-        df = self.objects.filter(F.col("id") > index_start)
+        ranges: dict[str, list[tuple]] = {"id": [(index_start + 1, None)]}
+        if prefix:
+            # parts whose key span cannot intersect [prefix, prefix + U+FFFF]
+            # are skipped (sanitized keys never contain U+FFFF, so every
+            # prefixed key sorts inside the range)
+            ranges["object_key"] = [(prefix, prefix + "￿")]
+        df = self.store.read_pruned("objects", ranges, OBJECTS_SCHEMA).filter(
+            F.col("id") > index_start
+        )
         if prefix:
             df = df.filter(F.col("object_key").startswith(prefix))
         page = df.orderBy("id").limit(n).collect()

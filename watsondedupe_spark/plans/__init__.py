@@ -164,6 +164,279 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+# --------------------------------------------------------------------------
+# The no-corpus-broadcast invariant (round 8).
+#
+# Round 7's 100x deep scale tier caught three joins whose build side
+# grows with the corpus but was BROADCAST — AQE runtime conversion or
+# Catalyst's post-aggregation static underestimate made a relation that
+# is O(corpus) look tiny (one crossed Spark's 8 GiB broadcast cap, one
+# hashed 1.1 GB on the driver). Those three sites are pinned
+# shuffle_hash; this audit generalizes the fix into a RULE: walk every
+# BroadcastExchange subtree in a finalized plan and fail unless the
+# broadcast side is provably cardinality-bounded — by a limit/top-k, by
+# an aggregate whose keys have a bounded domain, by a point filter on a
+# key column, or because its only leaves are genuinely bounded relations
+# (dims, literals, codebooks, centroids, spines).
+#
+# The detection trick: at TEST scale every corpus-growing side is small,
+# so any UNPINNED site shows up as an actual broadcast in the sf0.001
+# plan — exactly the latent bug class. The audit therefore finds at
+# small sf what previously required a 100x deep-tier run per query.
+# --------------------------------------------------------------------------
+
+# Tables whose row count scales with the corpus (TPC-H SF tables, the
+# synthetic pipeline tables, and every engine-store table). region and
+# nation are fixed-size dims and deliberately absent.
+CORPUS_TABLES = frozenset({
+    "customer", "supplier", "part", "partsupp", "orders", "lineitem",
+    "events", "documents", "embeddings",
+    # engine store tables (grow with ingested data)
+    "objects", "object_map", "chunk_store", "chunks", "refcounts",
+})
+
+# Column names that mark a relation as corpus-derived when the leaf is
+# an in-memory substrate (Scan ExistingRDD / LocalTableScan) rather
+# than a parquet scan with a recognizable path: per-document ids, pair
+# ids, chunk/object keys, gram/shingle hashes.
+CORPUS_COL_MARKERS = frozenset({
+    "doc_id", "a_id", "b_id", "id_a", "id_b", "object_key", "chunk_key",
+    "gram", "shingle", "sig", "minhash",
+})
+
+# Grouping keys with a bounded domain: an aggregate keyed ONLY by these
+# produces O(domain) rows no matter the corpus size, so its result may
+# broadcast. Everything here is either a small categorical (source,
+# lang, label, flags), a fixed-width bucket index (band, plane, code,
+# cell, centroid), or a calendar grain.
+BOUNDED_AGG_KEYS = frozenset({
+    "source", "lang", "language", "label", "event_type", "status",
+    "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+    "l_shipmode", "c_mktsegment", "n_name", "r_name", "p_brand",
+    "p_type", "p_size", "p_container", "nation", "region",
+    "centroid_id", "cid", "cell", "code", "codebook_id", "subq", "sub",
+    "band", "b", "plane", "bit", "bucket_bits", "probe", "m",
+    "day", "dow", "hour", "week", "month", "year", "grain", "vocab_cut",
+    "quantile", "decile", "bucket_id", "qbucket", "threshold", "thr",
+    "source_a", "source_b", "lang_a", "lang_b", "label_a", "label_b",
+})
+
+# Key columns where an EqualTo/In pushed filter bounds a corpus scan to
+# O(1)/O(probe-list) rows (point lookups, probe sets).
+POINT_FILTER_COLS = frozenset({
+    "object_key", "doc_id", "chunk_key", "user_id", "query_id",
+    "centroid_id",
+})
+
+_LEAF_RE = re.compile(
+    r"^(?:Scan (?:parquet|csv|json|orc|text|ExistingRDD)|LocalTableScan|Range\b)"
+)
+_BOUNDING_RE = re.compile(
+    r"^(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject|Sample\b)"
+)
+_AGG_RE = re.compile(r"^(?:HashAggregate|ObjectHashAggregate|SortAggregate)")
+
+# Nodes that BREAK Catalyst's size-estimate tracking: below one of
+# these, the static estimate of the subtree's output no longer scales
+# with the input files, so a "looks tiny, broadcast it" decision made at
+# any one scale does NOT self-correct at 100x (the round-7 bug class:
+# post-aggregation and post-join sides). A broadcast side consisting
+# only of Filter/Project/scan nodes is scale-safe — its estimate is
+# proportional to file size, so the planner flips it to a shuffle join
+# on its own once the table is big.
+_ESTIMATE_BREAKER_RE = re.compile(
+    r"^(?:HashAggregate|ObjectHashAggregate|SortAggregate|Generate\b|Expand\b"
+    r"|Window\b|WindowGroupLimit|.*Join\b|FlatMapGroupsInPandas|MapInPandas"
+    r"|ArrowEvalPython|BatchEvalPython|FlatMapCoGroupsInPandas)"
+)
+
+
+def _final_tree_and_details(df: DataFrame):
+    """Parse the formatted plan into (tree nodes of the FINAL plan,
+    detail blocks by node id). Tree nodes are (depth, name, id) where
+    depth orders parents above their subtrees. Before AQE finalizes, the
+    whole (initial) tree is used — runtime broadcast conversions only
+    appear post-execution, so auditing callers should collect() first."""
+    plan = physical_plan(df)
+    tree_part = plan.split("== Initial Plan ==")[0]
+    nodes = []
+    for line in tree_part.splitlines():
+        m = re.match(r"^(?P<pre>[\s:+\-]*)(?:\* )?(?P<name>[A-Za-z][^()]*?)\s*"
+                     r"\((?P<id>\d+)\)(?:,.*)?$", line)
+        if not m:
+            continue
+        name = m.group("name").strip()
+        if name in ("AdaptiveSparkPlan",):
+            continue
+        nodes.append((len(m.group("pre")), name, int(m.group("id"))))
+    details: dict[int, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) .*?$((?:\n(?!\(\d+\) |== ).*)*)", plan, re.MULTILINE
+    ):
+        details[int(m.group(1))] = m.group(2)
+    return nodes, details
+
+
+def _detail_field(detail: str, field: str) -> str:
+    m = re.search(rf"{field}(?: \[\d+\])?: (.*)", detail or "")
+    return m.group(1) if m else ""
+
+
+def _strip_attr(name: str) -> str:
+    """``cast(source#5 as string)`` / ``source#5L`` -> ``source``."""
+    name = name.strip()
+    m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", name)
+    return m.group(1) if m else name
+
+
+def _leaf_is_corpus(name: str, detail: str) -> bool:
+    if name.startswith("Range"):
+        return False
+    loc = _detail_field(detail, "Location")
+    if loc:
+        stems = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)(?:\.parquet)?[\]/,]", loc)
+        if any(s in CORPUS_TABLES for s in stems):
+            return True
+        # unknown parquet path: fall through to the column markers
+    out_cols = {
+        _strip_attr(c)
+        for c in _detail_field(detail, "Output").strip("[]").split(",")
+        if c.strip()
+    }
+    return bool(out_cols & CORPUS_COL_MARKERS)
+
+
+def _leaf_has_point_filter(detail: str) -> bool:
+    pf = _detail_field(detail, "PushedFilters")
+    return bool(
+        re.search(
+            rf"(?:EqualTo|In)\(({'|'.join(sorted(POINT_FILTER_COLS))})[,)]", pf
+        )
+    )
+
+
+def broadcast_audit(df: DataFrame) -> list[dict]:
+    """One report entry per BroadcastExchange subtree in the finalized
+    plan: ``{"ok": bool, "reason": str, "leaves": [...], "node_id": N}``.
+    Callers should execute the DataFrame first (``df.collect()``) so
+    AQE's runtime broadcast conversions are visible — they are the bug
+    class this exists to catch."""
+    nodes, details = _final_tree_and_details(df)
+    reports = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if not name.startswith("BroadcastExchange"):
+            continue
+        subtree = []
+        for d2, n2, id2 in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append((d2, n2, id2))
+        entry = {"node_id": nid, "leaves": [], "ok": False, "reason": ""}
+
+        if any(_BOUNDING_RE.match(n2) for _, n2, _ in subtree):
+            entry.update(ok=True, reason="limit/top-k bounds the side")
+            reports.append(entry)
+            continue
+
+        corpus_leaves = []
+        for _, n2, id2 in subtree:
+            if not _LEAF_RE.match(n2):
+                continue
+            det = details.get(id2, "")
+            is_corpus = _leaf_is_corpus(n2, det)
+            loc = _detail_field(det, "Location")
+            entry["leaves"].append(
+                {"name": n2, "id": id2, "corpus": is_corpus, "location": loc}
+            )
+            if is_corpus and not _leaf_has_point_filter(det):
+                corpus_leaves.append((n2, id2))
+
+        if not corpus_leaves:
+            entry.update(
+                ok=True,
+                reason="bounded leaves only (dims/literals/point-filtered)",
+            )
+            reports.append(entry)
+            continue
+
+        # Corpus leaves present. A pure Filter/Project/scan side is still
+        # scale-SAFE: Catalyst's static estimate for it is proportional
+        # to file size, so the broadcast decision self-corrects once the
+        # table is big (TPC-H dims-to-fact at small sf). The danger is an
+        # ESTIMATE BREAKER between the leaf and the exchange — an
+        # aggregate/join/explode/window whose output estimate no longer
+        # tracks the input scale (the round-7 bug class).
+        breakers = [
+            (d2, n2, id2)
+            for d2, n2, id2 in subtree
+            if _ESTIMATE_BREAKER_RE.match(n2)
+        ]
+        if not breakers:
+            entry.update(
+                ok=True,
+                reason="scan-tracking side (Filter/Project over file scan): "
+                "static size estimate scales with the corpus, so the "
+                "planner flips to a shuffle join on its own at scale",
+            )
+            reports.append(entry)
+            continue
+
+        # the side is still bounded if the stream passes through an
+        # aggregate whose keys all have bounded domains (or a keyless
+        # 1-row aggregate). Use the shallowest aggregate in the subtree
+        # (nearest the exchange) — it dominates the output cardinality.
+        aggs = [(d2, n2, id2) for d2, n2, id2 in subtree if _AGG_RE.match(n2)]
+        if aggs:
+            d2, n2, id2 = min(aggs)
+            keys_raw = _detail_field(details.get(id2, ""), "Keys")
+            keys = [
+                _strip_attr(k)
+                for k in keys_raw.strip("[]").split(",")
+                if k.strip()
+            ]
+            if all(k in BOUNDED_AGG_KEYS for k in keys):
+                entry.update(
+                    ok=True,
+                    reason=f"bounded-key aggregate over {keys or 'no keys (1 row)'}",
+                )
+                reports.append(entry)
+                continue
+            entry.update(
+                ok=False,
+                reason=f"corpus leaves {[l for _, l in corpus_leaves]} reach the "
+                f"broadcast through an aggregate keyed by {keys} — keys not "
+                "provably bounded",
+            )
+            reports.append(entry)
+            continue
+
+        entry.update(
+            ok=False,
+            reason=f"corpus-growing leaves {[l for _, l in corpus_leaves]} behind "
+            f"estimate-breaking node(s) {sorted({n2 for _, n2, _ in breakers})} "
+            "on a broadcast side",
+        )
+        reports.append(entry)
+    return reports
+
+
+def corpus_broadcast_violations(df: DataFrame) -> list[dict]:
+    return [r for r in broadcast_audit(df) if not r["ok"]]
+
+
+def assert_no_corpus_broadcast(df: DataFrame, context: str = "") -> None:
+    """Raise AssertionError when any broadcast side is corpus-growing.
+    The failure message carries the offending node ids and reasons so
+    the fix (a ``shuffle_hash`` hint with the growing side as build, or
+    a whitelist entry with a boundedness argument) is obvious."""
+    bad = corpus_broadcast_violations(df)
+    if bad:
+        msgs = "; ".join(f"node {r['node_id']}: {r['reason']}" for r in bad)
+        raise AssertionError(
+            f"corpus-growing relation on a broadcast side{' in ' + context if context else ''}: {msgs}"
+        )
+
+
 def audit(df: DataFrame) -> dict:
     """One-call plan summary for tests and notebooks."""
     return {

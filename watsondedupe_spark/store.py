@@ -205,6 +205,151 @@ class IndexStore:
             return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
         return self.spark.read.parquet(*state["parts"])
 
+    # -- manifest-level data skipping (round 8) ------------------------------
+
+    #: per-table columns whose min/max footer stats are recorded in the
+    #: manifest at write time. Point reads prune the PART LIST against
+    #: them before Spark plans a scan — at 100 TB an ``exists()`` that
+    #: opens every part's footer is an O(parts) driver stall; with the
+    #: manifest span check it opens only the parts whose key range can
+    #: contain the probe (the Delta/Iceberg data-skipping shape; the
+    #: reference gets the same effect from its b-tree PK,
+    #: SqliteProvider.cs:258-270).
+    SKIP_STATS_COLS: dict[str, list[str]] = {
+        "objects": ["object_key", "id"],
+        "object_map": ["object_key"],
+        "chunks": ["chunk_key"],
+        "chunk_store": ["chunk_key"],
+    }
+
+    def _part_stats(self, name: str, path: str) -> dict | None:
+        """Driver-side min/max of the skip columns across one part dir's
+        parquet footers (no Spark job — pyarrow reads only metadata).
+        Returns None when stats can't be trusted for every file (missing
+        footer stats, unexpected types): the part is then never pruned.
+        Parquet's truncated string statistics stay safe here — a
+        truncated min is a lower bound and a truncated max an upper
+        bound, so the span can only widen."""
+        cols = self.SKIP_STATS_COLS.get(name)
+        if not cols:
+            return None
+        import pyarrow.parquet as pq
+
+        spans: dict[str, list] = {}
+        try:
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files:
+                return None
+            for fn in files:
+                md = pq.ParquetFile(os.path.join(path, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        cname = col.path_in_schema
+                        if cname not in cols:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                        if not isinstance(lo, (str, int, float)):
+                            return None
+                        cur = spans.get(cname)
+                        if cur is None:
+                            spans[cname] = [lo, hi]
+                        else:
+                            cur[0], cur[1] = min(cur[0], lo), max(cur[1], hi)
+        except Exception:  # noqa: BLE001 — stats are an optimization only
+            return None
+        # every skip column must be covered, else a probe on the missing
+        # column would wrongly prune this part
+        return spans if set(spans) == set(cols) else None
+
+    _STATS_UNSET = object()
+
+    def _attach_stats(
+        self, name: str, state: dict, path: str, precomputed=_STATS_UNSET
+    ) -> dict:
+        """New manifest state with ``path``'s skip stats recorded and
+        stale entries (retired parts) dropped. ``precomputed`` lets
+        callers do the footer read OUTSIDE their critical section
+        (``None`` there means "stats untrusted — never prune this part")."""
+        live = {os.path.basename(p) for p in state["parts"]}
+        stats = {
+            k: v for k, v in state.get("stats", {}).items() if k in live
+        }
+        ps = (
+            self._part_stats(name, path)
+            if precomputed is self._STATS_UNSET
+            else precomputed
+        )
+        if ps is not None:
+            stats[os.path.basename(path)] = ps
+        if stats:
+            state["stats"] = stats
+        else:
+            state.pop("stats", None)
+        return state
+
+    def _prune_parts(
+        self, state: dict, col_ranges: dict[str, list[tuple]]
+    ) -> list[str]:
+        """Parts whose recorded spans can satisfy EVERY column's range
+        list (a part is kept when, for each column, ANY [lo, hi] range
+        overlaps its span). Parts without recorded stats are always
+        kept — skipping is an optimization, never a correctness gate."""
+        stats = state.get("stats", {})
+        kept = []
+        for p in state["parts"]:
+            spans = stats.get(os.path.basename(p))
+            keep = True
+            for col, ranges in col_ranges.items():
+                span = (spans or {}).get(col)
+                if span is None:
+                    continue  # no stats for this column: cannot prune
+                plo, phi = span
+                if not any(
+                    (lo is None or lo <= phi) and (hi is None or hi >= plo)
+                    for lo, hi in ranges
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(p)
+        return kept
+
+    def read_pruned(
+        self,
+        name: str,
+        col_ranges: dict[str, list[tuple]],
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Current snapshot of ``name`` scanning only the parts whose
+        manifest min/max spans overlap ``col_ranges`` (``{col: [(lo,
+        hi), ...]}``; ``None`` bounds are open). The caller still applies
+        the exact row filter — pruning only shrinks the file list."""
+        state = self._state(name)
+        parts = self._prune_parts(state, col_ranges)
+        if not parts:
+            return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
+        return self.spark.read.parquet(*parts)
+
+    def read_point(
+        self,
+        name: str,
+        col: str,
+        values: list,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Point-lookup form of :meth:`read_pruned`: keep only parts
+        whose span of ``col`` can contain one of ``values``."""
+        return self.read_pruned(
+            name, {col: [(v, v) for v in values]}, schema=schema
+        )
+
     def read_version(self, name: str, version: int) -> DataFrame:
         """Snapshot of ``name`` as of ``version`` — Delta-style time
         travel over the retained manifest history."""
@@ -360,11 +505,15 @@ class IndexStore:
             new = state["version"] + 1
             self._write_state(
                 name,
-                {
-                    "version": new,
-                    "parts": [path],
-                    "meta": state.get("meta", {}) if meta is None else meta,
-                },
+                self._attach_stats(
+                    name,
+                    {
+                        "version": new,
+                        "parts": [path],
+                        "meta": state.get("meta", {}) if meta is None else meta,
+                    },
+                    path,
+                ),
             )
         self._gc(name)
         return new
@@ -427,11 +576,20 @@ class IndexStore:
             new = fresh["version"] + 1
             self._write_state(
                 name,
-                {
-                    "version": new,
-                    "parts": fresh["parts"] + [path],
-                    "meta": fresh.get("meta", {}) if meta is None else meta,
-                },
+                self._attach_stats(
+                    name,
+                    {
+                        "version": new,
+                        "parts": fresh["parts"] + [path],
+                        "meta": fresh.get("meta", {}) if meta is None else meta,
+                        **(
+                            {"stats": fresh["stats"]}
+                            if fresh.get("stats")
+                            else {}
+                        ),
+                    },
+                    path,
+                ),
             )
         return new
 
@@ -471,6 +629,9 @@ class IndexStore:
                 return self.append(name, df, meta=meta, expected_version=expected_version)
             finally:
                 shutil.rmtree(path, ignore_errors=True)
+        # footer stats read OUTSIDE the critical section (the part is
+        # immutable once staged); the flip stays a pure pointer update
+        part_stats = self._part_stats(name, path)
         with self._transact(name):
             fresh = self._state(name)  # REBASE: another append may have landed
             if expected_version is not None and fresh["version"] != expected_version:
@@ -482,11 +643,21 @@ class IndexStore:
             new = fresh["version"] + 1
             self._write_state(
                 name,
-                {
-                    "version": new,
-                    "parts": fresh["parts"] + [path],
-                    "meta": fresh.get("meta", {}) if meta is None else meta,
-                },
+                self._attach_stats(
+                    name,
+                    {
+                        "version": new,
+                        "parts": fresh["parts"] + [path],
+                        "meta": fresh.get("meta", {}) if meta is None else meta,
+                        **(
+                            {"stats": fresh["stats"]}
+                            if fresh.get("stats")
+                            else {}
+                        ),
+                    },
+                    path,
+                    precomputed=part_stats,
+                ),
             )
         return new
 

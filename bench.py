@@ -1014,6 +1014,51 @@ def scale_stress_main(
             ),
         }
 
+    # deep tier for the INGEST family (round-8 — the verdict's next-
+    # decade ask): the full CDC pass, the full engine write path (CAS
+    # commits included), and the segmented chunker at deep_factor x the
+    # corpus. Work here is byte-proportional, so the budget compares
+    # sec_ratio against bytes_ratio like the 30x rows. ~3 GB of staged
+    # CDC input at 100x of sf0.1 — inside the sandbox heap with the
+    # scale-mode 24g driver.
+    dc_sec, dc_mb = bench_cdc_ingest(spark, deep_stage)
+    base = results["cdc_ingest"]
+    r = round(dc_sec / base["sec_sf01"], 2)
+    br = round(dc_mb / (base["mbps_sf01"] * base["sec_sf01"]), 2)
+    results[f"cdc_ingest@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(dc_sec, 2),
+        f"mbps_x{deep_factor}": round(dc_mb / dc_sec, 1),
+        "sec_ratio": r,
+        "bytes_ratio": br,
+        "budget_ok": r <= 1.25 * max(deep_factor, br),
+    }
+
+    de_sec, de_mb = bench_engine_ingest(spark, deep_stage, n_objects=1_000_000_000)
+    base = results["engine_ingest"]
+    r = round(de_sec / base["sec_sf01"], 2)
+    br = round(de_mb / (base["mbps_sf01"] * base["sec_sf01"]), 2)
+    results[f"engine_ingest@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(de_sec, 2),
+        f"mbps_x{deep_factor}": round(de_mb / de_sec, 1),
+        "sec_ratio": r,
+        "bytes_ratio": br,
+        "budget_ok": r <= 1.25 * max(deep_factor, br),
+    }
+
+    ds_sec, ds_mb = bench_segmented_ingest(
+        spark, sf01, n_objects=4 * deep_factor, target_mb=16, segment_mb=4
+    )
+    base = results["segmented_ingest"]
+    r = round(ds_sec / base["sec_sf01"], 2)
+    br = round(ds_mb / (base["mbps_sf01"] * base["sec_sf01"]), 2)
+    results[f"segmented_ingest@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(ds_sec, 2),
+        f"mbps_x{deep_factor}": round(ds_mb / ds_sec, 1),
+        "sec_ratio": r,
+        "bytes_ratio": br,
+        "budget_ok": r <= 1.25 * max(deep_factor, br),
+    }
+
     # each row is judged against ITS OWN scale factor: deep-probe rows
     # (name@xN) ran at N>=2x the standard factor, so a perfectly linear
     # deep row (sec_ratio ~N) must not be flagged as superlinear

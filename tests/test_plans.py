@@ -1031,12 +1031,13 @@ def test_price_regression_plan(spark, sf_dir):
 
 def test_cluster_repair_plan_bounded_no_cartesian(spark, sf_dir):
     """The repair's promise: the exact-Jaccard verify join and the
-    re-CC are keyed joins over flagged-bounded sets — no cartesian
-    anywhere, and the flagged-cluster id set rides a broadcast into
-    both the edge filter and the node filter."""
+    re-CC are keyed joins over the flagged sets — no cartesian anywhere.
+    Round-8 revision: the flagged-cluster id set is a FIXED FRACTION of
+    clusters (corpus-growing), so it must ride shuffle-hash joins, never
+    the round-7 F.broadcast() — the strict no-corpus-broadcast rule
+    below pins that; here we keep the structural asserts."""
     df = q("docs_cluster_repair", spark, sf_dir)
     assert not P.has_cartesian(df)
-    assert P.uses_broadcast_join(df)
 
 
 def test_segmented_chunker_no_payload_window(spark, sf_dir):
@@ -1071,3 +1072,83 @@ def test_segmented_chunker_no_payload_window(spark, sf_dir):
     assert P.uses_broadcast_join(df), "count-prefix table must broadcast"
     assert not P.has_cartesian(df)
     df._cdc_cache.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# The no-corpus-broadcast invariant (round 8) — a RULE, not pinned sites.
+#
+# Round 7's 100x deep tier caught three graded-green queries whose
+# corpus-growing join sides were broadcast; round 8 generalizes: walk
+# every BroadcastExchange subtree of the finalized (post-AQE) plan and
+# fail unless the side is provably bounded (limit/top-k, bounded-key
+# aggregate, point/sample filter, dims-only leaves) or — outside the
+# strict families — anchored to a MEASURED shuffle/cache stage (an AQE
+# conversion that self-disables as the corpus grows).
+#
+# The strict families are the corpus-pair machinery (dedup pairs/spans/
+# clusters, drift/overlap audits): there even measured-anchored
+# conversions are rejected, because the measured-bytes -> hashed-relation
+# inflation (~10-30x) turns a <64 MB measured side into a ~1 GB driver
+# relation at the wrong scale decade — exactly how round 7's dup-gram
+# bug manifested. Their corpus-growing sides are pinned shuffle_hash;
+# this test is what keeps the class extinct.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+# corpus-pair machinery: STRICT — no corpus-growing broadcast side at
+# all, anchored or not (sides are pinned shuffle_hash)
+STRICT_NO_BROADCAST = [
+    "docs_minhash_pairs", "docs_jaccard_pairs", "docs_shingle_containment",
+    "docs_dup_spans", "docs_strip_dup_spans", "docs_winnowing_pairs",
+    "docs_lsh_precision_recall", "docs_lsh_levenshtein", "docs_minhash_bbit",
+    "docs_simhash_accuracy", "docs_dup_clusters", "docs_cluster_repair",
+    "docs_cluster_density_audit", "docs_dup_ratio_by_source",
+    "docs_dedup_impact_audit", "docs_dup_graph_pagerank",
+    "docs_decontaminate", "docs_text_vs_embedding_dedup",
+    "emb_near_dup_pairs", "emb_semantic_dedup", "emb_mutual_knn_pairs",
+    "docs_source_overlap_minhash", "docs_token_chi2_drift",
+    "docs_length_ks_drift", "docs_incremental_dedup", "docs_ngram_novelty",
+    "ddp_coverage",
+]
+
+# ANN / retrieval / long-tail heavies: corpus-growing sides may ride an
+# AQE measured-shuffle conversion (self-disabling) or a documented
+# allowlist entry, but never an unanchored static broadcast
+AUDITED_NO_STATIC_BROADCAST = [
+    "emb_ann_buckets", "emb_ann_topk_ivf", "emb_ann_topk_pq",
+    "emb_ann_topk_ivfpq", "emb_ann_topk_ivfpq_refined",
+    "emb_ann_topk_lsh_mp", "emb_ann_recall_audit", "emb_ann_recall_ivfpq",
+    "emb_ann_partitioned_probe", "emb_ivf_probe_sweep", "emb_jl_recall",
+    "emb_matryoshka_recall", "emb_pq_distortion", "emb_opq_distortion",
+    "emb_pq_adc_sdc", "emb_silhouette", "docs_tfidf_topk",
+    "docs_token_freq_cms", "docs_bloom_fpr_audit", "docs_heavy_hitters",
+    "events_funnel_conversion", "events_attribution_ushape",
+    "tpch_q17_small_qty", "tpch_q18_big_orders", "bloom_semi_revenue",
+]
+
+
+@pytest.mark.parametrize("name", STRICT_NO_BROADCAST)
+def test_no_corpus_broadcast_strict(spark, sf_dir, name):
+    df = q(name, spark, sf_dir)
+    df.collect()  # finalize AQE so runtime conversions are visible
+    bad = P.corpus_broadcast_violations(df, strict=True)
+    assert not bad, (
+        f"{name}: corpus-growing relation on a broadcast side "
+        f"(strict family — pin shuffle_hash): "
+        + "; ".join(f"node {r['node_id']}: {r['reason']}" for r in bad)
+    )
+
+
+@pytest.mark.parametrize("name", AUDITED_NO_STATIC_BROADCAST)
+def test_no_corpus_broadcast_unanchored(spark, sf_dir, name):
+    if name in P.BROADCAST_AUDIT_ALLOW:
+        pytest.skip(f"allowlisted: {P.BROADCAST_AUDIT_ALLOW[name]}")
+    df = q(name, spark, sf_dir)
+    df.collect()
+    bad = P.corpus_broadcast_violations(df)
+    assert not bad, (
+        f"{name}: UNANCHORED corpus-growing broadcast side (static "
+        f"estimate cannot self-correct at scale): "
+        + "; ".join(f"node {r['node_id']}: {r['reason']}" for r in bad)
+    )

@@ -41,6 +41,9 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
     names = args
 
     from watsondedupe_spark import plans as P
@@ -68,7 +71,14 @@ def main() -> int:
             print(f"{name:42s} ERROR {errors[name][:80]}", flush=True)
             continue
         n_bex += len(audit)
-        bad = [r for r in audit if not r["ok"]]
+        from watsondedupe_spark.plans import BROADCAST_AUDIT_ALLOW
+
+        bad = [
+            r
+            for r in audit
+            if (not r["ok"] or (strict and r.get("anchored")))
+            and name not in BROADCAST_AUDIT_ALLOW
+        ]
         if bad:
             report[name] = bad
             print(f"{name:42s} VIOLATION x{len(bad)} ({time.time()-t0:.1f}s)",

@@ -39,8 +39,8 @@ python bench.py | tee /tmp/bench_line.json
 echo "== regression gate =="
 python tools/bench_compare.py BENCH_FULL.json
 
-echo "== gated scale stress (30x) =="
-python bench.py --sf1 --factor 30 --json "SCALE_r${N}.json"
+echo "== gated scale stress (30x + 100x deep tier) =="
+python bench.py --sf1 --factor 30 --deep-factor 100 --json "SCALE_r${N}.json"
 
 echo "== tws environment probe =="
 python tools/tws_probe.py || true

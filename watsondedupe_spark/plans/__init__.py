@@ -222,11 +222,16 @@ BOUNDED_AGG_KEYS = frozenset({
 })
 
 # Key columns where an EqualTo/In pushed filter bounds a corpus scan to
-# O(1)/O(probe-list) rows (point lookups, probe sets).
+# O(1)/O(probe-list) rows (point lookups, probe sets). For UNIQUE id
+# columns a pushed literal UPPER bound is also accepted (``vec_id < 3``
+# selects at most 3 rows at every corpus size — the query-vector sample
+# convention): the literal is fixed at authoring time, so the selected
+# set cannot grow with the corpus.
 POINT_FILTER_COLS = frozenset({
     "object_key", "doc_id", "chunk_key", "user_id", "query_id",
     "centroid_id",
 })
+UNIQUE_ID_COLS = frozenset({"doc_id", "vec_id", "query_id", "id"})
 
 _LEAF_RE = re.compile(
     r"^(?:Scan (?:parquet|csv|json|orc|text|ExistingRDD)|LocalTableScan|Range\b)"
@@ -244,10 +249,29 @@ _AGG_RE = re.compile(r"^(?:HashAggregate|ObjectHashAggregate|SortAggregate)")
 # only of Filter/Project/scan nodes is scale-safe — its estimate is
 # proportional to file size, so the planner flips it to a shuffle join
 # on its own once the table is big.
+# Only aggregates and joins qualify: every row-count-preserving (or
+# constant-factor) operator — Filter, Project, Generate, Window,
+# MapInPandas, Expand — inherits a size estimate proportional to its
+# child's, which is itself proportional to the input files, so the
+# "broadcast it" decision self-corrects as the corpus grows. Aggregates
+# and joins are where the estimate decouples from input scale (and
+# where round 7's three 100x bugs all lived).
 _ESTIMATE_BREAKER_RE = re.compile(
-    r"^(?:HashAggregate|ObjectHashAggregate|SortAggregate|Generate\b|Expand\b"
-    r"|Window\b|WindowGroupLimit|.*Join\b|FlatMapGroupsInPandas|MapInPandas"
-    r"|ArrowEvalPython|BatchEvalPython|FlatMapCoGroupsInPandas)"
+    r"^(?:HashAggregate|ObjectHashAggregate|SortAggregate|.*Join\b)"
+)
+
+# Nodes that can EXPAND row count between a measured shuffle stage and a
+# BroadcastExchange. When a broadcast's input chain down to a
+# ShuffleQueryStage contains only non-expanding nodes, the broadcast was
+# an AQE conversion anchored to MEASURED shuffle bytes (every op between
+# shrinks or preserves rows, so measured bytes upper-bound the relation)
+# — at 100x the measured size is 100x larger and the conversion
+# self-disables. That shape is scale-ADAPTIVE; the bug class is the
+# unanchored one (static estimates over aggregates/joins, which stay
+# "tiny" at every scale).
+_EXPANDING_RE = re.compile(
+    r"^(?:Generate\b|Expand\b|.*Join\b|Union\b|FlatMapGroupsInPandas"
+    r"|MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapCoGroupsInPandas)"
 )
 
 
@@ -289,6 +313,89 @@ def _strip_attr(name: str) -> str:
     return m.group(1) if m else name
 
 
+def _defining_expr(plan_details: str, attr: str) -> str | None:
+    """The expression that defines attribute ``name#id`` somewhere in the
+    plan (``pmod(xxhash64(t#5), 4096) AS h#88`` -> the pmod expr).
+    Scans backwards from ``AS name#id`` balancing parentheses so nested
+    commas don't truncate the expression."""
+    for m in re.finditer(rf" AS {re.escape(attr)}(?:#\d+)?\b", plan_details):
+        start = m.start()
+        depth = 0
+        i = start - 1
+        while i >= 0:
+            c = plan_details[i]
+            if c in ")]":
+                depth += 1
+            elif c in "([":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            elif c == "\n":
+                break
+            i -= 1
+        expr = plan_details[i + 1 : start].strip()
+        if expr:
+            return expr
+    return None
+
+
+# Expression shapes whose output domain is bounded regardless of input
+# cardinality: modulus / bitmask bucketing (fixed bucket count), calendar
+# extraction (fixed grain domain), partition ids (cluster-bounded).
+_BOUNDED_EXPR_RES = [
+    re.compile(r"%\s*\d+\b"),
+    re.compile(r"\bpmod\([^)]*,\s*\d+\)", re.S),
+    re.compile(r"&\s*\d+\b"),
+    re.compile(
+        r"\b(?:year|quarter|month|dayofweek|weekday|dayofmonth|hour|minute"
+        r"|date_trunc|to_date|window)\("
+    ),
+    re.compile(r"\bSPARK_PARTITION_ID\(\)", re.I),
+]
+
+
+def _key_is_bounded(key: str, all_details: str, depth: int = 0) -> bool:
+    """A grouping key is bounded when its base name is whitelisted OR its
+    defining expression is a bounded shape (bucketing/calendar), chasing
+    one level of aliasing (``x AS y`` where x is itself bounded)."""
+    base = _strip_attr(key)
+    if base in BOUNDED_AGG_KEYS:
+        return True
+    if depth >= 3:
+        return False
+    expr = _defining_expr(all_details, base) or (key if "(" in key else None)
+    if not expr:
+        return False
+    if any(r.search(expr) for r in _BOUNDED_EXPR_RES):
+        return True
+    # plain alias of another attribute: recurse on the underlying name
+    m = re.fullmatch(r"(?:cast\()?([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*(?: as [a-z()0-9, ]+)?\)?", expr)
+    if m:
+        return _key_is_bounded(m.group(1), all_details, depth + 1)
+    return False
+
+
+def _split_top(text: str) -> list[str]:
+    """Split a bracket-stripped expression list on top-level commas."""
+    out, depth, cur = [], 0, []
+    for c in text:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def _leaf_is_corpus(name: str, detail: str) -> bool:
     if name.startswith("Range"):
         return False
@@ -308,9 +415,15 @@ def _leaf_is_corpus(name: str, detail: str) -> bool:
 
 def _leaf_has_point_filter(detail: str) -> bool:
     pf = _detail_field(detail, "PushedFilters")
+    if re.search(
+        rf"(?:EqualTo|In)\(({'|'.join(sorted(POINT_FILTER_COLS))})[,)]", pf
+    ):
+        return True
+    # literal upper bound on a unique id: a fixed-size sample window
     return bool(
         re.search(
-            rf"(?:EqualTo|In)\(({'|'.join(sorted(POINT_FILTER_COLS))})[,)]", pf
+            rf"LessThan(?:OrEqual)?\(({'|'.join(sorted(UNIQUE_ID_COLS))}),\s*-?[\d.]+\)",
+            pf,
         )
     )
 
@@ -381,31 +494,67 @@ def broadcast_audit(df: DataFrame) -> list[dict]:
             reports.append(entry)
             continue
 
-        # the side is still bounded if the stream passes through an
+        # the side is bounded outright if the stream passes through an
         # aggregate whose keys all have bounded domains (or a keyless
         # 1-row aggregate). Use the shallowest aggregate in the subtree
         # (nearest the exchange) — it dominates the output cardinality.
         aggs = [(d2, n2, id2) for d2, n2, id2 in subtree if _AGG_RE.match(n2)]
+        keys: list[str] = []
         if aggs:
             d2, n2, id2 = min(aggs)
             keys_raw = _detail_field(details.get(id2, ""), "Keys")
-            keys = [
-                _strip_attr(k)
-                for k in keys_raw.strip("[]").split(",")
-                if k.strip()
-            ]
-            if all(k in BOUNDED_AGG_KEYS for k in keys):
+            raw_keys = _split_top(keys_raw.strip().strip("[]"))
+            all_details = "\n".join(details.values())
+            keys = [_strip_attr(k) for k in raw_keys]
+            if all(_key_is_bounded(k, all_details) for k in raw_keys):
                 entry.update(
                     ok=True,
                     reason=f"bounded-key aggregate over {keys or 'no keys (1 row)'}",
                 )
                 reports.append(entry)
                 continue
+
+        # anchored-to-measured-shuffle allowance: if the chain from the
+        # exchange down to the first ShuffleQueryStage contains no
+        # row-expanding node, the broadcast is an AQE conversion keyed
+        # off MEASURED bytes — scale-adaptive (measured bytes grow with
+        # the corpus, so the conversion self-disables at 100x). Strict
+        # consumers (the heavy-family plan test) still treat these as
+        # violations via strict=True: measured-bytes -> in-memory-hashed
+        # inflation (~10x) makes even an anchored conversion a ~0.6 GB
+        # driver relation at the wrong scale point, which round 7 deemed
+        # unacceptable for the corpus-pair families.
+        stage_idx = next(
+            (
+                j
+                for j, (_, n2, _) in enumerate(subtree)
+                if n2.startswith(
+                    ("ShuffleQueryStage", "TableCacheQueryStage", "InMemoryTableScan")
+                )
+            ),
+            None,
+        )
+        if stage_idx is not None and not any(
+            _EXPANDING_RE.match(n2) for _, n2, _ in subtree[:stage_idx]
+        ):
+            entry.update(
+                ok=True,
+                anchored=True,
+                reason="AQE conversion anchored to a measured shuffle/cache stage "
+                "(non-expanding chain"
+                + (f"; agg keyed by {keys}" if keys else "")
+                + "): measured bytes scale with the corpus, so the "
+                "conversion self-disables at scale",
+            )
+            reports.append(entry)
+            continue
+
+        if aggs:
             entry.update(
                 ok=False,
                 reason=f"corpus leaves {[l for _, l in corpus_leaves]} reach the "
                 f"broadcast through an aggregate keyed by {keys} — keys not "
-                "provably bounded",
+                "provably bounded and no measured-shuffle anchor",
             )
             reports.append(entry)
             continue
@@ -420,8 +569,34 @@ def broadcast_audit(df: DataFrame) -> list[dict]:
     return reports
 
 
-def corpus_broadcast_violations(df: DataFrame) -> list[dict]:
-    return [r for r in broadcast_audit(df) if not r["ok"]]
+# Documented per-query exceptions: broadcast sides that ARE bounded by
+# construction but whose bound the text classifier cannot see. Every
+# entry must state the boundedness argument and, where one exists, the
+# dedicated plan test that pins the same shape. Reviewed per round.
+BROADCAST_AUDIT_ALLOW: dict[str, str] = {
+    # The refine stage broadcasts the (query x shortlist_k) candidate
+    # list: queries come from the vec_id<3 sample and the shortlist is a
+    # WindowGroupLimit rank<=k per query — |queries| * k rows at every
+    # corpus size. Pinned by test_ivfpq_refined_fetch_is_broadcast.
+    "emb_ann_topk_ivfpq_refined": "bounded (query x shortlist_k) refine list",
+    # Same shape: each arm's top-k per sampled query (rank<=k windows
+    # over the 3-query sample) joins the exact arm — |queries| * k rows.
+    # Pinned by test_matryoshka_recall_plan.
+    "emb_matryoshka_recall": "bounded (query x k) per-arm top-k lists",
+}
+
+
+def corpus_broadcast_violations(df: DataFrame, strict: bool = False) -> list[dict]:
+    """Non-ok broadcast sides; ``strict=True`` additionally rejects
+    AQE measured-shuffle conversions (``anchored``) — the posture the
+    heavy corpus-pair families hold (their sides are pinned
+    ``shuffle_hash`` so no broadcast of a corpus-growing relation can
+    appear at ANY scale point)."""
+    return [
+        r
+        for r in broadcast_audit(df)
+        if not r["ok"] or (strict and r.get("anchored"))
+    ]
 
 
 def assert_no_corpus_broadcast(df: DataFrame, context: str = "") -> None:

@@ -2388,8 +2388,13 @@ def docs_token_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = st.groupBy("t").agg(F.sum("o").cast("long").alias("ct"))
     ns = st.groupBy("source").agg(F.sum("o").cast("long").alias("n_s"))
     n = st.agg(F.sum("o").cast("long").alias("n_all"))
+    # the vocabulary table (per-token totals) grows with the corpus
+    # (Heaps' law — unbounded): pin the vocab join shuffle-hash; both
+    # sides hash-partition on t so the join shares the aggregates'
+    # exchange (round-8 no-corpus-broadcast rule). The per-source and
+    # 1-row totals stay broadcast — genuinely bounded.
     j = (
-        st.join(tot, "t")
+        st.join(tot.hint("shuffle_hash"), "t")
         .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(n))
     )

@@ -373,8 +373,17 @@ def ddp_position_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ddp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = object_map_df(spark, sf_dir)
     ob = objects_df(spark, sf_dir)
+    # BOTH sides grow with the corpus (per-chunk occurrences vs
+    # per-object rollups): pin the join shuffle-hash with the rollup as
+    # build — Catalyst's static pick here was to BROADCAST the exploded
+    # per-chunk side (O(total bytes / chunk) rows — the round-8
+    # broadcast audit's first catch), exactly the relation that can
+    # never be a driver-side hashed relation at 100 TB.
     return (
-        om.join(ob.select("object_key", "original_length"), "object_key")
+        om.join(
+            ob.select("object_key", "original_length").hint("shuffle_hash"),
+            "object_key",
+        )
         .groupBy("object_key", "original_length")
         .agg(
             F.count("*").cast("long").alias("n_chunks"),

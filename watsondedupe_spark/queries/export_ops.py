@@ -103,9 +103,16 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_sh = stream.filter(is_eval).select("sh").distinct()
+    # the synthetic eval set is a FIXED FRACTION of the corpus (doc_id %
+    # mod), so its shingle table grows linearly — the round-7
+    # F.broadcast() here was unconditional at every scale (round-8
+    # audit catch). Shuffle-hash with the eval side as build: both
+    # sides hash-partition on the shingle key. (A real benchmark suite
+    # is constant-size and could broadcast; this pin prices the
+    # implementation we actually ship.)
     return (
         stream.filter(~is_eval)
-        .join(F.broadcast(eval_sh), "sh")
+        .join(eval_sh.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)

@@ -1524,13 +1524,17 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     teleport = 15 * _PR_TICK // 100
     for _ in range(_PR_ROUNDS):
+        # rank/contrib tables are one row per VERTEX — corpus-growing,
+        # so both per-round joins pin shuffle-hash (round-8
+        # no-corpus-broadcast rule); every side hash-partitions on the
+        # vertex key, so rounds share one partitioning
         contrib = (
             sym.join(
                 ranks.select(
                     F.col("v").alias("p_v"),
                     F.col("deg").alias("p_deg"),
                     F.col("ticks").alias("p_ticks"),
-                ),
+                ).hint("shuffle_hash"),
                 F.col("p_v") == F.col("v"),
             )
             .select(
@@ -1541,7 +1545,7 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
         ranks = (
-            deg.join(contrib, "u")
+            deg.join(contrib.hint("shuffle_hash"), "u")
             .select(
                 F.col("u").alias("v"),
                 "deg",
@@ -1636,8 +1640,10 @@ def docs_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
     possible = (F.col("size") * (F.col("size") - 1) / 2).cast("long")
+    # cluster count grows with the corpus: the per-cluster edge-count
+    # table must never broadcast (round-8 no-corpus-broadcast rule)
     return (
-        sizes.join(edges, "cluster_id", "left")
+        sizes.join(edges.hint("shuffle_hash"), "cluster_id", "left")
         .select(
             "cluster_id",
             "size",
@@ -1774,8 +1780,15 @@ def docs_cluster_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ecount = edge_cl.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("n_edges")
     )
+    # cluster count grows with the corpus, so BOTH per-cluster rollups
+    # and the flagged-cluster id set are corpus-growing relations: none
+    # may ride a broadcast (round-8 no-corpus-broadcast rule — the
+    # flagged set is a FIXED FRACTION of clusters, not a constant; the
+    # round-7 F.broadcast(flagged) here was an unconditional broadcast
+    # at every scale, the audit's headline catch this round). All three
+    # joins are keyed on cluster_id and pin shuffle-hash.
     flagged = (
-        sizes.join(ecount, "cluster_id", "left")
+        sizes.join(ecount.hint("shuffle_hash"), "cluster_id", "left")
         .filter(
             (F.col("size") >= 2)
             & (F.coalesce("n_edges", F.lit(0)) < F.col("size"))
@@ -1785,9 +1798,11 @@ def docs_cluster_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact-Jaccard verification of ONLY the flagged clusters' edges:
     # the join against the cached pair-stats substrate is keyed on the
-    # (bounded) flagged edge set; an edge with no exact-stats row (no
-    # rare shared shingle at all) fails verification by construction
-    fedges = edge_cl.join(F.broadcast(flagged), "cluster_id").select("doc_a", "doc_b")
+    # flagged edge set; an edge with no exact-stats row (no rare shared
+    # shingle at all) fails verification by construction
+    fedges = edge_cl.join(flagged.hint("shuffle_hash"), "cluster_id").select(
+        "doc_a", "doc_b"
+    )
     stats = jaccard_pair_stats_df(spark, sf_dir).select(
         "doc_a", "doc_b",
         (F.col("n_common").cast("double") / F.col("un")).alias("jaccard"),
@@ -1798,14 +1813,16 @@ def docs_cluster_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    fnodes = cc.join(F.broadcast(flagged), "cluster_id").select("doc_id")
+    fnodes = cc.join(flagged.hint("shuffle_hash"), "cluster_id").select("doc_id")
     cc2 = connected_components(
         verified, fnodes, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     ).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("new_id"),
     )
-    return cc.join(cc2, "doc_id", "left").select(
+    # cc2 is one row per flagged-cluster member — a corpus FRACTION, so
+    # the stitch-back join pins shuffle-hash too
+    return cc.join(cc2.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         "cluster_id",
         F.coalesce("new_id", "cluster_id").cast("long").alias("repaired_cluster_id"),

@@ -3436,8 +3436,12 @@ GROUP BY t.status, t.source, s.src_docs
 def docs_dedup_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.queries.llm_pipeline import docs_canonical_per_cluster
 
-    canon = docs_canonical_per_cluster(spark, sf_dir).select(
-        F.col("canonical_doc").alias("doc_id"), F.lit(1).alias("is_canon")
+    # one row per cluster — grows with the corpus, so the canonical set
+    # must never broadcast (round-8 no-corpus-broadcast rule)
+    canon = (
+        docs_canonical_per_cluster(spark, sf_dir)
+        .select(F.col("canonical_doc").alias("doc_id"), F.lit(1).alias("is_canon"))
+        .hint("shuffle_hash")
     )
     tagged = (
         _docs(spark, sf_dir)
@@ -3534,9 +3538,14 @@ def docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = pts.groupBy("x").agg(F.count("*").cast("long").alias("g"))
     srcs = pts.groupBy("source").agg(F.count("*").cast("long").alias("t1"))
     n = pts.agg(F.count("*").cast("long").alias("total"))
+    # the x spine (distinct lengths) and the (source, x) counts grow
+    # with the corpus: broadcast the BOUNDED per-source table into the
+    # fan-out instead, and pin the (source, x) probe shuffle-hash
+    # (round-8 no-corpus-broadcast rule)
     spine = (
-        srcs.crossJoin(glob)
-        .join(per, ["source", "x"], "left")
+        F.broadcast(srcs)
+        .crossJoin(glob)
+        .join(per.hint("shuffle_hash"), ["source", "x"], "left")
         .select("source", "t1", "x", "g", F.coalesce("c", F.lit(0)).alias("c"))
     )
     wc = (

@@ -844,7 +844,10 @@ def docs_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from watsondedupe_spark.queries.llm_pipeline import docs_dup_clusters
 
     cl = docs_dup_clusters(spark, sf_dir)
-    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    # cluster count grows with the corpus: the size table must never be
+    # a broadcast build side (round-8 no-corpus-broadcast rule) — pin
+    # the join shuffle-hash with the size rollup as build
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("n")).hint("shuffle_hash")
     dup = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
     return (
         _docs(spark, sf_dir)

@@ -535,6 +535,62 @@ def bench_segmented_ingest(
     return dt, mb
 
 
+def bench_engine_point_ops(spark, sf_dir: str) -> dict[str, list[float]]:
+    """Point-read latency floor (round-8 verdict item #5): exists /
+    get / list against a live THREE-part store whose parts hold
+    disjoint key spans, so the manifest min/max skipping
+    (store.read_point) prunes every probe to one part before Spark
+    plans the scan. The store build is untimed substrate; each op is
+    sampled three times and the sidecar keeps every sample. At 100 TB
+    this is the row that catches an exists() regressing into an
+    O(all-parts) scan — nothing timed it before round 8."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 48)
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("object_key"),
+            F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+            F.col("doc_id").cast("long").alias("_id"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="wds_pointbench_")
+    samples: dict[str, list[float]] = {
+        "engine_exists": [],
+        "engine_point_get": [],
+        "engine_list_page": [],
+    }
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        for lo, hi in ((0, 16), (16, 32), (32, 49)):
+            eng.write_batch(
+                objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).select(
+                    "object_key", "data"
+                )
+            )
+        key = "000024"
+        for _ in range(3):
+            t0 = time.time()
+            assert eng.exists(key)
+            samples["engine_exists"].append(round(time.time() - t0, 3))
+            t0 = time.time()
+            assert len(eng.get(key)) > 0
+            samples["engine_point_get"].append(round(time.time() - t0, 3))
+            t0 = time.time()
+            assert len(eng.list_objects(max_results=20).objects) == 20
+            samples["engine_list_page"].append(round(time.time() - t0, 3))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return samples
+
+
 def bench_engine_ingest(
     spark, sf_dir: str, repeat: int = 20, n_objects: int = 1000
 ) -> tuple[float, float]:
@@ -1186,6 +1242,13 @@ def main() -> None:
     # steady-state rows
     build_runs = bench_substrate_builds(spark, sf_dir)
     for name, samples in build_runs.items():
+        runs[name] = samples
+        times[name] = round(min(samples), 2)
+
+    # point-read latency floor (round-8): exists / get / list page
+    # against a pre-built 3-part store; min-of-3 per op, samples in the
+    # sidecar like every other row
+    for name, samples in bench_engine_point_ops(spark, sf_dir).items():
         runs[name] = samples
         times[name] = round(min(samples), 2)
 

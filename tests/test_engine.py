@@ -649,3 +649,42 @@ def test_crash_matrix_real_write_path(engine, spark, crash_point):
     assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
     assert engine.get("base") == base
     assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+
+
+def test_point_reads_prune_parts_at_plan_level(spark, tmp_path):
+    """Round-8 data skipping: with three parts of disjoint key spans,
+    a point read must PLAN a scan over exactly one part directory —
+    the manifest min/max check runs before Spark ever opens a footer."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark import plans as P
+    from watsondedupe_spark.chunking import ChunkSettings
+    from watsondedupe_spark.engine import DedupeEngine
+
+    eng = DedupeEngine.create(
+        spark, str(tmp_path / "ix"), ChunkSettings(256, 2048, 16, 2)
+    )
+    for lo in (0, 10, 20):
+        rows = [(f"k{lo + i:04d}", bytearray(f"payload-{lo + i}".encode() * 300))
+                for i in range(10)]
+        eng.write_batch(
+            spark.createDataFrame(rows, "object_key string, data binary")
+        )
+    state = eng.store._state("objects")
+    assert len(state["parts"]) == 3
+
+    probe = eng.store.read_point("objects", "object_key", ["k0015"]).filter(
+        F.col("object_key") == "k0015"
+    )
+    locs = re.findall(r"Location: InMemoryFileIndex \[([^\]]*)\]", P.physical_plan(probe))
+    assert locs and all(len(loc.split(",")) == 1 for loc in locs), locs
+    assert probe.count() == 1
+
+    # engine-level reads resolve through the pruned path
+    assert eng.exists("k0015") and not eng.exists("nope")
+    assert eng.get("k0015") == b"payload-15" * 300
+    assert eng.get_range("k0015", 3, 7) == (b"payload-15" * 300)[3:10]
+    page = eng.list_objects(prefix="k00", max_results=100)
+    assert len(page.objects) == 30

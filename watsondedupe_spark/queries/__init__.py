@@ -59,11 +59,36 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
-    # r7 window — standing rotation: new-this-round first, then
-    # change-risk, then the never-driver-graded round-6 backlog (the
-    # overflow the r6 NOTE below predicted would be this window's
-    # Tier 1). Everything in the r6 window re-graded green in
-    # CORRECTNESS_r06 and rotates to the pads.
+    # r8 window — standing rotation: new-this-round first, then
+    # change-risk, then the last never-driver-graded stragglers (after
+    # this window every registered query has had a driver-graded row).
+    #
+    # Tier 1 — BUILT IN ROUND 8 (1): the point-read loop over a
+    # three-part store grading manifest min/max data skipping.
+    "engine_point_reads",
+    # Tier 2 — change risk (18): the 11 shuffle-hash pins from the
+    # no-corpus-broadcast audit (plans changed; results must not),
+    # the segmented chunker (frame stage rewritten: explode offsets
+    # then substring; graded query now releases the payload cache),
+    # and every engine lifecycle scenario (point reads now resolve
+    # through pruned store reads; get/get_range are two-phase IN-list).
+    "docs_cluster_repair", "docs_cluster_density_audit",
+    "docs_dup_ratio_by_source", "docs_dedup_impact_audit",
+    "docs_dup_graph_pagerank", "docs_decontaminate",
+    "docs_token_chi2_drift", "docs_length_ks_drift", "ddp_coverage",
+    "cdc_chunk_index_segmented",
+    "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
+    "engine_replace_roundtrip", "engine_recover_roundtrip",
+    "engine_multibatch_roundtrip", "engine_incremental_objects",
+    "engine_crash_matrix", "engine_crash_matrix_sqlite",
+    # Tier 3 — the 7 never-driver-graded stragglers (r7 overflow; after
+    # these, full driver coverage):
+    "docs_vocab_growth_curve", "emb_lsh_capacity_plan",
+    "lineitem_equidepth_histogram", "events_bot_screen",
+    "part_trigram_like_search", "lineitem_cramers_v",
+    "docs_quality_buckets",
+    #
+    # r7 window (now pads, all re-graded green in CORRECTNESS_r07):
     #
     # Tier 1 — BUILT IN ROUND 7 (3): the 4-point crash matrix on both
     # store backends (commit-order invariant: objects last) and the

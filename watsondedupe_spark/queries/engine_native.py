@@ -1617,3 +1617,112 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# point-read latency path: manifest min/max data skipping (round 8)
+# ---------------------------------------------------------------------------
+
+_POINT_READS_SQL = """
+WITH sel AS (
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS object_key, text
+    FROM documents WHERE doc_id % 7 = 0 AND doc_id < 42
+)
+SELECT object_key,
+       md5(repeat(text, 20)) AS payload_md5,
+       TRUE AS exists_ok, TRUE AS miss_ok, TRUE AS range_ok,
+       TRUE AS meta_ok, TRUE AS pruned_ok, TRUE AS list_ok
+FROM sel
+"""
+
+
+@register(
+    "engine_point_reads",
+    _POINT_READS_SQL,
+    doc="O6/O8/O9/O11/O12 point-read loop over a THREE-PART store with "
+    "disjoint per-part key spans (zero-padded keys, range-batched "
+    "appends): get() reassembly md5 (closed form: md5 of the 20x "
+    "payload), exists hit + miss, ranged read vs the payload slice, "
+    "metadata accounting, keyset list page — and the round-8 claim "
+    "itself: every point lookup PRUNES the part list to exactly one "
+    "part via the manifest min/max spans before Spark plans a scan "
+    "(store.read_point; the b-tree-PK analogue of "
+    "SqliteProvider.cs:258-270).",
+)
+def engine_point_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = (
+        _docs(spark, sf_dir)
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("object_key"),
+            F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+            F.col("doc_id").cast("long").alias("_id"),
+        )
+    )
+    n_docs = objs.count()
+    root = tempfile.mkdtemp(prefix="wds_pointreads_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        # three range-batched appends -> three parts whose object_key
+        # spans are DISJOINT (zero-padded keys sort like doc_id), so a
+        # correct pruner selects exactly one part per probe
+        cut1, cut2 = n_docs // 3, 2 * n_docs // 3
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n_docs + 1)):
+            batch = objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi))
+            eng.write_batch(batch.select("object_key", "data"))
+        eng = DedupeEngine.open(spark, root)
+
+        state = eng.store._state("objects")
+        n_parts = len(state["parts"])
+        sample = sorted(
+            r.object_key
+            for r in objs.filter((F.col("_id") % 7 == 0) & (F.col("_id") < 42))
+            .select("object_key")
+            .collect()
+        )
+        # list page expectation: ids are the global object_key rank
+        # (range-batched appends preserve key order), so the first page
+        # is the 5 smallest keys
+        first_page = eng.list_objects(index_start=0, max_results=5).objects
+        all_keys = sorted(r.object_key for r in objs.select("object_key").collect())
+        list_ok = [r.object_key for r in first_page] == all_keys[:5]
+
+        rows = []
+        for key in sample:
+            data = eng.get(key)
+            meta = eng.get_metadata(key)
+            rng = eng.get_range(key, 16, 4096)
+            pruned_obj = eng.store._prune_parts(state, {"object_key": [(key, key)]})
+            pruned_map = eng.store._prune_parts(
+                eng.store._state("object_map"), {"object_key": [(key, key)]}
+            )
+            rows.append(
+                (
+                    key,
+                    hashlib.md5(data).hexdigest(),
+                    eng.exists(key),
+                    not eng.exists(key + "_missing"),
+                    rng == data[16 : 16 + 4096],
+                    meta.original_length == len(data)
+                    and meta.chunk_count == len(meta.object_map),
+                    n_parts == 3
+                    and len(pruned_obj) == 1
+                    and len(pruned_map) == 1,
+                    bool(list_ok),
+                )
+            )
+        result = spark.createDataFrame(
+            rows,
+            "object_key string, payload_md5 string, exists_ok boolean, "
+            "miss_ok boolean, range_ok boolean, meta_ok boolean, "
+            "pruned_ok boolean, list_ok boolean",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

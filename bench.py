@@ -745,6 +745,14 @@ DEEP_QUERIES = [
     "docs_lsh_precision_recall",
     "docs_winnowing_pairs",
     "docs_token_chi2_drift",
+    # round-8 (verdict "what's missing" #3): the ANN/embedding family's
+    # next decade — the full IVF-PQ build+probe, the reciprocal-kNN
+    # bucket matmuls (adaptive plane count must keep in-bucket work
+    # bounded as rows x100), and the OPQ permuted re-encode (the
+    # heaviest per-vector build in the suite)
+    "emb_ann_topk_ivfpq",
+    "emb_mutual_knn_pairs",
+    "emb_opq_distortion",
 ]
 
 

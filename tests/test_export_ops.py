@@ -23,12 +23,17 @@ def q(name, spark, sf_dir):
     return all_queries()[name].spark(spark, sf_dir)
 
 
-def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
-    """The eval shingle set must reach the corpus as a broadcast build
-    side; the train shingle stream must not be corpus-wide deduped or
-    self-joined before the prune."""
+def test_decontaminate_eval_join_is_shuffle_hash(spark, sf_dir):
+    """Round-8 revision of the round-6 pin: the synthetic eval set is a
+    FIXED FRACTION of the corpus (doc_id % mod), so its shingle table
+    grows linearly and must never be a broadcast build side — the join
+    is pinned shuffle-hash on the shingle key (the strict
+    no-corpus-broadcast rule enforces the same), and the train stream
+    still never self-joins or goes cartesian."""
     df = q("docs_decontaminate", spark, sf_dir)
-    assert P.uses_broadcast_join(df)
+    df.collect()
+    assert P.has_shuffle_join(df)
+    assert not P.corpus_broadcast_violations(df, strict=True)
     assert not P.has_cartesian(df)
 
 

@@ -501,7 +501,7 @@ def bench_segmented_ingest(
 
     target = target_mb << 20
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{n_objects}:{target_mb}".encode()
+        f"{os.path.abspath(sf_dir)}:{n_objects}:{target_mb}:v2".encode()
     ).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"wds_segbench_{tag}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
@@ -515,6 +515,13 @@ def bench_segmented_ingest(
                     F.expr(f"repeat(text, CAST({target} / n_chars AS INT))"), "UTF-8"
                 ).alias("data"),
             )
+            # ONE file per object: limit() collapses to a single writer
+            # task, and a file packing hundreds of multi-MB binary rows
+            # makes the vectorized reader reserve rowgroup-sized
+            # contiguous vectors (the 100x deep tier OOM'd on a 1.5 GB
+            # reservation). Per-object files keep read batches at one
+            # payload each.
+            .repartition(n_objects)
             .write.mode("overwrite")
             .parquet(stage)
         )

@@ -73,6 +73,10 @@ CAS_RETRIES = 6
 # contract as the distributed form), so a point-delete of a huge object
 # can never be abused into a driver-side million-key materialization
 GC_RETURN_CAP = 10_000
+#: get_batch collects the batch's distinct chunk keys (to manifest-
+#: prune the chunk_store scan) only up to this many; larger batches
+#: keep the distributed full-store join (round 8)
+BATCH_PRUNE_CAP = 100_000
 
 
 def assign_ingest_ids(rolled: DataFrame, prev_max: int) -> DataFrame:
@@ -743,7 +747,25 @@ class DedupeEngine:
         wanted = self.store.read_point(
             "object_map", "object_key", keys, OBJECT_MAP_SCHEMA
         ).filter(F.col("object_key").isin(keys))
-        pieces = self.chunk_store.join(F.broadcast(wanted), "chunk_key")
+        # manifest-prune the payload scan too: the batch's chunk-key
+        # list is bounded by |keys| x chunks-per-object — below the cap,
+        # collect it and skip every chunk_store part whose key span
+        # can't hold any of them (the IN-list shape of the point path).
+        # Past the cap the distributed join over the full store is the
+        # right plan and the limit() keeps the probe collect cheap.
+        ck = [
+            r.chunk_key
+            for r in wanted.select("chunk_key")
+            .distinct()
+            .limit(BATCH_PRUNE_CAP + 1)
+            .collect()
+        ]
+        store = (
+            self.store.read_point("chunk_store", "chunk_key", ck, CHUNK_STORE_SCHEMA)
+            if 0 < len(ck) <= BATCH_PRUNE_CAP
+            else self.chunk_store
+        )
+        pieces = store.join(F.broadcast(wanted), "chunk_key")
         return (
             pieces.groupBy("object_key")
             .agg(

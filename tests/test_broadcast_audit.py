@@ -1,0 +1,157 @@
+"""Unit tests for the no-corpus-broadcast audit itself (round 8).
+
+The rule in ``plans.broadcast_audit`` is load-bearing (52 parametrized
+plan tests and the registry-wide sweep ride on it), so its parser and
+classifiers get direct coverage here: the balanced-expression splitter,
+the alias/expression resolver, the leaf classifiers, and end-to-end
+classifications on purpose-built toy plans.
+"""
+
+from pyspark.sql import functions as F
+
+from watsondedupe_spark import plans as P
+
+
+# -- pure-python parser pieces ------------------------------------------------
+
+
+def test_split_top_respects_nesting():
+    assert P._split_top("a#1, pmod(b#2, 16), cast(c#3 as string)") == [
+        "a#1",
+        "pmod(b#2, 16)",
+        "cast(c#3 as string)",
+    ]
+    assert P._split_top("") == []
+    assert P._split_top("struct(a, b)[0], x") == ["struct(a, b)[0]", "x"]
+
+
+def test_defining_expr_balanced_backscan():
+    details = "Output [2]: [pmod(xxhash64(t#5, 42), 4096) AS h#88, count#90L]"
+    assert P._defining_expr(details, "h#88") == "pmod(xxhash64(t#5, 42), 4096)"
+    # unknown attribute -> None
+    assert P._defining_expr(details, "zz#1") is None
+
+
+def test_key_is_bounded_via_expression_and_alias():
+    details = "\n".join(
+        [
+            "Output [2]: [pmod(xxhash64(t#5, 42), 4096) AS h#88]",
+            "Output [1]: [dayofweek(ts#3) AS dow#9]",
+            "Output [1]: [lang#4 AS actual_lang#12]",
+            "Output [1]: [doc_id#1 AS u#7L]",
+        ]
+    )
+    assert P._key_is_bounded("h#88", details)  # pmod bucketing
+    assert P._key_is_bounded("dow#9", details)  # calendar grain
+    assert P._key_is_bounded("actual_lang#12", details)  # alias of bounded col
+    assert P._key_is_bounded("source#2", details)  # whitelisted name
+    assert not P._key_is_bounded("u#7L", details)  # alias of a corpus id
+    assert not P._key_is_bounded("cluster_id#3L", details)
+
+
+def test_leaf_classifiers():
+    corpus_leaf = (
+        "\nOutput [2]: [doc_id#0L, text#1]\n"
+        "Location: InMemoryFileIndex [file:/data/sf/documents.parquet]\n"
+        "PushedFilters: [IsNotNull(doc_id)]\n"
+    )
+    dim_leaf = (
+        "\nOutput [2]: [r_regionkey#0L, r_name#1]\n"
+        "Location: InMemoryFileIndex [file:/data/sf/region.parquet]\n"
+    )
+    sample_leaf = (
+        "\nOutput [2]: [vec_id#0L, embedding#1]\n"
+        "Location: InMemoryFileIndex [file:/data/sf/embeddings.parquet]\n"
+        "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,3)]\n"
+    )
+    point_leaf = (
+        "\nOutput [1]: [object_key#0]\n"
+        "Location: InMemoryFileIndex [file:/store/objects/p001]\n"
+        "PushedFilters: [EqualTo(object_key,k1)]\n"
+    )
+    assert P._leaf_is_corpus("Scan parquet", corpus_leaf)
+    assert not P._leaf_is_corpus("Scan parquet", dim_leaf)
+    assert P._leaf_is_corpus("Scan parquet", sample_leaf)
+    assert not P._leaf_has_point_filter(corpus_leaf)
+    assert P._leaf_has_point_filter(sample_leaf)  # literal id upper bound
+    assert P._leaf_has_point_filter(point_leaf)
+    # substrate leaf: corpus-ness from column markers
+    assert P._leaf_is_corpus("Scan ExistingRDD", "\nOutput [1]: [doc_id#3L]\n")
+    assert not P._leaf_is_corpus("Scan ExistingRDD", "\nOutput [1]: [centroid#3]\n")
+
+
+# -- end-to-end toy plans ------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_dim_broadcast_is_ok(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dims = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = docs.join(
+        F.broadcast(dims.withColumnRenamed("r_regionkey", "doc_id")), "doc_id"
+    )
+    df.collect()
+    assert P.corpus_broadcast_violations(df, strict=True) == []
+
+
+def test_filtered_corpus_broadcast_is_scan_tracking(spark, sf_dir):
+    """Filter/Project over a corpus scan: static estimate tracks file
+    size, so even an explicit broadcast is classified ok (non-strict
+    AND strict — there is no estimate breaker)."""
+    docs = _docs(spark, sf_dir)
+    small = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "source")
+    df = docs.join(F.broadcast(small), "doc_id")
+    df.collect()
+    audit = P.broadcast_audit(df)
+    assert audit and all(r["ok"] and not r.get("anchored") for r in audit)
+
+
+def test_corpus_agg_broadcast_is_anchored_only(spark, sf_dir):
+    """An aggregate keyed by a corpus id, explicitly broadcast: the
+    finalized plan anchors it to the agg's measured shuffle stage —
+    allowed by default, REJECTED under strict."""
+    docs = _docs(spark, sf_dir)
+    sizes = docs.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df = docs.join(F.broadcast(sizes), "doc_id")
+    df.collect()
+    audit = P.broadcast_audit(df)
+    anchored = [r for r in audit if r.get("anchored")]
+    assert anchored, audit
+    assert P.corpus_broadcast_violations(df) == []
+    assert P.corpus_broadcast_violations(df, strict=True) != []
+
+
+def test_bounded_key_agg_broadcast_is_ok_even_strict(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n"))
+    df = docs.join(F.broadcast(per_source), "source")
+    df.collect()
+    assert P.corpus_broadcast_violations(df, strict=True) == []
+
+
+def test_limited_sample_broadcast_is_ok_even_strict(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sample = docs.select("doc_id").limit(5)
+    df = docs.join(F.broadcast(sample), "doc_id")
+    df.collect()
+    assert P.corpus_broadcast_violations(df, strict=True) == []
+
+
+def test_exploded_join_side_broadcast_is_violation(spark, sf_dir):
+    """A join inside the broadcast side above its measured stages is an
+    expanding chain — no anchor, unbounded keys: hard violation."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select("doc_id", "source").groupBy("doc_id").agg(
+        F.count("*").alias("na")
+    )
+    b = docs.select("doc_id", "lang").groupBy("doc_id").agg(
+        F.count("*").alias("nb")
+    )
+    side = a.join(b, "doc_id")  # join above both measured stages
+    df = docs.join(F.broadcast(side), "doc_id")
+    df.collect()
+    bad = P.corpus_broadcast_violations(df)
+    assert bad, P.broadcast_audit(df)

@@ -1138,6 +1138,12 @@ def test_no_corpus_broadcast_strict(spark, sf_dir, name):
         f"(strict family — pin shuffle_hash): "
         + "; ".join(f"node {r['node_id']}: {r['reason']}" for r in bad)
     )
+    # same finalized plan, second rule: no corpus-sized relation may
+    # funnel through an Exchange SinglePartition either
+    sp = P.single_partition_violations(df)
+    assert not sp, f"{name}: unbounded SinglePartition funnel: " + "; ".join(
+        f"node {r['node_id']}: {r['reason']}" for r in sp
+    )
 
 
 @pytest.mark.parametrize("name", AUDITED_NO_STATIC_BROADCAST)
@@ -1151,4 +1157,29 @@ def test_no_corpus_broadcast_unanchored(spark, sf_dir, name):
         f"{name}: UNANCHORED corpus-growing broadcast side (static "
         f"estimate cannot self-correct at scale): "
         + "; ".join(f"node {r['node_id']}: {r['reason']}" for r in bad)
+    )
+    sp = P.single_partition_violations(df)
+    assert not sp, f"{name}: unbounded SinglePartition funnel: " + "; ".join(
+        f"node {r['node_id']}: {r['reason']}" for r in sp
+    )
+
+
+# the four queries the round-8 funnel sweep caught (three plan rewrites
+# to the two-phase prefix scan / fixed block count, one classifier
+# resolution for coarse time grains) — pinned so the funnels stay fixed
+FUNNEL_FIXED = [
+    "docs_vocab_coverage_curve",
+    "events_watermark_lateness",
+    "lineitem_equidepth_histogram",
+    "events_burst_hours",
+]
+
+
+@pytest.mark.parametrize("name", FUNNEL_FIXED)
+def test_no_unbounded_single_partition_funnel(spark, sf_dir, name):
+    df = q(name, spark, sf_dir)
+    df.collect()
+    sp = P.single_partition_violations(df)
+    assert not sp, f"{name}: " + "; ".join(
+        f"node {r['node_id']}: {r['reason']}" for r in sp
     )

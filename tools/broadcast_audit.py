@@ -59,18 +59,20 @@ def main() -> int:
 
     report: dict[str, list[dict]] = {}
     errors: dict[str, str] = {}
-    n_bex = 0
+    n_bex = n_sp = 0
     for name, spec in specs.items():
         t0 = time.time()
         try:
             df = spec.spark(spark, sf_dir)
             df.collect()
             audit = P.broadcast_audit(df)
+            sp_audit = P.single_partition_audit(df)
         except Exception as e:  # noqa: BLE001 — sweep must finish
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"{name:42s} ERROR {errors[name][:80]}", flush=True)
             continue
         n_bex += len(audit)
+        n_sp += len(sp_audit)
         from watsondedupe_spark.plans import BROADCAST_AUDIT_ALLOW
 
         bad = [
@@ -78,29 +80,45 @@ def main() -> int:
             for r in audit
             if (not r["ok"] or (strict and r.get("anchored")))
             and name not in BROADCAST_AUDIT_ALLOW
+        ] + [
+            {**r, "kind": "single_partition"}
+            for r in sp_audit
+            if not r["ok"] and name not in SP_AUDIT_ALLOW
         ]
         if bad:
             report[name] = bad
             print(f"{name:42s} VIOLATION x{len(bad)} ({time.time()-t0:.1f}s)",
                   flush=True)
             for r in bad:
-                print(f"    node {r['node_id']}: {r['reason']}")
+                kind = "SP" if r.get("kind") == "single_partition" else "bcast"
+                print(f"    [{kind}] node {r['node_id']}: {r['reason']}")
         else:
-            print(f"{name:42s} ok ({len(audit)} bcast, {time.time()-t0:.1f}s)",
-                  flush=True)
+            print(
+                f"{name:42s} ok ({len(audit)} bcast, {len(sp_audit)} sp, "
+                f"{time.time()-t0:.1f}s)",
+                flush=True,
+            )
 
     print(f"\n{len(specs) - len(errors)} audited, {n_bex} broadcast sides, "
+          f"{n_sp} single-partition funnels, "
           f"{len(report)} queries with violations, {len(errors)} errors")
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(
                 {"violations": report, "errors": errors,
                  "audited": len(specs) - len(errors),
-                 "broadcast_sides": n_bex, "sf_dir": sf_dir},
+                 "broadcast_sides": n_bex,
+                 "single_partition_funnels": n_sp, "sf_dir": sf_dir},
                 fh, indent=1, sort_keys=True,
             )
     spark.stop()
     return 1 if report else 0
+
+
+# Documented funnel exceptions (same contract as BROADCAST_AUDIT_ALLOW:
+# a boundedness argument the text classifier cannot see). Populated by
+# the sweep triage; empty means every funnel classifies cleanly.
+SP_AUDIT_ALLOW: dict[str, str] = {}
 
 
 if __name__ == "__main__":

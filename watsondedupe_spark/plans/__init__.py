@@ -346,13 +346,18 @@ def _defining_expr(plan_details: str, attr: str) -> str | None:
 # extraction (fixed grain domain), partition ids (cluster-bounded).
 _BOUNDED_EXPR_RES = [
     re.compile(r"%\s*\d+\b"),
-    re.compile(r"\bpmod\([^)]*,\s*\d+\)", re.S),
+    # greedy across nested parens: pmod(FLOOR((a * B) / m), 4096) — the
+    # LAST ", <int>)" is the modulus, which is what bounds the domain
+    re.compile(r"\bpmod\(.*,\s*\d+\)", re.S),
     re.compile(r"&\s*\d+\b"),
     re.compile(
         r"\b(?:year|quarter|month|dayofweek|weekday|dayofmonth|hour|minute"
         r"|date_trunc|to_date|window)\("
     ),
     re.compile(r"\bSPARK_PARTITION_ID\(\)", re.I),
+    # coarse time grain: unix time div a >=6-digit divisor (minutes and
+    # up) — domain bounded by the data's wall-clock span, not its size
+    re.compile(r"\bunix_(?:micros|millis|seconds)\(.*div\s+\d{6,}", re.S),
 ]
 
 
@@ -597,6 +602,99 @@ def corpus_broadcast_violations(df: DataFrame, strict: bool = False) -> list[dic
         for r in broadcast_audit(df)
         if not r["ok"] or (strict and r.get("anchored"))
     ]
+
+
+def single_partition_audit(df: DataFrame) -> list[dict]:
+    """One report entry per ``Exchange SinglePartition`` in the finalized
+    plan — the OTHER classic scale killer: a corpus-sized relation
+    funneled through one task (a bare ``Window.orderBy``, a global sort
+    before aggregation, a single-phase global aggregate of raw rows).
+
+    Classification is STRICTER than the broadcast audit: there is no
+    scan-tracking or measured-anchor allowance, because the planner
+    never undoes a SinglePartition requirement as data grows — if
+    unbounded rows reach it at any scale, one task absorbs them all.
+    A funnel is fine only when its input is provably bounded: a
+    limit/top-k below it, no corpus leaves at all, point/sample
+    filters, or a (shallowest) aggregate whose keys all have bounded
+    domains (keyless 1-row aggregates being the common case).
+    Callers should ``df.collect()`` first so the audited tree is the
+    final adaptive plan."""
+    nodes, details = _final_tree_and_details(df)
+    reports = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if not name.startswith("Exchange"):
+            continue
+        if "SinglePartition" not in _detail_field(details.get(nid, ""), "Arguments"):
+            continue
+        subtree = []
+        for d2, n2, id2 in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append((d2, n2, id2))
+        entry = {"node_id": nid, "leaves": [], "ok": False, "reason": ""}
+
+        if any(_BOUNDING_RE.match(n2) for _, n2, _ in subtree):
+            entry.update(ok=True, reason="limit/top-k bounds the funnel input")
+            reports.append(entry)
+            continue
+
+        corpus_leaves = []
+        for _, n2, id2 in subtree:
+            if not _LEAF_RE.match(n2):
+                continue
+            det = details.get(id2, "")
+            is_corpus = _leaf_is_corpus(n2, det)
+            entry["leaves"].append(
+                {"name": n2, "id": id2, "corpus": is_corpus,
+                 "location": _detail_field(det, "Location")}
+            )
+            if is_corpus and not _leaf_has_point_filter(det):
+                corpus_leaves.append((n2, id2))
+
+        if not corpus_leaves:
+            entry.update(
+                ok=True,
+                reason="bounded leaves only (dims/literals/point-filtered)",
+            )
+            reports.append(entry)
+            continue
+
+        aggs = [(d2, n2, id2) for d2, n2, id2 in subtree if _AGG_RE.match(n2)]
+        if aggs:
+            d2, n2, id2 = min(aggs)
+            keys_raw = _detail_field(details.get(id2, ""), "Keys")
+            raw_keys = _split_top(keys_raw.strip().strip("[]"))
+            all_details = "\n".join(details.values())
+            keys = [_strip_attr(k) for k in raw_keys]
+            if all(_key_is_bounded(k, all_details) for k in raw_keys):
+                entry.update(
+                    ok=True,
+                    reason=f"bounded-key aggregate over {keys or 'no keys (1 row)'}",
+                )
+                reports.append(entry)
+                continue
+            entry.update(
+                ok=False,
+                reason=f"corpus leaves {[l for _, l in corpus_leaves]} reach the "
+                f"SinglePartition funnel through an aggregate keyed by {keys} "
+                "— keys not provably bounded (one task absorbs O(keys) rows)",
+            )
+            reports.append(entry)
+            continue
+
+        entry.update(
+            ok=False,
+            reason=f"corpus-growing leaves {[l for _, l in corpus_leaves]} feed a "
+            "SinglePartition exchange with no bounding operator — one task "
+            "absorbs the whole relation at every scale",
+        )
+        reports.append(entry)
+    return reports
+
+
+def single_partition_violations(df: DataFrame) -> list[dict]:
+    return [r for r in single_partition_audit(df) if not r["ok"]]
 
 
 def assert_no_corpus_broadcast(df: DataFrame, context: str = "") -> None:

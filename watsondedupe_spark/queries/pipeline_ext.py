@@ -1534,7 +1534,14 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming ops: watermark-delay tuning from the out-of-orderness profile
 # ---------------------------------------------------------------------------
 
-_LATE_BLOCK = 10_000
+#: FIXED number of arrival-order blocks for the two-phase prefix max.
+#: Round-8 revision: the previous fixed block SIZE (10k arrivals) made
+#: the block COUNT grow with the corpus — so the block-prefix table was
+#: an unbounded SinglePartition window plus an unbounded broadcast (the
+#: funnel audit's first catch). A fixed block COUNT bounds both at 4096
+#: rows forever; block membership stays monotone in event_id, so the
+#: greatest(run_in, prev_max) prefix semantics are unchanged.
+_LATE_BLOCKS = 4096
 
 
 @register(
@@ -1563,18 +1570,30 @@ FROM hist CROSS JOIN tot
     "minutes — THE table a streaming pipeline reads to choose its "
     "withWatermark delay (pick the bucket covering the tail you are "
     "willing to drop). The global running max is computed scalably as a "
-    "two-phase prefix scan: a per-block window (blocks of {_LATE_BLOCK} "
-    "arrivals), a tiny block-level prefix max (rows = N/{_LATE_BLOCK}, "
-    "broadcast back), and greatest() of the two — no single-partition "
-    "window over the corpus, the round-4 lesson from docs_pack_sequences. "
+    f"two-phase prefix scan over a FIXED count of arrival-order blocks "
+    f"({_LATE_BLOCKS}): a per-block window, a block-level prefix max "
+    f"bounded at {_LATE_BLOCKS} rows forever (SinglePartition window + "
+    "broadcast both provably bounded — the round-8 funnel-audit fix; a "
+    "fixed block SIZE made the block count grow with the corpus), and "
+    "greatest() of the two — no single-partition window over the corpus. "
     "Oracle: DuckDB's straightforward single-window formulation, which "
     "the two-phase plan must match row-for-row",
 )
 def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir).select(
+    raw = _events(spark, sf_dir).select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    mx = raw.agg((F.max("event_id") + 1).alias("m"))
+    # block = floor(event_id * B / (max+1)), wrapped in pmod(, B): the
+    # pmod is an identity on the real domain (the floor is always < B)
+    # but makes the bound part of the expression — enforced AND visible
+    # to the single-partition/broadcast audits
+    e = raw.crossJoin(F.broadcast(mx)).select(
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.floor(F.col("event_id") / _LATE_BLOCK).cast("long").alias("block"),
+        "us",
+        F.pmod(
+            F.floor(F.col("event_id") * _LATE_BLOCKS / F.col("m")), _LATE_BLOCKS
+        ).cast("long").alias("block"),
     )
     w_in = (
         Window.partitionBy("block")
@@ -3218,8 +3237,22 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), "tok")
-    ranked = vocab.select("cnt", F.row_number().over(w).alias("rnk"))
+    # frequency rank via the house two-phase prefix scan: a bare
+    # Window.orderBy funneled the whole VOCABULARY (Heaps-law unbounded)
+    # through one task — the round-8 single-partition audit's first
+    # catch. Rank = exclusive prefix-count of ones in (cnt desc, tok)
+    # order; the struct key makes the range shuffle carry that order.
+    from watsondedupe_spark.operators.text import global_prefix_sum
+
+    keyed = vocab.select(
+        "cnt",
+        F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")).alias("_ord"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = (
+        global_prefix_sum(keyed, "_ord", "_one", out_col="_rnk0")
+        .select("cnt", (F.col("_rnk0") + 1).cast("int").alias("rnk"))
+    )
     tot = vocab.agg(
         F.sum("cnt").alias("total"), F.count("*").cast("long").alias("vocab_size")
     )

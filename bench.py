@@ -395,6 +395,13 @@ HEADLINE = [
     # substrate (locked build row) + flagged-bounded joins and a re-CC
     # over the flagged subgraph; its scale behavior is gated in
     # SCALE_QUERIES instead, where the flagged-bounded claim is testable.
+    # round-8 session-2 additions: paragraph-level dedup (segment
+    # explode -> hash-keyed first-instance agg + same-key join-back —
+    # a NEW corpus-grain shuffle shape, the CCNet strip) and semantic
+    # decontamination (one Arrow matmul pass against the bounded eval
+    # capture — the per-batch mapInPandas floor at corpus grain).
+    "docs_paragraph_dedup",
+    "emb_decontaminate",
 ]
 
 
@@ -738,6 +745,12 @@ SCALE_QUERIES = [
     # seconds must track the flagged-edge count (~rows), not the corpus
     # pair fan-out; the scale gate is exactly where a violation shows
     "docs_cluster_repair",
+    # round-8 session 2: the two new corpus-grain shapes — paragraph
+    # dedup (segment-hash agg + shuffle-hash join-back must stay
+    # ~linear in segments) and semantic decontamination (one Arrow
+    # pass: seconds must track corpus rows; the eval capture is fixed)
+    "docs_paragraph_dedup",
+    "emb_decontaminate",
 ]
 
 

@@ -903,3 +903,114 @@ def test_vocab_growth_curve_matches_reference(spark, sf_dir):
         assert r.vocab_size >= prev
         prev = r.vocab_size
     assert got[_VG_DECILES].vocab_size == len(first_doc)
+
+
+# ---------------------------------------------------------------------------
+# docs_paragraph_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_on_planted_fixture(spark):
+    """An identical doc pair strips exactly the later copy's paragraph,
+    attributed to the later copy's source; unique text strips nothing."""
+    shared = " ".join(f"w{i}" for i in range(20))  # one <32-token paragraph
+    rows = [
+        (0, shared, "srcA"),
+        (1, shared, "srcB"),
+        (2, "totally unique words here", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import watsondedupe_spark.queries.curation_ext as mod
+
+    orig_par, orig_docs = mod._docs_parallel, mod._docs
+    mod._docs_parallel = lambda s, d: docs
+    mod._docs = lambda s, d: docs
+    try:
+        out = {r.source: r for r in _q("docs_paragraph_dedup", spark, "x").collect()}
+    finally:
+        mod._docs_parallel, mod._docs = orig_par, orig_docs
+    assert out["srcA"].n_paras == 1 and out["srcA"].n_stripped == 0
+    assert out["srcB"].n_paras == 2 and out["srcB"].n_stripped == 1
+    assert out["srcB"].tokens_stripped == 20
+    assert out["srcB"].strip_share == pytest.approx(0.5)
+    assert out["srcA"].tokens_stripped == 0
+
+
+def test_paragraph_dedup_bounds(spark, sf_dir):
+    rows = _q("docs_paragraph_dedup", spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_stripped for r in rows) > 0, "corpus plants duplicate docs"
+    for r in rows:
+        assert 0 <= r.n_stripped <= r.n_paras
+        assert 0 <= r.tokens_stripped
+        assert r.strip_share == pytest.approx(r.n_stripped / r.n_paras)
+
+
+# ---------------------------------------------------------------------------
+# emb_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_max_cosine_vs_set_known_vectors(spark):
+    from watsondedupe_spark.operators.similarity import max_cosine_vs_set
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 7), (11, [0.0, 1.0], 8), (12, [1.0, 1.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    refs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in
+           max_cosine_vs_set(corpus, refs, keep_cols=("label",)).collect()}
+    assert got[10].max_sim == pytest.approx(1.0)
+    assert got[11].max_sim == pytest.approx(0.0)
+    assert got[12].max_sim == pytest.approx(1.0 / math.sqrt(2.0), rel=1e-6)
+    assert got[10].label == 7 and got[11].label == 8
+
+
+def test_max_cosine_vs_set_empty_refs_raises(spark):
+    from watsondedupe_spark.operators.similarity import max_cosine_vs_set
+
+    emp = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty reference set"):
+        max_cosine_vs_set(emp, emp)
+
+
+def test_emb_decontaminate_matches_reference(spark, sf_dir):
+    """Independent numpy recomputation of the per-label flag counts."""
+    import numpy as np
+
+    from watsondedupe_spark.queries.curation_ext import _DECON_EVAL_N, _DECON_THR
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    V = np.floor(
+        np.asarray([r.embedding for r in rows], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    ids = np.asarray([r.vec_id for r in rows])
+    labels = np.asarray([r.label for r in rows])
+    ev, tr = V[ids < _DECON_EVAL_N], V[ids >= _DECON_EVAL_N]
+    trl = labels[ids >= _DECON_EVAL_N]
+    S = (tr @ ev.T).astype(np.float64)
+    S = S / np.sqrt((tr * tr).sum(1).astype(np.float64))[:, None]
+    S = S / np.sqrt((ev * ev).sum(1).astype(np.float64))[None, :]
+    mx = S.max(axis=1)
+    want = {
+        int(lab): (
+            int((trl == lab).sum()),
+            int(((trl == lab) & (mx >= _DECON_THR)).sum()),
+            float(mx[trl == lab].max()),
+        )
+        for lab in np.unique(trl)
+    }
+    got = {r.label: r for r in _q("emb_decontaminate", spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    assert sum(r.n_flagged for r in got.values()) > 0, "threshold should flag some"
+    for lab, (n_tr, n_fl, top) in want.items():
+        assert got[lab].n_train == n_tr
+        assert got[lab].n_flagged == n_fl
+        assert got[lab].top_sim == top  # bit-exact: same int dot / sqrt / sqrt

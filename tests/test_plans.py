@@ -1110,6 +1110,11 @@ STRICT_NO_BROADCAST = [
     "docs_source_overlap_minhash", "docs_token_chi2_drift",
     "docs_length_ks_drift", "docs_incremental_dedup", "docs_ngram_novelty",
     "ddp_coverage",
+    # r8 additions: paragraph dedup's first-instance table and source
+    # map are both corpus-growing (shuffle_hash-pinned); semantic
+    # decontamination must never broadcast anything but the bounded
+    # eval capture
+    "docs_paragraph_dedup", "emb_decontaminate",
 ]
 
 # ANN / retrieval / long-tail heavies: corpus-growing sides may ride an

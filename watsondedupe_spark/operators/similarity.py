@@ -1074,6 +1074,76 @@ def cosine_pairs_np(
     return side.mapInPandas(_pairs, schema="vec_a long, vec_b long, cosine double")
 
 
+def max_cosine_vs_set(
+    corpus: DataFrame,
+    refs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 1000,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-corpus-vector MAX quantized cosine against a BOUNDED reference
+    set — the kernel of semantic decontamination (flag training vectors
+    too close to any eval/benchmark vector).
+
+    ``refs`` must be genuinely bounded (an eval benchmark is fixed-size
+    by definition, like centroids/codebooks — never corpus-growing): it
+    rides to every task as a closure capture and each corpus Arrow batch
+    computes ONE ``batch x refs`` integer matmul, emitting a single
+    ``max_sim`` per vector. No fan-out, no shuffle, no window — the plan
+    is scan -> mapInPandas at any corpus size.
+
+    Arithmetic is the house quantized-integer cosine (floor(x*q + 0.5)
+    int64 dot/norms, then dot / sqrt(na) / sqrt(nb) double divisions in
+    that order), so the score bit-matches the SQL-oracle fold. ``max``
+    over exact-identical doubles is order-free, keeping the output
+    hash-comparable across engines.
+    """
+    import numpy as np
+
+    rrows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in refs.collect()
+    )
+    if not rrows:
+        raise ValueError("max_cosine_vs_set: empty reference set")
+    rvec_l = [v for _, v in rrows]
+
+    def _maxsim(batches):
+        import numpy as np
+        import pandas as pd
+
+        R = np.floor(np.asarray(rvec_l, dtype=np.float64) * quantize + 0.5).astype(
+            np.int64
+        )
+        rnrm = np.sqrt((R * R).sum(axis=1).astype(np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.asarray(list(pdf[vec_col]), dtype=np.float64) * quantize + 0.5
+            ).astype(np.int64)
+            vnrm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            S = (V @ R.T).astype(np.float64)
+            S = S / vnrm[:, None]
+            S = S / rnrm[None, :]
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "max_sim": S.max(axis=1),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    in_cols = [F.col(id_col), F.col(vec_col)] + [F.col(c) for c in keep_cols]
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in corpus.select(*[F.col(c) for c in keep_cols]).schema.fields
+    ) if keep_cols else ""
+    return corpus.select(*in_cols).mapInPandas(
+        _maxsim, schema=f"{id_col} long, max_sim double{keep_schema}"
+    )
+
+
 def pq_index_append(
     codes: DataFrame,
     new_batch: DataFrame,

@@ -63,9 +63,11 @@ _GRADING_PRIORITY = [
     # change-risk, then the last never-driver-graded stragglers (after
     # this window every registered query has had a driver-graded row).
     #
-    # Tier 1 — BUILT IN ROUND 8 (1): the point-read loop over a
-    # three-part store grading manifest min/max data skipping.
-    "engine_point_reads",
+    # Tier 1 — BUILT IN ROUND 8 (3): the point-read loop over a
+    # three-part store grading manifest min/max data skipping;
+    # session 2: paragraph-level (CCNet) dedup and embedding-space
+    # eval-set decontamination.
+    "engine_point_reads", "docs_paragraph_dedup", "emb_decontaminate",
     # Tier 2 — change risk (20): the 11 shuffle-hash pins from the
     # no-corpus-broadcast audit (plans changed; results must not),
     # the two plans rewritten by the single-partition funnel audit

@@ -2502,3 +2502,179 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mass_of_seen_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style cross-corpus repeated-segment strip)
+# ---------------------------------------------------------------------------
+
+#: paragraph unit: non-overlapping windows of this many whitespace tokens
+#: (the corpus has no newline structure, so fixed-width segments stand in
+#: for paragraphs — same convention as docs_passage_chunks, stride=window)
+_PARA_W = 32
+
+
+@register(
+    "docs_paragraph_dedup",
+    f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+    SELECT doc_id,
+           CAST(u.i AS INTEGER) AS passage_idx,
+           CAST(len(list_slice(t, u.s, least(u.s + {_PARA_W - 1}, len(t))))
+               AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               list_slice(t, u.s, least(u.s + {_PARA_W - 1}, len(t))), ' ')) AS h
+    FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(
+                   list_zip(starts, generate_series(1, len(starts))),
+                   z -> struct_pack(s := z[1], i := z[2]))) AS u
+        FROM (SELECT doc_id, t,
+                     generate_series(1, len(t), {_PARA_W}) AS starts
+              FROM tok))
+),
+r AS (
+    SELECT doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, passage_idx) AS rn
+    FROM p
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(COUNT(*) FILTER (r.rn > 1) AS BIGINT) AS n_stripped,
+       CAST(COALESCE(SUM(r.n_tokens) FILTER (r.rn > 1), 0) AS BIGINT)
+           AS tokens_stripped,
+       CAST(COUNT(*) FILTER (r.rn > 1) AS DOUBLE) / COUNT(*) AS strip_share
+FROM r JOIN documents d ON d.doc_id = r.doc_id
+GROUP BY d.source
+""",
+    doc="paragraph-level dedup (the CCNet curation step, Wenzek et al. "
+    "2020): every document splits into non-overlapping "
+    f"{_PARA_W}-token segments (docs_passage_chunks with stride=window), "
+    "each segment is md5-keyed, and every instance except the globally "
+    "FIRST occurrence (min (doc_id, passage_idx) per hash) is marked "
+    "stripped — catching boilerplate and partial copies that whole-doc "
+    "dedup misses and span-dedup only counts gram-wise. Output: "
+    "per-source strip pressure (segments, stripped instances, tokens "
+    "removed, share). Scale shape: segmentation is one codegen scan "
+    "(zero UDFs), the first-instance table groups and joins back on the "
+    "segment hash — both sides hash-partition on the SAME key so the "
+    "join reuses the aggregate's exchange, and the hint pins it "
+    "shuffle-hash (the first-instance table is corpus-growing: "
+    "broadcasting it is the round-7 100x failure class). The final "
+    "rollup keys on source — a bounded provenance label set",
+)
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.text import passage_chunks
+
+    paras = passage_chunks(
+        _docs_parallel(spark, sf_dir), "text", "doc_id",
+        window=_PARA_W, stride=_PARA_W,
+    )
+    first = paras.groupBy("passage_hash").agg(
+        F.min(F.struct("doc_id", "passage_idx")).alias("first")
+    )
+    inst = (
+        paras.join(first.hint("shuffle_hash"), "passage_hash")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("passage_idx") != F.col("first.passage_idx"))
+            ).alias("stripped"),
+        )
+    )
+    per_doc = inst.groupBy("doc_id").agg(
+        F.count("*").alias("paras"),
+        F.sum(F.col("stripped").cast("long")).alias("stripped"),
+        F.sum(F.when(F.col("stripped"), F.col("n_tokens")).otherwise(0)).alias(
+            "tok_stripped"
+        ),
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        per_doc.join(src.hint("shuffle_hash"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("paras").cast("long").alias("n_paras"),
+            F.sum("stripped").cast("long").alias("n_stripped"),
+            F.sum("tok_stripped").cast("long").alias("tokens_stripped"),
+            (
+                F.sum("stripped").cast("double") / F.sum("paras").cast("double")
+            ).alias("strip_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-cosine eval-set leakage)
+# ---------------------------------------------------------------------------
+
+#: eval benchmark = the first N vec_ids — FIXED-COUNT by construction
+#: (a benchmark does not grow with the training corpus), which is what
+#: makes the closure-captured reference matrix legitimately bounded
+_DECON_EVAL_N = 64
+#: flag threshold: the house near-identity cosine (emb_near_dup_pairs)
+_DECON_THR = 0.40
+
+
+@register(
+    "emb_decontaminate",
+    f"""
+WITH ev AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings WHERE vec_id < {_DECON_EVAL_N}
+),
+tr AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings WHERE vec_id >= {_DECON_EVAL_N}
+),
+ms AS (
+    SELECT t.vec_id, t.label, MAX({{icos}}) AS max_sim
+    FROM tr t CROSS JOIN ev e
+    GROUP BY t.vec_id, t.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (max_sim >= {_DECON_THR}) AS BIGINT) AS n_flagged,
+       MAX(max_sim) AS top_sim
+FROM ms GROUP BY label
+""".replace("{icos}", _icos_sql("t.qv", "e.qv")),
+    doc="semantic decontamination: the embedding-space complement of the "
+    "token-n-gram docs_decontaminate — flag every training vector whose "
+    "max quantized cosine to ANY eval-benchmark vector reaches the "
+    f"near-identity threshold ({_DECON_THR}), per label: train count, "
+    "flagged count, and the highest similarity seen. The eval set is the "
+    f"first {_DECON_EVAL_N} vec_ids — fixed-count by construction, the "
+    "way a real benchmark is — so the reference matrix is a bounded "
+    "closure capture (centroid/codebook class, NOT corpus-growing) and "
+    "the whole scan is one Arrow pass: per batch a single "
+    "|batch| x |eval| integer matmul emits one max_sim per vector — no "
+    "fan-out, no shuffle, no window before the final bounded-key label "
+    "rollup. Quantized-integer cosine (exact int64 dot/norms, then "
+    "dot / sqrt / sqrt double divisions) keeps numpy, Spark, and the "
+    "DuckDB fold bit-identical; max over identical doubles is "
+    "order-free, so the output hash-matches",
+)
+def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.operators.similarity import max_cosine_vs_set
+
+    emb = _emb(spark, sf_dir)
+    want = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < want:
+        emb = emb.repartition(want)
+    ev = emb.filter(F.col("vec_id") < _DECON_EVAL_N).select("vec_id", "embedding")
+    tr = emb.filter(F.col("vec_id") >= _DECON_EVAL_N)
+    ms = max_cosine_vs_set(tr, ev, keep_cols=("label",))
+    return ms.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.when(F.col("max_sim") >= _DECON_THR, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.max("max_sim").alias("top_sim"),
+    )

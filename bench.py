@@ -399,8 +399,11 @@ HEADLINE = [
     # explode -> hash-keyed first-instance agg + same-key join-back —
     # a NEW corpus-grain shuffle shape, the CCNet strip) and semantic
     # decontamination (one Arrow matmul pass against the bounded eval
-    # capture — the per-batch mapInPandas floor at corpus grain).
+    # capture — the per-batch mapInPandas floor at corpus grain); the
+    # paragraph STRIP row times the affected-doc join-back + row-local
+    # edit (the spans-pair precedent: detect and strip each get a row).
     "docs_paragraph_dedup",
+    "docs_strip_paragraphs",
     "emb_decontaminate",
 ]
 
@@ -745,11 +748,14 @@ SCALE_QUERIES = [
     # seconds must track the flagged-edge count (~rows), not the corpus
     # pair fan-out; the scale gate is exactly where a violation shows
     "docs_cluster_repair",
-    # round-8 session 2: the two new corpus-grain shapes — paragraph
+    # round-8 session 2: the new corpus-grain shapes — paragraph
     # dedup (segment-hash agg + shuffle-hash join-back must stay
-    # ~linear in segments) and semantic decontamination (one Arrow
-    # pass: seconds must track corpus rows; the eval capture is fixed)
+    # ~linear in segments), its strip transform (affected-doc-bounded
+    # join-back: seconds must track affected docs, never the corpus
+    # pair fan-out), and semantic decontamination (one Arrow pass:
+    # seconds must track corpus rows; the eval capture is fixed)
     "docs_paragraph_dedup",
+    "docs_strip_paragraphs",
     "emb_decontaminate",
 ]
 

@@ -1014,3 +1014,38 @@ def test_emb_decontaminate_matches_reference(spark, sf_dir):
         assert got[lab].n_train == n_tr
         assert got[lab].n_flagged == n_fl
         assert got[lab].top_sim == top  # bit-exact: same int dot / sqrt / sqrt
+
+
+def test_strip_paragraphs_on_planted_fixture(spark):
+    """The later copy of a repeated paragraph is cut; unique tails and
+    first instances survive; unaffected docs do not appear."""
+    shared = " ".join(f"s{i}" for i in range(32))  # exactly one full window
+    tail = "unique tail words"
+    rows = [
+        (0, shared, "srcA"),               # first instance — kept, absent
+        (1, f"{shared} {tail}", "srcB"),   # para 1 stripped, tail kept
+        (2, "all unique here", "srcB"),    # unaffected — absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import watsondedupe_spark.queries.curation_ext as mod
+
+    orig_par, orig_docs = mod._docs_parallel, mod._docs
+    mod._docs_parallel = lambda s, d: docs
+    mod._docs = lambda s, d: docs
+    try:
+        out = {r.doc_id: r for r in _q("docs_strip_paragraphs", spark, "x").collect()}
+    finally:
+        mod._docs_parallel, mod._docs = orig_par, orig_docs
+    assert set(out) == {1}
+    assert out[1].clean_text == tail
+    assert out[1].n_removed == 32
+
+
+def test_strip_paragraphs_consistent_with_dedup_stats(spark, sf_dir):
+    """Total tokens removed by the strip equals the dedup stats' total."""
+    stats = _q("docs_paragraph_dedup", spark, sf_dir).collect()
+    stripped = _q("docs_strip_paragraphs", spark, sf_dir).collect()
+    assert stripped, "corpus plants duplicate docs"
+    assert sum(r.n_removed for r in stripped) == sum(
+        r.tokens_stripped for r in stats
+    )

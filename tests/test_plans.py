@@ -1114,7 +1114,7 @@ STRICT_NO_BROADCAST = [
     # map are both corpus-growing (shuffle_hash-pinned); semantic
     # decontamination must never broadcast anything but the bounded
     # eval capture
-    "docs_paragraph_dedup", "emb_decontaminate",
+    "docs_paragraph_dedup", "docs_strip_paragraphs", "emb_decontaminate",
 ]
 
 # ANN / retrieval / long-tail heavies: corpus-growing sides may ride an

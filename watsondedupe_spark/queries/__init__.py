@@ -67,7 +67,8 @@ _GRADING_PRIORITY = [
     # three-part store grading manifest min/max data skipping;
     # session 2: paragraph-level (CCNet) dedup and embedding-space
     # eval-set decontamination.
-    "engine_point_reads", "docs_paragraph_dedup", "emb_decontaminate",
+    "engine_point_reads", "docs_paragraph_dedup", "docs_strip_paragraphs",
+    "emb_decontaminate",
     # Tier 2 — change risk (20): the 11 shuffle-hash pins from the
     # no-corpus-broadcast audit (plans changed; results must not),
     # the two plans rewritten by the single-partition funnel audit

@@ -2514,13 +2514,14 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARA_W = 32
 
 
-@register(
-    "docs_paragraph_dedup",
-    f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: shared oracle CTE: every paragraph instance with its first-occurrence
+#: rank (rn = 1 is the kept instance; rn > 1 is stripped)
+_PARA_CTE = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 p AS (
     SELECT doc_id,
            CAST(u.i AS INTEGER) AS passage_idx,
+           CAST(u.s AS BIGINT) AS start_tok,
            CAST(len(list_slice(t, u.s, least(u.s + {_PARA_W - 1}, len(t))))
                AS BIGINT) AS n_tokens,
            md5(array_to_string(
@@ -2535,10 +2536,43 @@ p AS (
               FROM tok))
 ),
 r AS (
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, passage_idx, start_tok, n_tokens,
            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, passage_idx) AS rn
     FROM p
 )
+"""
+
+
+def _para_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every paragraph instance with its ``stripped`` verdict (True for
+    each instance except the global first occurrence of its hash).
+    The first-instance table is corpus-growing; both sides of the
+    join-back hash-partition on the segment hash, pinned shuffle-hash."""
+    from watsondedupe_spark.operators.text import passage_chunks
+
+    paras = passage_chunks(
+        _docs_parallel(spark, sf_dir), "text", "doc_id",
+        window=_PARA_W, stride=_PARA_W,
+    )
+    first = paras.groupBy("passage_hash").agg(
+        F.min(F.struct("doc_id", "passage_idx")).alias("first")
+    )
+    return paras.join(first.hint("shuffle_hash"), "passage_hash").select(
+        "doc_id",
+        "passage_idx",
+        "start_tok",
+        "n_tokens",
+        (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("passage_idx") != F.col("first.passage_idx"))
+        ).alias("stripped"),
+    )
+
+
+@register(
+    "docs_paragraph_dedup",
+    f"""
+WITH {_PARA_CTE.strip()}
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_paras,
        CAST(COUNT(*) FILTER (r.rn > 1) AS BIGINT) AS n_stripped,
@@ -2565,26 +2599,7 @@ GROUP BY d.source
     "rollup keys on source — a bounded provenance label set",
 )
 def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.operators.text import passage_chunks
-
-    paras = passage_chunks(
-        _docs_parallel(spark, sf_dir), "text", "doc_id",
-        window=_PARA_W, stride=_PARA_W,
-    )
-    first = paras.groupBy("passage_hash").agg(
-        F.min(F.struct("doc_id", "passage_idx")).alias("first")
-    )
-    inst = (
-        paras.join(first.hint("shuffle_hash"), "passage_hash")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                (F.col("doc_id") != F.col("first.doc_id"))
-                | (F.col("passage_idx") != F.col("first.passage_idx"))
-            ).alias("stripped"),
-        )
-    )
+    inst = _para_instances(spark, sf_dir)
     per_doc = inst.groupBy("doc_id").agg(
         F.count("*").alias("paras"),
         F.sum(F.col("stripped").cast("long")).alias("stripped"),
@@ -2677,4 +2692,89 @@ def emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_flagged"),
         F.max("max_sim").alias("top_sim"),
+    )
+
+
+@register(
+    "docs_strip_paragraphs",
+    f"""
+WITH {_PARA_CTE.strip()},
+strip AS (
+    SELECT doc_id, start_tok, start_tok + n_tokens - 1 AS end_tok, n_tokens
+    FROM r WHERE rn > 1
+),
+toks AS (
+    SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t)),
+                   i -> struct_pack(pos := i, tok := t[i]))) AS u
+        FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM strip)
+    )
+),
+keep AS (
+    SELECT tk.doc_id, tk.pos, tk.tok
+    FROM toks tk
+    WHERE NOT EXISTS (SELECT 1 FROM strip s
+                      WHERE s.doc_id = tk.doc_id
+                        AND tk.pos BETWEEN s.start_tok AND s.end_tok)
+),
+removed AS (
+    SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS n_removed
+    FROM strip GROUP BY doc_id
+)
+SELECT rm.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       rm.n_removed
+FROM removed rm
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM keep GROUP BY doc_id
+) k USING (doc_id)
+""",
+    doc="paragraph-dedup REMOVAL (the transform docs_paragraph_dedup "
+    "exists to feed, mirroring docs_dup_spans -> docs_strip_dup_spans): "
+    "for every document holding a non-first instance of a repeated "
+    f"{_PARA_W}-token segment, cut those segments out and re-join the "
+    "survivors — train on the cleaned text, not on dropped documents. "
+    "Spark side keeps the edit row-local: each affected doc's stripped "
+    "windows collapse to ONE array (bounded by doc length, paragraphs "
+    "are disjoint by construction), the window table joins back to the "
+    "tokenized text on doc_id (shuffle-hash pinned: affected docs are "
+    "corpus-growing), and a position-aware filter lambda drops covered "
+    "tokens — the corpus text itself is never exploded or shuffled "
+    "beyond that one doc_id-keyed join. A fully-covered document "
+    "yields an empty string",
+)
+def docs_strip_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    strip = (
+        _para_instances(spark, sf_dir)
+        .filter(F.col("stripped"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start_tok").alias("s"),
+                    (F.col("start_tok") + F.col("n_tokens") - 1).alias("e"),
+                )
+            ).alias("sp"),
+            F.sum("n_tokens").cast("long").alias("n_removed"),
+        )
+    )
+    toks = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+
+    # two-parameter filter lambda binds (value, 0-based index); a token
+    # at 1-based position p survives iff no stripped window covers p
+    def outside_windows(x, i):
+        p = i + 1
+        return ~F.exists(
+            "sp", lambda s: (s.getField("s") <= p) & (p <= s.getField("e"))
+        )
+
+    return toks.join(strip.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        F.array_join(F.filter("t", outside_windows), " ").alias("clean_text"),
+        "n_removed",
     )

@@ -198,6 +198,7 @@ def passage_chunks(
     id_col: str = "doc_id",
     window: int = 64,
     stride: int = 48,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overlapping fixed-stride passage windows over whitespace tokens.
 
@@ -217,9 +218,10 @@ def passage_chunks(
             f"need 0 < stride <= window, got stride={stride}, window={window}"
         )
     w, s = window, stride
+    keep = [F.col(c) for c in keep_cols]
     tok = df.select(
-        F.col(id_col), F.split(text_col, " ").alias("t")
-    ).select(id_col, "t", F.size("t").alias("n"))
+        F.col(id_col), F.split(text_col, " ").alias("t"), *keep
+    ).select(id_col, "t", F.size("t").alias("n"), *keep)
     st = tok.select(
         id_col,
         "t",
@@ -228,8 +230,11 @@ def passage_chunks(
             F.sequence(F.lit(1), F.col("n"), F.lit(s)),
             lambda x: (x == 1) | (x + F.lit(w - s - 1) < F.col("n")),
         ).alias("starts"),
+        *keep,
     )
-    p = st.select(id_col, "t", "n", F.posexplode("starts").alias("pos", "start_tok"))
+    p = st.select(
+        id_col, "t", "n", *keep, F.posexplode("starts").alias("pos", "start_tok")
+    )
     ptoks = F.slice(F.col("t"), F.col("start_tok"), w)
     return p.select(
         id_col,
@@ -237,6 +242,7 @@ def passage_chunks(
         F.col("start_tok").cast("long").alias("start_tok"),
         F.size(ptoks).cast("long").alias("n_tokens"),
         F.md5(F.array_join(ptoks, " ")).alias("passage_hash"),
+        *keep,
     )
 
 

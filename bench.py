@@ -779,6 +779,10 @@ DEEP_QUERIES = [
     "emb_ann_topk_ivfpq",
     "emb_mutual_knn_pairs",
     "emb_opq_distortion",
+    # round-8 session 2: the new paragraph-dedup machinery has the
+    # segment-hash-agg shape of the span family that produced the r7
+    # 100x catches — give it two-point slope evidence from day one
+    "docs_paragraph_dedup",
 ]
 
 

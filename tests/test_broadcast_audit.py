@@ -155,3 +155,63 @@ def test_exploded_join_side_broadcast_is_violation(spark, sf_dir):
     df.collect()
     bad = P.corpus_broadcast_violations(df)
     assert bad, P.broadcast_audit(df)
+
+
+# -- round-8 review fixes: pmod parsing, time grains, branch-aware funnels ----
+
+
+def test_pmod_column_modulus_is_not_bounded():
+    """A greedy regex anchored on the xxhash64 SEED literal here; the
+    balanced-paren parser must see the real (column) modulus."""
+    details = "Output [1]: [pmod(xxhash64(g#12, 42), n_buckets#9) AS h#88]"
+    assert not P._key_is_bounded("h#88", details)
+    # literal modulus with nested parens still classifies bounded
+    details2 = (
+        "Output [1]: [pmod(FLOOR(((event_id#1L * 4096) / 100000)), 4096) AS b#2L]"
+    )
+    assert P._key_is_bounded("b#2L", details2)
+    # least() clamp between floor and pmod (the watermark shape)
+    details3 = (
+        "Output [1]: [pmod(least(FLOOR(((event_id#1L * 4096) / 100000)), 4095),"
+        " 4096) AS b#3L]"
+    )
+    assert P._key_is_bounded("b#3L", details3)
+
+
+def test_time_grain_digit_floor_scales_with_unit():
+    # per-second micros buckets: corpus-scale cardinality, NOT bounded
+    assert not P._expr_is_bounded("(unix_micros(ts#3) div 1000000)")
+    # hourly micros (the events_burst_hours key): bounded
+    assert P._expr_is_bounded("(unix_micros(ts#3) div 3600000000)")
+    # minute-grain millis: bounded (rejected by the old 6-digit floor)
+    assert P._expr_is_bounded("(unix_millis(ts#3) div 60000)")
+    # minute-grain seconds: bounded
+    assert P._expr_is_bounded("(unix_seconds(ts#3) div 60)")
+    # per-second seconds grain: not bounded
+    assert not P._expr_is_bounded("(unix_seconds(ts#3) div 1)")
+
+
+def test_one_branch_limit_does_not_launder_the_funnel(spark, sf_dir):
+    """A dim.limit() branch of a join must not clear a corpus branch
+    funneling through the same SinglePartition exchange."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.select("event_type").distinct().limit(3)
+    joined = ev.join(F.broadcast(dim), "event_type")
+    bad = joined.select(
+        "event_id", F.row_number().over(Window.orderBy("event_id")).alias("rn")
+    )
+    bad.collect()
+    viol = P.single_partition_violations(bad)
+    assert viol, "corpus branch outside the limit must still flag"
+    assert "outside every bounding operator" in viol[0]["reason"]
+
+
+def test_limit_above_corpus_still_bounds_the_funnel(spark, sf_dir):
+    """The branch-aware scan must keep classifying a genuine top-k
+    (limit ABOVE the corpus scan) as bounded."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ok = ev.orderBy("event_id").limit(5).coalesce(1).select(F.sum("event_id"))
+    ok.collect()
+    assert not P.single_partition_violations(ok)

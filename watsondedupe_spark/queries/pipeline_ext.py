@@ -1559,7 +1559,10 @@ def _late_block_bound(spark: SparkSession, sf_dir: str) -> int:
             .agg((F.max("event_id") + 1).alias("m"))
             .collect()[0]["m"]
         )
-        _LATE_MAXID_CACHE[sf_dir] = int(m)
+        # empty table -> None; any positive bound is correct (the least()
+        # clamp in the block expression keeps block monotone regardless)
+        m = max(int(m or 1), 1)
+        _LATE_MAXID_CACHE[sf_dir] = m
     return m
 
 
@@ -1600,15 +1603,24 @@ FROM hist CROSS JOIN tot
 )
 def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _late_block_bound(spark, sf_dir)
-    # block = floor(event_id * B / (max+1)), wrapped in pmod(, B): the
-    # pmod is an identity on the real domain (the floor is always < B)
-    # but makes the bound part of the expression — enforced AND visible
-    # to the single-partition/broadcast audits
+    # block = least(floor(event_id * B / (max+1)), B-1), wrapped in
+    # pmod(, B). Both wrappers are identities on the real domain (the
+    # floor is always < B when m is the true bound): the pmod makes the
+    # bound visible to the single-partition/broadcast audits, and the
+    # LEAST keeps the id->block mapping MONOTONE even if m is stale
+    # (ids >= m clamp into the last block instead of pmod-wrapping into
+    # early blocks and corrupting the prefix max — the round-8 review
+    # catch; sf_dir contents are immutable here, but a wrong bound must
+    # degrade to correct-and-skewed, never to silently wrong)
     e = _events(spark, sf_dir).select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.pmod(
-            F.floor(F.col("event_id") * _LATE_BLOCKS / F.lit(m)), _LATE_BLOCKS
+            F.least(
+                F.floor(F.col("event_id") * _LATE_BLOCKS / F.lit(m)),
+                F.lit(_LATE_BLOCKS - 1),
+            ),
+            _LATE_BLOCKS,
         ).cast("long").alias("block"),
     )
     w_in = (

@@ -1049,3 +1049,89 @@ def test_strip_paragraphs_consistent_with_dedup_stats(spark, sf_dir):
     assert sum(r.n_removed for r in stripped) == sum(
         r.tokens_stripped for r in stats
     )
+
+
+def test_paragraph_dedup_matches_pure_python_reference(spark):
+    """Randomized corpus (fixed seed) vs an independent pure-Python
+    computation of the same first-instance semantics — widens coverage
+    beyond the planted fixture and the synthetic corpus, including
+    window-boundary doc lengths (exactly W, W+1, 2W tokens)."""
+    import hashlib
+    import random
+
+    from watsondedupe_spark.queries.curation_ext import _PARA_W
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(24):
+        # force boundary lengths on some docs; duplicate some texts
+        n = rng.choice([_PARA_W, _PARA_W + 1, 2 * _PARA_W, rng.randint(1, 90)])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if d % 5 == 4:
+            text = rows[rng.randrange(len(rows))][1]  # verbatim copy
+        rows.append((d, text, f"src{d % 3}"))
+
+    # pure-python reference: same segmentation + first-instance rule
+    ref = {}  # source -> [n_paras, n_stripped, tokens_stripped]
+    seen = {}
+    for doc_id, text, source in rows:
+        t = text.split(" ")
+        for idx, s in enumerate(range(0, len(t), _PARA_W)):
+            seg = t[s : s + _PARA_W]
+            h = hashlib.md5(" ".join(seg).encode()).hexdigest()
+            r = ref.setdefault(source, [0, 0, 0])
+            r[0] += 1
+            if h in seen:
+                r[1] += 1
+                r[2] += len(seg)
+            else:
+                seen[h] = (doc_id, idx)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import watsondedupe_spark.queries.curation_ext as mod
+
+    orig_par, orig_docs = mod._docs_parallel, mod._docs
+    mod._docs_parallel = lambda s, d: docs
+    mod._docs = lambda s, d: docs
+    try:
+        got = {r.source: r for r in _q("docs_paragraph_dedup", spark, "x").collect()}
+    finally:
+        mod._docs_parallel, mod._docs = orig_par, orig_docs
+    assert set(got) == set(ref)
+    for src, (n_paras, n_stripped, tok) in ref.items():
+        assert got[src].n_paras == n_paras
+        assert got[src].n_stripped == n_stripped
+        assert got[src].tokens_stripped == tok
+
+
+def test_max_cosine_vs_set_matches_numpy_on_random_vectors(spark):
+    """Randomized vectors (fixed seed): the operator's quantized-int
+    max-cosine must be BIT-identical to an independent numpy fold."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    n, d, nref = 50, 16, 7
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    R = rng.normal(size=(nref, d)).astype(np.float32)
+
+    from watsondedupe_spark.operators.similarity import max_cosine_vs_set
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    refs = spark.createDataFrame(
+        [(i, [float(x) for x in R[i]]) for i in range(nref)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.max_sim for r in max_cosine_vs_set(corpus, refs).collect()}
+
+    Vq = np.floor(V.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    Rq = np.floor(R.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    S = (Vq @ Rq.T).astype(np.float64)
+    S = S / np.sqrt((Vq * Vq).sum(1).astype(np.float64))[:, None]
+    S = S / np.sqrt((Rq * Rq).sum(1).astype(np.float64))[None, :]
+    want = S.max(axis=1)
+    for i in range(n):
+        assert got[i] == want[i], f"vec {i}: {got[i]!r} != {want[i]!r}"

@@ -537,19 +537,27 @@ def bench_segmented_ingest(
         )
     objs = spark.read.parquet(stage)
     mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
-    t0 = time.time()
-    chunks = chunk_objects_segmented(
-        objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=segment_mb << 20
-    )
-    n = chunks.count()
-    dt = time.time() - t0
-    # release the operator's internal cache so the NEXT timed run
-    # re-executes the CDC kernel (CacheManager would otherwise serve an
-    # identical plan from this run's persisted chunk rows — a 0.4s
-    # "min" that never re-chunked a byte) and the 500 MB doesn't leak
-    chunks._cdc_cache.unpersist()
-    assert n > 0
-    return dt, mb
+    # min of two runs: this host's CPU contention swings identical
+    # back-to-back runs 2-3x (round 9 measured 50 -> 174 MB/s for the
+    # same n=400 plan), which is noise, not plan cost — the min is the
+    # plan's actual cost, and every scale point gets the same treatment
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        chunks = chunk_objects_segmented(
+            objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=segment_mb << 20
+        )
+        n = chunks.count()
+        dt = time.time() - t0
+        # release the operator's internal cache so the NEXT timed run
+        # re-executes the CDC kernel (CacheManager would otherwise serve
+        # an identical plan from this run's persisted chunk rows — a
+        # 0.4s "min" that never re-chunked a byte) and the memory
+        # doesn't leak across runs
+        chunks._cdc_cache.unpersist()
+        assert n > 0
+        best = dt if best is None else min(best, dt)
+    return best, mb
 
 
 def bench_engine_point_ops(spark, sf_dir: str) -> dict[str, list[float]]:

@@ -215,3 +215,19 @@ def test_limit_above_corpus_still_bounds_the_funnel(spark, sf_dir):
     ok = ev.orderBy("event_id").limit(5).coalesce(1).select(F.sum("event_id"))
     ok.collect()
     assert not P.single_partition_violations(ok)
+
+
+def test_filter_allowed_violations_scoped_by_reason_and_count():
+    """Round-9 advice: an allowlist entry excuses only its priced-in
+    shape and count — unrelated or surplus violations still surface."""
+    allow = {"q": {"note": "n", "reason_re": r"refine list", "max": 1}}
+    match = {"node_id": 1, "reason": "bounded refine list via rank<=k"}
+    other = {"node_id": 2, "reason": "corpus-growing leaves [documents]"}
+    # matching violation inside budget: excused
+    assert P.filter_allowed_violations("q", [match], allow) == []
+    # unrelated violation: kept even though the query is allowlisted
+    assert P.filter_allowed_violations("q", [other], allow) == [other]
+    # two matching violations but max=1: the second still fails
+    assert P.filter_allowed_violations("q", [match, dict(match)], allow) == [match]
+    # un-allowlisted query: everything kept
+    assert P.filter_allowed_violations("z", [match], allow) == [match]

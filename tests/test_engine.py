@@ -211,6 +211,42 @@ def test_list_objects_keyset_pagination(engine):
     assert len(engine.list_objects(max_results=10_000).objects) == 25
 
 
+def test_list_objects_prefix_supplementary_plane_keys(engine):
+    """Round-9 advice (medium): the prefix prune bound must be the true
+    prefix successor, not prefix + U+FFFF — a part holding only keys
+    with supplementary-plane characters (emoji sort ABOVE U+FFFF) was
+    silently pruned out of listings by the old bound."""
+    # part 1: ONLY keys whose post-prefix char sorts above U+FFFF, so
+    # the part's whole object_key span sits above "01" + U+FFFF
+    hi = engine.spark.createDataFrame(
+        [(f"01\U0001F600{i}", bytearray(rand_bytes(200, 90 + i))) for i in range(3)],
+        "object_key string, data binary",
+    )
+    engine.write_batch(hi)
+    # part 2: plain BMP keys under the same prefix, plus a decoy
+    lo = engine.spark.createDataFrame(
+        [("01a", bytearray(rand_bytes(200, 1))), ("02z", bytearray(rand_bytes(200, 2)))],
+        "object_key string, data binary",
+    )
+    engine.write_batch(lo)
+    got = sorted(o.object_key for o in engine.list_objects(prefix="01").objects)
+    assert got == sorted([f"01\U0001F600{i}" for i in range(3)] + ["01a"])
+
+
+def test_prefix_successor_bounds():
+    from watsondedupe_spark.engine import _prefix_successor
+
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a\U0010FFFF") == "b"
+    assert _prefix_successor("\U0010FFFF") is None
+    # incrementing into the surrogate block skips to U+E000
+    assert _prefix_successor("x퟿") == "x"
+    # every string with the prefix sorts strictly below the successor
+    for p in ("k", "01", "z\U0010FFFE"):
+        s = _prefix_successor(p)
+        assert p < s and (p + "\U0010FFFF" * 4) < s
+
+
 def test_batch_rejects_duplicate_keys(engine):
     engine.write("taken", b"x")
     df = engine.spark.createDataFrame(

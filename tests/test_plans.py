@@ -1153,11 +1153,14 @@ def test_no_corpus_broadcast_strict(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", AUDITED_NO_STATIC_BROADCAST)
 def test_no_corpus_broadcast_unanchored(spark, sf_dir, name):
-    if name in P.BROADCAST_AUDIT_ALLOW:
-        pytest.skip(f"allowlisted: {P.BROADCAST_AUDIT_ALLOW[name]}")
     df = q(name, spark, sf_dir)
     df.collect()
-    bad = P.corpus_broadcast_violations(df)
+    # allowlisted queries are no longer skipped outright (round 9): the
+    # documented exception excuses only its priced-in shape/count, so an
+    # unrelated new violation in the same query still fails here
+    bad = P.filter_allowed_violations(
+        name, P.corpus_broadcast_violations(df), P.BROADCAST_AUDIT_ALLOW
+    )
     assert not bad, (
         f"{name}: UNANCHORED corpus-growing broadcast side (static "
         f"estimate cannot self-correct at scale): "

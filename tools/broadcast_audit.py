@@ -73,17 +73,23 @@ def main() -> int:
             continue
         n_bex += len(audit)
         n_sp += len(sp_audit)
-        from watsondedupe_spark.plans import BROADCAST_AUDIT_ALLOW
+        from watsondedupe_spark.plans import (
+            BROADCAST_AUDIT_ALLOW,
+            filter_allowed_violations,
+        )
 
-        bad = [
-            r
-            for r in audit
-            if (not r["ok"] or (strict and r.get("anchored")))
-            and name not in BROADCAST_AUDIT_ALLOW
-        ] + [
+        # round 9: exceptions are (reason-pattern, count)-scoped, never
+        # blanket per-query — a new unrelated violation in an
+        # allowlisted query still fails the sweep
+        bad = filter_allowed_violations(
+            name,
+            [r for r in audit if not r["ok"] or (strict and r.get("anchored"))],
+            BROADCAST_AUDIT_ALLOW,
+        ) + [
             {**r, "kind": "single_partition"}
-            for r in sp_audit
-            if not r["ok"] and name not in SP_AUDIT_ALLOW
+            for r in filter_allowed_violations(
+                name, [r for r in sp_audit if not r["ok"]], SP_AUDIT_ALLOW
+            )
         ]
         if bad:
             report[name] = bad
@@ -115,10 +121,11 @@ def main() -> int:
     return 1 if report else 0
 
 
-# Documented funnel exceptions (same contract as BROADCAST_AUDIT_ALLOW:
-# a boundedness argument the text classifier cannot see). Populated by
-# the sweep triage; empty means every funnel classifies cleanly.
-SP_AUDIT_ALLOW: dict[str, str] = {}
+# Documented funnel exceptions (same structured contract as
+# BROADCAST_AUDIT_ALLOW: a boundedness argument + reason pattern + max
+# count). Populated by the sweep triage; empty means every funnel
+# classifies cleanly.
+SP_AUDIT_ALLOW: dict[str, dict] = {}
 
 
 if __name__ == "__main__":

@@ -315,22 +315,37 @@ def chunk_objects_segmented(
         )
         .withColumn("frame_addr", F.col("frame_idx").cast("long") * segment_size)
     )
-    # spread the frames of one object across the cluster
-    frames = frames.repartition(
-        frames.sparkSession.sparkContext.defaultParallelism, key_col, "frame_idx"
-    )
+    # spread the frames of one object across the cluster with an AQE
+    # REBALANCE instead of a hard repartition(defaultParallelism): the
+    # hard count pinned per-task payload to bytes/32, so a 3x bigger
+    # ingest meant 3x bigger Arrow batches into each Python worker —
+    # measured as the segmented path's 100x throughput decay
+    # (SCALE_r08: 107 MB/s @x30 -> 63.5 @x100; profiled to THIS stage,
+    # tools/profile_segmented.py). Rebalance targets
+    # advisoryPartitionSizeInBytes per task at ANY volume — per-worker
+    # memory stays constant whether the batch is 2 GB or 100 TB.
+    frames = frames.hint("rebalance", key_col, "frame_idx")
+
+    # flush the output accumulator once this many payload bytes are
+    # buffered: without it one yield holds the whole input batch's chunk
+    # rows (batch bytes are bounded only by rows-per-batch x frame size,
+    # so a large partition meant a partition-sized Python-side copy —
+    # part of the @x100 memory-pressure decay, SCALE_r08)
+    _FLUSH_BYTES = 32 << 20
 
     def _chunk_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = (
+            "object_key",
+            "frame_addr",
+            "frame_pos",
+            "chunk_key",
+            "length",
+            "address",
+            "chunk_data",
+        )
         for pdf in batches:
-            out: dict[str, list] = {
-                "object_key": [],
-                "frame_addr": [],
-                "frame_pos": [],
-                "chunk_key": [],
-                "length": [],
-                "address": [],
-                "chunk_data": [],
-            }
+            out: dict[str, list] = {c: [] for c in cols}
+            buffered = 0
             for key, base, payload in zip(
                 pdf[key_col], pdf["frame_addr"], pdf["frame_data"]
             ):
@@ -342,7 +357,13 @@ def chunk_objects_segmented(
                     out["length"].append(ch.length)
                     out["address"].append(int(base) + ch.address)
                     out["chunk_data"].append(ch.data)
-            yield pd.DataFrame(out)
+                buffered += len(payload)
+                if buffered >= _FLUSH_BYTES:
+                    yield pd.DataFrame(out)
+                    out = {c: [] for c in cols}
+                    buffered = 0
+            if out["object_key"]:
+                yield pd.DataFrame(out)
 
     raw = frames.select(key_col, "frame_addr", "frame_data").mapInPandas(
         _chunk_frames,
@@ -380,8 +401,25 @@ def chunk_objects_segmented(
         "frame_addr",
         F.coalesce(F.sum("n_in_frame").over(wf), F.lit(0)).alias("pos_base"),
     )
+    # ``base`` has one row per FRAME — it grows linearly with the ingest
+    # batch, so an unconditional broadcast is this module's own
+    # no-growing-broadcast violation (round-9 advice): a multi-TB write
+    # batch would blow the broadcast cap / driver heap. Broadcast only
+    # while the frame-count estimate (input plan statistics / frame
+    # size, padded 8x for parquet compression understating raw bytes)
+    # stays comfortably bounded; past that, pin a shuffle-hash join —
+    # the payload shuffles ONCE (linear, spill-safe at any batch size)
+    # and base stays the build side.
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # noqa: BLE001 — stats are a planning hint only
+        est_bytes = None
+    small = est_bytes is not None and (est_bytes // segment_size) * 8 < 2_000_000
+    join_base = F.broadcast(base) if small else base.hint("shuffle_hash")
     out = (
-        raw.join(F.broadcast(base), [key_col, "frame_addr"])
+        raw.join(join_base, [key_col, "frame_addr"])
         .select(
             "object_key",
             "chunk_key",

@@ -73,10 +73,20 @@ CAS_RETRIES = 6
 # contract as the distributed form), so a point-delete of a huge object
 # can never be abused into a driver-side million-key materialization
 GC_RETURN_CAP = 10_000
-#: get_batch collects the batch's distinct chunk keys (to manifest-
-#: prune the chunk_store scan) only up to this many; larger batches
-#: keep the distributed full-store join (round 8)
-BATCH_PRUNE_CAP = 100_000
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string strictly greater than EVERY string that starts
+    with ``prefix``: increment the last code point, carrying when it is
+    already U+10FFFF; ``None`` (no upper bound) in the degenerate
+    all-U+10FFFF case. Incrementing into the surrogate block jumps to
+    U+E000 — surrogates cannot appear in any stored (UTF-8) key, so the
+    jump excludes nothing real while keeping the bound encodable."""
+    cps = [ord(c) for c in prefix]
+    while cps:
+        last = cps.pop()
+        if last < 0x10FFFF:
+            nxt = 0xE000 if last == 0xD7FF else last + 1
+            return "".join(map(chr, cps)) + chr(nxt)
+    return None
 
 
 def assign_ingest_ids(rolled: DataFrame, prev_max: int) -> DataFrame:
@@ -649,18 +659,15 @@ class DedupeEngine:
 
     def get_chunks(self, key: str) -> DataFrame:
         """O13: distinct chunk metadata for an object — the reference's
-        IN-list lookup (SqliteProvider.cs:333-355): the (tiny) chunk-key
-        list for one object is collected first so the chunks read prunes
-        to the parts whose key span can hold any of them."""
-        keys = [
-            r.chunk_key
-            for r in self.get_object_map(key).select("chunk_key").distinct().collect()
-        ]
-        if not keys:
-            return self.chunks.limit(0)
-        return self.store.read_point("chunks", "chunk_key", keys, CHUNKS_SCHEMA).filter(
-            F.col("chunk_key").isin(keys)
-        )
+        IN-list lookup (SqliteProvider.cs:333-355) as a broadcast
+        semi-join: the (tiny, part-pruned) map for one object is the
+        broadcast side, the chunks table the probe. No driver collect —
+        chunk keys are uniform hashes, so manifest pruning on the chunks
+        side never skips a part anyway (store.HASH_KEYED), and a
+        multi-GB object's thousands of chunk keys never round-trip
+        through the driver or bloat the plan as IN-list literals."""
+        wanted = self.get_object_map(key).select("chunk_key").distinct()
+        return self.chunks.join(F.broadcast(wanted), "chunk_key", "left_semi")
 
     def get_chunk_metadata(self, chunk_key: str):
         """O15: point lookup of one chunk row; None on miss."""
@@ -747,25 +754,14 @@ class DedupeEngine:
         wanted = self.store.read_point(
             "object_map", "object_key", keys, OBJECT_MAP_SCHEMA
         ).filter(F.col("object_key").isin(keys))
-        # manifest-prune the payload scan too: the batch's chunk-key
-        # list is bounded by |keys| x chunks-per-object — below the cap,
-        # collect it and skip every chunk_store part whose key span
-        # can't hold any of them (the IN-list shape of the point path).
-        # Past the cap the distributed join over the full store is the
-        # right plan and the limit() keeps the probe collect cheap.
-        ck = [
-            r.chunk_key
-            for r in wanted.select("chunk_key")
-            .distinct()
-            .limit(BATCH_PRUNE_CAP + 1)
-            .collect()
-        ]
-        store = (
-            self.store.read_point("chunk_store", "chunk_key", ck, CHUNK_STORE_SCHEMA)
-            if 0 < len(ck) <= BATCH_PRUNE_CAP
-            else self.chunk_store
-        )
-        pieces = store.join(F.broadcast(wanted), "chunk_key")
+        # the payload fetch is a broadcast hash join against the full
+        # chunk_store snapshot: chunk keys are uniform hashes, so a
+        # manifest prune of the payload parts never skips one
+        # (store.HASH_KEYED) — the old collect of up to 100k chunk keys
+        # to the driver bought nothing and cost a Spark job + an
+        # IN-list-literal plan. Parquet bloom/dictionary pushdown on the
+        # join key plus the broadcast keep the probe scan cheap.
+        pieces = self.chunk_store.join(F.broadcast(wanted), "chunk_key")
         return (
             pieces.groupBy("object_key")
             .agg(
@@ -844,10 +840,15 @@ class DedupeEngine:
         n = max(1, min(max_results, MAX_LIST_RESULTS))
         ranges: dict[str, list[tuple]] = {"id": [(index_start + 1, None)]}
         if prefix:
-            # parts whose key span cannot intersect [prefix, prefix + U+FFFF]
-            # are skipped (sanitized keys never contain U+FFFF, so every
-            # prefixed key sorts inside the range)
-            ranges["object_key"] = [(prefix, prefix + "￿")]
+            # parts whose key span cannot intersect [prefix, successor)
+            # are skipped. The successor is the true prefix upper bound
+            # (increment the last code point with U+10FFFF carry), NOT
+            # prefix + U+FFFF: validate_object_key admits supplementary-
+            # plane characters, and a key like prefix + U+1F600 sorts
+            # ABOVE prefix + U+FFFF — the old bound silently pruned such
+            # parts out of listings (the reference's LIKE 'prefix%',
+            # SqliteProvider.cs:203-247, has no such hole).
+            ranges["object_key"] = [(prefix, _prefix_successor(prefix))]
         df = self.store.read_pruned("objects", ranges, OBJECTS_SCHEMA).filter(
             F.col("id") > index_start
         )

@@ -611,17 +611,57 @@ def broadcast_audit(df: DataFrame) -> list[dict]:
 # construction but whose bound the text classifier cannot see. Every
 # entry must state the boundedness argument and, where one exists, the
 # dedicated plan test that pins the same shape. Reviewed per round.
-BROADCAST_AUDIT_ALLOW: dict[str, str] = {
+#
+# Round-9 hardening (advice item): an exception is no longer a blanket
+# per-query pass — it excuses at most ``max`` violations whose reason
+# matches ``reason_re``, so a NEW, unrelated broadcast violation later
+# introduced into an allowlisted query still fails the sweep instead of
+# hiding behind the old exemption. Apply with
+# :func:`filter_allowed_violations`.
+BROADCAST_AUDIT_ALLOW: dict[str, dict] = {
     # The refine stage broadcasts the (query x shortlist_k) candidate
     # list: queries come from the vec_id<3 sample and the shortlist is a
     # WindowGroupLimit rank<=k per query — |queries| * k rows at every
     # corpus size. Pinned by test_ivfpq_refined_fetch_is_broadcast.
-    "emb_ann_topk_ivfpq_refined": "bounded (query x shortlist_k) refine list",
+    "emb_ann_topk_ivfpq_refined": {
+        "note": "bounded (query x shortlist_k) refine list",
+        "reason_re": r"estimate-breaking node\(s\) "
+        r"\['BroadcastHashJoin Inner BuildRight'\]",
+        "max": 1,
+    },
     # Same shape: each arm's top-k per sampled query (rank<=k windows
     # over the 3-query sample) joins the exact arm — |queries| * k rows.
     # Pinned by test_matryoshka_recall_plan.
-    "emb_matryoshka_recall": "bounded (query x k) per-arm top-k lists",
+    "emb_matryoshka_recall": {
+        "note": "bounded (query x k) per-arm top-k lists",
+        "reason_re": r"estimate-breaking node\(s\) "
+        r"\['BroadcastNestedLoopJoin Cross BuildRight'\]",
+        "max": 1,
+    },
 }
+
+
+def filter_allowed_violations(
+    name: str, violations: list[dict], allow: dict[str, dict]
+) -> list[dict]:
+    """Violations that survive the documented exceptions for ``name``:
+    an entry excuses at most ``max`` violations whose ``reason`` matches
+    ``reason_re`` — anything else (a different shape, or more of the
+    same shape than the exception priced in) still fails."""
+    import re
+
+    entry = allow.get(name)
+    if entry is None:
+        return violations
+    pat = re.compile(entry.get("reason_re", ""), re.S)
+    budget = int(entry.get("max", 1))
+    kept = []
+    for v in violations:
+        if budget > 0 and pat.search(v.get("reason", "")):
+            budget -= 1
+            continue
+        kept.append(v)
+    return kept
 
 
 def corpus_broadcast_violations(df: DataFrame, strict: bool = False) -> list[dict]:

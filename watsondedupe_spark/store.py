@@ -254,7 +254,16 @@ class IndexStore:
                             return None
                         lo, hi = st.min, st.max
                         if isinstance(lo, bytes):
-                            lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                            # strict decode only: a lossy ("replace")
+                            # decode of truncated/invalid UTF-8 stats is
+                            # NOT order-preserving (U+FFFD can sort a
+                            # truncated max BELOW real values), so any
+                            # undecodable bound makes the whole part's
+                            # stats untrusted — kept, never pruned
+                            try:
+                                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                            except UnicodeDecodeError:
+                                return None
                         if not isinstance(lo, (str, int, float)):
                             return None
                         cur = spans.get(cname)
@@ -337,6 +346,13 @@ class IndexStore:
             return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
         return self.spark.read.parquet(*parts)
 
+    #: (table, column) pairs whose keys are uniform cryptographic hashes
+    #: (urlsafe-b64 SHA-256): any non-trivial part's span covers
+    #: essentially the whole keyspace, so manifest pruning never skips a
+    #: part there — read_point goes straight to the snapshot instead of
+    #: paying the per-part span test for nothing (round-9 advice).
+    HASH_KEYED: frozenset = frozenset({("chunks", "chunk_key"), ("chunk_store", "chunk_key")})
+
     def read_point(
         self,
         name: str,
@@ -345,10 +361,40 @@ class IndexStore:
         schema: StructType | None = None,
     ) -> DataFrame:
         """Point-lookup form of :meth:`read_pruned`: keep only parts
-        whose span of ``col`` can contain one of ``values``."""
-        return self.read_pruned(
-            name, {col: [(v, v) for v in values]}, schema=schema
-        )
+        whose span of ``col`` can contain one of ``values``. The probe
+        set is sorted once and each part span is tested with a bisect
+        (O(parts x log |values|), not O(parts x |values|) — a 100k-key
+        batch probe against a many-part store stays driver-cheap).
+        Hash-keyed tables (:attr:`HASH_KEYED`) skip pruning entirely."""
+        if (name, col) in self.HASH_KEYED:
+            return self.read(name, schema=schema)
+        import bisect
+
+        state = self._state(name)
+        stats = state.get("stats", {})
+        try:
+            vals = sorted(values)
+        except TypeError:  # mixed/unorderable probe types: no pruning
+            vals = None
+        if vals:
+            kept = []
+            for p in state["parts"]:
+                span = (stats.get(os.path.basename(p)) or {}).get(col)
+                if span is None:
+                    kept.append(p)  # no stats: cannot prune
+                    continue
+                plo, phi = span
+                # smallest probe >= the part's low bound; a hit iff it
+                # also sits at or below the part's high bound
+                i = bisect.bisect_left(vals, plo)
+                if i < len(vals) and vals[i] <= phi:
+                    kept.append(p)
+            parts = kept
+        else:
+            parts = [] if vals is not None else state["parts"]
+        if not parts:
+            return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
+        return self.spark.read.parquet(*parts)
 
     def read_version(self, name: str, version: int) -> DataFrame:
         """Snapshot of ``name`` as of ``version`` — Delta-style time

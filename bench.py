@@ -791,6 +791,15 @@ DEEP_QUERIES = [
     # segment-hash-agg shape of the span family that produced the r7
     # 100x catches — give it two-point slope evidence from day one
     "docs_paragraph_dedup",
+    # round-9 (verdict #2): the iterative graph family — fixed-round
+    # PageRank (8 unrolled rounds x 2 joins each), large/small-star CC,
+    # and cluster repair (flagged-cluster re-verify + re-CC). A
+    # rounds-x-shuffle plan is the classic shape that misbehaves a
+    # decade later, and the deep tier caught real bugs both times it
+    # was extended (r6 mutual-kNN, r7 broadcasts).
+    "docs_dup_graph_pagerank",
+    "docs_dup_clusters_star",
+    "docs_cluster_repair",
 ]
 
 
@@ -984,29 +993,62 @@ def scale_stress_main(
             return None
         return sec_ratio <= 1.25 * max(factor, work_ratio or 0)
 
+    from watsondedupe_spark import plans as P
+
+    def _plan_audit(name: str, df) -> dict:
+        """Both registry plan invariants evaluated on the FINALIZED
+        adaptive plan of the scale-tier run itself (round-9 verdict #5):
+        the sf0.001 sweep audits small-input plans, but AQE picks join
+        strategies from runtime sizes, so the 30x/100x plans — the ones
+        the scale gate actually certifies — get their own audit fields.
+        Uses the same scoped exceptions as the sweep."""
+        from tools.broadcast_audit import SP_AUDIT_ALLOW
+
+        try:
+            bex = P.filter_allowed_violations(
+                name, P.corpus_broadcast_violations(df), P.BROADCAST_AUDIT_ALLOW
+            )
+            sp = P.filter_allowed_violations(
+                name, P.single_partition_violations(df), SP_AUDIT_ALLOW
+            )
+        except Exception as e:  # noqa: BLE001 — audit must not kill the gate
+            return {"plan_audit_error": f"{type(e).__name__}: {e}"[:200]}
+        out: dict = {"plan_violations": len(bex) + len(sp)}
+        if bex or sp:
+            out["plan_violation_reasons"] = [
+                r["reason"][:160] for r in (bex + sp)[:4]
+            ]
+        return out
+
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
         spec = specs[name]
         assert spec.spark(spark, sf01).count() >= 0  # codegen warm
         per_scale = {}
+        audit_fields: dict = {}
         for label, d in (("sf01", sf01), (f"x{factor}", stage)):
             _clear_substrates(spark)
             sh0 = _shuffle_bytes(spark)
             t0 = time.time()
-            rows = spec.spark(spark, d).count()
+            df = spec.spark(spark, d)
+            rows = df.count()
             per_scale[label] = {
                 "sec": round(time.time() - t0, 2),
                 "rows": rows,
                 "shuffle_mb": round((_shuffle_bytes(spark) - sh0) / 1e6, 1),
             }
+            if label != "sf01":  # audit the scale-tier plan (untimed)
+                audit_fields = _plan_audit(name, df)
         base, big = per_scale["sf01"], per_scale[f"x{factor}"]
         sec_ratio = round(big["sec"] / base["sec"], 2) if base["sec"] else None
         rows_ratio = round(big["rows"] / base["rows"], 2) if base["rows"] else None
         results[name] = {
             **{f"{k}_{label}": v for label, s in per_scale.items() for k, v in s.items()},
+            **audit_fields,
             "sec_ratio": sec_ratio,
             "rows_ratio": rows_ratio,
-            "budget_ok": budget_ok(sec_ratio, rows_ratio),
+            "budget_ok": budget_ok(sec_ratio, rows_ratio)
+            and not audit_fields.get("plan_violations"),
         }
 
     # CDC chunker throughput at both scales (MB/s should be flat)
@@ -1097,8 +1139,10 @@ def scale_stress_main(
         _clear_substrates(spark)
         sh0 = _shuffle_bytes(spark)
         t0 = time.time()
-        rows = spec.spark(spark, deep_stage).count()
+        df = spec.spark(spark, deep_stage)
+        rows = df.count()
         sec = round(time.time() - t0, 2)
+        audit_fields = _plan_audit(name, df)
         sec_ratio = round(sec / base["sec_sf01"], 2) if base["sec_sf01"] else None
         rows_ratio = (
             round(rows / base["rows_sf01"], 2) if base["rows_sf01"] else None
@@ -1107,12 +1151,14 @@ def scale_stress_main(
             f"sec_x{deep_factor}": sec,
             f"rows_x{deep_factor}": rows,
             f"shuffle_mb_x{deep_factor}": round((_shuffle_bytes(spark) - sh0) / 1e6, 1),
+            **audit_fields,
             "sec_ratio": sec_ratio,
             "rows_ratio": rows_ratio,
             "budget_ok": (
                 None
                 if sec_ratio is None
                 else sec_ratio <= 1.25 * max(deep_factor, rows_ratio or 0)
+                and not audit_fields.get("plan_violations")
             ),
         }
 

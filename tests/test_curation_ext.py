@@ -1135,3 +1135,75 @@ def test_max_cosine_vs_set_matches_numpy_on_random_vectors(spark):
     want = S.max(axis=1)
     for i in range(n):
         assert got[i] == want[i], f"vec {i}: {got[i]!r} != {want[i]!r}"
+
+
+def test_quality_auc_matches_bruteforce_reference(spark):
+    """Randomized corpus (fixed seed): the bounded-bucket Mann-Whitney
+    AUC must equal the brute-force pairwise AUC (wins + half-ties over
+    P*N) computed on the same quantized scores, per language —
+    including the NULL arm when a language has no positives."""
+    import math
+    import random
+    import re as _re
+
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    rng = random.Random(9)
+    vocab = ["alpha", "beta!", "gamma,", "delta"] + list(_STOPWORDS)
+    rows = []
+    for d in range(60):
+        n = rng.randint(3, 80)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        lang = rng.choice(["en", "de", "zz"])  # zz gets no duplicates
+        if lang != "zz" and d % 4 == 3 and rows:
+            cand = [r for r in rows if r[2] != "zz"]
+            if cand:
+                text = cand[rng.randrange(len(cand))][1]  # verbatim dup
+        rows.append((d, text, lang))
+
+    def bucket(text):
+        t = text.split(" ")
+        punct = (len(text) - len(_re.sub(r"[^a-zA-Z0-9 ]", "", text))) / len(text)
+        stop = sum(1 for x in t if x in _STOPWORDS) / len(t)
+        q = min(1.0, len(t) / 50.0) * (1.0 - punct) * (0.5 + stop)
+        return math.floor(q * 1000 + 0.5)
+
+    def norm(text):
+        return _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+
+    from collections import Counter
+
+    nc = Counter(norm(t) for _, t, _ in rows)
+    ref = {}
+    for lang in {l for _, _, l in rows}:
+        pos = [bucket(t) for _, t, l in rows if l == lang and nc[norm(t)] > 1]
+        neg = [bucket(t) for _, t, l in rows if l == lang and nc[norm(t)] <= 1]
+        if pos and neg:
+            u = sum(
+                1.0 if p > n_ else (0.5 if p == n_ else 0.0)
+                for p in pos
+                for n_ in neg
+            )
+            ref[lang] = (len(pos), len(neg), u / (len(pos) * len(neg)))
+        else:
+            ref[lang] = (len(pos), len(neg), None)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import watsondedupe_spark.queries.curation_ext as mod
+    import watsondedupe_spark.queries.llm_pipeline as llm
+
+    orig = llm._docs
+    llm._docs = lambda s, d: docs
+    mod._docs = lambda s, d: docs
+    try:
+        got = {r.lang: r for r in _q("docs_quality_auc", spark, "x").collect()}
+    finally:
+        llm._docs = orig
+        mod._docs = orig
+    assert set(got) == set(ref)
+    for lang, (p, n_, auc) in ref.items():
+        assert got[lang].n_pos == p and got[lang].n_neg == n_
+        if auc is None:
+            assert got[lang].auc is None
+        else:
+            assert abs(got[lang].auc - auc) < 1e-12, (lang, got[lang].auc, auc)

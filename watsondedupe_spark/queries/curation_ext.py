@@ -2810,3 +2810,138 @@ def docs_strip_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.filter("t", outside_windows), " ").alias("clean_text"),
         "n_removed",
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter validation: exact ROC-AUC of the quality score (round 9)
+# ---------------------------------------------------------------------------
+
+_QUALITY_AUC_SQL = f"""
+WITH q AS (
+    SELECT lang,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 50.0)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text))
+             * (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                      / len(string_split(text, ' '))) AS qs
+    FROM documents
+),
+labeled AS (
+    SELECT lang, CAST(floor(qs * 1000 + 0.5) AS BIGINT) AS sbucket,
+           CASE WHEN COUNT(*) OVER (PARTITION BY norm_hash) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM q
+),
+cells AS (
+    SELECT lang, sbucket,
+           CAST(SUM(is_dup) AS BIGINT) AS pos_at,
+           CAST(SUM(1 - is_dup) AS BIGINT) AS neg_at
+    FROM labeled GROUP BY lang, sbucket
+),
+run AS (
+    SELECT lang, pos_at, neg_at,
+           COALESCE(SUM(neg_at) OVER (PARTITION BY lang ORDER BY sbucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+    FROM cells
+)
+SELECT lang,
+       CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+       CASE WHEN SUM(pos_at) > 0 AND SUM(neg_at) > 0
+            THEN CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS DOUBLE)
+                 / (2.0 * SUM(pos_at) * SUM(neg_at))
+       END AS auc
+FROM run GROUP BY lang
+"""
+
+
+@register(
+    "docs_quality_auc",
+    _QUALITY_AUC_SQL,
+    doc="quality-filter validation (the fastText/DCLM-style classifier "
+    "audit every curation pipeline runs before trusting a score "
+    "threshold): EXACT ROC-AUC of the composite quality score against "
+    "the normalized-exact-duplicate label, per language. The rank "
+    "statistic is computed WITHOUT any global sort or per-group "
+    "corpus-sized window: scores quantize to a BOUNDED integer bucket "
+    "(<= 1501 values), the corpus collapses to per-(lang, bucket) "
+    "pos/neg counts in one shuffle, and the Mann-Whitney U with "
+    "midrank tie handling is a running sum over that tiny table — "
+    "AUC = sum(pos_at * (2*neg_below + neg_at)) / (2*P*N), exact "
+    "integers up to one final double division, so the oracle matches "
+    "bit-for-bit. At 100 TB this plan is one scan + one bounded agg; "
+    "the textbook sort-by-score formulation funnels the corpus "
+    "through one task and is exactly what the funnel audit forbids.",
+)
+def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    toks = F.split("text", " ")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    # the docs_quality composite, identical operation order (bit-exact
+    # doubles both engines), quantized to the bounded bucket key
+    qs = (
+        F.least(F.lit(1.0), F.size(toks).cast("long") / 50.0)
+        * (
+            1.0
+            - (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        )
+        * (
+            0.5
+            + F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+            / F.size(toks)
+        )
+    )
+    labeled = _docs(spark, sf_dir).select(
+        "lang",
+        F.floor(qs * 1000 + F.lit(0.5)).cast("long").alias("sbucket"),
+        F.md5(norm).alias("norm_hash"),
+    )
+    is_dup = (
+        (F.count("*").over(Window.partitionBy("norm_hash")) > 1).cast("int")
+    )
+    cells = (
+        labeled.withColumn("is_dup", is_dup)
+        .groupBy("lang", "sbucket")
+        .agg(
+            F.sum("is_dup").cast("long").alias("pos_at"),
+            F.sum(1 - F.col("is_dup")).cast("long").alias("neg_at"),
+        )
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("sbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = cells.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_at").over(wb), F.lit(0))
+    )
+    return (
+        run.groupBy("lang")
+        .agg(
+            F.sum("pos_at").cast("long").alias("n_pos"),
+            F.sum("neg_at").cast("long").alias("n_neg"),
+            F.sum(F.col("pos_at") * (2 * F.col("neg_below") + F.col("neg_at")))
+            .cast("long")
+            .alias("_u2"),
+        )
+        .select(
+            "lang",
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_u2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            ).alias("auc"),
+        )
+    )

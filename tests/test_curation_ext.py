@@ -1207,3 +1207,74 @@ def test_quality_auc_matches_bruteforce_reference(spark):
             assert got[lang].auc is None
         else:
             assert abs(got[lang].auc - auc) < 1e-12, (lang, got[lang].auc, auc)
+
+
+def test_quality_pr_curve_matches_bruteforce_reference(spark):
+    """Same randomized corpus as the AUC test: each observed threshold
+    row must equal the brute-force >=threshold filter's kept/clean/
+    precision/recall per language."""
+    import math
+    import random
+    import re as _re
+
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    rng = random.Random(9)
+    vocab = ["alpha", "beta!", "gamma,", "delta"] + list(_STOPWORDS)
+    rows = []
+    for d in range(60):
+        n = rng.randint(3, 80)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        lang = rng.choice(["en", "de", "zz"])
+        if lang != "zz" and d % 4 == 3 and rows:
+            cand = [r for r in rows if r[2] != "zz"]
+            if cand:
+                text = cand[rng.randrange(len(cand))][1]
+        rows.append((d, text, lang))
+
+    def bucket(text):
+        t = text.split(" ")
+        punct = (len(text) - len(_re.sub(r"[^a-zA-Z0-9 ]", "", text))) / len(text)
+        stop = sum(1 for x in t if x in _STOPWORDS) / len(t)
+        q = min(1.0, len(t) / 50.0) * (1.0 - punct) * (0.5 + stop)
+        return math.floor(q * 1000 + 0.5)
+
+    def norm(text):
+        return _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+
+    from collections import Counter
+
+    nc = Counter(norm(t) for _, t, _ in rows)
+    per_lang = {}
+    for _, t, l in rows:
+        per_lang.setdefault(l, []).append((bucket(t), nc[norm(t)] > 1))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import watsondedupe_spark.queries.curation_ext as mod
+    import watsondedupe_spark.queries.llm_pipeline as llm
+
+    orig = llm._docs
+    llm._docs = lambda s, d: docs
+    mod._docs = lambda s, d: docs
+    try:
+        got = _q("docs_quality_pr_curve", spark, "x").collect()
+    finally:
+        llm._docs = orig
+        mod._docs = orig
+
+    assert got, "empty PR curve"
+    for r in got:
+        docs_l = per_lang[r.lang]
+        kept = [(b, dup) for b, dup in docs_l if b >= r.threshold]
+        clean_kept = sum(1 for _, dup in kept if not dup)
+        total_clean = sum(1 for _, dup in docs_l if not dup)
+        assert r.n_kept == len(kept) and r.n_clean_kept == clean_kept
+        assert abs(r.precision - clean_kept / len(kept)) < 1e-12
+        if total_clean:
+            assert abs(r.recall - clean_kept / total_clean) < 1e-12
+        else:
+            assert r.recall is None
+    # every observed bucket of every lang appears exactly once
+    assert {(r.lang, r.threshold) for r in got} == {
+        (l, b) for l, ds in per_lang.items() for b, _ in ds
+    }

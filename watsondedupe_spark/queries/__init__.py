@@ -64,14 +64,15 @@ _GRADING_PRIORITY = [
     # last CORRECTNESS_r{N} appearance: the r1/r2-graded tier has not
     # had a driver row in 7+ rounds).
     #
-    # Tier 1 — BUILT IN ROUND 9 (3): cross-process multi-writer CAS as
+    # Tier 1 — BUILT IN ROUND 9 (4): cross-process multi-writer CAS as
     # a graded row on both store backends (two real Spark processes
     # ingest one index concurrently; merged state vs the serial
-    # closed forms), and the exact per-language ROC-AUC audit of the
-    # quality score against dup labels (bounded-bucket Mann-Whitney —
-    # no global sort).
+    # closed forms), and the quality-filter validation pair — exact
+    # per-language ROC-AUC against dup labels plus the
+    # precision/recall threshold sweep (both bounded-bucket
+    # Mann-Whitney machinery — no global sort).
     "engine_concurrent_writers", "engine_concurrent_writers_sqlite",
-    "docs_quality_auc",
+    "docs_quality_auc", "docs_quality_pr_curve",
     # Tier 2 — change risk (16): the segmented chunker was rewritten
     # again (AQE rebalance frame shuffle, bounded Arrow flush,
     # thresholded position-restore broadcast); store.read_point gained

@@ -2945,3 +2945,116 @@ def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+_QUALITY_PR_SQL = f"""
+WITH q AS (
+    SELECT lang,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 50.0)
+             * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                      / length(text))
+             * (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                      / len(string_split(text, ' '))) AS qs
+    FROM documents
+),
+labeled AS (
+    SELECT lang, CAST(floor(qs * 1000 + 0.5) AS BIGINT) AS sbucket,
+           CASE WHEN COUNT(*) OVER (PARTITION BY norm_hash) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM q
+),
+cells AS (
+    SELECT lang, sbucket,
+           CAST(SUM(is_dup) AS BIGINT) AS pos_at,
+           CAST(SUM(1 - is_dup) AS BIGINT) AS neg_at
+    FROM labeled GROUP BY lang, sbucket
+)
+SELECT lang, sbucket AS threshold,
+       CAST(SUM(pos_at + neg_at) OVER w AS BIGINT) AS n_kept,
+       CAST(SUM(neg_at) OVER w AS BIGINT) AS n_clean_kept,
+       CAST(SUM(neg_at) OVER w AS DOUBLE)
+           / SUM(pos_at + neg_at) OVER w AS precision,
+       CASE WHEN SUM(neg_at) OVER (PARTITION BY lang) > 0
+            THEN CAST(SUM(neg_at) OVER w AS DOUBLE)
+                 / SUM(neg_at) OVER (PARTITION BY lang)
+       END AS recall
+FROM cells
+WINDOW w AS (PARTITION BY lang ORDER BY sbucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "docs_quality_pr_curve",
+    _QUALITY_PR_SQL,
+    doc="the threshold-sweep half of quality-filter validation (the "
+    "AUC's companion): per language, for every OBSERVED score bucket "
+    "taken as a keep-threshold, the kept count, clean-kept count, "
+    "precision (clean fraction of what a >=threshold filter keeps) "
+    "and recall (fraction of all clean docs it keeps) — the table a "
+    "pipeline reads to pick the operating point. Same bounded-bucket "
+    "substrate as docs_quality_auc: one corpus scan collapses to "
+    "per-(lang, bucket) pos/neg counts, and the sweep is suffix sums "
+    "over that tiny table (window partitioned by lang — never a "
+    "global one-task sort); exact integers up to final double "
+    "divisions, bit-identical in the oracle.",
+)
+def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.queries.llm_pipeline import _STOPWORDS
+
+    toks = F.split("text", " ")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    qs = (
+        F.least(F.lit(1.0), F.size(toks).cast("long") / 50.0)
+        * (
+            1.0
+            - (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        )
+        * (
+            0.5
+            + F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+            / F.size(toks)
+        )
+    )
+    labeled = _docs(spark, sf_dir).select(
+        "lang",
+        F.floor(qs * 1000 + F.lit(0.5)).cast("long").alias("sbucket"),
+        F.md5(norm).alias("norm_hash"),
+    )
+    is_dup = (F.count("*").over(Window.partitionBy("norm_hash")) > 1).cast("int")
+    cells = (
+        labeled.withColumn("is_dup", is_dup)
+        .groupBy("lang", "sbucket")
+        .agg(
+            F.sum("is_dup").cast("long").alias("pos_at"),
+            F.sum(1 - F.col("is_dup")).cast("long").alias("neg_at"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("sbucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlang = Window.partitionBy("lang")
+    kept = F.sum(F.col("pos_at") + F.col("neg_at")).over(w)
+    clean_kept = F.sum("neg_at").over(w)
+    total_neg = F.sum("neg_at").over(wlang)
+    return cells.select(
+        "lang",
+        F.col("sbucket").alias("threshold"),
+        kept.cast("long").alias("n_kept"),
+        clean_kept.cast("long").alias("n_clean_kept"),
+        (clean_kept.cast("double") / kept).alias("precision"),
+        F.when(
+            total_neg > 0, clean_kept.cast("double") / total_neg
+        ).alias("recall"),
+    )

@@ -1042,6 +1042,86 @@ class DedupeEngine:
 
     # -- maintenance ----------------------------------------------------------
 
+    def verify(self) -> DataFrame:
+        """Distributed content-address integrity scan: one row per
+        violation, empty when the index is healthy.
+
+        The reference trusts its store blindly (a flipped bit in a
+        chunk file surfaces only as a corrupted Get); at 100 TB the
+        store WILL rot, so the scan re-derives every invariant the
+        write path promised, as one pass of JVM-side column work (the
+        sha256 recompute is ``sha2``/``base64`` inside codegen — no
+        Python touches payload bytes):
+
+        - ``hash_mismatch``   chunk_store payload no longer hashes to
+                              its chunk_key (bit rot / tampering)
+        - ``length_drift``    stored payload length != chunks.length
+        - ``dup_payload``     a chunk_key with >1 chunk_store rows
+                              (broken insert-if-absent)
+        - ``missing_payload`` a chunks row with no payload
+        - ``orphan_payload``  a payload with no chunks row (GC leak)
+        - ``refcount_drift``  chunks.ref_count != object_map
+                              multiplicity (broken CAS merge)
+        - ``orphan_map``      object_map rows whose object never
+                              reached the objects commit (crash
+                              wreckage ``recover()`` would prune)
+
+        Returns ``(check, key)`` violation rows; ``groupBy(check)`` is
+        the health report. Every join is corpus-keyed (chunk_key /
+        object_key) — shuffle joins at scale, no driver round-trips.
+        """
+        from watsondedupe_spark.keys import chunk_key_col
+
+        cs = self.chunk_store.select(
+            "chunk_key",
+            chunk_key_col(F.col("data")).alias("_computed"),
+            F.length("data").cast("long").alias("_stored_len"),
+        )
+        hash_bad = cs.filter(F.col("_computed") != F.col("chunk_key")).select(
+            F.lit("hash_mismatch").alias("check"), F.col("chunk_key").alias("key")
+        )
+        dup_payload = (
+            cs.groupBy("chunk_key")
+            .count()
+            .filter(F.col("count") > 1)
+            .select(F.lit("dup_payload").alias("check"), F.col("chunk_key").alias("key"))
+        )
+        meta = self.chunks.select("chunk_key", "length", "ref_count")
+        len_bad = (
+            cs.join(meta, "chunk_key")
+            .filter(F.col("_stored_len") != F.col("length"))
+            .select(F.lit("length_drift").alias("check"), F.col("chunk_key").alias("key"))
+        )
+        missing = meta.join(cs, "chunk_key", "left_anti").select(
+            F.lit("missing_payload").alias("check"), F.col("chunk_key").alias("key")
+        )
+        orphan_payload = (
+            cs.select("chunk_key")
+            .distinct()
+            .join(meta, "chunk_key", "left_anti")
+            .select(F.lit("orphan_payload").alias("check"), F.col("chunk_key").alias("key"))
+        )
+        refs = self.object_map.groupBy("chunk_key").agg(
+            F.count("*").cast("long").alias("_n_refs")
+        )
+        ref_bad = (
+            meta.join(refs, "chunk_key", "full_outer")
+            .filter(
+                ~F.col("ref_count").eqNullSafe(F.col("_n_refs"))
+            )
+            .select(F.lit("refcount_drift").alias("check"), F.col("chunk_key").alias("key"))
+        )
+        orphan_map = (
+            self.object_map.select("object_key")
+            .distinct()
+            .join(self.objects.select("object_key"), "object_key", "left_anti")
+            .select(F.lit("orphan_map").alias("check"), F.col("object_key").alias("key"))
+        )
+        out = hash_bad
+        for part in (len_bad, dup_payload, missing, orphan_payload, ref_bad, orphan_map):
+            out = out.unionByName(part)
+        return out
+
     def optimize(self) -> dict[str, int]:
         """Fold every index table's live parts into one (the OPTIMIZE /
         VACUUM analogue — no reference counterpart, SQLite has no parts).

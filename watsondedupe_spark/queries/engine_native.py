@@ -639,6 +639,93 @@ sp.stop()
     return result
 
 
+_INTEGRITY_SCAN_SQL = """
+SELECT * FROM (VALUES
+    ('dup_payload',     CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+    ('hash_mismatch',   CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+    ('length_drift',    CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+    ('missing_payload', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('orphan_map',      CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+    ('orphan_payload',  CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+    ('refcount_drift',  CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(check_name, n_before, n_after)
+"""
+
+_VERIFY_CHECKS = (
+    "dup_payload", "hash_mismatch", "length_drift", "missing_payload",
+    "orphan_map", "orphan_payload", "refcount_drift",
+)
+
+
+@register(
+    "engine_integrity_scan",
+    _INTEGRITY_SCAN_SQL,
+    doc="engine.verify() — the distributed content-address integrity "
+    "scan (bit-rot/tamper detection the reference lacks; at 100 TB the "
+    "store WILL rot and a flipped bit must surface in an audit, not in "
+    "some unlucky Get). The query ingests the corpus, asserts a clean "
+    "scan (all 7 checks zero), then PLANTS one deterministic fault per "
+    "detectable class via raw store appends — a garbage payload row "
+    "under an existing chunk_key (hash_mismatch + dup_payload + "
+    "length_drift), a payload no chunk references (orphan_payload), "
+    "and a ghost map row for an uncommitted object (orphan_map + "
+    "refcount_drift on the referenced chunk) — and grades the "
+    "re-scan's per-check counts against the planted closed form. The "
+    "sha256 recompute is sha2/base64 inside codegen over one "
+    "chunk_store pass; every join is corpus-keyed, nothing broadcast.",
+)
+def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.keys import chunk_key
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_integrity_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+
+        def counts() -> dict[str, int]:
+            got = {
+                r.check: r.n
+                for r in eng.verify().groupBy("check").agg(F.count("*").alias("n")).collect()
+            }
+            return {c: int(got.get(c, 0)) for c in _VERIFY_CHECKS}
+
+        before = counts()
+        # deterministic victim: the smallest chunk_key in the index
+        victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+        orphan = b"___orphan_payload"
+        eng.store.append(
+            "chunk_store",
+            spark.createDataFrame(
+                [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
+                "chunk_key string, data binary",
+            ),
+        )
+        eng.store.append(
+            "object_map",
+            spark.createDataFrame(
+                [("___ghost", victim, 1, 0, 0)],
+                "object_key string, chunk_key string, length int, "
+                "position int, address long",
+            ),
+        )
+        after = counts()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(c, before[c], after[c]) for c in _VERIFY_CHECKS],
+        "check_name string, n_before long, n_after long",
+    )
+
+
 @register(
     "engine_concurrent_writers",
     _CONCURRENT_WRITERS_SQL,

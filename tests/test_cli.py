@@ -83,3 +83,36 @@ def test_optimize_folds_parts_and_preserves_data(spark, tmp_path, capsys):
     assert eng2.get("k1") == ("payload 1 " * 400).encode()
     # manifest meta (ingest high-water mark) survives the fold
     assert eng2.store.table_meta("objects")["max_id"] == 3
+
+
+def test_cli_verify_and_repair(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark import cli
+    from watsondedupe_spark.engine import DedupeEngine
+
+    root = str(tmp_path / "vfy_idx")
+    assert cli.main([root, "create"], spark=spark) == 0
+    eng = DedupeEngine.open(spark, root)
+    eng.write("k0", b"payload zero " * 400)
+    assert cli.main([root, "verify"], spark=spark) == 0
+    capsys.readouterr()
+
+    # plant a garbage duplicate payload row, then verify flags it
+    victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+    eng.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [(victim, bytearray(b"x"))], "chunk_key string, data binary"
+        ),
+    )
+    assert cli.main([root, "verify"], spark=spark) == 1
+    out = capsys.readouterr().out
+    assert "hash_mismatch" in out and victim in out
+
+    assert cli.main([root, "repair"], spark=spark) == 0
+    deltas = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert deltas["chunk_store_canonicalized"] == -1
+    assert cli.main([root, "verify"], spark=spark) == 0

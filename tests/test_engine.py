@@ -782,3 +782,56 @@ def test_verify_clean_index_and_planted_faults(engine):
         ("refcount_drift", victim),
         ("missing_payload", loser),
     }
+
+
+def test_repair_heals_fixable_faults_and_escalates_unfixable(engine):
+    """engine.repair(): the planted fault matrix heals to a clean
+    verify(); a chunk whose ONLY payload row is corrupt cannot be
+    healed from the index — its garbage is dropped and the loss
+    surfaces as missing_payload (honest escalation, never silently
+    wrong bytes)."""
+    from watsondedupe_spark.keys import chunk_key
+
+    spark = engine.spark
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"r{i}", bytearray(rand_bytes(6000, 80 + i))) for i in range(3)],
+            "object_key string, data binary",
+        )
+    )
+    victim, lost = [
+        r.chunk_key for r in engine.chunks.orderBy("chunk_key").limit(2).collect()
+    ]
+    orphan = b"___orphan2"
+    engine.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
+            "chunk_key string, data binary",
+        ),
+    )
+    engine.store.append(
+        "object_map",
+        spark.createDataFrame(
+            [("___ghost", victim, 1, 0, 0)],
+            "object_key string, chunk_key string, length int, position int, address long",
+        ),
+    )
+    # make `lost` solely-corrupt: replace its only payload with garbage
+    v, cs, _ = engine.store.snapshot("chunk_store")
+    surgically = cs.withColumn(
+        "data",
+        F.when(F.col("chunk_key") == lost, F.lit(b"rot")).otherwise(F.col("data")),
+    )
+    engine.store.commit("chunk_store", surgically, expected_version=v)
+
+    assert engine.verify().count() > 0
+    deltas = engine.repair()
+    assert deltas["chunk_store_canonicalized"] < 0
+    left = {(r.check, r.key) for r in engine.verify().collect()}
+    # everything healed except the unhealable data loss, now explicit
+    assert left == {("missing_payload", lost)}
+    # repair is idempotent: a second pass changes nothing more
+    again = engine.repair()
+    assert again["chunk_store_canonicalized"] == 0
+    assert {(r.check, r.key) for r in engine.verify().collect()} == left

@@ -74,6 +74,14 @@ def _build_parser() -> argparse.ArgumentParser:
     exists.add_argument("--key", required=True)
 
     sub.add_parser("optimize", help="fold each table's parts into one (OPTIMIZE)")
+    sub.add_parser(
+        "verify",
+        help="content-address integrity scan (exit 0 clean / 1 violations)",
+    )
+    sub.add_parser(
+        "repair",
+        help="recover() + payload-store canonicalization; prints deltas",
+    )
     return p
 
 
@@ -184,6 +192,17 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
 
     if args.verb == "optimize":
         print(json.dumps(engine.optimize()))
+        return 0
+
+    if args.verb == "verify":
+        bad = engine.verify().collect()
+        for r in bad:
+            print(f"{r.check}\t{r.key}")
+        print(f"{len(bad)} violations", file=sys.stderr)
+        return 1 if bad else 0
+
+    if args.verb == "repair":
+        print(json.dumps(engine.repair()))
         return 0
 
     raise AssertionError(f"unhandled verb {args.verb}")

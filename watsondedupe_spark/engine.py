@@ -1122,6 +1122,44 @@ class DedupeEngine:
             out = out.unionByName(part)
         return out
 
+    def repair(self) -> dict[str, int]:
+        """Fix every :meth:`verify` violation class that is fixable
+        from the index itself, in one maintenance pass:
+
+        - :meth:`recover` first — prunes orphan map rows (uncommitted
+          objects), rebuilds refcounts from the surviving map, and GCs
+          payloads whose chunk row is gone (which also clears
+          ``orphan_payload``);
+        - then the payload store is CANONICALIZED: among each
+          chunk_key's rows, only content that actually hashes to the
+          key survives (dropping garbage/tampered rows —
+          ``hash_mismatch`` and its ``length_drift``), and exactly one
+          survivor is kept (``dup_payload``; hash-verified survivors
+          are byte-identical, so the pick is content-deterministic).
+
+        A chunk whose ONLY payload row is corrupt cannot be healed from
+        the index — its garbage row is dropped and the loss surfaces
+        honestly as ``missing_payload`` on the next verify instead of
+        as silently wrong bytes on some future get. Idempotent like
+        recover(); returns recover's per-table deltas plus the count of
+        canonicalization-dropped payload rows.
+        """
+        from watsondedupe_spark.keys import chunk_key_col
+
+        with self.store.op_lock():
+            deltas = self.recover()
+            v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
+            canon = (
+                cstore.filter(chunk_key_col(F.col("data")) == F.col("chunk_key"))
+                .dropDuplicates(["chunk_key"])
+                .localCheckpoint(eager=True)
+            )
+            n_dropped = cstore.count() - canon.count()
+            deltas["chunk_store_canonicalized"] = -n_dropped
+            if n_dropped:
+                self.store.commit("chunk_store", canon, expected_version=v_cs)
+        return deltas
+
     def optimize(self) -> dict[str, int]:
         """Fold every index table's live parts into one (the OPTIMIZE /
         VACUUM analogue — no reference counterpart, SQLite has no parts).

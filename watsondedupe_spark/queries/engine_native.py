@@ -641,14 +641,14 @@ sp.stop()
 
 _INTEGRITY_SCAN_SQL = """
 SELECT * FROM (VALUES
-    ('dup_payload',     CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-    ('hash_mismatch',   CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-    ('length_drift',    CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-    ('missing_payload', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-    ('orphan_map',      CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-    ('orphan_payload',  CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-    ('refcount_drift',  CAST(0 AS BIGINT), CAST(1 AS BIGINT))
-) AS t(check_name, n_before, n_after)
+    ('dup_payload',     CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    ('hash_mismatch',   CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    ('length_drift',    CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    ('missing_payload', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('orphan_map',      CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    ('orphan_payload',  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+    ('refcount_drift',  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(check_name, n_before, n_after, n_after_repair)
 """
 
 _VERIFY_CHECKS = (
@@ -669,10 +669,13 @@ _VERIFY_CHECKS = (
     "under an existing chunk_key (hash_mismatch + dup_payload + "
     "length_drift), a payload no chunk references (orphan_payload), "
     "and a ghost map row for an uncommitted object (orphan_map + "
-    "refcount_drift on the referenced chunk) — and grades the "
-    "re-scan's per-check counts against the planted closed form. The "
-    "sha256 recompute is sha2/base64 inside codegen over one "
-    "chunk_store pass; every join is corpus-keyed, nothing broadcast.",
+    "refcount_drift on the referenced chunk) — grades the re-scan's "
+    "per-check counts against the planted closed form, then grades "
+    "engine.repair() healing ALL of them back to zero (recover() for "
+    "the map/refcount/GC classes + payload-store canonicalization for "
+    "the hash/dup classes). The sha256 recompute is sha2/base64 "
+    "inside codegen over one chunk_store pass; every join is "
+    "corpus-keyed, nothing broadcast.",
 )
 def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -718,11 +721,13 @@ def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         after = counts()
+        eng.repair()
+        healed = counts()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        [(c, before[c], after[c]) for c in _VERIFY_CHECKS],
-        "check_name string, n_before long, n_after long",
+        [(c, before[c], after[c], healed[c]) for c in _VERIFY_CHECKS],
+        "check_name string, n_before long, n_after long, n_after_repair long",
     )
 
 

@@ -1149,15 +1149,27 @@ class DedupeEngine:
         with self.store.op_lock():
             deltas = self.recover()
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
-            canon = (
-                cstore.filter(chunk_key_col(F.col("data")) == F.col("chunk_key"))
-                .dropDuplicates(["chunk_key"])
-                .localCheckpoint(eager=True)
+            # detection first, one cache-free pass: a HEALTHY store costs
+            # one scan and zero writes (a repair sweep over a clean
+            # 100 TB index must not rewrite — or cache — the payload
+            # table; the canonical derivation runs only when the scan
+            # found something, paying its second sha pass inside the
+            # commit's own part write)
+            n_rows = cstore.count()
+            n_bad = (
+                cstore.filter(chunk_key_col(F.col("data")) != F.col("chunk_key")).count()
+                + n_rows
+                - cstore.select("chunk_key").distinct().count()
             )
-            n_dropped = cstore.count() - canon.count()
-            deltas["chunk_store_canonicalized"] = -n_dropped
-            if n_dropped:
+            deltas["chunk_store_canonicalized"] = 0
+            if n_bad:
+                canon = cstore.filter(
+                    chunk_key_col(F.col("data")) == F.col("chunk_key")
+                ).dropDuplicates(["chunk_key"])
                 self.store.commit("chunk_store", canon, expected_version=v_cs)
+                deltas["chunk_store_canonicalized"] = (
+                    self.chunk_store.count() - n_rows
+                )
         return deltas
 
     def optimize(self) -> dict[str, int]:

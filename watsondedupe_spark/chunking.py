@@ -411,8 +411,10 @@ def chunk_objects_segmented(
     # the payload shuffles ONCE (linear, spill-safe at any batch size)
     # and base stays the build side.
     try:
+        # py4j maps scala BigInt to a Python int on recent Sparks and a
+        # JavaObject on others — str() canonicalizes both
         est_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:  # noqa: BLE001 — stats are a planning hint only
         est_bytes = None

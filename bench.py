@@ -405,6 +405,18 @@ HEADLINE = [
     "docs_paragraph_dedup",
     "docs_strip_paragraphs",
     "emb_decontaminate",
+    # round-9 additions: the quality-filter validation pair (each is
+    # one corpus scan collapsing to a bounded (lang, bucket) table —
+    # the bounded-rank-statistic shape's per-scan floor) and the
+    # content-address integrity scan on a throwaway index (times the
+    # full sha2 recompute over every stored payload + the six
+    # accounting joins + the repair cycle — the maintenance-sweep cost
+    # a 100 TB operator schedules; engine_concurrent_writers stays
+    # untimed because its wall-clock is the child JVM boot, not engine
+    # work).
+    "docs_quality_auc",
+    "docs_quality_pr_curve",
+    "engine_integrity_scan",
 ]
 
 

@@ -73,6 +73,7 @@ _GRADING_PRIORITY = [
     # Mann-Whitney machinery — no global sort).
     "engine_concurrent_writers", "engine_concurrent_writers_sqlite",
     "docs_quality_auc", "docs_quality_pr_curve", "engine_integrity_scan",
+    "engine_stats_history",
     # Tier 2 — change risk (16): the segmented chunker was rewritten
     # again (AQE rebalance frame shuffle, bounded Arrow flush,
     # thresholded position-restore broadcast); store.read_point gained

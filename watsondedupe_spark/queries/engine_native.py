@@ -517,6 +517,84 @@ def engine_crash_matrix_sqlite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crash_matrix_scenario(spark, sf_dir, SqliteIndexStore)
 
 
+_STATS_HISTORY_SQL = """
+WITH th AS (
+    SELECT 20 * octet_length(encode(text)) AS b,
+           CASE WHEN doc_id < (SELECT COUNT(*) // 3 FROM documents) THEN 1
+                WHEN doc_id < (SELECT 2 * COUNT(*) // 3 FROM documents) THEN 2
+                ELSE 3 END AS batch
+    FROM documents
+)
+SELECT CAST(r AS BIGINT) AS version_rank,
+       CAST(SUM(CASE WHEN batch <= r THEN 1 ELSE 0 END) AS BIGINT) AS n_objects,
+       CAST(SUM(CASE WHEN batch <= r THEN b ELSE 0 END) AS BIGINT) AS logical_bytes
+FROM th CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS r)
+GROUP BY r
+"""
+
+
+@register(
+    "engine_stats_history",
+    _STATS_HISTORY_SQL,
+    doc="O20 composed with time travel: the index-growth trend an "
+    "operator reads before capacity planning — objects count and "
+    "logical bytes AS OF every retained manifest version "
+    "(store.read_version over the Delta-style retained history, "
+    "store.py versions/read_version), graded against the cumulative "
+    "closed forms of three range-batched appends. Each historical "
+    "point is one metadata-only aggregate over that version's part "
+    "list; no payload is read and nothing depends on wall-clock, so "
+    "the trend is exactly the batch-prefix sums.",
+)
+def engine_stats_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    n_docs = objs.count()
+    root = tempfile.mkdtemp(prefix="wds_statshist_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        cut1, cut2 = n_docs // 3, 2 * n_docs // 3
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n_docs + 1)):
+            eng.write_batch(
+                objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).select(
+                    "object_key", "data"
+                )
+            )
+        # one tiny aggregate per retained version (bounded by the
+        # retention window, <= 8); versions whose snapshot is empty
+        # (the pre-first-append state) carry no rank
+        points = []
+        for v in eng.store.versions("objects"):
+            row = (
+                eng.store.read_version("objects", v)
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.coalesce(F.sum("original_length"), F.lit(0))
+                    .cast("long")
+                    .alias("b"),
+                )
+                .collect()[0]
+            )
+            if row.n > 0:
+                points.append((int(row.n), int(row.b)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    points.sort()
+    return spark.createDataFrame(
+        [(i + 1, n, b) for i, (n, b) in enumerate(points)],
+        "version_rank long, n_objects long, logical_bytes long",
+    )
+
+
 _CONCURRENT_WRITERS_SQL = """
 SELECT object_key,
        CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length,

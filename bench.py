@@ -1032,6 +1032,15 @@ def scale_stress_main(
             ]
         return out
 
+    def _audit_ok(audit_fields: dict) -> bool:
+        """An audit CRASH fails the gate exactly like a violation would —
+        otherwise a broken audit silently weakens the invariant it was
+        added to harden (plan_violations absent -> budget passes)."""
+        return (
+            not audit_fields.get("plan_violations")
+            and "plan_audit_error" not in audit_fields
+        )
+
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
         spec = specs[name]
@@ -1059,8 +1068,7 @@ def scale_stress_main(
             **audit_fields,
             "sec_ratio": sec_ratio,
             "rows_ratio": rows_ratio,
-            "budget_ok": budget_ok(sec_ratio, rows_ratio)
-            and not audit_fields.get("plan_violations"),
+            "budget_ok": budget_ok(sec_ratio, rows_ratio) and _audit_ok(audit_fields),
         }
 
     # CDC chunker throughput at both scales (MB/s should be flat)
@@ -1170,7 +1178,7 @@ def scale_stress_main(
                 None
                 if sec_ratio is None
                 else sec_ratio <= 1.25 * max(deep_factor, rows_ratio or 0)
-                and not audit_fields.get("plan_violations")
+                and _audit_ok(audit_fields)
             ),
         }
 

@@ -1278,3 +1278,40 @@ def test_quality_pr_curve_matches_bruteforce_reference(spark):
     assert {(r.lang, r.threshold) for r in got} == {
         (l, b) for l, ds in per_lang.items() for b, _ in ds
     }
+
+
+def test_quality_pair_excludes_empty_text(spark):
+    """Round-10 advice: empty text nulls the quality score (0/0) and so
+    the sbucket ordering key — and Spark windows sort NULLS FIRST while
+    the DuckDB oracle defaults NULLS LAST, silently skewing neg_below.
+    Both queries must exclude empty docs, identically to a corpus that
+    never contained them."""
+    base = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat on the mat", "en"),  # dup pair -> positives exist
+        (2, "completely different words here", "en"),
+        (3, "another unique document body", "en"),
+    ]
+    with_empty = base + [(4, "", "en"), (5, "", "en")]
+    docs_a = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    docs_b = spark.createDataFrame(with_empty, "doc_id long, text string, lang string")
+
+    import watsondedupe_spark.queries.curation_ext as mod
+    import watsondedupe_spark.queries.llm_pipeline as llm
+
+    orig = llm._docs
+    results = {}
+    try:
+        for tag, docs in (("clean", docs_a), ("with_empty", docs_b)):
+            llm._docs = lambda s, d, _docs=docs: _docs
+            mod._docs = lambda s, d, _docs=docs: _docs
+            results[tag] = (
+                sorted(map(tuple, _q("docs_quality_auc", spark, "x").collect())),
+                sorted(map(tuple, _q("docs_quality_pr_curve", spark, "x").collect())),
+            )
+    finally:
+        llm._docs = orig
+        mod._docs = orig
+    assert results["clean"] == results["with_empty"]
+    # the dup pair really registered (the test isn't vacuous)
+    assert any(r[1] > 0 for r in results["clean"][0])  # n_pos > 0 somewhere

@@ -835,3 +835,50 @@ def test_repair_heals_fixable_faults_and_escalates_unfixable(engine):
     again = engine.repair()
     assert again["chunk_store_canonicalized"] == 0
     assert {(r.check, r.key) for r in engine.verify().collect()} == left
+
+
+def test_verify_and_repair_flag_null_payloads(engine):
+    """Round-10 advice: a NULL chunk_store payload makes the recomputed
+    hash and stored length NULL, and a plain ``!=`` evaluates to NULL —
+    the unreadable row would escape hash_mismatch/length_drift AND
+    repair()'s detection count. The null-safe comparisons must flag it
+    like any other corruption: a NULL duplicate is canonicalized away,
+    a solely-NULL chunk escalates honestly to missing_payload."""
+    spark = engine.spark
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"n{i}", bytearray(rand_bytes(6000, 90 + i))) for i in range(3)],
+            "object_key string, data binary",
+        )
+    )
+    victim, solo = [
+        r.chunk_key for r in engine.chunks.orderBy("chunk_key").limit(2).collect()
+    ]
+    # NULL duplicate payload under `victim`
+    engine.store.append(
+        "chunk_store",
+        spark.createDataFrame([(victim, None)], "chunk_key string, data binary"),
+    )
+    # make `solo`'s ONLY payload NULL via store surgery
+    v, cs, _ = engine.store.snapshot("chunk_store")
+    surgically = cs.withColumn(
+        "data",
+        F.when(F.col("chunk_key") == solo, F.lit(None).cast("binary")).otherwise(
+            F.col("data")
+        ),
+    )
+    engine.store.commit("chunk_store", surgically, expected_version=v)
+
+    got = {(r.check, r.key) for r in engine.verify().collect()}
+    assert got == {
+        ("hash_mismatch", victim),
+        ("dup_payload", victim),
+        ("length_drift", victim),
+        ("hash_mismatch", solo),
+        ("length_drift", solo),
+    }
+
+    deltas = engine.repair()
+    assert deltas["chunk_store_canonicalized"] == -2  # both NULL rows dropped
+    left = {(r.check, r.key) for r in engine.verify().collect()}
+    assert left == {("missing_payload", solo)}

@@ -419,6 +419,17 @@ def chunk_objects_segmented(
     except Exception:  # noqa: BLE001 — stats are a planning hint only
         est_bytes = None
     small = est_bytes is not None and (est_bytes // segment_size) * 8 < 2_000_000
+    if small:
+        # the estimate is a pre-filter only: plan-stat bytes are parquet-
+        # COMPRESSED, and text corpora routinely compress beyond the 8x
+        # pad — and F.broadcast bypasses autoBroadcastJoinThreshold — so
+        # confirm against the REAL frame count before forcing the
+        # broadcast. The count executes the CDC kernel once into the
+        # persisted cache, exactly the work the broadcast build side
+        # would have done first anyway; the only extra cost is the tiny
+        # counts aggregate. Estimate-says-big skips straight to
+        # shuffle_hash with no count (correct at any size).
+        small = base.count() < 250_000
     join_base = F.broadcast(base) if small else base.hint("shuffle_hash")
     out = (
         raw.join(join_base, [key_col, "frame_addr"])

@@ -25,6 +25,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 from watsondedupe_spark.chunking import ChunkSettings
 from watsondedupe_spark.engine import (
     DedupeEngine,
@@ -33,6 +35,11 @@ from watsondedupe_spark.engine import (
     ObjectNotFoundError,
 )
 from watsondedupe_spark.session import get_spark
+
+# verify prints at most this many violation rows (plus exact per-check
+# counts computed distributed) — an unbounded collect of a rotten large
+# store would be the repo's own no-driver-materialization violation
+VERIFY_PRINT_CAP = 10_000
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -195,11 +202,22 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         return 0
 
     if args.verb == "verify":
-        bad = engine.verify().collect()
-        for r in bad:
+        # a badly-rotten large store can have O(table) violations — keep
+        # the exact accounting distributed (per-check groupBy counts) and
+        # collect only a bounded sample of rows to print
+        viol = engine.verify()
+        counts = {r["check"]: r["n"] for r in viol.groupBy("check").agg(
+            F.count("*").alias("n")).collect()}
+        total = sum(counts.values())
+        sample = viol.limit(VERIFY_PRINT_CAP).collect()
+        for r in sample:
             print(f"{r.check}\t{r.key}")
-        print(f"{len(bad)} violations", file=sys.stderr)
-        return 1 if bad else 0
+        if total > len(sample):
+            print(f"... ({total - len(sample)} more rows not shown)", file=sys.stderr)
+        for check, n in sorted(counts.items()):
+            print(f"{check}: {n}", file=sys.stderr)
+        print(f"{total} violations", file=sys.stderr)
+        return 1 if total else 0
 
     if args.verb == "repair":
         print(json.dumps(engine.repair()))

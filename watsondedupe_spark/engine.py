@@ -1077,7 +1077,10 @@ class DedupeEngine:
             chunk_key_col(F.col("data")).alias("_computed"),
             F.length("data").cast("long").alias("_stored_len"),
         )
-        hash_bad = cs.filter(F.col("_computed") != F.col("chunk_key")).select(
+        # null-safe: a NULL payload makes _computed/_stored_len NULL, and a
+        # plain != would evaluate to NULL and let the unreadable row escape
+        # the very scan built to catch it
+        hash_bad = cs.filter(~F.col("_computed").eqNullSafe(F.col("chunk_key"))).select(
             F.lit("hash_mismatch").alias("check"), F.col("chunk_key").alias("key")
         )
         dup_payload = (
@@ -1089,7 +1092,7 @@ class DedupeEngine:
         meta = self.chunks.select("chunk_key", "length", "ref_count")
         len_bad = (
             cs.join(meta, "chunk_key")
-            .filter(F.col("_stored_len") != F.col("length"))
+            .filter(~F.col("_stored_len").eqNullSafe(F.col("length")))
             .select(F.lit("length_drift").alias("check"), F.col("chunk_key").alias("key"))
         )
         missing = meta.join(cs, "chunk_key", "left_anti").select(
@@ -1156,15 +1159,20 @@ class DedupeEngine:
             # found something, paying its second sha pass inside the
             # commit's own part write)
             n_rows = cstore.count()
+            # null-safe mirror of verify(): a NULL-payload row must count as
+            # bad (and must NOT survive canonicalization) rather than
+            # vanishing from both filters as a NULL predicate
             n_bad = (
-                cstore.filter(chunk_key_col(F.col("data")) != F.col("chunk_key")).count()
+                cstore.filter(
+                    ~chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
+                ).count()
                 + n_rows
                 - cstore.select("chunk_key").distinct().count()
             )
             deltas["chunk_store_canonicalized"] = 0
             if n_bad:
                 canon = cstore.filter(
-                    chunk_key_col(F.col("data")) == F.col("chunk_key")
+                    chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
                 ).dropDuplicates(["chunk_key"])
                 self.store.commit("chunk_store", canon, expected_version=v_cs)
                 deltas["chunk_store_canonicalized"] = (

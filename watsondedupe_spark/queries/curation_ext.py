@@ -2827,6 +2827,7 @@ WITH q AS (
              * (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
                       / len(string_split(text, ' '))) AS qs
     FROM documents
+    WHERE length(text) > 0
 ),
 labeled AS (
     SELECT lang, CAST(floor(qs * 1000 + 0.5) AS BIGINT) AS sbucket,
@@ -2901,7 +2902,11 @@ def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks)
         )
     )
-    labeled = _docs(spark, sf_dir).select(
+    # empty text nulls qs (0/0) and so sbucket; Spark orders NULLS FIRST
+    # ascending while DuckDB defaults NULLS LAST, so a NULL bucket would
+    # silently skew neg_below — exclude empty docs identically in both
+    # engines (an empty doc has no defined quality score anyway)
+    labeled = _docs(spark, sf_dir).filter(F.length("text") > 0).select(
         "lang",
         F.floor(qs * 1000 + F.lit(0.5)).cast("long").alias("sbucket"),
         F.md5(norm).alias("norm_hash"),
@@ -2958,6 +2963,7 @@ WITH q AS (
              * (0.5 + CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
                       / len(string_split(text, ' '))) AS qs
     FROM documents
+    WHERE length(text) > 0
 ),
 labeled AS (
     SELECT lang, CAST(floor(qs * 1000 + 0.5) AS BIGINT) AS sbucket,
@@ -3025,7 +3031,9 @@ def docs_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks)
         )
     )
-    labeled = _docs(spark, sf_dir).select(
+    # same empty-text exclusion as docs_quality_auc (NULL sbucket would
+    # order differently in Spark vs the DuckDB oracle)
+    labeled = _docs(spark, sf_dir).filter(F.length("text") > 0).select(
         "lang",
         F.floor(qs * 1000 + F.lit(0.5)).cast("long").alias("sbucket"),
         F.md5(norm).alias("norm_hash"),

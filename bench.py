@@ -494,7 +494,12 @@ def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, float]:
 
 
 def bench_segmented_ingest(
-    spark, sf_dir: str, n_objects: int = 2, target_mb: int = 256, segment_mb: int = 8
+    spark,
+    sf_dir: str,
+    n_objects: int = 2,
+    target_mb: int = 256,
+    segment_mb: int = 8,
+    runs: int = 2,
 ) -> tuple[float, float]:
     """The segmented chunker at its DESIGN POINT (SURVEY §7.3): a few
     single multi-hundred-MB objects, where plain chunk_objects would
@@ -549,12 +554,17 @@ def bench_segmented_ingest(
         )
     objs = spark.read.parquet(stage)
     mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
-    # min of two runs: this host's CPU contention swings identical
+    # min of ``runs`` runs: this host's CPU contention swings identical
     # back-to-back runs 2-3x (round 9 measured 50 -> 174 MB/s for the
     # same n=400 plan), which is noise, not plan cost — the min is the
-    # plan's actual cost, and every scale point gets the same treatment
+    # plan's actual cost, and every scale point gets the same treatment.
+    # runs=1 lets the scale gate INTERLEAVE tiers (base, x30, x100,
+    # repeat) and min per tier across rounds, so slow host drift over a
+    # long gate run can't masquerade as per-byte decay (round-9 verdict
+    # item #2 — the committed record showed 334 -> 126 MB/s across tiers
+    # measured ~40 min apart while an interleaved A/B showed 0.87x).
     best = None
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.time()
         chunks = chunk_objects_segmented(
             objs, ChunkSettings(*SMALL_FILE_PROFILE), segment_size=segment_mb << 20
@@ -705,6 +715,63 @@ def bench_engine_delete(spark, sf_dir: str) -> tuple[float, float]:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return dt, mb
+
+
+def bench_engine_maintenance(
+    spark, sf_dir: str, audit=None
+) -> tuple[float, float, float, dict]:
+    """The maintenance family at scale (round-9 verdict #1): ingest the
+    corpus into a throwaway index (untimed substrate), then time
+
+    - ``engine.verify()`` — the full-store integrity scan (sha256
+      recompute of every payload inside codegen + all seven invariant
+      joins). This is THE scheduled job at 100 TB; its cost must be
+      linear in payload bytes, so bytes_ratio is the budget base.
+    - healthy-store ``engine.repair()`` — the detection-first fast
+      path: one scan, ZERO writes. A repair sweep over a clean index
+      that rewrote (or cached) the payload table would be catastrophic
+      at 100 TB, so the gate asserts canonicalized == 0 and times the
+      pass like any other per-byte row.
+
+    ``audit`` (the scale runner's _plan_audit closure) is applied to
+    the executed verify() plan BEFORE teardown, so the scale-tier plan
+    gets the same two registry invariants as every other row. Returns
+    (verify_sec, repair_sec, mb, audit_fields). No reference analogue:
+    the reference trusts its store blindly (README.md:33 file-per-chunk
+    store, no integrity scan) — this scaling law is ours to own.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    objs = docs.select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    root = tempfile.mkdtemp(prefix="bench_engine_maint_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+        t0 = time.time()
+        viol = eng.verify()
+        n_viol = viol.count()
+        verify_sec = time.time() - t0
+        assert n_viol == 0, f"healthy store must verify clean, got {n_viol}"
+        audit_fields = audit("engine_verify", viol) if audit else {}
+        t0 = time.time()
+        deltas = eng.repair()
+        repair_sec = time.time() - t0
+        assert deltas["chunk_store_canonicalized"] == 0, deltas
+        assert all(v == 0 for v in deltas.values()), f"healthy repair wrote: {deltas}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return verify_sec, repair_sec, mb, audit_fields
 
 
 SCALE_QUERIES = [
@@ -1041,6 +1108,11 @@ def scale_stress_main(
             and "plan_audit_error" not in audit_fields
         )
 
+    # resolved HERE (not at the deep-probe section) because the
+    # interleaved segmented-ingest protocol below times the deep tier's
+    # arm in the same rotation as the base and standard tiers
+    deep_factor = deep_factor or max(2 * factor, 60)
+
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
         spec = specs[name]
@@ -1114,19 +1186,43 @@ def scale_stress_main(
     # get the same treatment): without it the tiny base run is
     # dominated by one-time JVM/Arrow costs and the ratio is noise —
     # measured 1.16s vs 15.55s for the identical base across two runs
-    bench_segmented_ingest(spark, sf01, n_objects=2, target_mb=16, segment_mb=4)
-    g_sec, g_mb = bench_segmented_ingest(
-        spark, sf01, n_objects=4, target_mb=16, segment_mb=4
-    )
-    sg_sec, sg_mb = bench_segmented_ingest(
-        spark, stage, n_objects=4 * factor, target_mb=16, segment_mb=4
-    )
+    # INTERLEAVED measurement protocol (round-9 verdict #2): the r9 gate
+    # timed each tier in sequence ~40 min apart on a contended host and
+    # the committed record showed 334 -> 126 MB/s across tiers — while
+    # an interleaved A/B over the identical code measured per-byte ratio
+    # 0.87. So the gate itself now rotates base / x{factor} /
+    # x{deep_factor} arms back-to-back across two rounds and takes
+    # min-of-rounds PER TIER: host drift lands in the recorded arm
+    # variance instead of masquerading as per-byte decay, and the
+    # per_byte_ratio field makes the flat-cost claim a committed number.
+    bench_segmented_ingest(
+        spark, sf01, n_objects=2, target_mb=16, segment_mb=4, runs=1
+    )  # codegen/worker warm (see comment above)
+    seg_tiers = [
+        ("sf01", sf01, 4),
+        (f"x{factor}", stage, 4 * factor),
+        (f"x{deep_factor}", sf01, 4 * deep_factor),
+    ]
+    seg_arms: dict[str, list[float]] = {lbl: [] for lbl, _, _ in seg_tiers}
+    seg_mbs: dict[str, float] = {}
+    for _ in range(2):
+        for lbl, d, n in seg_tiers:
+            sec, mbv = bench_segmented_ingest(
+                spark, d, n_objects=n, target_mb=16, segment_mb=4, runs=1
+            )
+            seg_arms[lbl].append(round(sec, 2))
+            seg_mbs[lbl] = mbv
+    g_sec, g_mb = min(seg_arms["sf01"]), seg_mbs["sf01"]
+    sg_sec, sg_mb = min(seg_arms[f"x{factor}"]), seg_mbs[f"x{factor}"]
     seg_ratio = round(sg_sec / g_sec, 2)
     results["segmented_ingest"] = {
         "sec_sf01": round(g_sec, 2),
         "mbps_sf01": round(g_mb / g_sec, 1),
         f"sec_x{factor}": round(sg_sec, 2),
         f"mbps_x{factor}": round(sg_mb / sg_sec, 1),
+        "arms_sec_sf01": seg_arms["sf01"],
+        f"arms_sec_x{factor}": seg_arms[f"x{factor}"],
+        "per_byte_ratio": round((sg_sec / sg_mb) / (g_sec / g_mb), 2),
         "sec_ratio": seg_ratio,
         "bytes_ratio": round(sg_mb / g_mb, 2),
         "budget_ok": budget_ok(seg_ratio, sg_mb / g_mb),
@@ -1145,11 +1241,40 @@ def scale_stress_main(
         "budget_ok": budget_ok(del_ratio, sd_mb / d_mb),
     }
 
+    # the maintenance family (round-9 verdict #1): the full-store sha2
+    # integrity scan is THE scheduled job at 100 TB — its cost must be
+    # proven linear in payload bytes, and the healthy-store repair()
+    # fast path proven ~zero-cost (one detection scan, zero writes; the
+    # helper asserts zero deltas). The verify() plan at each scale tier
+    # gets both registry plan invariants like every other row.
+    mv_sec, mr_sec, m_mb, _ = bench_engine_maintenance(spark, sf01, audit=_plan_audit)
+    sv_sec, sr_sec, sm_mb, s_audit = bench_engine_maintenance(
+        spark, stage, audit=_plan_audit
+    )
+    vr = round(sv_sec / mv_sec, 2)
+    results["engine_verify"] = {
+        "sec_sf01": round(mv_sec, 2),
+        "mbps_sf01": round(m_mb / mv_sec, 1),
+        f"sec_x{factor}": round(sv_sec, 2),
+        f"mbps_x{factor}": round(sm_mb / sv_sec, 1),
+        **s_audit,
+        "sec_ratio": vr,
+        "bytes_ratio": round(sm_mb / m_mb, 2),
+        "budget_ok": budget_ok(vr, sm_mb / m_mb) and _audit_ok(s_audit),
+    }
+    rr = round(sr_sec / mr_sec, 2)
+    results["engine_repair_healthy"] = {
+        "sec_sf01": round(mr_sec, 2),
+        f"sec_x{factor}": round(sr_sec, 2),
+        "sec_ratio": rr,
+        "bytes_ratio": round(sm_mb / m_mb, 2),
+        "budget_ok": budget_ok(rr, sm_mb / m_mb),
+    }
+
     # deep probe: the worst-slope entries at >= 2x the standard factor,
     # recorded as separate "{name}@x{deep}" rows against the SAME sf01
     # base and budgeted against the deeper factor — two scale points per
     # entry make the slope inspectable instead of extrapolated
-    deep_factor = deep_factor or max(2 * factor, 60)
     deep_stage = _stage_scale_dir(spark, sf01, deep_factor)
     for name in DEEP_QUERIES:
         spec = specs[name]
@@ -1213,15 +1338,43 @@ def scale_stress_main(
         "budget_ok": r <= 1.25 * max(deep_factor, br),
     }
 
-    ds_sec, ds_mb = bench_segmented_ingest(
-        spark, sf01, n_objects=4 * deep_factor, target_mb=16, segment_mb=4
-    )
+    # the deep segmented arm was timed INSIDE the interleaved rotation
+    # above — reuse its min-of-rounds rather than paying (and skewing)
+    # a third sequential measurement here
+    ds_sec, ds_mb = min(seg_arms[f"x{deep_factor}"]), seg_mbs[f"x{deep_factor}"]
     base = results["segmented_ingest"]
     r = round(ds_sec / base["sec_sf01"], 2)
     br = round(ds_mb / (base["mbps_sf01"] * base["sec_sf01"]), 2)
     results[f"segmented_ingest@x{deep_factor}"] = {
         f"sec_x{deep_factor}": round(ds_sec, 2),
         f"mbps_x{deep_factor}": round(ds_mb / ds_sec, 1),
+        f"arms_sec_x{deep_factor}": seg_arms[f"x{deep_factor}"],
+        "per_byte_ratio": round(
+            (ds_sec / ds_mb) / (base["sec_sf01"] / (base["mbps_sf01"] * base["sec_sf01"])), 2
+        ),
+        "sec_ratio": r,
+        "bytes_ratio": br,
+        "budget_ok": r <= 1.25 * max(deep_factor, br),
+    }
+
+    # maintenance family at the deep tier (round-9 verdict #1: @x30 AND
+    # @x100) — ~3 GB of payload through the sha2 scan at x100
+    dv_sec, dr_sec, dm_mb, d_audit = bench_engine_maintenance(
+        spark, deep_stage, audit=_plan_audit
+    )
+    r = round(dv_sec / mv_sec, 2)
+    br = round(dm_mb / m_mb, 2)
+    results[f"engine_verify@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(dv_sec, 2),
+        f"mbps_x{deep_factor}": round(dm_mb / dv_sec, 1),
+        **d_audit,
+        "sec_ratio": r,
+        "bytes_ratio": br,
+        "budget_ok": r <= 1.25 * max(deep_factor, br) and _audit_ok(d_audit),
+    }
+    r = round(dr_sec / mr_sec, 2)
+    results[f"engine_repair_healthy@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(dr_sec, 2),
         "sec_ratio": r,
         "bytes_ratio": br,
         "budget_ok": r <= 1.25 * max(deep_factor, br),

@@ -413,7 +413,9 @@ HEADLINE = [
     # accounting joins + the repair cycle — the maintenance-sweep cost
     # a 100 TB operator schedules; engine_concurrent_writers stays
     # untimed because its wall-clock is the child JVM boot, not engine
-    # work).
+    # work — as does the round-10 engine_concurrent_write_delete pair,
+    # for the same reason; the delete path's cost is the timed
+    # eng_delete row and the engine_delete_half scale rows).
     "docs_quality_auc",
     "docs_quality_pr_curve",
     "engine_integrity_scan",

@@ -59,6 +59,47 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
+    # r10 window — standing rotation: new-this-round first, then
+    # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
+    # last CORRECTNESS_r{N} appearance — the round-2 relational/TPC-H
+    # block has not had a driver row in 8 rounds, the oldest cohort in
+    # the registry).
+    #
+    # Tier 1 — BUILT IN ROUND 10 (2): the cross-process write-vs-delete
+    # race on both store backends (a second Spark process cascading-
+    # deletes the even half while the parent re-ingests the same shared
+    # content under new keys; merged state vs the serial closed forms).
+    "engine_concurrent_write_delete", "engine_concurrent_write_delete_sqlite",
+    # Tier 2 — change risk (4): the quality pair gained the empty-text
+    # exclusion (NULL-bucket ordering divergence), the integrity scan
+    # went null-safe (NULL payloads now flagged + canonicalized), and
+    # the segmented chunker's position-restore broadcast is now
+    # count-confirmed before being forced.
+    "docs_quality_auc", "docs_quality_pr_curve", "engine_integrity_scan",
+    "cdc_chunk_index_segmented",
+    # Tier 3 — longest-ungraded rotation (44): the full round-2 block
+    # (31 — last driver row 8 rounds ago), then the oldest round-3
+    # names (13).
+    "cube_orders_status_year", "date_funcs", "distinct_agg",
+    "events_sessionize_gap", "events_trailing_window", "hash_funcs",
+    "join_full_outer_nation_counts", "listagg_nation_brands",
+    "percentile_agg", "pivot_segment_year", "regexp_extract_parts",
+    "scalar_funcs", "stats_corr_qty_price", "tpch_q10_returns",
+    "tpch_q11_important_stock", "tpch_q12_priority_class",
+    "tpch_q13_order_count_distribution", "tpch_q14_promo",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty", "tpch_q18_big_orders", "tpch_q19_disjunctive",
+    "tpch_q20_part_movers", "tpch_q22_idle_rich",
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation", "window_rank_family",
+    "approx_distinct_parts", "approx_percentile_qty",
+    "bloom_semi_revenue", "docs_bm25_lite", "docs_dup_graph_stats",
+    "docs_entity_mask", "docs_length_histogram", "docs_lsh_levenshtein",
+    "docs_stratified_sample", "docs_token_freq_cms",
+    "docs_top_quality_per_source", "events_cohort_retention",
+    "events_daily_locf",
+    #
     # r9 window — standing rotation: new-this-round first, then
     # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
     # last CORRECTNESS_r{N} appearance: the r1/r2-graded tier has not

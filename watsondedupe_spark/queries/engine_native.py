@@ -841,6 +841,163 @@ def engine_concurrent_writers_sqlite(spark: SparkSession, sf_dir: str) -> DataFr
     return _concurrent_writers_scenario(spark, sf_dir, SqliteIndexStore)
 
 
+# write-vs-delete end state: any serial order of {delete evens} and
+# {write new: copies of the first evens' content} converges to the same
+# closed form — odds intact, news present with the evens' bytes (the
+# shared chunks must survive the refcount decrement / GC even though
+# their ORIGINAL referents die), evens gone.
+_CONCURRENT_WRITE_DELETE_SQL = """
+SELECT object_key,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length,
+       TRUE AS ids_ok, TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(text, 20)) AS payload_md5
+FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS object_key, text
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'new:' || CAST(doc_id AS VARCHAR) AS object_key, text
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20
+)
+"""
+
+
+def _concurrent_write_delete_scenario(
+    spark: SparkSession, sf_dir: str, store_cls
+) -> DataFrame:
+    """A cascading DELETE racing an INGEST across two real Spark
+    processes (round-10 verdict item #3; tests/test_concurrency.py:99
+    is the in-process pytest sibling). The parent ingests the whole
+    corpus serially (substrate), then a CHILD process (own JVM, own
+    SparkSession, backend autodetect) deletes the even-doc half while
+    the parent concurrently writes ``new:`` objects carrying the SAME
+    bytes as the first even docs — so the two sessions contend on
+    exactly the interleaving the reference's two mutexes exist for
+    (SqliteProvider.cs:29-30): the delete decrements / GCs the shared
+    chunks that the write is re-referencing and insert-if-absenting.
+    The composite-op lock + per-table CAS must make the end state equal
+    SOME serial order, and both orders converge to the same closed
+    form: odds + news present with exact tiling/refcount/store
+    invariants and byte-identical reassembly, evens gone, ids distinct
+    (delete punches holes in the 1..N sequence, so gaplessness is no
+    longer the invariant — collision-freedom under the monotone
+    manifest-meta high-water is, engine.py:537-549)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_concwrdel_")
+    try:
+        eng = DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=store_cls
+        )
+        eng.write_batch(objs.select("object_key", "data"))
+        child_src = f"""
+import sys
+sys.path.insert(0, {repr(repo)})
+from pyspark.sql import functions as F
+from watsondedupe_spark.session import get_spark
+from watsondedupe_spark.engine import DedupeEngine
+sp = get_spark("concurrent-deleter", shuffle_partitions=8)
+sp.sparkContext.setLogLevel("ERROR")
+eng = DedupeEngine.open(sp, {repr(root)})
+evens = sp.read.parquet({repr(sf_dir)} + "/documents.parquet").filter(
+    F.col("doc_id") % 2 == 0).select(F.col("doc_id").cast("string").alias("object_key"))
+gc = eng.delete_batch(evens)
+print("CHILD-OK", gc.count(), flush=True)
+sp.stop()
+"""
+        env = dict(os.environ)
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        child = subprocess.Popen(
+            [sys.executable, "-c", child_src],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        # the parent re-ingests the first evens' CONTENT under new keys,
+        # concurrent with the child's whole lifecycle (boot + delete)
+        eng = DedupeEngine.open(spark, root)
+        news = objs.filter((F.col("_id") % 2 == 0) & (F.col("_id") < 20)).select(
+            F.concat(F.lit("new:"), F.col("object_key")).alias("object_key"), "data"
+        )
+        eng.write_batch(news)
+        out, _ = child.communicate(timeout=900)
+        assert child.returncode == 0 and "CHILD-OK" in out, out[-2000:]
+
+        eng = DedupeEngine.open(spark, root)  # autodetect re-open, graded
+        # a 1-row corpus-bounded aggregate broadcast onto every row
+        idcheck = eng.objects.agg(
+            (F.count("*") == F.count_distinct("id")).alias("ids_ok")
+        )
+        result = (
+            _index_invariant_table(eng)
+            .drop("id")
+            .crossJoin(F.broadcast(idcheck))
+            .select(
+                "object_key", "original_length", "ids_ok", "comp_ok",
+                "count_ok", "mapped_ok", "contiguous", "positions_ok",
+                "lengths_ok", "refcounts_ok", "store_ok", "payload_md5",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@register(
+    "engine_concurrent_write_delete",
+    _CONCURRENT_WRITE_DELETE_SQL,
+    doc="cross-process write-vs-delete race graded end-to-end "
+    "(file-manifest backend): a second real Spark process cascading-"
+    "deletes the even corpus half (refcount decrement merge + payload "
+    "GC) while the parent re-ingests the same shared content under new "
+    "keys — the exact anomaly the composite-op lock exists to exclude "
+    "(a GC'd payload silently revived, or a writer's skip-insert "
+    "against a payload the deleter then removes). The merged end state "
+    "must equal the serial closed forms: odds + new objects with exact "
+    "invariants and byte-identical reassembly, evens gone, ids "
+    "collision-free (engine.py _delete_commits / store.py op_lock).",
+)
+def engine_concurrent_write_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    return _concurrent_write_delete_scenario(spark, sf_dir, IndexStore)
+
+
+@register(
+    "engine_concurrent_write_delete_sqlite",
+    _CONCURRENT_WRITE_DELETE_SQL,
+    doc="the same two-process write-vs-delete race through the "
+    "SQLite-catalog backend (op lock + CAS as BEGIN IMMEDIATE) — the "
+    "serialization guarantee must be backend-independent "
+    "(DbProvider.cs:10, SqliteProvider.cs:29-30).",
+)
+def engine_concurrent_write_delete_sqlite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    return _concurrent_write_delete_scenario(spark, sf_dir, SqliteIndexStore)
+
+
 # Multi-batch scenario: four sequential write_batch calls (doc_id % 4
 # slices) exercise the O(batch) APPEND path — part accumulation, the
 # manifest-meta max_id high-water across batches, CAS rebase — then

@@ -422,6 +422,35 @@ HEADLINE = [
 ]
 
 
+def bench_canary(spark, samples: int = 3) -> list[float]:
+    """Fixed host-contention probe (round-9 verdict #4): a constant
+    sf-independent plan — 20M synthetic rows through one hash
+    aggregate — timed at the START, MIDDLE and END of every gated
+    bench run and persisted into the record. The code under the canary
+    never changes, so when a bench row median-warns, bench_compare can
+    mechanically attribute it: canary moved across the window -> host
+    contention; canary flat -> a real regression. Replaces the
+    rotating-warn prose diagnosis re-argued every round since r8."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for _ in range(samples):
+        t0 = time.time()
+        n = (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .count()
+        )
+        assert n == 9973
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
 def bench_substrate_builds(spark, sf_dir: str) -> dict[str, list[float]]:
     """Cold-build timings for the four shared substrates, min-of-two
     with the relevant cache CLEARED before every run.
@@ -1474,6 +1503,13 @@ def main() -> None:
     except Exception:
         locks = {}
 
+    # contention canary (round-9 verdict #4): warm its plan once, then
+    # sample the fixed probe at window start / middle / end — the three
+    # point-lists land in the gated record so bench_compare can
+    # attribute median-warns mechanically
+    bench_canary(spark, samples=1)
+    canary: dict[str, list[float]] = {"start": bench_canary(spark)}
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     runs: dict[str, list[float]] = {}  # all steady samples, for the sidecar
@@ -1502,6 +1538,8 @@ def main() -> None:
         # 2-decimal precision on the printed line (1% at sub-second,
         # nothing at the 2x budget); full 3-decimal samples in the sidecar
         times[name] = round(min(steady), 2)
+
+    canary["mid"] = bench_canary(spark)
 
     # substrate builds run AFTER the probe rows (clearing caches here
     # cannot poison a timed probe) and join the gated `times` table —
@@ -1562,6 +1600,10 @@ def main() -> None:
         assert ij_spec.spark(spark, sf_dir).count() == ij_rows
         ij_sec = round(time.time() - t0, 3)
 
+    canary["end"] = bench_canary(spark)
+    c_mins = [min(v) for v in canary.values()]
+    canary_drift = round(max(c_mins) / min(c_mins), 2) if min(c_mins) > 0 else None
+
     total = round(sum(times.values()), 3)
     # key names are compact on purpose (mbps = MB/s; cdc_runs/eng_runs =
     # the min-of-three ingest samples; ij_* = the streamed interval
@@ -1590,6 +1632,8 @@ def main() -> None:
         "ij_sec": ij_sec,
         "ij_cold": ij_cold,
         "ij_rows": ij_rows,
+        "canary": canary,
+        "canary_drift": canary_drift,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     # artifact hygiene (round-7): only the round-close runbook writes the

@@ -111,6 +111,24 @@ def main() -> int:
                 medians[name] = s[len(s) // 2]
     except (OSError, json.JSONDecodeError):
         pass
+    # contention canary (round-10): the fixed probe timed at window
+    # start/mid/end by bench.py. If the canary itself moved across the
+    # run, a warn row on untouched code is host contention; if the
+    # canary stayed flat, the warn is a real regression to chase.
+    canary = bench.get("canary") or {}
+    c_mins = [min(v) for v in canary.values() if v]
+    drift = (
+        round(max(c_mins) / min(c_mins), 2)
+        if len(c_mins) >= 2 and min(c_mins) > 0
+        else None
+    )
+    if drift is None:
+        canary_note = ""
+    elif drift >= 1.3:
+        canary_note = f" [canary drift {drift}x -> host contention]"
+    else:
+        canary_note = f" [canary flat ({drift}x) -> likely real]"
+
     warn, fail, new = [], [], []
     for name, sec in sorted(times.items()):
         base = baseline.get(name)
@@ -137,8 +155,10 @@ def main() -> int:
             f"{locked_meas:.2f}s vs {locked_base:.2f}s "
             f"({locked_meas / locked_base:.2f}x)"
         )
+    if drift is not None:
+        print(f"canary: mins per window point {c_mins} (drift {drift}x)")
     for name, sec, base, ratio in warn:
-        print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
+        print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x){canary_note}")
     # two-sided sample check: min passed its budget but the median of the
     # (possibly widened) sample set did not — informational, so a steady
     # marginal regression can't hide behind one lucky dip forever
@@ -147,7 +167,7 @@ def main() -> int:
         med = medians.get(name)
         if base and med and sec / base < args.warn and med / base >= args.warn:
             print(f"  WARN-MEDIAN {name}: median {med:.3f}s vs lock {base:.3f}s "
-                  f"({med / base:.2f}x; min {sec:.3f}s passed)")
+                  f"({med / base:.2f}x; min {sec:.3f}s passed){canary_note}")
     for name, sec, base, ratio in fail:
         print(f"  FAIL {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
     # NEW entries (no locked row) must still be bounded: an unlocked query

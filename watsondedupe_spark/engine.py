@@ -1069,6 +1069,15 @@ class DedupeEngine:
         Returns ``(check, key)`` violation rows; ``groupBy(check)`` is
         the health report. Every join is corpus-keyed (chunk_key /
         object_key) — shuffle joins at scale, no driver round-trips.
+
+        The payload table is read EXACTLY ONCE: the narrow
+        (key, recomputed-key, length) projection is materialized
+        eagerly (localCheckpoint — ~tens of bytes per chunk, executor
+        memory+disk), and all five chunk_store-derived checks read the
+        checkpoint. Without it, Catalyst treats each branch as an
+        independent plan and the hash branch and the length branch
+        would EACH rescan every stored payload byte — at 100 TB that is
+        the difference between one sweep and two.
         """
         from watsondedupe_spark.keys import chunk_key_col
 
@@ -1076,7 +1085,7 @@ class DedupeEngine:
             "chunk_key",
             chunk_key_col(F.col("data")).alias("_computed"),
             F.length("data").cast("long").alias("_stored_len"),
-        )
+        ).localCheckpoint(eager=True)
         # null-safe: a NULL payload makes _computed/_stored_len NULL, and a
         # plain != would evaluate to NULL and let the unreadable row escape
         # the very scan built to catch it

@@ -1580,8 +1580,17 @@ def main() -> None:
     seg_sec, seg_mb = min(seg_runs)
     times["segmented_ingest"] = round(seg_sec, 2)
     # bulk ingest reported as MB/s only (not in the headline total, which
-    # regresses against the locked per-query baseline table)
-    bulk_sec, bulk_mb = bench_engine_ingest(spark, sf_dir, repeat=200, n_objects=5000)
+    # regresses against the locked per-query baseline table). min-of-3
+    # like the other ingest rows (round-10): this was the ONLY
+    # single-sample ingest number, and its 66-85 MB/s historical band
+    # with round-scale swings (85.3 -> 73.3 -> 54.8 across r8-r10 gated
+    # runs) tracked host contention, not code — a ~6 s single sample on
+    # a contended host is noise by construction
+    bulk_runs = [
+        bench_engine_ingest(spark, sf_dir, repeat=200, n_objects=5000)
+        for _ in range(3)
+    ]
+    bulk_sec, bulk_mb = min(bulk_runs)
 
     # streamed interval join: correctness-graded but untimed (a streamed
     # replay pays ~7s of per-run engine fixed cost — two file-source
@@ -1692,6 +1701,7 @@ def main() -> None:
         "cdc_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in cdc_runs],
         "engine_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in eng_runs],
         "engine_bulk_sec_mb": [round(bulk_sec, 3), round(bulk_mb, 1)],
+        "engine_bulk_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in bulk_runs],
         "segmented_runs_sec_mb": [[round(s, 3), round(m, 1)] for s, m in seg_runs],
         "interval_join_streamed": {"sec": ij_sec, "cold_sec": ij_cold, "rows": ij_rows},
         "sf": float(sf),

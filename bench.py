@@ -415,7 +415,12 @@ HEADLINE = [
     # untimed because its wall-clock is the child JVM boot, not engine
     # work — as does the round-10 engine_concurrent_write_delete pair,
     # for the same reason; the delete path's cost is the timed
-    # eng_delete row and the engine_delete_half scale rows).
+    # eng_delete row and the engine_delete_half scale rows. The
+    # round-10 scoped-scrub rows (engine_verify_shards/_incremental)
+    # also stay untimed: each is a strict subset of the full scan whose
+    # cost is locked (engine_integrity_scan) and scale-gated
+    # (engine_verify @x30/@x100), wrapped in build-and-plant
+    # scaffolding that would dominate the timing).
     "docs_quality_auc",
     "docs_quality_pr_curve",
     "engine_integrity_scan",

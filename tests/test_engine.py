@@ -882,3 +882,38 @@ def test_verify_and_repair_flag_null_payloads(engine):
     assert deltas["chunk_store_canonicalized"] == -2  # both NULL rows dropped
     left = {(r.check, r.key) for r in engine.verify().collect()}
     assert left == {("missing_payload", solo)}
+
+
+def test_verify_scoped_modes(engine):
+    """Scoped scrubs (round 10): shard runs partition the payload
+    checks exactly (disjoint union == full scan's payload classes,
+    metadata-wide checks reported only by the full scan); an
+    incremental scan against the CURRENT version is empty; a bad shard
+    index raises."""
+    spark = engine.spark
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"s{i}", bytearray(rand_bytes(6000, 100 + i))) for i in range(4)],
+            "object_key string, data binary",
+        )
+    )
+    victim = engine.chunks.agg(F.min("chunk_key")).collect()[0][0]
+    engine.store.append(
+        "chunk_store",
+        spark.createDataFrame([(victim, bytearray(b"x"))],
+                              "chunk_key string, data binary"),
+    )
+    full = {(r.check, r.key) for r in engine.verify().collect()}
+    payload_full = {(c, k) for c, k in full if c not in ("refcount_drift", "orphan_map")}
+    shard_union: set = set()
+    for i in range(3):
+        got = {(r.check, r.key) for r in engine.verify(shards=(i, 3)).collect()}
+        assert not shard_union & got  # disjoint
+        assert not {c for c, _ in got} & {"refcount_drift", "orphan_map"}
+        shard_union |= got
+    assert shard_union == payload_full
+    # nothing appended since the current version -> empty incremental
+    v_now = engine.store.versions("chunk_store")[-1]
+    assert engine.verify(since_version=v_now).count() == 0
+    with pytest.raises(ValueError):
+        engine.verify(shards=(3, 3))

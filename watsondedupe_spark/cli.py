@@ -81,9 +81,24 @@ def _build_parser() -> argparse.ArgumentParser:
     exists.add_argument("--key", required=True)
 
     sub.add_parser("optimize", help="fold each table's parts into one (OPTIMIZE)")
-    sub.add_parser(
+    verify = sub.add_parser(
         "verify",
         help="content-address integrity scan (exit 0 clean / 1 violations)",
+    )
+    verify.add_argument(
+        "--since",
+        type=int,
+        default=None,
+        metavar="VERSION",
+        help="incremental scrub: payload checks only on chunk keys "
+        "added after chunk_store VERSION (the daily scrub at scale)",
+    )
+    verify.add_argument(
+        "--shard",
+        default=None,
+        metavar="I/N",
+        help="rolling scrub: cover only the chunks hashing into cell "
+        "I of N (union over all N shards covers every chunk once)",
     )
     sub.add_parser(
         "repair",
@@ -205,7 +220,11 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         # a badly-rotten large store can have O(table) violations — keep
         # the exact accounting distributed (per-check groupBy counts) and
         # collect only a bounded sample of rows to print
-        viol = engine.verify()
+        shard = None
+        if args.shard is not None:
+            i, n = args.shard.split("/", 1)
+            shard = (int(i), int(n))
+        viol = engine.verify(since_version=args.since, shards=shard)
         counts = {r["check"]: r["n"] for r in viol.groupBy("check").agg(
             F.count("*").alias("n")).collect()}
         total = sum(counts.values())

@@ -1042,9 +1042,39 @@ class DedupeEngine:
 
     # -- maintenance ----------------------------------------------------------
 
-    def verify(self) -> DataFrame:
+    def verify(
+        self,
+        since_version: int | None = None,
+        shards: tuple[int, int] | None = None,
+    ) -> DataFrame:
         """Distributed content-address integrity scan: one row per
         violation, empty when the index is healthy.
+
+        Two SCOPED modes bound the expensive payload recompute for the
+        scheduled-scrub cadences a 100 TB store actually runs (the full
+        scan is the weekly job; these are the daily ones):
+
+        - ``since_version=v`` — incremental scrub: the sha2/length pass
+          covers only chunk_store rows whose chunk_key was absent from
+          chunk_store version ``v`` (one metadata-only key anti-join
+          picks the subset; cost is O(new payload bytes), not O(store)).
+          By construction an append-diff is keyed, so a row appended
+          under an ALREADY-EXISTING key (tampering) is out of scope —
+          that class is caught by the rolling shard scrub or the full
+          scan, which is exactly the operational split (new data daily,
+          full coverage on rotation).
+        - ``shards=(i, n)`` — rolling scrub shard: covers the chunks
+          whose key hashes into cell ``i`` of ``n`` (deterministic
+          murmur3 partition); the union of the n shard runs covers
+          every chunk exactly once at 1/n of the payload cost per run.
+
+        Scoped runs evaluate the five payload/accounting checks on the
+        scoped subset (a chunk and its payload always land in the same
+        scope, so missing/orphan stay meaningful); the two
+        metadata-wide checks (``refcount_drift``, ``orphan_map``) read
+        no payload and are reported only by the FULL scan — so
+        per-shard violation counts sum exactly to the full scan's
+        payload-class counts.
 
         The reference trusts its store blindly (a flipped bit in a
         chunk file surfaces only as a corrupted Get); at 100 TB the
@@ -1081,7 +1111,28 @@ class DedupeEngine:
         """
         from watsondedupe_spark.keys import chunk_key_col
 
-        cs = self.chunk_store.select(
+        cs_src = self.chunk_store
+        meta = self.chunks.select("chunk_key", "length", "ref_count")
+        scoped = since_version is not None or shards is not None
+        if since_version is not None:
+            # metadata-only key anti-join: the old snapshot contributes
+            # just its chunk_key column (parquet column pruning — no old
+            # payload bytes are read), so the scope cut costs O(keys)
+            old_keys = (
+                self.store.read_version("chunk_store", since_version)
+                .select("chunk_key")
+                .distinct()
+            )
+            cs_src = cs_src.join(old_keys, "chunk_key", "left_anti")
+            meta = meta.join(old_keys, "chunk_key", "left_anti")
+        if shards is not None:
+            i, n = shards
+            if not (isinstance(n, int) and n >= 1 and 0 <= i < n):
+                raise ValueError(f"shard {i!r} out of range for {n!r} shards")
+            pred = F.pmod(F.hash("chunk_key"), F.lit(n)) == F.lit(i)
+            cs_src = cs_src.filter(pred)
+            meta = meta.filter(pred)
+        cs = cs_src.select(
             "chunk_key",
             chunk_key_col(F.col("data")).alias("_computed"),
             F.length("data").cast("long").alias("_stored_len"),
@@ -1098,7 +1149,6 @@ class DedupeEngine:
             .filter(F.col("count") > 1)
             .select(F.lit("dup_payload").alias("check"), F.col("chunk_key").alias("key"))
         )
-        meta = self.chunks.select("chunk_key", "length", "ref_count")
         len_bad = (
             cs.join(meta, "chunk_key")
             .filter(~F.col("_stored_len").eqNullSafe(F.col("length")))
@@ -1113,24 +1163,33 @@ class DedupeEngine:
             .join(meta, "chunk_key", "left_anti")
             .select(F.lit("orphan_payload").alias("check"), F.col("chunk_key").alias("key"))
         )
-        refs = self.object_map.groupBy("chunk_key").agg(
-            F.count("*").cast("long").alias("_n_refs")
-        )
-        ref_bad = (
-            meta.join(refs, "chunk_key", "full_outer")
-            .filter(
-                ~F.col("ref_count").eqNullSafe(F.col("_n_refs"))
+        parts = [len_bad, dup_payload, missing, orphan_payload]
+        if not scoped:
+            # metadata-wide checks ride the full scan only (see
+            # docstring) — a scoped run reporting them would double- or
+            # n-count the same drift across the scrub rotation
+            refs = self.object_map.groupBy("chunk_key").agg(
+                F.count("*").cast("long").alias("_n_refs")
             )
-            .select(F.lit("refcount_drift").alias("check"), F.col("chunk_key").alias("key"))
-        )
-        orphan_map = (
-            self.object_map.select("object_key")
-            .distinct()
-            .join(self.objects.select("object_key"), "object_key", "left_anti")
-            .select(F.lit("orphan_map").alias("check"), F.col("object_key").alias("key"))
-        )
+            parts.append(
+                meta.join(refs, "chunk_key", "full_outer")
+                .filter(~F.col("ref_count").eqNullSafe(F.col("_n_refs")))
+                .select(
+                    F.lit("refcount_drift").alias("check"),
+                    F.col("chunk_key").alias("key"),
+                )
+            )
+            parts.append(
+                self.object_map.select("object_key")
+                .distinct()
+                .join(self.objects.select("object_key"), "object_key", "left_anti")
+                .select(
+                    F.lit("orphan_map").alias("check"),
+                    F.col("object_key").alias("key"),
+                )
+            )
         out = hash_bad
-        for part in (len_bad, dup_payload, missing, orphan_payload, ref_bad, orphan_map):
+        for part in parts:
             out = out.unionByName(part)
         return out
 

@@ -70,6 +70,10 @@ _GRADING_PRIORITY = [
     # deletes the even half while the parent re-ingests the same shared
     # content under new keys; merged state vs the serial closed forms).
     "engine_concurrent_write_delete", "engine_concurrent_write_delete_sqlite",
+    # ... plus the scoped-scrub pair (session 2): the rolling shard
+    # partition contract and the incremental append-diff scope, each
+    # with planted-fault closed forms.
+    "engine_verify_shards", "engine_verify_incremental",
     # Tier 2 — change risk (4): the quality pair gained the empty-text
     # exclusion (NULL-bucket ordering divergence), the integrity scan
     # went null-safe (NULL payloads now flagged + canonicalized), and

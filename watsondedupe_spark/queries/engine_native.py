@@ -809,6 +809,183 @@ def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scoped-scrub closed forms: one garbage-dup fault planted under one
+# existing chunk (hash_mismatch + dup_payload + length_drift) plus one
+# orphan payload; the sum of the n disjoint shard runs must equal the
+# full scan's payload-class counts, and the shard partition must cover
+# every chunk exactly once (coverage flag).
+_VERIFY_SHARDS_SQL = """
+SELECT * FROM (VALUES
+    ('dup_payload',       CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+    ('hash_mismatch',     CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+    ('length_drift',      CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+    ('missing_payload',   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('orphan_payload',    CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+    ('shard_coverage_ok', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(check_name, n_sharded, n_full)
+"""
+
+
+@register(
+    "engine_verify_shards",
+    _VERIFY_SHARDS_SQL,
+    doc="engine.verify(shards=(i, n)) — the ROLLING scrub a 100 TB "
+    "store schedules nightly: each run recomputes sha256 for only the "
+    "chunks hashing into cell i of n (1/n of the payload bytes), and "
+    "the union of the n runs covers every chunk exactly once. Grades "
+    "the partition contract end-to-end: the corpus ingests, one "
+    "garbage-dup fault and one orphan payload are planted, and the "
+    "SUM of the four disjoint shard runs' per-check counts must equal "
+    "the full scan's payload-class counts (no violation double-counted "
+    "across shards, none lost between them), while the shard key sets "
+    "reunion exactly to the chunks table (coverage flag). The scoped "
+    "runs deliberately omit the metadata-wide checks so the rotation "
+    "sums stay exact (engine.py verify docstring).",
+)
+def engine_verify_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.keys import chunk_key
+
+    n_shards = 4
+    payload_checks = (
+        "dup_payload", "hash_mismatch", "length_drift",
+        "missing_payload", "orphan_payload",
+    )
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_verify_shards_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+        victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+        orphan = b"___shard_orphan"
+        eng.store.append(
+            "chunk_store",
+            spark.createDataFrame(
+                [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
+                "chunk_key string, data binary",
+            ),
+        )
+
+        def counts(df) -> dict[str, int]:
+            got = {
+                r.check: r.n
+                for r in df.groupBy("check").agg(F.count("*").alias("n")).collect()
+            }
+            return {c: int(got.get(c, 0)) for c in payload_checks}
+
+        full = counts(eng.verify())
+        sharded = {c: 0 for c in payload_checks}
+        covered = 0
+        for i in range(n_shards):
+            for c, n in counts(eng.verify(shards=(i, n_shards))).items():
+                sharded[c] += n
+            covered += eng.chunks.filter(
+                F.pmod(F.hash("chunk_key"), F.lit(n_shards)) == i
+            ).count()
+        coverage_ok = int(covered == eng.chunks.count())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [(c, sharded[c], full[c]) for c in payload_checks]
+    rows.append(("shard_coverage_ok", coverage_ok, 1))
+    return spark.createDataFrame(
+        rows, "check_name string, n_sharded long, n_full long"
+    )
+
+
+_VERIFY_INCREMENTAL_SQL = """
+SELECT * FROM (VALUES
+    ('dup_payload',     CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+    ('hash_mismatch',   CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+    ('length_drift',    CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+    ('missing_payload', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    ('orphan_payload',  CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(check_name, n_incremental, n_full)
+"""
+
+
+@register(
+    "engine_verify_incremental",
+    _VERIFY_INCREMENTAL_SQL,
+    doc="engine.verify(since_version=v) — the DAILY incremental scrub: "
+    "the sha256 pass covers only chunk keys absent from chunk_store "
+    "version v (one metadata-only key anti-join; cost O(new payload "
+    "bytes), not O(store)). Grades the scope contract: two ingest "
+    "batches with a manifest version captured between them, then one "
+    "garbage-dup fault planted under a batch-2-only chunk key and an "
+    "IDENTICAL fault under a batch-1 key — the incremental scan must "
+    "flag exactly the new-key fault (1 per class) while the full scan "
+    "flags both (2 per class); the old-key fault being out of the "
+    "incremental scope is the documented append-diff semantics (new "
+    "data scrubs daily, in-place mutation of existing keys is the "
+    "rolling-shard/full scan's job — engine.py verify docstring).",
+)
+def engine_verify_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    payload_checks = (
+        "dup_payload", "hash_mismatch", "length_drift",
+        "missing_payload", "orphan_payload",
+    )
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_verify_inc_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs.filter(F.col("_id") % 2 == 0).select("object_key", "data"))
+        v1 = eng.store.versions("chunk_store")[-1]
+        old_keys = eng.chunk_store.select("chunk_key")
+        victim_old = old_keys.agg(F.min("chunk_key")).collect()[0][0]
+        eng.write_batch(objs.filter(F.col("_id") % 2 == 1).select("object_key", "data"))
+        victim_new = (
+            eng.chunk_store.select("chunk_key")
+            .join(
+                eng.store.read_version("chunk_store", v1).select("chunk_key"),
+                "chunk_key",
+                "left_anti",
+            )
+            .agg(F.min("chunk_key"))
+            .collect()[0][0]
+        )
+        assert victim_new is not None, "batch 2 added no new chunks"
+        eng.store.append(
+            "chunk_store",
+            spark.createDataFrame(
+                [(victim_new, bytearray(b"x")), (victim_old, bytearray(b"y"))],
+                "chunk_key string, data binary",
+            ),
+        )
+
+        def counts(df) -> dict[str, int]:
+            got = {
+                r.check: r.n
+                for r in df.groupBy("check").agg(F.count("*").alias("n")).collect()
+            }
+            return {c: int(got.get(c, 0)) for c in payload_checks}
+
+        inc = counts(eng.verify(since_version=v1))
+        full = counts(eng.verify())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(c, inc[c], full[c]) for c in payload_checks],
+        "check_name string, n_incremental long, n_full long",
+    )
+
+
 @register(
     "engine_concurrent_writers",
     _CONCURRENT_WRITERS_SQL,

@@ -917,3 +917,37 @@ def test_verify_scoped_modes(engine):
     assert engine.verify(since_version=v_now).count() == 0
     with pytest.raises(ValueError):
         engine.verify(shards=(3, 3))
+
+
+def test_clone_roundtrip_and_refusals(engine, tmp_path):
+    """clone() (round 10): replica preserves settings and bytes on the
+    OPPOSITE backend, refuses an existing destination, and keeps the
+    ingest-id high-water so post-clone writes never collide."""
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+    spark = engine.spark
+    payloads = {f"c{i}": rand_bytes(6000, 110 + i) for i in range(3)}
+    engine.write_batch(
+        spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in payloads.items()],
+            "object_key string, data binary",
+        )
+    )
+    other = (
+        SqliteIndexStore if isinstance(engine.store, IndexStore) else IndexStore
+    )
+    dest = str(tmp_path / "clone")
+    engine.clone(dest, store_cls=other)
+    clone = DedupeEngine.open(spark, dest)
+    assert isinstance(clone.store, other)
+    assert clone.settings == engine.settings
+    for k, v in payloads.items():
+        assert clone.get(k) == v
+    # id continuity: next ingest id continues above the carried high-water
+    clone.write("c_new", b"y" * 6000)
+    ids = sorted(r.id for r in clone.objects.collect())
+    assert ids == [1, 2, 3, 4]
+    # destination already an index -> refuse
+    with pytest.raises(ValueError):
+        engine.clone(dest)

@@ -104,6 +104,16 @@ def _build_parser() -> argparse.ArgumentParser:
         "repair",
         help="recover() + payload-store canonicalization; prints deltas",
     )
+    clone = sub.add_parser(
+        "clone", help="consistent replica at --dest (backup/DR/migration)"
+    )
+    clone.add_argument("--dest", required=True)
+    clone.add_argument(
+        "--backend",
+        choices=["file", "sqlite"],
+        default=None,
+        help="destination store backend (default: same as source)",
+    )
     return p
 
 
@@ -240,6 +250,16 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
 
     if args.verb == "repair":
         print(json.dumps(engine.repair()))
+        return 0
+
+    if args.verb == "clone":
+        store_cls = None
+        if args.backend:
+            from watsondedupe_spark.store import IndexStore, SqliteIndexStore
+
+            store_cls = {"file": IndexStore, "sqlite": SqliteIndexStore}[args.backend]
+        engine.clone(args.dest, store_cls=store_cls)
+        print(json.dumps({"cloned_to": args.dest}))
         return 0
 
     raise AssertionError(f"unhandled verb {args.verb}")

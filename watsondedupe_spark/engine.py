@@ -1263,6 +1263,54 @@ class DedupeEngine:
             if self.store.exists(name)
         }
 
+    def clone(self, dest_root: str, store_cls: type | None = None) -> "DedupeEngine":
+        """Consistent replica of the index at ``dest_root`` — the
+        backup / DR / migration verb (no reference analogue; the
+        reference's answer is "copy the SQLite file and the chunk
+        directory", README.md:33, which has no cross-table consistency
+        under concurrent writers).
+
+        The composite-op lock is held only long enough to pin all five
+        table snapshots at ONE logical point (manifest reads — no data
+        movement); the bulk copy then streams OUTSIDE the lock against
+        the pinned parquet parts, which are immutable and retained for
+        the version-history window, so writers are blocked for
+        milliseconds, not for the hours a 100 TB copy takes. (If the
+        source advances past the retention window mid-copy the read
+        fails loudly rather than producing a torn clone.) Each table
+        lands as the destination's version-1 commit through the store
+        contract — distributed part writes, nothing driver-side — so
+        cloning ACROSS backends (file-manifest -> SQLite catalog or
+        back) works by construction: pass ``store_cls``. The objects
+        high-water mark carries over, so ingest ids in the clone
+        continue above the source's.
+        """
+        from watsondedupe_spark.store import open_store
+
+        store_cls = store_cls or type(self.store)
+        # refuse ANY existing index at dest, whichever backend wrote it —
+        # probing only with the destination class would let a clone
+        # interleave a second backend's layout into an occupied root
+        if open_store(self.spark, dest_root).exists("config"):
+            raise ValueError(f"index already exists at {dest_root}; refusing clone")
+        dest = store_cls(self.spark, dest_root)
+        with self.store.op_lock():
+            _, objs, ometa = self.store.snapshot("objects", OBJECTS_SCHEMA)
+            max_id = ometa.get("max_id")
+            snaps = {
+                "config": self.store.read("config", CONFIG_SCHEMA),
+                "object_map": self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)[1],
+                "chunks": self.store.snapshot("chunks", CHUNKS_SCHEMA)[1],
+                "chunk_store": self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)[1],
+            }
+        if max_id is None:
+            max_id = objs.agg(F.max("id")).collect()[0][0] or 0
+        dest.commit("config", snaps["config"])
+        dest.commit("objects", objs, meta={"max_id": int(max_id)})
+        for name in ("object_map", "chunks", "chunk_store"):
+            dest.commit(name, snaps[name])
+        return DedupeEngine(self.spark, dest, self.settings)
+
     def recover(self) -> dict[str, int]:
         """Repair a partially-committed ingest after a crash.
 

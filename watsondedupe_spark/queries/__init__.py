@@ -74,6 +74,10 @@ _GRADING_PRIORITY = [
     # partition contract and the incremental append-diff scope, each
     # with planted-fault closed forms.
     "engine_verify_shards", "engine_verify_incremental",
+    # ... and the cross-backend consistent-clone roundtrip (backup/DR
+    # verb: lock-pinned snapshots, copy outside the lock, graded via
+    # the full invariant table on the OTHER backend).
+    "engine_clone_roundtrip",
     # Tier 2 — change risk (4): the quality pair gained the empty-text
     # exclusion (NULL-bucket ordering divergence), the integrity scan
     # went null-safe (NULL payloads now flagged + canonicalized), and

@@ -951,3 +951,37 @@ def test_clone_roundtrip_and_refusals(engine, tmp_path):
     # destination already an index -> refuse
     with pytest.raises(ValueError):
         engine.clone(dest)
+
+
+def test_checkpoint_ledger_and_pitr(engine, tmp_path):
+    """Consistency-point ledger (round 10): each composite op appends
+    one row inside its critical section; clone(at=) restores a named
+    point — including objects deleted after it; unknown seq raises."""
+    from watsondedupe_spark.engine import DedupeEngine
+
+    spark = engine.spark
+    assert engine.checkpoints.count() == 0
+    engine.write_batch(
+        spark.createDataFrame(
+            [("p1", bytearray(rand_bytes(6000, 120))),
+             ("p2", bytearray(rand_bytes(6000, 121)))],
+            "object_key string, data binary",
+        )
+    )
+    engine.write_batch(
+        spark.createDataFrame(
+            [("p3", bytearray(rand_bytes(6000, 122)))],
+            "object_key string, data binary",
+        )
+    )
+    engine.delete_batch(["p1"])
+    ops = [(r.seq, r.op) for r in engine.checkpoints.orderBy("seq").collect()]
+    assert ops == [(1, "ingest"), (2, "ingest"), (3, "delete")]
+
+    engine.clone(str(tmp_path / "r"), at=2)
+    restored = DedupeEngine.open(spark, str(tmp_path / "r"))
+    keys = {r.object_key for r in restored.objects.collect()}
+    assert keys == {"p1", "p2", "p3"}  # p1 is back, pre-delete state
+    assert restored.get("p1") == rand_bytes(6000, 120)
+    with pytest.raises(ValueError):
+        engine.clone(str(tmp_path / "x"), at=99)

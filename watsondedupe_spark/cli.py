@@ -114,6 +114,17 @@ def _build_parser() -> argparse.ArgumentParser:
         default=None,
         help="destination store backend (default: same as source)",
     )
+    clone.add_argument(
+        "--at",
+        type=int,
+        default=None,
+        metavar="SEQ",
+        help="point-in-time restore: clone the consistency point with "
+        "this ledger sequence number instead of the current state",
+    )
+    sub.add_parser(
+        "checkpoints", help="list the consistency-point ledger (for clone --at)"
+    )
     return p
 
 
@@ -258,8 +269,16 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             from watsondedupe_spark.store import IndexStore, SqliteIndexStore
 
             store_cls = {"file": IndexStore, "sqlite": SqliteIndexStore}[args.backend]
-        engine.clone(args.dest, store_cls=store_cls)
-        print(json.dumps({"cloned_to": args.dest}))
+        engine.clone(args.dest, store_cls=store_cls, at=args.at)
+        print(json.dumps({"cloned_to": args.dest, "at": args.at}))
+        return 0
+
+    if args.verb == "checkpoints":
+        for r in engine.checkpoints.orderBy("seq").collect():
+            print(
+                f"{r.seq}\t{r.op}\t{r.created_utc}\t"
+                f"o={r.objects_v} m={r.object_map_v} c={r.chunks_v} s={r.chunk_store_v}"
+            )
         return 0
 
     raise AssertionError(f"unhandled verb {args.verb}")

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from watsondedupe_spark.chunking import ChunkSettings, chunk_objects
 from watsondedupe_spark.keys import validate_object_key
 from watsondedupe_spark.schemas import (
+    CHECKPOINTS_SCHEMA,
     CHUNK_STORE_SCHEMA,
     CHUNKS_SCHEMA,
     CONFIG_SCHEMA,
@@ -627,6 +628,46 @@ class DedupeEngine:
             # (attach discarded our staged part): the staged ids are
             # stale — re-derive and append under the ordinary CAS loop
             write_objects()
+        self._record_checkpoint("ingest")
+
+    def _record_checkpoint(self, op: str) -> None:
+        """Append one consistency-point row to the ``checkpoints``
+        ledger: the four table versions as of now. Called at the END of
+        a completed composite op, INSIDE its critical section — the
+        lock is what makes the tuple a true cross-table cut (no other
+        writer can advance a table between the four reads). A crash
+        mid-op leaves no ledger row, so the ledger only ever lists
+        states that were fully committed; :meth:`clone` with ``at=``
+        restores them, subject to the store's part-retention window.
+        One ~100-byte row per composite op — O(1) metadata, no Spark
+        job beyond the 1-row append."""
+        seq = 1
+        if self.store.exists("checkpoints"):
+            seq = (
+                self.store.read("checkpoints", CHECKPOINTS_SCHEMA).count() + 1
+            )
+        row = [
+            (
+                seq,
+                op,
+                self.store.current_version("objects"),
+                self.store.current_version("object_map"),
+                self.store.current_version("chunks"),
+                self.store.current_version("chunk_store"),
+                datetime.now(timezone.utc),
+            )
+        ]
+        self.store.append(
+            "checkpoints", self.spark.createDataFrame(row, CHECKPOINTS_SCHEMA)
+        )
+
+    @property
+    def checkpoints(self) -> DataFrame:
+        """The consistency-point ledger (empty if no composite op has
+        completed since the index was created on an older layout)."""
+        if not self.store.exists("checkpoints"):
+            return self.spark.createDataFrame([], CHECKPOINTS_SCHEMA)
+        return self.store.read("checkpoints", CHECKPOINTS_SCHEMA)
 
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
     #
@@ -986,6 +1027,7 @@ class DedupeEngine:
                 )
 
             self._cas(payload_attempt)
+        self._record_checkpoint("delete")
         return gc_set
 
     def _delete_batch_distributed(self, keys_df: DataFrame) -> DataFrame:
@@ -1246,6 +1288,7 @@ class DedupeEngine:
                 deltas["chunk_store_canonicalized"] = (
                     self.chunk_store.count() - n_rows
                 )
+                self._record_checkpoint("repair")
         return deltas
 
     def optimize(self) -> dict[str, int]:
@@ -1263,7 +1306,12 @@ class DedupeEngine:
             if self.store.exists(name)
         }
 
-    def clone(self, dest_root: str, store_cls: type | None = None) -> "DedupeEngine":
+    def clone(
+        self,
+        dest_root: str,
+        store_cls: type | None = None,
+        at: int | None = None,
+    ) -> "DedupeEngine":
         """Consistent replica of the index at ``dest_root`` — the
         backup / DR / migration verb (no reference analogue; the
         reference's answer is "copy the SQLite file and the chunk
@@ -1284,6 +1332,16 @@ class DedupeEngine:
         back) works by construction: pass ``store_cls``. The objects
         high-water mark carries over, so ingest ids in the clone
         continue above the source's.
+
+        ``at=seq`` clones a HISTORICAL state instead: the consistency
+        point with that ledger sequence number (see
+        :attr:`checkpoints` / :meth:`_record_checkpoint`) — true
+        point-in-time restore on independently-versioned tables,
+        because the ledger row was written inside the op's critical
+        section and therefore names a real cross-table cut, never a
+        torn mix of two ops. Subject to the store's part-retention
+        window: restoring a point whose parts have been retired fails
+        loudly.
         """
         from watsondedupe_spark.store import open_store
 
@@ -1294,15 +1352,31 @@ class DedupeEngine:
         if open_store(self.spark, dest_root).exists("config"):
             raise ValueError(f"index already exists at {dest_root}; refusing clone")
         dest = store_cls(self.spark, dest_root)
-        with self.store.op_lock():
-            _, objs, ometa = self.store.snapshot("objects", OBJECTS_SCHEMA)
-            max_id = ometa.get("max_id")
+        if at is not None:
+            point = self.checkpoints.filter(F.col("seq") == at).collect()
+            if not point:
+                raise ValueError(f"no consistency point with seq={at}")
+            p = point[0]
+            objs = self.store.read_version("objects", p.objects_v)
             snaps = {
                 "config": self.store.read("config", CONFIG_SCHEMA),
-                "object_map": self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)[1],
-                "chunks": self.store.snapshot("chunks", CHUNKS_SCHEMA)[1],
-                "chunk_store": self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)[1],
+                "object_map": self.store.read_version("object_map", p.object_map_v),
+                "chunks": self.store.read_version("chunks", p.chunks_v),
+                "chunk_store": self.store.read_version("chunk_store", p.chunk_store_v),
             }
+            max_id = None
+        else:
+            with self.store.op_lock():
+                _, objs, ometa = self.store.snapshot("objects", OBJECTS_SCHEMA)
+                max_id = ometa.get("max_id")
+                snaps = {
+                    "config": self.store.read("config", CONFIG_SCHEMA),
+                    "object_map": self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)[1],
+                    "chunks": self.store.snapshot("chunks", CHUNKS_SCHEMA)[1],
+                    "chunk_store": self.store.snapshot(
+                        "chunk_store", CHUNK_STORE_SCHEMA
+                    )[1],
+                }
         if max_id is None:
             max_id = objs.agg(F.max("id")).collect()[0][0] or 0
         dest.commit("config", snaps["config"])
@@ -1380,6 +1454,11 @@ class DedupeEngine:
             deltas["chunk_store"] = -n_dead
             if n_dead:
                 self.store.commit("chunk_store", live, expected_version=v_cs)
+            if any(deltas.values()):
+                # a clean pass changed nothing — the previous ledger row
+                # still describes this exact state; only a repair that
+                # actually rewrote tables is a NEW consistency point
+                self._record_checkpoint("recover")
         return deltas
 
 

@@ -78,6 +78,10 @@ _GRADING_PRIORITY = [
     # verb: lock-pinned snapshots, copy outside the lock, graded via
     # the full invariant table on the OTHER backend).
     "engine_clone_roundtrip",
+    # ... and point-in-time restore over the new consistency-point
+    # ledger (clone(at=seq): restores a pre-delete state, graded
+    # against the first-two-batches closed form).
+    "engine_pitr_clone",
     # Tier 2 — change risk (4): the quality pair gained the empty-text
     # exclusion (NULL-bucket ordering divergence), the integrity scan
     # went null-safe (NULL payloads now flagged + canonicalized), and

@@ -863,6 +863,96 @@ def engine_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# PITR closed form: the clone restored at consistency point 2 holds
+# exactly the first two ingest batches, with batch-major ingest ids —
+# including the batch-1 objects the SOURCE deleted after the point.
+_PITR_CLONE_SQL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+g AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id < (SELECT c // 3 FROM n) THEN 1 ELSE 2 END AS batch
+    FROM documents
+    WHERE doc_id < (SELECT 2 * c // 3 FROM n)
+),
+r AS (
+    SELECT doc_id, text, batch,
+           ROW_NUMBER() OVER (PARTITION BY batch
+                              ORDER BY CAST(doc_id AS VARCHAR)) AS rk
+    FROM g
+),
+sz AS (SELECT COUNT(*) AS n1 FROM g WHERE batch = 1)
+SELECT CAST(doc_id AS VARCHAR) AS object_key,
+       CAST(CASE WHEN batch = 1 THEN rk
+                 ELSE (SELECT n1 FROM sz) + rk END AS BIGINT) AS id,
+       CAST(20 * octet_length(encode(text)) AS BIGINT) AS original_length,
+       TRUE AS comp_ok, TRUE AS count_ok, TRUE AS mapped_ok,
+       TRUE AS contiguous, TRUE AS positions_ok, TRUE AS lengths_ok,
+       TRUE AS refcounts_ok, TRUE AS store_ok,
+       md5(repeat(text, 20)) AS payload_md5
+FROM r
+"""
+
+
+@register(
+    "engine_pitr_clone",
+    _PITR_CLONE_SQL,
+    doc="point-in-time restore graded end-to-end: three ingest batches "
+    "append consistency points to the checkpoints ledger (one row per "
+    "composite op, written INSIDE the op's critical section — a true "
+    "cross-table cut over four independently-versioned tables, "
+    "engine.py _record_checkpoint), the source then DELETES the whole "
+    "first batch (a fourth point), and clone(at=2) restores the "
+    "second point into a fresh store — the full invariant table of "
+    "the restored index must equal the first-two-batches closed form "
+    "with batch-major ids, INCLUDING the batch-1 objects the source "
+    "deleted after the point (their payload parts are immutable and "
+    "retained for the version window — the actual DR story). The "
+    "reference has no restore concept; its SQLite file copy cannot "
+    "name a historical state at all.",
+)
+def engine_pitr_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    n_docs = objs.count()
+    cut1, cut2 = n_docs // 3, 2 * n_docs // 3
+    src_root = tempfile.mkdtemp(prefix="wds_pitr_src_")
+    dst_root = tempfile.mkdtemp(prefix="wds_pitr_dst_") + "/idx"
+    try:
+        src = DedupeEngine.create(spark, src_root, ChunkSettings(*SMALL_FILE_PROFILE))
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n_docs + 1)):
+            src.write_batch(
+                objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).select(
+                    "object_key", "data"
+                )
+            )
+        gone = src.delete_batch(
+            objs.filter(F.col("_id") < cut1).select("object_key")
+        )
+        assert gone.count() >= 0
+        ledger = [(r.seq, r.op) for r in src.checkpoints.orderBy("seq").collect()]
+        assert ledger == [(1, "ingest"), (2, "ingest"), (3, "ingest"), (4, "delete")], (
+            ledger
+        )
+        clone = src.clone(dst_root, at=2)
+        # DR claim: the batch the source deleted is back in the restore
+        assert src.objects.filter(F.col("id") <= cut1).count() == 0
+        result = _index_invariant_table(clone).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(dst_root), ignore_errors=True)
+    return result
+
+
 # scoped-scrub closed forms: one garbage-dup fault planted under one
 # existing chunk (hash_mismatch + dup_payload + length_drift) plus one
 # orphan payload; the sum of the n disjoint shard runs must equal the

@@ -74,10 +74,28 @@ CONFIG_SCHEMA = StructType(
     ]
 )
 
+# consistency-point ledger (no reference analogue): one row per
+# completed composite op, appended INSIDE the op's critical section —
+# the four table versions form a true cross-table cut, which is what
+# makes point-in-time clone/restore possible on independently-versioned
+# tables (engine._record_checkpoint / engine.clone(at=...))
+CHECKPOINTS_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("objects_v", LongType(), False),
+        StructField("object_map_v", LongType(), False),
+        StructField("chunks_v", LongType(), False),
+        StructField("chunk_store_v", LongType(), False),
+        StructField("created_utc", TimestampType(), False),
+    ]
+)
+
 TABLE_SCHEMAS = {
     "objects": OBJECTS_SCHEMA,
     "chunks": CHUNKS_SCHEMA,
     "object_map": OBJECT_MAP_SCHEMA,
     "chunk_store": CHUNK_STORE_SCHEMA,
     "config": CONFIG_SCHEMA,
+    "checkpoints": CHECKPOINTS_SCHEMA,
 }

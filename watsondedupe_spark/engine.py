@@ -630,6 +630,12 @@ class DedupeEngine:
             write_objects()
         self._record_checkpoint("ingest")
 
+    # a restore can only reach points whose parquet parts are still in
+    # the per-table retention window (~8 versions), so the ledger keeps
+    # a comfortable multiple of that and forgets older rows — bounding
+    # the manifest-meta size at O(1) forever
+    CHECKPOINT_RETAIN = 64
+
     def _record_checkpoint(self, op: str) -> None:
         """Append one consistency-point row to the ``checkpoints``
         ledger: the four table versions as of now. Called at the END of
@@ -639,35 +645,59 @@ class DedupeEngine:
         mid-op leaves no ledger row, so the ledger only ever lists
         states that were fully committed; :meth:`clone` with ``at=``
         restores them, subject to the store's part-retention window.
-        One ~100-byte row per composite op — O(1) metadata, no Spark
-        job beyond the 1-row append."""
-        seq = 1
-        if self.store.exists("checkpoints"):
-            seq = (
-                self.store.read("checkpoints", CHECKPOINTS_SCHEMA).count() + 1
+
+        The ledger lives in the checkpoints table's manifest META, not
+        in parquet rows: one transactional manifest write, zero Spark
+        jobs — a 1-row parquet append here would land a full Spark job
+        on EVERY ingest's fixed-cost floor (measured +1.3 s on the
+        6 MB small-batch bench row, whose cost is the fixed floor by
+        design)."""
+        versions = {
+            t: self.store.current_version(t)
+            for t in ("objects", "object_map", "chunks", "chunk_store")
+        }
+        stamp = datetime.now(timezone.utc).isoformat()
+
+        def bump(meta: dict) -> dict:
+            seq = int(meta.get("next_seq", 1))
+            rows = list(meta.get("rows") or [])
+            rows.append(
+                {
+                    "seq": seq,
+                    "op": op,
+                    "objects_v": versions["objects"],
+                    "object_map_v": versions["object_map"],
+                    "chunks_v": versions["chunks"],
+                    "chunk_store_v": versions["chunk_store"],
+                    "created_utc": stamp,
+                }
             )
-        row = [
-            (
-                seq,
-                op,
-                self.store.current_version("objects"),
-                self.store.current_version("object_map"),
-                self.store.current_version("chunks"),
-                self.store.current_version("chunk_store"),
-                datetime.now(timezone.utc),
-            )
-        ]
-        self.store.append(
-            "checkpoints", self.spark.createDataFrame(row, CHECKPOINTS_SCHEMA)
-        )
+            return {
+                "next_seq": seq + 1,
+                "rows": rows[-self.CHECKPOINT_RETAIN:],
+            }
+
+        self.store.update_meta("checkpoints", bump)
 
     @property
     def checkpoints(self) -> DataFrame:
         """The consistency-point ledger (empty if no composite op has
-        completed since the index was created on an older layout)."""
-        if not self.store.exists("checkpoints"):
-            return self.spark.createDataFrame([], CHECKPOINTS_SCHEMA)
-        return self.store.read("checkpoints", CHECKPOINTS_SCHEMA)
+        completed since the index was created on an older layout).
+        Built driver-side from the bounded manifest meta — at most
+        :attr:`CHECKPOINT_RETAIN` rows, no table scan."""
+        rows = [
+            (
+                int(r["seq"]),
+                r["op"],
+                int(r["objects_v"]),
+                int(r["object_map_v"]),
+                int(r["chunks_v"]),
+                int(r["chunk_store_v"]),
+                datetime.fromisoformat(r["created_utc"]),
+            )
+            for r in self.store.table_meta("checkpoints").get("rows", [])
+        ]
+        return self.spark.createDataFrame(rows, CHECKPOINTS_SCHEMA)
 
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
     #
@@ -1353,16 +1383,24 @@ class DedupeEngine:
             raise ValueError(f"index already exists at {dest_root}; refusing clone")
         dest = store_cls(self.spark, dest_root)
         if at is not None:
-            point = self.checkpoints.filter(F.col("seq") == at).collect()
+            point = [
+                r
+                for r in self.store.table_meta("checkpoints").get("rows", [])
+                if int(r["seq"]) == at
+            ]
             if not point:
                 raise ValueError(f"no consistency point with seq={at}")
             p = point[0]
-            objs = self.store.read_version("objects", p.objects_v)
+            objs = self.store.read_version("objects", int(p["objects_v"]))
             snaps = {
                 "config": self.store.read("config", CONFIG_SCHEMA),
-                "object_map": self.store.read_version("object_map", p.object_map_v),
-                "chunks": self.store.read_version("chunks", p.chunks_v),
-                "chunk_store": self.store.read_version("chunk_store", p.chunk_store_v),
+                "object_map": self.store.read_version(
+                    "object_map", int(p["object_map_v"])
+                ),
+                "chunks": self.store.read_version("chunks", int(p["chunks_v"])),
+                "chunk_store": self.store.read_version(
+                    "chunk_store", int(p["chunk_store_v"])
+                ),
             }
             max_id = None
         else:

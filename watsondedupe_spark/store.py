@@ -518,6 +518,31 @@ class IndexStore:
         Delta/Iceberg table-properties analogue). Empty dict if none."""
         return self._state(name).get("meta", {})
 
+    def update_meta(self, name: str, fn) -> dict:
+        """Transactional METADATA-ONLY update: ``meta = fn(meta)``
+        inside the critical section, version bumped, parts untouched.
+        O(one manifest write) — no Spark job, no parquet I/O. This is
+        what makes a per-composite-op ledger (engine checkpoints)
+        affordable: a 1-row parquet append would put a full Spark
+        job on every ingest's fixed-cost floor, and the engine's
+        small-batch path is fixed-cost-dominated by design. Works on
+        both backends (built purely on the _state/_write_state/
+        _transact override points)."""
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        with self._transact(name):
+            state = self._state(name)
+            new_meta = fn(dict(state.get("meta") or {}))
+            self._write_state(
+                name,
+                {
+                    **state,
+                    "version": state["version"] + 1,
+                    "parts": state.get("parts", []),
+                    "meta": new_meta,
+                },
+            )
+        return new_meta
+
     def commit(
         self,
         name: str,

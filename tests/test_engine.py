@@ -985,3 +985,37 @@ def test_checkpoint_ledger_and_pitr(engine, tmp_path):
     assert restored.get("p1") == rand_bytes(6000, 120)
     with pytest.raises(ValueError):
         engine.clone(str(tmp_path / "x"), at=99)
+
+
+def test_restore_inplace_and_redo(engine):
+    """restore(at=) (round 10): metadata-only rollback of the live
+    index — deleted objects come back byte-identical, post-restore
+    writes continue cleanly from the restored high-water, and the
+    rollback is itself undoable (restore forward to a later point)."""
+    spark = engine.spark
+    p1, p2 = rand_bytes(6000, 130), rand_bytes(6000, 131)
+    engine.write_batch(
+        spark.createDataFrame(
+            [("r1", bytearray(p1)), ("r2", bytearray(p2))],
+            "object_key string, data binary",
+        )
+    )
+    engine.delete_batch(["r1"])  # point 2
+    assert not engine.exists("r1")
+    engine.restore(at=1)
+    assert engine.get("r1") == p1 and engine.get("r2") == p2
+    # post-restore ingest: id continues from the restored high-water
+    engine.write_batch(
+        spark.createDataFrame(
+            [("r3", bytearray(rand_bytes(6000, 132)))],
+            "object_key string, data binary",
+        )
+    )
+    assert sorted(r.id for r in engine.objects.collect()) == [1, 2, 3]
+    # the rollback is itself undoable: restore forward to the
+    # post-delete point — r1 gone again, r3 (written after) gone too
+    engine.restore(at=2)
+    keys = {r.object_key for r in engine.objects.collect()}
+    assert keys == {"r2"}
+    with pytest.raises(ValueError):
+        engine.restore(at=99)

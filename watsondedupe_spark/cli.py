@@ -125,6 +125,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser(
         "checkpoints", help="list the consistency-point ledger (for clone --at)"
     )
+    restore = sub.add_parser(
+        "restore",
+        help="roll the index back to a consistency point IN PLACE "
+        "(metadata-only; undoable while history is retained)",
+    )
+    restore.add_argument("--at", type=int, required=True, metavar="SEQ")
     return p
 
 
@@ -271,6 +277,10 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             store_cls = {"file": IndexStore, "sqlite": SqliteIndexStore}[args.backend]
         engine.clone(args.dest, store_cls=store_cls, at=args.at)
         print(json.dumps({"cloned_to": args.dest, "at": args.at}))
+        return 0
+
+    if args.verb == "restore":
+        print(json.dumps(engine.restore(args.at)))
         return 0
 
     if args.verb == "checkpoints":

@@ -1423,6 +1423,34 @@ class DedupeEngine:
             dest.commit(name, snaps[name])
         return DedupeEngine(self.spark, dest, self.settings)
 
+    def restore(self, at: int) -> dict[str, int]:
+        """Roll the index BACK to consistency point ``at`` IN PLACE —
+        the undo verb (:meth:`clone` with ``at=`` builds a copy; this
+        re-points the live index). All four tables are re-pointed at
+        the recorded versions' part lists under one composite-op
+        critical section via :meth:`IndexStore.restore_version` —
+        metadata-only, no payload bytes move, so a 100 TB rollback is
+        four manifest writes. History is preserved and the restore
+        records its own consistency point, so a rollback is visible in
+        the ledger and is itself undoable while retained. Returns the
+        new manifest version per table.
+        """
+        with self.store.op_lock():
+            point = [
+                r
+                for r in self.store.table_meta("checkpoints").get("rows", [])
+                if int(r["seq"]) == at
+            ]
+            if not point:
+                raise ValueError(f"no consistency point with seq={at}")
+            p = point[0]
+            out = {
+                name: self.store.restore_version(name, int(p[f"{name}_v"]))
+                for name in ("objects", "object_map", "chunks", "chunk_store")
+            }
+            self._record_checkpoint("restore")
+        return out
+
     def recover(self) -> dict[str, int]:
         """Repair a partially-committed ingest after a crash.
 

@@ -82,6 +82,10 @@ _GRADING_PRIORITY = [
     # ledger (clone(at=seq): restores a pre-delete state, graded
     # against the first-two-batches closed form).
     "engine_pitr_clone",
+    # ... and the in-place metadata-only rollback (restore(at=seq):
+    # four manifest writes, no payload movement; same closed form as
+    # the PITR clone because restore IS clone-onto-self minus the copy).
+    "engine_restore_inplace",
     # Tier 2 — change risk (4): the quality pair gained the empty-text
     # exclusion (NULL-bucket ordering divergence), the integrity scan
     # went null-safe (NULL payloads now flagged + canonicalized), and

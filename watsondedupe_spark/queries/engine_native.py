@@ -953,6 +953,56 @@ def engine_pitr_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register(
+    "engine_restore_inplace",
+    _PITR_CLONE_SQL,
+    doc="engine.restore(at=seq) — the in-place UNDO verb, graded: "
+    "three ingest batches record consistency points, the whole first "
+    "batch is deleted (a fourth point), then restore(at=2) rolls the "
+    "LIVE index back by re-pointing all four tables at the recorded "
+    "versions' part lists (store.restore_version — metadata-only, no "
+    "payload bytes move: at 100 TB a rollback is four manifest "
+    "writes, not a day-long table rewrite). The restored index must "
+    "equal the first-two-batches closed form — the deleted batch is "
+    "back, byte-identical — and the rollback records its own ledger "
+    "row ('restore', asserted), so it is itself visible and undoable "
+    "while history is retained. Same closed form as engine_pitr_clone "
+    "because restore IS clone-onto-self, minus the copy.",
+)
+def engine_restore_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    n_docs = objs.count()
+    cut1, cut2 = n_docs // 3, 2 * n_docs // 3
+    root = tempfile.mkdtemp(prefix="wds_restore_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n_docs + 1)):
+            eng.write_batch(
+                objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi)).select(
+                    "object_key", "data"
+                )
+            )
+        eng.delete_batch(objs.filter(F.col("_id") < cut1).select("object_key")).count()
+        assert eng.objects.count() == n_docs - cut1  # delete really landed
+        eng.restore(at=2)
+        ops = [r["op"] for r in eng.store.table_meta("checkpoints")["rows"]]
+        assert ops == ["ingest", "ingest", "ingest", "delete", "restore"], ops
+        result = _index_invariant_table(eng).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 # scoped-scrub closed forms: one garbage-dup fault planted under one
 # existing chunk (hash_mismatch + dup_payload + length_drift) plus one
 # orphan payload; the sum of the n disjoint shard runs must equal the

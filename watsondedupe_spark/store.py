@@ -518,6 +518,37 @@ class IndexStore:
         Delta/Iceberg table-properties analogue). Empty dict if none."""
         return self._state(name).get("meta", {})
 
+    def restore_version(self, name: str, version: int) -> int:
+        """Metadata-only rollback (the Delta RESTORE analogue):
+        re-point the table at ``version``'s part list / meta / skip
+        stats as a NEW version. No data is copied — at 100 TB a
+        rollback that rewrote the payload table would be a day-long
+        job; this is one manifest write. History is preserved, so the
+        rollback is itself undoable while retained, and the historical
+        parts stay GC-protected because :meth:`_gc` spares anything
+        reachable from ANY retained manifest. Returns the new version.
+        """
+        hist = self._state_version(name, version)
+        if hist is None:
+            raise ValueError(
+                f"version {version} of {name} is not retained "
+                f"(have {self.versions(name)})"
+            )
+        with self._transact(name):
+            state = self._state(name)
+            new = {
+                **state,
+                "version": state["version"] + 1,
+                "parts": hist.get("parts", []),
+                "meta": hist.get("meta", {}),
+            }
+            if hist.get("stats"):
+                new["stats"] = hist["stats"]
+            else:
+                new.pop("stats", None)
+            self._write_state(name, new)
+            return new["version"]
+
     def update_meta(self, name: str, fn) -> dict:
         """Transactional METADATA-ONLY update: ``meta = fn(meta)``
         inside the critical section, version bumped, parts untouched.

@@ -1019,3 +1019,30 @@ def test_restore_inplace_and_redo(engine):
     assert keys == {"r2"}
     with pytest.raises(ValueError):
         engine.restore(at=99)
+
+
+def test_verify_consistent_mode_suppresses_torn_reads(engine):
+    """verify(consistent=True) (round 10): a scrub racing a live ingest
+    must not page on a torn cross-table interleaving. Simulate the torn
+    state with raw store surgery (a chunks row committed whose payload
+    has not landed yet — exactly mid-_commit_ingest): the current-state
+    scan reports it, the ledger-cut scan stays clean because the cut
+    predates the tear; after the next composite op records a new point,
+    consistent mode sees the (healed) real state again."""
+    spark = engine.spark
+    engine.write_batch(
+        spark.createDataFrame(
+            [("t1", bytearray(rand_bytes(6000, 140)))],
+            "object_key string, data binary",
+        )
+    )
+    assert engine.verify(consistent=True).count() == 0
+    # torn state: chunks row without its payload (mid-ingest shape)
+    engine.store.append(
+        "chunks",
+        spark.createDataFrame(
+            [("zz_torn_key", 7, 1)], "chunk_key string, length int, ref_count long"
+        ),
+    )
+    assert {r.check for r in engine.verify().collect()} >= {"missing_payload"}
+    assert engine.verify(consistent=True).count() == 0  # pinned to the cut

@@ -100,6 +100,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="rolling scrub: cover only the chunks hashing into cell "
         "I of N (union over all N shards covers every chunk once)",
     )
+    verify.add_argument(
+        "--consistent",
+        action="store_true",
+        help="pin the scan to the last consistency point (no torn "
+        "cross-table reads while writers are live; takes no lock)",
+    )
     sub.add_parser(
         "repair",
         help="recover() + payload-store canonicalization; prints deltas",
@@ -251,7 +257,9 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         if args.shard is not None:
             i, n = args.shard.split("/", 1)
             shard = (int(i), int(n))
-        viol = engine.verify(since_version=args.since, shards=shard)
+        viol = engine.verify(
+            since_version=args.since, shards=shard, consistent=args.consistent
+        )
         counts = {r["check"]: r["n"] for r in viol.groupBy("check").agg(
             F.count("*").alias("n")).collect()}
         total = sum(counts.values())

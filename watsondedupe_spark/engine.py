@@ -1118,6 +1118,7 @@ class DedupeEngine:
         self,
         since_version: int | None = None,
         shards: tuple[int, int] | None = None,
+        consistent: bool = False,
     ) -> DataFrame:
         """Distributed content-address integrity scan: one row per
         violation, empty when the index is healthy.
@@ -1147,6 +1148,18 @@ class DedupeEngine:
         no payload and are reported only by the FULL scan — so
         per-shard violation counts sum exactly to the full scan's
         payload-class counts.
+
+        ``consistent=True`` pins the whole scan to the LAST recorded
+        consistency point instead of each table's current manifest.
+        The default reads the four tables' manifests independently, so
+        a scrub racing a live ingest can observe a TORN cross-table
+        state (e.g. object_map committed, chunks not yet) and report
+        violations that exist only in the interleaving — at 100 TB,
+        where scrubs always run concurrent with ingest, that's a
+        paging false-alarm per batch. The consistent mode takes no
+        lock and blocks no writer: it reads the immutable parts of the
+        versions named by the ledger cut (an index with no recorded
+        point yet falls back to current reads).
 
         The reference trusts its store blindly (a flipped bit in a
         chunk file surfaces only as a corrupted Get); at 100 TB the
@@ -1183,8 +1196,21 @@ class DedupeEngine:
         """
         from watsondedupe_spark.keys import chunk_key_col
 
-        cs_src = self.chunk_store
-        meta = self.chunks.select("chunk_key", "length", "ref_count")
+        cs_src, chunks_src = self.chunk_store, self.chunks
+        omap_src, objects_src = self.object_map, self.objects
+        if consistent:
+            points = self.store.table_meta("checkpoints").get("rows", [])
+            if points:
+                p = points[-1]
+                cs_src = self.store.read_version(
+                    "chunk_store", int(p["chunk_store_v"])
+                )
+                chunks_src = self.store.read_version("chunks", int(p["chunks_v"]))
+                omap_src = self.store.read_version(
+                    "object_map", int(p["object_map_v"])
+                )
+                objects_src = self.store.read_version("objects", int(p["objects_v"]))
+        meta = chunks_src.select("chunk_key", "length", "ref_count")
         scoped = since_version is not None or shards is not None
         if since_version is not None:
             # metadata-only key anti-join: the old snapshot contributes
@@ -1240,7 +1266,7 @@ class DedupeEngine:
             # metadata-wide checks ride the full scan only (see
             # docstring) — a scoped run reporting them would double- or
             # n-count the same drift across the scrub rotation
-            refs = self.object_map.groupBy("chunk_key").agg(
+            refs = omap_src.groupBy("chunk_key").agg(
                 F.count("*").cast("long").alias("_n_refs")
             )
             parts.append(
@@ -1252,9 +1278,9 @@ class DedupeEngine:
                 )
             )
             parts.append(
-                self.object_map.select("object_key")
+                omap_src.select("object_key")
                 .distinct()
-                .join(self.objects.select("object_key"), "object_key", "left_anti")
+                .join(objects_src.select("object_key"), "object_key", "left_anti")
                 .select(
                     F.lit("orphan_map").alias("check"),
                     F.col("object_key").alias("key"),

@@ -556,12 +556,16 @@ def test_query_collect_cap_refuses_oversized_wave(spark, monkeypatch):
         lambda: sim.cosine_topk_np(emb, emb, k=3),
         lambda: sim.ann_topk_pq(emb, emb, k=3, m=2, ks=4, quantize=1000),
         lambda: sim.ann_topk_ivfpq(emb, emb, k=3, n_centroids=2, m=2, ks=4),
+        # round 11: the decontamination reference set rides the same
+        # guard — its boundedness used to be a docstring-only contract
+        lambda: sim.max_cosine_vs_set(emb, emb),
     ):
         with pytest.raises(ValueError, match="driver-collect cap"):
             fn()
     # under the cap the same paths still work
     small = emb.filter(F.col("vec_id") < 3)
     assert sim.cosine_topk_np(emb, small, k=3).count() > 0
+    assert sim.max_cosine_vs_set(emb, small).count() == 12
 
 
 def test_prebuilt_index_shape_mismatch_raises(spark):

@@ -1046,3 +1046,103 @@ def test_verify_consistent_mode_suppresses_torn_reads(engine):
     )
     assert {r.check for r in engine.verify().collect()} >= {"missing_payload"}
     assert engine.verify(consistent=True).count() == 0  # pinned to the cut
+
+
+def test_restore_refuses_expired_point_atomically(engine, spark):
+    """restore(at=) must be all-or-nothing (round 11): tables version at
+    different rates, so a ledger point can outlive SOME of its four
+    manifest versions. Restoring such a point must fail BEFORE the first
+    manifest flip — a mid-loop failure would leave the index torn (some
+    tables rolled back, others current) and a later recover() would GC
+    payloads for the torn-away objects."""
+    engine.write_batch(
+        spark.createDataFrame(
+            [("e1", bytearray(rand_bytes(6000, 160))),
+             ("e2", bytearray(rand_bytes(6000, 161)))],
+            "object_key string, data binary",
+        )
+    )  # point 1
+    # age ONLY the chunks table past the retention window (objects'
+    # point-1 version stays retained — the asymmetry under test)
+    for _ in range(engine.store.retain_versions + 2):
+        v, chunks, _ = engine.store.snapshot("chunks")
+        engine.store.commit("chunks", chunks, expected_version=v)
+    before = {
+        t: engine.store.current_version(t)
+        for t in ("objects", "object_map", "chunks", "chunk_store")
+    }
+    with pytest.raises(ValueError, match="expired|not retained|restorable"):
+        engine.restore(at=1)
+    after = {
+        t: engine.store.current_version(t)
+        for t in ("objects", "object_map", "chunks", "chunk_store")
+    }
+    assert after == before  # NO table was flipped — not even objects
+    assert engine.get("e1") == rand_bytes(6000, 160)
+    assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+
+
+def test_recover_checkpoints_stale_refcount_repair(engine, spark):
+    """recover() with inflated-but-same-cardinality refcounts rewrites
+    chunks with deltas['chunks'] == 0 (round 11): the repair COMMIT, not
+    the row delta, must drive the new consistency point — otherwise a
+    restore/clone to the latest point silently rolls the repair back."""
+    engine.write("s1", b"stale refcount payload " * 300)
+    n_points = engine.checkpoints.count()
+    v, chunks, _ = engine.store.snapshot("chunks")
+    engine.store.commit(
+        "chunks",
+        chunks.withColumn("ref_count", F.col("ref_count") + 5),
+        expected_version=v,
+    )
+    deltas = engine.recover()
+    assert deltas == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+    last = engine.checkpoints.orderBy(F.desc("seq")).first()
+    assert engine.checkpoints.count() == n_points + 1 and last.op == "recover"
+    # the latest point now NAMES the repaired state: restoring to it
+    # keeps the rebuilt refcounts
+    engine.restore(at=int(last.seq))
+    assert engine.chunks.filter(F.col("ref_count") != 1).count() == 0
+    # and a genuinely clean pass still records nothing new
+    n_points = engine.checkpoints.count()
+    assert engine.recover() == {"object_map": 0, "chunks": 0, "chunk_store": 0}
+    assert engine.checkpoints.count() == n_points
+
+
+def test_clone_at_preserves_id_high_water(engine, tmp_path):
+    """clone(at=) must carry the objects high-water mark AS OF the
+    checkpoint from the manifest meta (round 11), not max(id) of the
+    restored rows — ids of objects deleted before the point must never
+    be reused by post-clone ingest."""
+    from watsondedupe_spark.engine import DedupeEngine
+
+    spark = engine.spark
+    engine.write("h1", rand_bytes(6000, 170))  # id 1
+    engine.write("h2", rand_bytes(6000, 171))  # id 2
+    engine.delete("h2")  # point: objects == {h1}, meta max_id == 2
+    point = engine.checkpoints.orderBy(F.desc("seq")).first()
+    assert point.op == "delete"
+    clone = engine.clone(str(tmp_path / "pitr"), at=int(point.seq))
+    clone.write("h3", rand_bytes(6000, 172))
+    ids = sorted(r.id for r in clone.objects.collect())
+    assert ids == [1, 3]  # h2's id 2 is retired, not recycled
+
+
+def test_verify_shard_validates_index_types(engine):
+    """A float shard index would build a pmod == 1.5 predicate matching
+    nothing — a silently-clean scan of zero chunks (round 11)."""
+    for bad in ((1.5, 4), (0, 4.0), ("1", 4)):
+        with pytest.raises(ValueError):
+            engine.verify(shards=bad)
+
+
+def test_cli_shard_parse_errors_are_argparse_errors():
+    import argparse
+
+    from watsondedupe_spark.cli import _parse_shard
+
+    assert _parse_shard("2/4") == (2, 4)
+    assert _parse_shard("0/1") == (0, 1)
+    for bad in ("1.5/4", "3", "4/4", "2/0", "a/b", "-1/4"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _parse_shard(bad)

@@ -42,6 +42,23 @@ from watsondedupe_spark.session import get_spark
 VERIFY_PRINT_CAP = 10_000
 
 
+def _parse_shard(text: str) -> tuple[int, int]:
+    """argparse type for --shard I/N: a malformed value ('1.5/4', '3',
+    '2/0') is an argparse usage error, not a raw traceback."""
+    try:
+        i_s, n_s = text.split("/", 1)
+        i, n = int(i_s), int(n_s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected I/N with integer I and N, got {text!r}"
+        )
+    if not (n >= 1 and 0 <= i < n):
+        raise argparse.ArgumentTypeError(
+            f"shard index {i} out of range for {n} shards"
+        )
+    return (i, n)
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dedupe", description="content-defined dedupe index (Spark engine)"
@@ -95,6 +112,7 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     verify.add_argument(
         "--shard",
+        type=_parse_shard,
         default=None,
         metavar="I/N",
         help="rolling scrub: cover only the chunks hashing into cell "
@@ -253,12 +271,8 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         # a badly-rotten large store can have O(table) violations — keep
         # the exact accounting distributed (per-check groupBy counts) and
         # collect only a bounded sample of rows to print
-        shard = None
-        if args.shard is not None:
-            i, n = args.shard.split("/", 1)
-            shard = (int(i), int(n))
         viol = engine.verify(
-            since_version=args.since, shards=shard, consistent=args.consistent
+            since_version=args.since, shards=args.shard, consistent=args.consistent
         )
         counts = {r["check"]: r["n"] for r in viol.groupBy("check").agg(
             F.count("*").alias("n")).collect()}

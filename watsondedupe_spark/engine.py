@@ -1225,7 +1225,16 @@ class DedupeEngine:
             meta = meta.join(old_keys, "chunk_key", "left_anti")
         if shards is not None:
             i, n = shards
-            if not (isinstance(n, int) and n >= 1 and 0 <= i < n):
+            # both indices must be real ints: a float i (1.5) with
+            # 0 <= i < n true would build a pmod == 1.5 predicate that
+            # matches NOTHING, silently reporting a clean shard instead
+            # of scanning one
+            if not (
+                isinstance(i, int)
+                and isinstance(n, int)
+                and n >= 1
+                and 0 <= i < n
+            ):
                 raise ValueError(f"shard {i!r} out of range for {n!r} shards")
             pred = F.pmod(F.hash("chunk_key"), F.lit(n)) == F.lit(i)
             cs_src = cs_src.filter(pred)
@@ -1428,7 +1437,13 @@ class DedupeEngine:
                     "chunk_store", int(p["chunk_store_v"])
                 ),
             }
-            max_id = None
+            # the high-water mark must come from the manifest meta AT the
+            # checkpoint, like the live-clone path — max(id) of the data
+            # would re-issue ids of objects deleted before the point, and
+            # a later ingest into the clone would collide with history
+            max_id = self.store.version_meta("objects", int(p["objects_v"])).get(
+                "max_id"
+            )
         else:
             with self.store.op_lock():
                 _, objs, ometa = self.store.snapshot("objects", OBJECTS_SCHEMA)
@@ -1470,6 +1485,27 @@ class DedupeEngine:
             if not point:
                 raise ValueError(f"no consistency point with seq={at}")
             p = point[0]
+            # ALL-OR-NOTHING admission: tables version at different rates
+            # (delete with an empty GC set skips chunk_store; repair bumps
+            # only chunks) and the ledger retains more rows than the store
+            # retains manifest versions, so a point can be reachable in the
+            # ledger while SOME of its four versions have expired. Failing
+            # on table three after re-pointing tables one and two would
+            # leave the live index torn — and a later recover() would then
+            # GC payloads for the torn-away objects. Validate every version
+            # is still retained BEFORE the first manifest flip.
+            expired = [
+                (name, int(p[f"{name}_v"]))
+                for name in ("objects", "object_map", "chunks", "chunk_store")
+                if int(p[f"{name}_v"]) not in self.store.versions(name)
+            ]
+            if expired:
+                raise ValueError(
+                    f"consistency point seq={at} is no longer restorable: "
+                    f"expired table versions {expired} (the store retains "
+                    "fewer manifest versions than the checkpoint ledger "
+                    "retains rows; clone from a newer point instead)"
+                )
             out = {
                 name: self.store.restore_version(name, int(p[f"{name}_v"]))
                 for name in ("objects", "object_map", "chunks", "chunk_store")
@@ -1507,6 +1543,7 @@ class DedupeEngine:
         of four-way concurrent batched commits.
         """
         deltas: dict[str, int] = {}
+        committed = False
         with self.store.op_lock():
             keys = self.objects.select("object_key")
             v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
@@ -1517,6 +1554,7 @@ class DedupeEngine:
             deltas["object_map"] = -n_orphans
             if n_orphans:
                 self.store.commit("object_map", valid_map, expected_version=v_map)
+                committed = True
 
             # chunks: rebuild refcounts from the surviving map and commit
             # whenever ANY row differs — count drift alone would miss a
@@ -1538,6 +1576,7 @@ class DedupeEngine:
             )
             if deltas["chunks"] or stale:
                 self.store.commit("chunks", rebuilt, expected_version=v_ch)
+                committed = True
 
             # chunk_store: GC payloads whose chunk no longer exists
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
@@ -1546,10 +1585,15 @@ class DedupeEngine:
             deltas["chunk_store"] = -n_dead
             if n_dead:
                 self.store.commit("chunk_store", live, expected_version=v_cs)
-            if any(deltas.values()):
+                committed = True
+            if committed:
                 # a clean pass changed nothing — the previous ledger row
                 # still describes this exact state; only a repair that
-                # actually rewrote tables is a NEW consistency point
+                # actually rewrote a table is a NEW consistency point.
+                # Keyed on COMMITS, not row deltas: the stale-refcount
+                # branch rewrites chunks with deltas['chunks'] == 0, and
+                # a restore/clone to "latest" must not roll that repair
+                # back by landing on the pre-repair ledger row.
                 self._record_checkpoint("recover")
         return deltas
 

@@ -1101,8 +1101,13 @@ def max_cosine_vs_set(
     """
     import numpy as np
 
+    # the boundedness contract is enforced mechanically, not by docstring:
+    # the refs collect rides through the same capped guard as the batch-KNN
+    # query waves (limit(cap+1) + remediation error), so an accidentally
+    # corpus-sized reference set fails loudly instead of OOMing the driver
     rrows = sorted(
-        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in refs.collect()
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in _collect_query_rows(refs, id_col, vec_col)
     )
     if not rrows:
         raise ValueError("max_cosine_vs_set: empty reference set")

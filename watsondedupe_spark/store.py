@@ -407,6 +407,19 @@ class IndexStore:
             )
         return self._df_for(state, name, None)
 
+    def version_meta(self, name: str, version: int) -> dict:
+        """The caller-carried table meta AS OF retained ``version`` —
+        the historical counterpart of :meth:`table_meta` (e.g. the
+        objects high-water mark at a consistency point). Raises like
+        :meth:`read_version` when the version has expired."""
+        state = self._state_version(name, version)
+        if state is None:
+            raise ValueError(
+                f"version {version} of {name} is not retained "
+                f"(have {self.versions(name)})"
+            )
+        return state.get("meta", {})
+
     def _gc(self, name: str) -> None:
         """Remove part dirs unreachable from the current manifest AND
         every retained historical manifest, SPARING dirs younger than

@@ -59,6 +59,49 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
+    # r11 window — standing rotation: new-this-round first, then
+    # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
+    # last CORRECTNESS_r{N} appearance: the r3 cohort last saw a driver
+    # row 8 rounds ago, then the r4 cohort).
+    #
+    # Tier 1 — BUILT IN ROUND 11 (2): verify(consistent=True) under a
+    # REAL cross-process racing writer on both backends (a second Spark
+    # process ingests four batches while the parent scrubs pinned to
+    # the ledger cut; zero violations mid-stream, pinned counts equal
+    # batch-prefix closed forms, planted-tear default/consistent
+    # contrast).
+    "engine_verify_consistent_live", "engine_verify_consistent_live_sqlite",
+    # Tier 2 — change risk (7): restore() gained the all-or-nothing
+    # expired-point admission check, recover() now checkpoints on
+    # commits (stale-refcount repair), clone(at=) carries the meta
+    # high-water, verify(shards=) validates index types, and
+    # max_cosine_vs_set's reference collect is capped — so the DR/scrub
+    # scenario queries and the decontamination consumer re-grade.
+    "engine_restore_inplace", "engine_pitr_clone", "engine_clone_roundtrip",
+    "engine_recover_roundtrip", "engine_verify_shards",
+    "engine_verify_incremental", "emb_decontaminate",
+    # Tier 3 — longest-ungraded rotation (41): the full r3 cohort (11,
+    # last driver row 8 rounds ago), then the r4 cohort (30 of 31 —
+    # events_session_streamed overflows to next round).
+    "docs_stratified_sample", "docs_token_freq_cms",
+    "docs_top_quality_per_source", "events_cohort_retention",
+    "events_daily_locf", "events_distinct_users_salted",
+    "events_funnel_conversion", "events_json_props", "events_user_zscore",
+    "grouping_sets_orders", "unpivot_part_measures",
+    "docs_boundary_overlap", "docs_bpe_merge_round", "docs_bpe_pair_scores",
+    "docs_canonical_per_cluster", "docs_curation_funnel",
+    "docs_dedup_threshold_sweep", "docs_dsir_weights",
+    "docs_dup_clusters_star", "docs_dup_gram_ratio",
+    "docs_dup_rate_estimate", "docs_heavy_hitters", "docs_hybrid_rrf",
+    "docs_leakage_safe_split", "docs_lm_quality",
+    "docs_near_dup_filter_replay", "docs_ngram_novelty",
+    "docs_passage_chunks", "docs_rendezvous_reshard", "docs_simhash",
+    "docs_simhash_candidates", "docs_snapshot_diff", "emb_ann_recall_audit",
+    "emb_ann_topk_lsh_mp", "emb_kmeans_refined_assign", "emb_near_dup_pairs",
+    "events_series_knn", "events_user_hll_by_type",
+    "multimodal_frame_sample", "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    #
     # r10 window — standing rotation: new-this-round first, then
     # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
     # last CORRECTNESS_r{N} appearance — the round-2 relational/TPC-H

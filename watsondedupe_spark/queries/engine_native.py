@@ -1180,6 +1180,233 @@ def engine_verify_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERIFY_CONSISTENT_LIVE_SQL = """
+SELECT * FROM (VALUES
+    ('live_scans_clean',       TRUE),
+    ('live_scan_ran',          TRUE),
+    ('pinned_prefix_ok',       TRUE),
+    ('torn_seen_by_default',   TRUE),
+    ('torn_hidden_consistent', TRUE),
+    ('final_scan_clean',       TRUE),
+    ('final_objects_ok',       TRUE)
+) AS t(check_name, ok)
+"""
+
+
+def _verify_consistent_live_scenario(
+    spark: SparkSession, sf_dir: str, store_cls
+) -> DataFrame:
+    """verify(consistent=True) racing a REAL cross-process writer
+    (round-10 verdict item #1; tests/test_engine.py's torn-read test is
+    the in-process surgery sibling). A child Spark process (own JVM,
+    own SparkSession) ingests the even corpus half in four batches
+    while the parent repeatedly scrubs with ``consistent=True`` — the
+    whole reason the mode exists: the default scan reads the four
+    manifests independently and can observe a TORN cross-table
+    interleaving mid-ingest (object_map committed, chunks not yet),
+    paging a false alarm per live batch at 100 TB scrub cadence. Graded
+    closed forms, all deterministic:
+
+    - every mid-stream consistent scan reports ZERO violations (each
+      ledger cut names a fully-committed state — the theorem under
+      test), and at least one scan provably started while the child
+      had batches outstanding;
+    - every pinned objects count equals the odds + a batch-prefix sum
+      (the ledger only ever names real serial states, never a torn mix);
+    - the planted-tear contrast AFTER the race: a chunks row with no
+      payload (exactly the mid-_commit_ingest shape) is seen by the
+      default scan but invisible to the consistent scan pinned at the
+      pre-tear cut — then healed, and the final full scan is clean.
+    """
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    n_batches = 4
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_vconsist_")
+    sig = tempfile.mkdtemp(prefix="wds_vconsist_sig_")
+    try:
+        eng = DedupeEngine.create(
+            spark, root, ChunkSettings(*SMALL_FILE_PROFILE), store_cls=store_cls
+        )
+        eng.write_batch(
+            objs.filter(F.col("_id") % 2 == 1).select("object_key", "data")
+        )
+        n_odds = eng.objects.count()
+        n_total = objs.count()
+        # the ledger-cut closed form: a pinned objects count must be the
+        # odds plus a PREFIX of the child's batch sizes — never a torn
+        # fraction of one. Batch membership is a pure function of doc_id,
+        # so the valid set is computable upfront from the corpus.
+        sizes = {
+            int(r.j): int(r.n)
+            for r in objs.filter(F.col("_id") % 2 == 0)
+            .groupBy(((F.col("_id") / 2).cast("long") % n_batches).alias("j"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        valid_counts = {n_odds}
+        run = n_odds
+        for j in range(n_batches):
+            run += sizes.get(j, 0)
+            valid_counts.add(run)
+        child_src = f"""
+import os, sys, time
+sys.path.insert(0, {repr(repo)})
+from pyspark.sql import functions as F
+from watsondedupe_spark.session import get_spark
+from watsondedupe_spark.engine import DedupeEngine
+sp = get_spark("consistent-ingester", shuffle_partitions=8)
+sp.sparkContext.setLogLevel("ERROR")
+eng = DedupeEngine.open(sp, {repr(root)})
+docs = sp.read.parquet({repr(sf_dir)} + "/documents.parquet").filter(
+    F.col("doc_id") % 2 == 0)
+for j in range({n_batches}):
+    b = docs.filter((F.col("doc_id") / 2).cast("long") % {n_batches} == j).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"))
+    eng.write_batch(b)
+    open(os.path.join({repr(sig)}, "done%d" % j), "w").close()
+    if j < {n_batches} - 1:
+        time.sleep(2)  # hold the race window open for the scrubber
+print("CHILD-OK", flush=True)
+sp.stop()
+"""
+        env = dict(os.environ)
+        env.pop("PYSPARK_GATEWAY_PORT", None)
+        env.pop("PYSPARK_GATEWAY_SECRET", None)
+        log_path = os.path.join(sig, "child.log")
+        with open(log_path, "w") as log:
+            child = subprocess.Popen(
+                [sys.executable, "-c", child_src],
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                env=env,
+                text=True,
+            )
+        try:
+            deadline = time.time() + 600
+            first = os.path.join(sig, "done0")
+            last = os.path.join(sig, f"done{n_batches - 1}")
+            while not os.path.exists(first):
+                if child.poll() is not None or time.time() > deadline:
+                    with open(log_path) as f:
+                        raise AssertionError(
+                            "child never committed batch 0: " + f.read()[-2000:]
+                        )
+                time.sleep(0.5)
+            eng = DedupeEngine.open(spark, root)
+            live_viol = 0
+            n_live = 0
+            prefix_ok = True
+            while not os.path.exists(last) and n_live < 6:
+                n_live += 1
+                live_viol += eng.verify(consistent=True).count()
+                p = eng.store.table_meta("checkpoints")["rows"][-1]
+                pinned = eng.store.read_version(
+                    "objects", int(p["objects_v"])
+                ).count()
+                prefix_ok = prefix_ok and pinned in valid_counts
+            child.wait(timeout=900)
+        finally:
+            if child.poll() is None:
+                child.kill()
+                child.wait()
+        with open(log_path) as f:
+            out = f.read()
+        assert child.returncode == 0 and "CHILD-OK" in out, out[-2000:]
+
+        eng = DedupeEngine.open(spark, root)
+        # planted-tear contrast: a chunks row whose payload never landed
+        # (the exact mid-_commit_ingest shape), appended OUTSIDE any
+        # composite op so no ledger row names it
+        eng.store.append(
+            "chunks",
+            spark.createDataFrame(
+                [("zz_torn_key", 7, 1)],
+                "chunk_key string, length int, ref_count long",
+            ),
+        )
+        torn_default = (
+            eng.verify()
+            .filter(
+                (F.col("check") == "missing_payload")
+                & (F.col("key") == "zz_torn_key")
+            )
+            .count()
+        )
+        torn_consistent = eng.verify(consistent=True).count()
+        v, chunks, _ = eng.store.snapshot("chunks")
+        eng.store.commit(
+            "chunks",
+            chunks.filter(F.col("chunk_key") != "zz_torn_key"),
+            expected_version=v,
+        )
+        final_viol = eng.verify().count()
+        final_objects = eng.objects.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(sig, ignore_errors=True)
+    rows = [
+        ("live_scans_clean", live_viol == 0),
+        ("live_scan_ran", n_live >= 1),
+        ("pinned_prefix_ok", prefix_ok),
+        ("torn_seen_by_default", torn_default == 1),
+        ("torn_hidden_consistent", torn_consistent == 0),
+        ("final_scan_clean", final_viol == 0),
+        ("final_objects_ok", final_objects == n_total),
+    ]
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
+
+
+@register(
+    "engine_verify_consistent_live",
+    _VERIFY_CONSISTENT_LIVE_SQL,
+    doc="verify(consistent=True) under a REAL racing writer "
+    "(file-manifest backend): a second Spark process ingests four "
+    "corpus batches while the parent scrubs pinned to the ledger cut — "
+    "every mid-stream scan must be violation-free, every pinned count "
+    "a true batch-prefix state, and the planted-tear contrast shows "
+    "the default scan paging on exactly the interleaving the "
+    "consistent mode suppresses (engine.py verify consistent mode; "
+    "checkpoint ledger _record_checkpoint).",
+)
+def engine_verify_consistent_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from watsondedupe_spark.store import IndexStore
+
+    return _verify_consistent_live_scenario(spark, sf_dir, IndexStore)
+
+
+@register(
+    "engine_verify_consistent_live_sqlite",
+    _VERIFY_CONSISTENT_LIVE_SQL,
+    doc="the same live-writer consistent scrub through the "
+    "SQLite-catalog backend — the ledger-cut pinning must be "
+    "backend-independent (store.py update_meta/_state_version on "
+    "both backends).",
+)
+def engine_verify_consistent_live_sqlite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from watsondedupe_spark.store import SqliteIndexStore
+
+    return _verify_consistent_live_scenario(spark, sf_dir, SqliteIndexStore)
+
+
 @register(
     "engine_concurrent_writers",
     _CONCURRENT_WRITERS_SQL,

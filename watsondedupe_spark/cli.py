@@ -115,8 +115,9 @@ def _build_parser() -> argparse.ArgumentParser:
         type=_parse_shard,
         default=None,
         metavar="I/N",
-        help="rolling scrub: cover only the chunks hashing into cell "
-        "I of N (union over all N shards covers every chunk once)",
+        help="rolling scrub: cover only the chunks whose key falls in "
+        "range cell I of N (union over all N shards covers every chunk "
+        "once; ~1/N of the payload IO on an optimized store)",
     )
     verify.add_argument(
         "--consistent",

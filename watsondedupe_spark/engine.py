@@ -176,6 +176,58 @@ class IndexStats:
         return 100.0 * (1.0 - self.physical_bytes / self.logical_bytes)
 
 
+#: The urlsafe-base64 alphabet in LEXICOGRAPHIC (byte) order — the basis
+#: of the rolling-scrub shard cells. Chunk keys are unpadded urlsafe-b64
+#: SHA-256 (keys.py), so their characters are uniform over this alphabet
+#: and string comparison orders them byte-wise.
+_B64_LEX = "-0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ_abcdefghijklmnopqrstuvwxyz"
+
+#: Shard granularity: 2-character key prefixes (64^2 cells). A shard is
+#: a contiguous run of cells, so its predicate is a key RANGE — which
+#: parquet row-group min/max statistics can prune, unlike a hash-cell
+#: predicate (pmod(hash(k), n) is opaque to every scan statistic, so a
+#: hash shard would still READ all payload bytes and only skip the
+#: sha256 compute; at 100 TB the IO is the cost that matters).
+SHARD_CELLS = 64 * 64
+
+
+def shard_range(i: int, n: int) -> "tuple[str | None, str | None]":
+    """``[lo, hi)`` chunk-key bounds of rolling-scrub shard ``i`` of
+    ``n``: cells ``[i*C//n, (i+1)*C//n)`` of the :data:`SHARD_CELLS`
+    2-char prefix grid. The n ranges partition the key space exactly
+    (disjoint, union = everything), and SHA-256 keys distribute
+    uniformly over cells, so each shard holds ~1/n of the chunks.
+    ``None`` means unbounded on that side."""
+    if not (
+        isinstance(i, int)
+        and isinstance(n, int)
+        and 1 <= n <= SHARD_CELLS
+        and 0 <= i < n
+    ):
+        raise ValueError(f"shard {i!r} out of range for {n!r} shards")
+
+    def bound(cell: int) -> "str | None":
+        if cell <= 0 or cell >= SHARD_CELLS:
+            return None
+        return _B64_LEX[cell // 64] + _B64_LEX[cell % 64]
+
+    return bound(i * SHARD_CELLS // n), bound((i + 1) * SHARD_CELLS // n)
+
+
+def shard_predicate(i: int, n: int, col: str = "chunk_key"):
+    """Column predicate selecting shard ``i`` of ``n`` — a pure key
+    range, pushed down to the parquet scan (``PushedFilters``) so a
+    range-clustered layout (:meth:`DedupeEngine.optimize`) reads ~1/n
+    of the payload bytes instead of post-filtering a full scan."""
+    lo, hi = shard_range(i, n)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) < F.lit(hi))
+    return pred
+
+
 class DedupeEngine:
     """A dedupe index over five parquet/Delta tables.
 
@@ -635,6 +687,11 @@ class DedupeEngine:
     # a comfortable multiple of that and forgets older rows — bounding
     # the manifest-meta size at O(1) forever
     CHECKPOINT_RETAIN = 64
+
+    #: target parquet file size for :meth:`optimize`'s range-clustered
+    #: rewrite — matches spark.sql.files.maxPartitionBytes so one scan
+    #: task reads one file
+    OPTIMIZE_TARGET_FILE_BYTES = 128 << 20
 
     def _record_checkpoint(self, op: str) -> None:
         """Append one consistency-point row to the ``checkpoints``
@@ -1137,9 +1194,16 @@ class DedupeEngine:
           scan, which is exactly the operational split (new data daily,
           full coverage on rotation).
         - ``shards=(i, n)`` — rolling scrub shard: covers the chunks
-          whose key hashes into cell ``i`` of ``n`` (deterministic
-          murmur3 partition); the union of the n shard runs covers
-          every chunk exactly once at 1/n of the payload cost per run.
+          whose key falls in range cell ``i`` of ``n``
+          (:func:`shard_range` — contiguous 2-char-prefix spans of the
+          uniformly-distributed SHA-256 key space); the union of the n
+          shard runs covers every chunk exactly once at ~1/n of the
+          payload cost per run. The range predicate pushes down to the
+          parquet scan, so on a range-clustered layout
+          (:meth:`optimize` clusters every table by its key) the shard
+          run READS ~1/n of the payload bytes — a hash-cell shard
+          would only skip 1-1/n of the sha256 compute while still
+          paying the full 100 TB scan IO.
 
         Scoped runs evaluate the five payload/accounting checks on the
         scoped subset (a chunk and its payload always land in the same
@@ -1225,18 +1289,10 @@ class DedupeEngine:
             meta = meta.join(old_keys, "chunk_key", "left_anti")
         if shards is not None:
             i, n = shards
-            # both indices must be real ints: a float i (1.5) with
-            # 0 <= i < n true would build a pmod == 1.5 predicate that
-            # matches NOTHING, silently reporting a clean shard instead
-            # of scanning one
-            if not (
-                isinstance(i, int)
-                and isinstance(n, int)
-                and n >= 1
-                and 0 <= i < n
-            ):
-                raise ValueError(f"shard {i!r} out of range for {n!r} shards")
-            pred = F.pmod(F.hash("chunk_key"), F.lit(n)) == F.lit(i)
+            # shard_range validates both indices are real ints: a float
+            # i (1.5) would otherwise build a predicate matching NOTHING,
+            # silently reporting a clean shard instead of scanning one
+            pred = shard_predicate(i, n)
             cs_src = cs_src.filter(pred)
             meta = meta.filter(pred)
         cs = cs_src.select(
@@ -1364,12 +1420,44 @@ class DedupeEngine:
         them eagerly during a quiet window instead of paying the
         compaction inside some unlucky ingest batch. Returns the new
         manifest version per table.
+
+        Compaction also RANGE-CLUSTERS each table by its key
+        (repartitionByRange + sortWithinPartitions — the Z-order
+        analogue for a single key): every rewritten file covers a
+        narrow key span, so key-range predicates — point/batch reads,
+        prefix listings, and above all the rolling scrub's
+        :func:`shard_predicate` — prune at the parquet row-group level
+        afterwards. This is what makes ``verify(shards=(i, n))`` read
+        ~1/n of the payload BYTES on a maintained store, not just skip
+        1-1/n of the hashing. The clustering shuffle is paid here, in
+        the quiet-window job, never on the ingest hot path.
         """
-        return {
-            name: self.store.compact(name)
-            for name in ("objects", "object_map", "chunks", "chunk_store")
-            if self.store.exists(name)
+        cluster_key = {
+            "objects": "object_key",
+            "object_map": "object_key",
+            "chunks": "chunk_key",
+            "chunk_store": "chunk_key",
         }
+        out: dict[str, int] = {}
+        for name in ("objects", "object_map", "chunks", "chunk_store"):
+            if not self.store.exists(name):
+                continue
+            key = cluster_key[name]
+            # explicit file count from the manifest's on-disk size (no
+            # data pass): AQE coalesces an implicit range repartition to
+            # one partition at small sizes, which would leave a single
+            # giant file at scale — the layout must be deterministic
+            n_files = max(
+                1,
+                -(-self.store.table_bytes(name) // self.OPTIMIZE_TARGET_FILE_BYTES),
+            )
+            out[name] = self.store.compact(
+                name,
+                layout=lambda df, k=key, n=n_files: df.repartitionByRange(
+                    n, F.col(k)
+                ).sortWithinPartitions(k),
+            )
+        return out
 
     def clone(
         self,

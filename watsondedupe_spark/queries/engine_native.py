@@ -1024,8 +1024,10 @@ SELECT * FROM (VALUES
     "engine_verify_shards",
     _VERIFY_SHARDS_SQL,
     doc="engine.verify(shards=(i, n)) — the ROLLING scrub a 100 TB "
-    "store schedules nightly: each run recomputes sha256 for only the "
-    "chunks hashing into cell i of n (1/n of the payload bytes), and "
+    "store schedules nightly: each run covers only the chunks whose "
+    "key falls in range cell i of n (~1/n of the payload bytes — the "
+    "range predicate pushes to the parquet scan and prunes row groups "
+    "on the optimize()-clustered layout), and "
     "the union of the n runs covers every chunk exactly once. Grades "
     "the partition contract end-to-end: the corpus ingests, one "
     "garbage-dup fault and one orphan payload are planted, and the "
@@ -1041,7 +1043,7 @@ def engine_verify_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
-    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.engine import DedupeEngine, shard_predicate
     from watsondedupe_spark.keys import chunk_key
 
     n_shards = 4
@@ -1080,9 +1082,7 @@ def engine_verify_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(n_shards):
             for c, n in counts(eng.verify(shards=(i, n_shards))).items():
                 sharded[c] += n
-            covered += eng.chunks.filter(
-                F.pmod(F.hash("chunk_key"), F.lit(n_shards)) == i
-            ).count()
+            covered += eng.chunks.filter(shard_predicate(i, n_shards)).count()
         coverage_ok = int(covered == eng.chunks.count())
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -407,6 +407,21 @@ class IndexStore:
             )
         return self._df_for(state, name, None)
 
+    def table_bytes(self, name: str) -> int:
+        """On-disk bytes of the table's LIVE parts — a driver-side walk
+        of the manifest's part dirs (manifest-metadata scale, no Spark
+        job). Used to size compaction layouts (file count = bytes /
+        target) without an extra data pass."""
+        total = 0
+        for part in self._state(name).get("parts", []):
+            for dirpath, _, files in os.walk(part):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        return total
+
     def version_meta(self, name: str, version: int) -> dict:
         """The caller-carried table meta AS OF retained ``version`` —
         the historical counterpart of :meth:`table_meta` (e.g. the
@@ -776,15 +791,22 @@ class IndexStore:
             )
         return new
 
-    def compact(self, name: str) -> int:
+    def compact(self, name: str, layout=None) -> int:
         """Fold all live parts into one (the OPTIMIZE analogue); no-op on
         an absent table. CAS-retried so compaction never swallows a
-        concurrent writer's commit."""
+        concurrent writer's commit.
+
+        ``layout`` is an optional DataFrame->DataFrame reshaping applied
+        before the rewrite (e.g. range-clustering by key so key-range
+        predicates prune row groups afterwards); it must be a pure
+        re-layout — same rows, any order/partitioning."""
         if not self.exists(name):
             return 0
         last_err: ConcurrentWriteError | None = None
         for _ in range(self.cas_retries):
             v, cur, cur_meta = self.snapshot(name)
+            if layout is not None:
+                cur = layout(cur)
             try:
                 return self.commit(name, cur, meta=cur_meta, expected_version=v)
             except ConcurrentWriteError as e:

@@ -953,6 +953,115 @@ def _shuffle_bytes(spark) -> int:
         return 0
 
 
+def _input_bytes(spark) -> int:
+    """Cumulative file-scan input bytes of all completed stages (UI REST
+    API, like :func:`_shuffle_bytes`); deltas around a query measure how
+    many bytes its scans actually READ — the direct witness for
+    row-group pruning claims (a pruned scan reads less, not just
+    filters more)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not base:
+        return 0
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("inputBytes", 0) for s in stages)
+    except Exception:
+        return 0
+
+
+def bench_engine_dr(spark, sf_dir: str, audit=None) -> dict:
+    """The DR / scoped-scrub verb family at scale (round-10 verdict
+    items #2/#3): ingest the corpus into a throwaway index (untimed
+    substrate), ``optimize()`` it into the range-clustered layout (the
+    untimed quiet-window job), then time
+
+    - full ``verify()`` on the compacted layout — the baseline the
+      shard fractions are judged against;
+    - ``verify(shards=(0, 4))`` — the rolling scrub shard: BOTH
+      wall-clock and FileScan input bytes must be ~1/4 of the full
+      scan's (the range predicate prunes row groups; a post-filtering
+      scan would show input_fraction ~1.0 and expose the claim);
+    - ``clone(dest)`` — the backup verb: an O(payload-bytes) copy, so
+      mbps is the claim and sec_ratio tracks bytes_ratio;
+    - ``restore(at)`` — the rollback verb: METADATA-ONLY (four manifest
+      flips, zero payload movement), so seconds must stay ~flat across
+      scale tiers like the healthy-repair detection floor.
+
+    The optimize target file size is shrunk to 8 MB so the compacted
+    table has an at-scale file COUNT at bench sizes (at 100 TB the
+    128 MB default yields thousands of files and the same ~1/n
+    pruning; with bench-sized tables the default would produce 1-2
+    files and quantize the fraction to 0.5/1.0).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    objs = docs.select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    root = tempfile.mkdtemp(prefix="bench_engine_dr_")
+    clone_root = os.path.join(root, "clone_dest")
+    try:
+        eng = DedupeEngine.create(
+            spark, os.path.join(root, "idx"), ChunkSettings(*SMALL_FILE_PROFILE)
+        )
+        eng.write_batch(objs)  # consistency point 1
+        eng.OPTIMIZE_TARGET_FILE_BYTES = 8 << 20
+        eng.optimize()
+
+        in0 = _input_bytes(spark)
+        t0 = time.time()
+        viol = eng.verify()
+        assert viol.count() == 0
+        full_sec = time.time() - t0
+        full_in_mb = (_input_bytes(spark) - in0) / 1e6
+
+        in0 = _input_bytes(spark)
+        t0 = time.time()
+        sviol = eng.verify(shards=(0, 4))
+        assert sviol.count() == 0
+        shard_sec = time.time() - t0
+        shard_in_mb = (_input_bytes(spark) - in0) / 1e6
+        shard_audit = audit("engine_verify_shard", sviol) if audit else {}
+
+        t0 = time.time()
+        eng.clone(clone_root)
+        clone_sec = time.time() - t0
+
+        # a second consistency point so the rollback crosses real state
+        eng.write("dr_extra", b"restore substrate " * 256)
+        t0 = time.time()
+        eng.restore(at=1)
+        restore_sec = time.time() - t0
+        assert not eng.exists("dr_extra")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "mb": mb,
+        "full_sec": full_sec,
+        "full_in_mb": full_in_mb,
+        "shard_sec": shard_sec,
+        "shard_in_mb": shard_in_mb,
+        "shard_audit": shard_audit,
+        "clone_sec": clone_sec,
+        "restore_sec": restore_sec,
+    }
+
+
 def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
     """Derive a ``factor``x corpus from the driver's sf0.1 tables.
 
@@ -1307,6 +1416,70 @@ def scale_stress_main(
         "budget_ok": budget_ok(rr, sm_mb / m_mb),
     }
 
+    # the DR / scoped-scrub family (round-10 verdict items #2/#3): the
+    # shard scrub's 1/n claim measured in INPUT BYTES (row-group pruning
+    # on the optimize()-clustered layout), clone's O(payload) copy claim
+    # as mbps, and restore's metadata-only claim as ~flat seconds
+    m_dr = bench_engine_dr(spark, sf01, audit=_plan_audit)
+    s_dr = bench_engine_dr(spark, stage, audit=_plan_audit)
+    dr_bytes_ratio = round(s_dr["mb"] / m_dr["mb"], 2)
+    frac_sec = round(s_dr["shard_sec"] / s_dr["full_sec"], 2)
+    frac_in = (
+        round(s_dr["shard_in_mb"] / s_dr["full_in_mb"], 2)
+        if s_dr["full_in_mb"] > 0
+        else None
+    )
+    shard_ratio = round(s_dr["shard_sec"] / m_dr["shard_sec"], 2)
+    results["engine_verify_shard"] = {
+        "sec_sf01": round(m_dr["shard_sec"], 2),
+        f"sec_x{factor}": round(s_dr["shard_sec"], 2),
+        "sec_fraction_sf01": round(m_dr["shard_sec"] / m_dr["full_sec"], 2),
+        f"sec_fraction_x{factor}": frac_sec,
+        "input_fraction_sf01": (
+            round(m_dr["shard_in_mb"] / m_dr["full_in_mb"], 2)
+            if m_dr["full_in_mb"] > 0
+            else None
+        ),
+        f"input_fraction_x{factor}": frac_in,
+        f"input_mb_full_x{factor}": round(s_dr["full_in_mb"], 1),
+        f"input_mb_shard_x{factor}": round(s_dr["shard_in_mb"], 1),
+        **s_dr["shard_audit"],
+        "sec_ratio": shard_ratio,
+        "bytes_ratio": dr_bytes_ratio,
+        # the 1-of-4 shard must be ~1/4 in BYTES READ and well under
+        # half the full scan's wall-clock at the scale tier (fixed plan
+        # costs keep the fractions above exactly 0.25)
+        "budget_ok": (
+            budget_ok(shard_ratio, dr_bytes_ratio)
+            and frac_in is not None
+            and frac_in <= 0.45
+            and frac_sec <= 0.6
+            and _audit_ok(s_dr["shard_audit"])
+        ),
+    }
+    clone_ratio = round(s_dr["clone_sec"] / m_dr["clone_sec"], 2)
+    results["engine_clone"] = {
+        "sec_sf01": round(m_dr["clone_sec"], 2),
+        "mbps_sf01": round(m_dr["mb"] / m_dr["clone_sec"], 1),
+        f"sec_x{factor}": round(s_dr["clone_sec"], 2),
+        f"mbps_x{factor}": round(s_dr["mb"] / s_dr["clone_sec"], 1),
+        "sec_ratio": clone_ratio,
+        "bytes_ratio": dr_bytes_ratio,
+        "budget_ok": budget_ok(clone_ratio, dr_bytes_ratio),
+    }
+    restore_ratio = round(s_dr["restore_sec"] / m_dr["restore_sec"], 2)
+    results["engine_restore"] = {
+        "sec_sf01": round(m_dr["restore_sec"], 2),
+        f"sec_x{factor}": round(s_dr["restore_sec"], 2),
+        "sec_ratio": restore_ratio,
+        "bytes_ratio": dr_bytes_ratio,
+        # metadata-only: four manifest flips + a ledger write — flat-ish
+        # by design; the generic linear budget is a massive over-grant,
+        # so hold it to "did not grow past 3x while bytes grew 30x"
+        "budget_ok": budget_ok(restore_ratio, dr_bytes_ratio)
+        and restore_ratio <= 3.0,
+    }
+
     # deep probe: the worst-slope entries at >= 2x the standard factor,
     # recorded as separate "{name}@x{deep}" rows against the SAME sf01
     # base and budgeted against the deeper factor — two scale points per
@@ -1633,6 +1806,16 @@ def main() -> None:
     record = {
         "metric": "headline_queries_total",
         "value": total,
+        # the cross-round-comparable headline (round-10 verdict item):
+        # the raw total under host contention is an artifact of the
+        # measurement window, not the code — the canary (a fixed
+        # sf-independent probe timed at window start/mid/end) measures
+        # that contention directly, so the normalized value divides it
+        # back out. Compare value_normalized across rounds; use value
+        # only within one quiet window.
+        "value_normalized": (
+            round(total / canary_drift, 3) if canary_drift else None
+        ),
         "unit": "sec",
         "queries": times,
         "timing": "min2+ingest_min3",

@@ -144,6 +144,12 @@ def main() -> int:
     total = bench.get("value")
     print(f"headline: {total:.2f}s vs baseline {BASELINE_HEADLINE:.2f}s "
           f"({total / BASELINE_HEADLINE:.2f}x)")
+    norm = bench.get("value_normalized")
+    if norm:
+        print(
+            f"headline (canary-normalized): {norm:.2f}s "
+            f"({norm / BASELINE_HEADLINE:.2f}x) — cross-round comparable"
+        )
     # the apples-to-apples signal: entries WITH locked rows, measured sum
     # vs the sum of their locks (new unlocked entries inflate the raw
     # headline ratio without indicating any regression)

@@ -64,13 +64,16 @@ _GRADING_PRIORITY = [
     # last CORRECTNESS_r{N} appearance: the r3 cohort last saw a driver
     # row 8 rounds ago, then the r4 cohort).
     #
-    # Tier 1 — BUILT IN ROUND 11 (2): verify(consistent=True) under a
+    # Tier 1 — BUILT IN ROUND 11 (3): verify(consistent=True) under a
     # REAL cross-process racing writer on both backends (a second Spark
     # process ingests four batches while the parent scrubs pinned to
     # the ledger cut; zero violations mid-stream, pinned counts equal
     # batch-prefix closed forms, planted-tear default/consistent
-    # contrast).
+    # contrast), plus the range-clustered optimize() layout contract
+    # (disjoint file spans, shard-predicate pushdown, exact 4-shard
+    # partition, byte-identical reads through the rewrite).
     "engine_verify_consistent_live", "engine_verify_consistent_live_sqlite",
+    "engine_optimize_clustering",
     # Tier 2 — change risk (7): restore() gained the all-or-nothing
     # expired-point admission check, recover() now checkpoints on
     # commits (stale-refcount repair), clone(at=) carries the meta
@@ -80,9 +83,10 @@ _GRADING_PRIORITY = [
     "engine_restore_inplace", "engine_pitr_clone", "engine_clone_roundtrip",
     "engine_recover_roundtrip", "engine_verify_shards",
     "engine_verify_incremental", "emb_decontaminate",
-    # Tier 3 — longest-ungraded rotation (41): the full r3 cohort (11,
-    # last driver row 8 rounds ago), then the r4 cohort (30 of 31 —
-    # events_session_streamed overflows to next round).
+    # Tier 3 — longest-ungraded rotation: the full r3 cohort (11, last
+    # driver row 8 rounds ago), then the r4 cohort (the window cuts at
+    # 50, so the tail — multimodal_wav_roundtrip,
+    # events_session_streamed — rolls to next round).
     "docs_stratified_sample", "docs_token_freq_cms",
     "docs_top_quality_per_source", "events_cohort_retention",
     "events_daily_locf", "events_distinct_users_salted",

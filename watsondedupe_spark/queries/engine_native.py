@@ -1180,6 +1180,122 @@ def engine_verify_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OPTIMIZE_CLUSTERING_SQL = """
+SELECT * FROM (VALUES
+    ('pushdown_ok',       TRUE),
+    ('files_disjoint_ok', TRUE),
+    ('multi_file_ok',     TRUE),
+    ('shard_union_ok',    TRUE),
+    ('shard_disjoint_ok', TRUE),
+    ('reads_ok',          TRUE)
+) AS t(check_name, ok)
+"""
+
+
+@register(
+    "engine_optimize_clustering",
+    _OPTIMIZE_CLUSTERING_SQL,
+    doc="optimize()'s range-clustered rewrite + the range-shard scrub "
+    "contract (round 11): after compaction every chunk_store file "
+    "covers a narrow DISJOINT key span (pyarrow footer min/max — the "
+    "prunability witness), the shard predicate reaches the parquet "
+    "scan as PushedFilters, the 4 shard scans partition the chunks "
+    "exactly (disjoint, union == all), and point reads stay "
+    "byte-identical through the rewrite (engine.py shard_range/"
+    "optimize; store.py compact(layout)).",
+)
+def engine_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine, shard_predicate
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    probe_key, probe_md5 = (
+        objs.select("object_key", F.md5("data").alias("m"))
+        .orderBy("object_key")
+        .limit(1)
+        .collect()[0]
+    )
+    root = tempfile.mkdtemp(prefix="wds_optclust_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+        n_chunks = eng.chunks.count()
+        # shrink the target so the rewrite shows its at-scale multi-file
+        # shape at sf0.01 corpus sizes (128 MB default -> 1 file here)
+        eng.OPTIMIZE_TARGET_FILE_BYTES = 64 << 10
+        eng.optimize()
+
+        plan = (
+            eng.verify(shards=(1, 4))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushdown_ok = (
+            "GreaterThanOrEqual(chunk_key" in plan and "LessThan(chunk_key" in plan
+        )
+
+        part = eng.store._state("chunk_store")["parts"][-1]
+        spans = []
+        for f in glob.glob(part + "/*.parquet"):
+            md = pq.read_metadata(f)
+            cols = {md.schema.column(c).name: c for c in range(md.num_columns)}
+            gs = [
+                md.row_group(g).column(cols["chunk_key"]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            if gs:
+                spans.append((min(s.min for s in gs), max(s.max for s in gs)))
+        spans.sort()
+        multi_file_ok = len(spans) >= 2
+        files_disjoint_ok = all(
+            hi_a <= lo_b for (_, hi_a), (lo_b, _) in zip(spans, spans[1:])
+        )
+
+        shard_counts = [
+            eng.chunks.filter(shard_predicate(i, 4)).count() for i in range(4)
+        ]
+        shard_union_ok = sum(shard_counts) == n_chunks
+        # disjointness is structural (ranges) — witness it on data: the
+        # pairwise intersection of shard key sets is empty
+        inter = 0
+        for i in range(4):
+            for j in range(i + 1, 4):
+                inter += (
+                    eng.chunks.filter(
+                        shard_predicate(i, 4) & shard_predicate(j, 4)
+                    ).count()
+                )
+        shard_disjoint_ok = inter == 0
+
+        import hashlib
+
+        reads_ok = (
+            hashlib.md5(eng.get(probe_key)).hexdigest() == probe_md5
+            and eng.verify().count() == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        ("pushdown_ok", bool(pushdown_ok)),
+        ("files_disjoint_ok", bool(files_disjoint_ok)),
+        ("multi_file_ok", bool(multi_file_ok)),
+        ("shard_union_ok", bool(shard_union_ok)),
+        ("shard_disjoint_ok", bool(shard_disjoint_ok)),
+        ("reads_ok", bool(reads_ok)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
+
+
 _VERIFY_CONSISTENT_LIVE_SQL = """
 SELECT * FROM (VALUES
     ('live_scans_clean',       TRUE),

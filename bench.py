@@ -462,6 +462,36 @@ def bench_canary(spark, samples: int = 3) -> list[float]:
     return out
 
 
+def bench_floor_canary(spark, samples: int = 3) -> list[float]:
+    """Fixed-FLOOR contention probe (round 11): the CPU canary above is
+    a pure in-memory aggregate, so it is blind to drift in the OTHER
+    contention axis — job scheduling, py4j round-trips, filesystem
+    commit protocol — which is exactly what dominates the small-batch
+    ingest rows (~1.5-3 s fixed floor, a handful of tiny jobs). Round 11
+    caught this gap live: the engine_ingest min drifted 1.9 s -> 3.8 s
+    across gated windows while the CPU canary stayed flat, and an
+    interleaved A/B of round-10 vs round-11 code on the same host
+    measured identical mins (3.03 vs 2.57-3.08 s) — pure environment.
+    This probe times a minimal parquet write+read round-trip (same
+    fixed-cost anatomy as an ingest commit, no data to speak of) so
+    bench_compare can attribute ingest-floor warns mechanically."""
+    import shutil
+    import tempfile
+
+    out = []
+    d = tempfile.mkdtemp(prefix="bench_floor_canary_")
+    try:
+        for i in range(samples):
+            p = os.path.join(d, f"probe{i}")
+            t0 = time.time()
+            spark.range(0, 100, 1, 4).write.mode("overwrite").parquet(p)
+            assert spark.read.parquet(p).count() == 100
+            out.append(round(time.time() - t0, 3))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def bench_substrate_builds(spark, sf_dir: str) -> dict[str, list[float]]:
     """Cold-build timings for the four shared substrates, min-of-two
     with the relevant cache CLEARED before every run.
@@ -1695,6 +1725,7 @@ def main() -> None:
     # attribute median-warns mechanically
     bench_canary(spark, samples=1)
     canary: dict[str, list[float]] = {"start": bench_canary(spark)}
+    floor_canary: dict[str, list[float]] = {"start": bench_floor_canary(spark)}
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -1726,6 +1757,7 @@ def main() -> None:
         times[name] = round(min(steady), 2)
 
     canary["mid"] = bench_canary(spark)
+    floor_canary["mid"] = bench_floor_canary(spark)
 
     # substrate builds run AFTER the probe rows (clearing caches here
     # cannot poison a timed probe) and join the gated `times` table —
@@ -1796,8 +1828,11 @@ def main() -> None:
         ij_sec = round(time.time() - t0, 3)
 
     canary["end"] = bench_canary(spark)
+    floor_canary["end"] = bench_floor_canary(spark)
     c_mins = [min(v) for v in canary.values()]
     canary_drift = round(max(c_mins) / min(c_mins), 2) if min(c_mins) > 0 else None
+    f_mins = [min(v) for v in floor_canary.values()]
+    floor_drift = round(max(f_mins) / min(f_mins), 2) if min(f_mins) > 0 else None
 
     total = round(sum(times.values()), 3)
     # key names are compact on purpose (mbps = MB/s; cdc_runs/eng_runs =
@@ -1839,6 +1874,8 @@ def main() -> None:
         "ij_rows": ij_rows,
         "canary": canary,
         "canary_drift": canary_drift,
+        "floor_canary": floor_canary,
+        "floor_drift": floor_drift,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     # artifact hygiene (round-7): only the round-close runbook writes the

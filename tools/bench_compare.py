@@ -128,6 +128,32 @@ def main() -> int:
         canary_note = f" [canary drift {drift}x -> host contention]"
     else:
         canary_note = f" [canary flat ({drift}x) -> likely real]"
+    # floor canary (round-11): the CPU canary is blind to scheduling/IO/
+    # py4j-floor drift — the axis that dominates the small-batch ingest
+    # rows (a round-11 interleaved A/B proved a 1.9x ingest-floor move
+    # with a flat CPU canary was pure environment). When the floor probe
+    # itself moved, annotate floor-bound rows with THAT evidence.
+    f_canary = bench.get("floor_canary") or {}
+    f_mins = [min(v) for v in f_canary.values() if v]
+    floor_drift = (
+        round(max(f_mins) / min(f_mins), 2)
+        if len(f_mins) >= 2 and min(f_mins) > 0
+        else None
+    )
+    FLOOR_BOUND = ("engine_ingest", "cdc_ingest", "segmented_ingest",
+                   "engine_integrity_scan")
+
+    def note_for(name: str) -> str:
+        if (
+            name.startswith(FLOOR_BOUND)
+            and floor_drift is not None
+            and floor_drift >= 1.3
+        ):
+            return (
+                f" [floor canary drift {floor_drift}x -> host "
+                "scheduling/IO contention on a fixed-floor row]"
+            )
+        return canary_note
 
     warn, fail, new = [], [], []
     for name, sec in sorted(times.items()):
@@ -163,8 +189,12 @@ def main() -> int:
         )
     if drift is not None:
         print(f"canary: mins per window point {c_mins} (drift {drift}x)")
+    if floor_drift is not None:
+        print(f"floor canary: mins per window point {f_mins} "
+              f"(drift {floor_drift}x)")
     for name, sec, base, ratio in warn:
-        print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x){canary_note}")
+        print(f"  WARN {name}: {sec:.3f}s vs {base:.3f}s "
+              f"({ratio:.2f}x){note_for(name)}")
     # two-sided sample check: min passed its budget but the median of the
     # (possibly widened) sample set did not — informational, so a steady
     # marginal regression can't hide behind one lucky dip forever
@@ -173,7 +203,7 @@ def main() -> int:
         med = medians.get(name)
         if base and med and sec / base < args.warn and med / base >= args.warn:
             print(f"  WARN-MEDIAN {name}: median {med:.3f}s vs lock {base:.3f}s "
-                  f"({med / base:.2f}x; min {sec:.3f}s passed){canary_note}")
+                  f"({med / base:.2f}x; min {sec:.3f}s passed){note_for(name)}")
     for name, sec, base, ratio in fail:
         print(f"  FAIL {name}: {sec:.3f}s vs {base:.3f}s ({ratio:.2f}x)")
     # NEW entries (no locked row) must still be bounded: an unlocked query

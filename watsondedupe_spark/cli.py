@@ -33,6 +33,7 @@ from watsondedupe_spark.engine import (
     DuplicateKeyError,
     MAX_LIST_RESULTS,
     ObjectNotFoundError,
+    SHARD_CELLS,
 )
 from watsondedupe_spark.session import get_spark
 
@@ -55,6 +56,11 @@ def _parse_shard(text: str) -> tuple[int, int]:
     if not (n >= 1 and 0 <= i < n):
         raise argparse.ArgumentTypeError(
             f"shard index {i} out of range for {n} shards"
+        )
+    if n > SHARD_CELLS:
+        raise argparse.ArgumentTypeError(
+            f"{n} shards exceeds the {SHARD_CELLS}-cell shard grid "
+            f"(use N <= {SHARD_CELLS})"
         )
     return (i, n)
 
@@ -97,7 +103,15 @@ def _build_parser() -> argparse.ArgumentParser:
     exists = sub.add_parser("exists", help="key existence (exit 0 yes / 1 no)")
     exists.add_argument("--key", required=True)
 
-    sub.add_parser("optimize", help="fold each table's parts into one (OPTIMIZE)")
+    opt = sub.add_parser(
+        "optimize", help="range-cluster each table's parts (OPTIMIZE)"
+    )
+    opt.add_argument(
+        "--incremental",
+        action="store_true",
+        help="compact only parts appended since the last clustering "
+        "pass — O(new bytes), not O(table); the daily job at scale",
+    )
     verify = sub.add_parser(
         "verify",
         help="content-address integrity scan (exit 0 clean / 1 violations)",
@@ -265,7 +279,7 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         return 0 if ok else 1
 
     if args.verb == "optimize":
-        print(json.dumps(engine.optimize()))
+        print(json.dumps(engine.optimize(incremental=args.incremental)))
         return 0
 
     if args.verb == "verify":

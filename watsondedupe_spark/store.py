@@ -813,6 +813,90 @@ class IndexStore:
                 last_err = e
         raise last_err
 
+    def live_parts(self, name: str) -> list[str]:
+        """Current manifest's part paths (one manifest read, no Spark
+        job) — what :meth:`compact_parts` callers select a rewrite
+        subset from."""
+        return list(self._state(name).get("parts", []))
+
+    def parts_bytes(self, parts: list[str]) -> int:
+        """On-disk bytes of the given part dirs (driver-side walk, no
+        Spark job) — the :meth:`table_bytes` shape for a SUBSET, used to
+        size an incremental compaction's output file count."""
+        total = 0
+        for part in parts:
+            for dirpath, _, files in os.walk(part):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        return total
+
+    def compact_parts(self, name: str, parts: list[str], layout=None, meta_fn=None) -> int:
+        """Rewrite ONLY ``parts`` into one new part, leaving every other
+        live part's bytes untouched — the Delta/Iceberg OPTIMIZE-binpack
+        commit shape, and the primitive behind the engine's INCREMENTAL
+        ``optimize()``: a follow-on compaction after a small append
+        rewrites O(append bytes), not O(table).
+
+        Commutes with concurrent APPENDS (the flip rebases on the fresh
+        manifest, so parts landed mid-rewrite survive untouched). A
+        concurrent full COMMIT / competing compaction that retired one
+        of ``parts`` aborts with :class:`ConcurrentWriteError` — the new
+        part is discarded and the caller re-derives its subset from a
+        fresh manifest (rewriting retired rows would resurrect them).
+
+        ``layout`` as in :meth:`compact`. ``meta_fn(meta, new_parts,
+        new_part)`` lets the caller update carried table meta (e.g. the
+        clustered-parts watermark) in the SAME manifest flip — no extra
+        version churn. Returns the new manifest version (0 when the
+        table is absent or ``parts`` is empty)."""
+        if not self.exists(name) or not parts:
+            return 0
+        todo = set(parts)
+        df = self.spark.read.parquet(*parts)
+        if layout is not None:
+            df = layout(df)
+        path = self._new_part_path(name, self.current_version(name) + 1)
+        df.write.mode("overwrite").parquet(path)
+        # footer stats outside the critical section (part is immutable)
+        part_stats = self._part_stats(name, path)
+        with self._transact(name):
+            fresh = self._state(name)
+            missing = sorted(todo - set(fresh["parts"]))
+            if missing:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{name}: parts retired under compaction "
+                    f"(another writer committed first): {missing}"
+                )
+            new_parts = [p for p in fresh["parts"] if p not in todo] + [path]
+            meta = dict(fresh.get("meta", {}))
+            if meta_fn is not None:
+                meta = meta_fn(meta, new_parts, path)
+            new = fresh["version"] + 1
+            self._write_state(
+                name,
+                self._attach_stats(
+                    name,
+                    {
+                        "version": new,
+                        "parts": new_parts,
+                        "meta": meta,
+                        **(
+                            {"stats": fresh["stats"]}
+                            if fresh.get("stats")
+                            else {}
+                        ),
+                    },
+                    path,
+                    precomputed=part_stats,
+                ),
+            )
+        self._gc(name)
+        return new
+
 
 class SqliteIndexStore(IndexStore):
     """Second backend proving the storage swap point: manifests live in

@@ -59,6 +59,47 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # exists, so a rename fails loudly instead of silently dropping a query
 # out of the window.
 _GRADING_PRIORITY = [
+    # r12 window — standing rotation: new-this-round first, then
+    # change-risk, then the LONGEST-UNGRADED oracled queries. This
+    # round tier 3 is the ENTIRE r4/r5-stale cohort (42 queries whose
+    # last driver grade is six+ rounds old — the round-11 verdict's #1
+    # item); after this window no registry query's last driver grade
+    # is older than round 6.
+    #
+    # Tier 1 — BUILT IN ROUND 12 (2): incremental optimize()
+    # (store.compact_parts folds only the parts appended since the
+    # last clustering pass; baseline part survives by path, zero-IO
+    # no-op when fully clustered) and the consistent-scrub retention
+    # contract (optimize() records a consistency point; expired-ledger
+    # scrubs raise one remediation error and heal on the next op).
+    "engine_optimize_incremental", "engine_verify_consistent_retention",
+    # Tier 2 — change risk (6): optimize() was rewritten onto
+    # compact_parts and records checkpoints (clustering + multibatch
+    # consumers re-grade), verify(consistent=True) gained the
+    # retention fallback (live-race rows re-grade, now handshake-paced),
+    # shard_range error bounds changed (shard scrub row), and
+    # clone(at=) fails loudly without a max_id high-water (PITR row).
+    "engine_optimize_clustering", "engine_verify_consistent_live",
+    "engine_verify_consistent_live_sqlite", "engine_verify_shards",
+    "engine_pitr_clone", "engine_restore_inplace",
+    # Tier 3 — the full r4/r5-stale cohort (42), oldest first:
+    "events_session_streamed", "multimodal_wav_roundtrip",
+    "cdc_chunk_index", "ddp_gc_candidates", "ddp_object_map_lookup",
+    "ddp_ratio", "ddp_refcount", "ddp_stats", "docs_dup_clusters",
+    "docs_dup_spans", "docs_dup_weighting", "docs_exact_dedup",
+    "docs_incremental_dedup", "docs_jaccard_pairs",
+    "docs_minhash_accuracy", "docs_minhash_pairs", "docs_pack_sequences",
+    "docs_strip_dup_spans", "docs_token_budget_mix", "docs_winnowing",
+    "docs_winnowing_pairs", "emb_ann_recall_ivfpq", "emb_ann_topk_ivf",
+    "emb_ann_topk_ivfpq", "emb_ann_topk_ivfpq_refined",
+    "emb_ann_topk_lsh", "emb_ann_topk_pq", "emb_cosine_topk_float",
+    "emb_dim_stats", "emb_knn_cosine", "emb_knn_cosine_np",
+    "emb_semantic_dedup", "events_interval_join_streamed",
+    "events_session", "events_tumbling_streamed",
+    "events_user_totals_streamed", "setops_multiset", "tpch_q1_pricing",
+    "tpch_q21_waiting_supplier", "tpch_q3_topk", "tpch_q6_revenue",
+    "window_rank_lag",
+    #
     # r11 window — standing rotation: new-this-round first, then
     # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by
     # last CORRECTNESS_r{N} appearance: the r3 cohort last saw a driver

@@ -1113,6 +1113,69 @@ def bench_engine_dr(spark, sf_dir: str, audit=None) -> dict:
     }
 
 
+def bench_engine_optimize_incr(spark, sf_dir: str) -> dict:
+    """Incremental compaction cost proportionality (round-11 verdict
+    item #5): after a full clustering pass, append a SMALL batch
+    (~1/16 of the corpus) and run ``optimize(incremental=True)`` — the
+    follow-on quiet-window job must cost O(append bytes), never the
+    full re-cluster: the clustered chunk_store baseline part survives
+    BY PATH (witnessed), only the appended parts fold, and a second
+    incremental pass is a zero-flip no-op. Times the full pass and the
+    incremental pass on the SAME index so the seconds fraction is
+    directly comparable to the append-bytes fraction."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("_id"),
+            F.col("doc_id").cast("string").alias("object_key"),
+            F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+        )
+    )
+    main = objs.filter(F.col("_id") % 16 != 0).select("object_key", "data")
+    small = objs.filter(F.col("_id") % 16 == 0).select("object_key", "data")
+    total_mb = (objs.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    small_mb = (small.agg(F.sum(F.length("data"))).collect()[0][0] or 0) / 1e6
+    root = tempfile.mkdtemp(prefix="bench_engine_optincr_")
+    try:
+        eng = DedupeEngine.create(
+            spark, os.path.join(root, "idx"), ChunkSettings(*SMALL_FILE_PROFILE)
+        )
+        eng.write_batch(main)
+        eng.OPTIMIZE_TARGET_FILE_BYTES = 8 << 20
+        t0 = time.time()
+        eng.optimize()
+        full_sec = time.time() - t0
+        base = set(eng.store.live_parts("chunk_store"))
+        eng.write_batch(small)
+        t0 = time.time()
+        eng.optimize(incremental=True)
+        incr_sec = time.time() - t0
+        baseline_ok = base <= set(eng.store.live_parts("chunk_store"))
+        t0 = time.time()
+        again = eng.optimize(incremental=True)
+        noop_sec = time.time() - t0
+        noop_ok = all(v == 0 for v in again.values())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "mb": total_mb,
+        "append_mb": small_mb,
+        "full_sec": full_sec,
+        "incr_sec": incr_sec,
+        "noop_sec": noop_sec,
+        "baseline_ok": baseline_ok,
+        "noop_ok": noop_ok,
+    }
+
+
 def _stage_scale_dir(spark, base_sf_dir: str, factor: int) -> str:
     """Derive a ``factor``x corpus from the driver's sf0.1 tables.
 
@@ -1261,6 +1324,13 @@ def scale_stress_main(
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
+    # contention canaries in the SCALE record too (round-11 verdict #4:
+    # SCALE rows like segmented_ingest@x100 showed 2x swings between
+    # arms with no way to attribute them) — same probes, same
+    # start/mid/end shape as the gated bench record
+    bench_canary(spark, samples=1)  # warm the canary plan (untimed)
+    canary: dict[str, list[float]] = {"start": bench_canary(spark)}
+    floor_canary: dict[str, list[float]] = {"start": bench_floor_canary(spark)}
     stage = _stage_scale_dir(spark, sf01, factor)
 
     def budget_ok(sec_ratio, work_ratio) -> bool | None:
@@ -1543,6 +1613,40 @@ def scale_stress_main(
         and (restore_ratio <= 3.0 or s_dr["restore_sec"] <= 0.5),
     }
 
+    # incremental optimize() (round-11 verdict item #5): the follow-on
+    # quiet-window compaction after a small append must cost O(append
+    # bytes) — baseline part survival is the structural witness, the
+    # incr/full seconds fraction the cost witness (carries the same
+    # ~2 s fixed floor as the scrub rows, so it is gated loosely at the
+    # standard tier and judged by its convergence toward append_fraction)
+    m_oi = bench_engine_optimize_incr(spark, sf01)
+    s_oi = bench_engine_optimize_incr(spark, stage)
+    oi_ratio = round(s_oi["incr_sec"] / m_oi["incr_sec"], 2)
+    oi_bytes_ratio = round(s_oi["mb"] / m_oi["mb"], 2)
+    oi_frac = round(s_oi["incr_sec"] / s_oi["full_sec"], 2)
+    results["engine_optimize_incremental"] = {
+        "sec_sf01": round(m_oi["incr_sec"], 2),
+        "full_sec_sf01": round(m_oi["full_sec"], 2),
+        f"sec_x{factor}": round(s_oi["incr_sec"], 2),
+        f"full_sec_x{factor}": round(s_oi["full_sec"], 2),
+        "append_fraction": round(s_oi["append_mb"] / s_oi["mb"], 3),
+        f"sec_fraction_x{factor}": oi_frac,
+        "noop_sec": round(s_oi["noop_sec"], 2),
+        "baseline_survives": bool(m_oi["baseline_ok"] and s_oi["baseline_ok"]),
+        "noop_ok": bool(m_oi["noop_ok"] and s_oi["noop_ok"]),
+        "sec_ratio": oi_ratio,
+        "bytes_ratio": oi_bytes_ratio,
+        "budget_ok": (
+            budget_ok(oi_ratio, oi_bytes_ratio)
+            and bool(m_oi["baseline_ok"] and s_oi["baseline_ok"])
+            and bool(m_oi["noop_ok"] and s_oi["noop_ok"])
+            and oi_frac <= 0.6
+        ),
+    }
+
+    canary["mid"] = bench_canary(spark)
+    floor_canary["mid"] = bench_floor_canary(spark)
+
     # deep probe: the worst-slope entries at >= 2x the standard factor,
     # recorded as separate "{name}@x{deep}" rows against the SAME sf01
     # base and budgeted against the deeper factor — two scale points per
@@ -1652,6 +1756,60 @@ def scale_stress_main(
         "budget_ok": r <= 1.25 * max(deep_factor, br),
     }
 
+    # DR family at the deep tier (round-11 verdict item #3): the shard
+    # scrub's WALL-CLOCK fraction must converge toward its proven 0.25
+    # input fraction once the payload dominates the ~2 s fixed scan
+    # floor — x100 is where that happens, so here (and only here) the
+    # seconds fraction is gated alongside the IO fraction
+    d_dr = bench_engine_dr(spark, deep_stage, audit=_plan_audit)
+    d_witness = d_dr["full_in_mb"] is not None and d_dr["shard_in_mb"] is not None
+    d_frac_in = (
+        round(d_dr["shard_in_mb"] / d_dr["full_in_mb"], 2)
+        if d_witness and d_dr["full_in_mb"] > 0
+        else None
+    )
+    d_frac_sec = round(d_dr["shard_sec"] / d_dr["full_sec"], 2)
+    d_shard_ratio = round(d_dr["shard_sec"] / m_dr["shard_sec"], 2)
+    d_bytes_ratio = round(d_dr["mb"] / m_dr["mb"], 2)
+    results[f"engine_verify_shard@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(d_dr["shard_sec"], 2),
+        f"full_sec_x{deep_factor}": round(d_dr["full_sec"], 2),
+        f"sec_fraction_x{deep_factor}": d_frac_sec,
+        f"input_fraction_x{deep_factor}": d_frac_in,
+        f"input_mb_full_x{deep_factor}": (
+            round(d_dr["full_in_mb"], 1) if d_dr["full_in_mb"] is not None else None
+        ),
+        f"input_mb_shard_x{deep_factor}": (
+            round(d_dr["shard_in_mb"], 1) if d_dr["shard_in_mb"] is not None else None
+        ),
+        "input_witness": "ok" if d_witness else "unavailable",
+        **d_dr["shard_audit"],
+        "sec_ratio": d_shard_ratio,
+        "bytes_ratio": d_bytes_ratio,
+        "budget_ok": (
+            budget_ok(d_shard_ratio, d_bytes_ratio)
+            and (not d_witness or (d_frac_in is not None and d_frac_in <= 0.45))
+            and d_frac_sec <= 0.45
+            and _audit_ok(d_dr["shard_audit"])
+        ),
+    }
+    r = round(d_dr["clone_sec"] / m_dr["clone_sec"], 2)
+    results[f"engine_clone@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(d_dr["clone_sec"], 2),
+        f"mbps_x{deep_factor}": round(d_dr["mb"] / d_dr["clone_sec"], 1),
+        "sec_ratio": r,
+        "bytes_ratio": d_bytes_ratio,
+        "budget_ok": budget_ok(r, d_bytes_ratio),
+    }
+    r = round(d_dr["restore_sec"] / m_dr["restore_sec"], 2)
+    results[f"engine_restore@x{deep_factor}"] = {
+        f"sec_x{deep_factor}": round(d_dr["restore_sec"], 2),
+        "sec_ratio": r,
+        "bytes_ratio": d_bytes_ratio,
+        "budget_ok": budget_ok(r, d_bytes_ratio)
+        and (r <= 3.0 or d_dr["restore_sec"] <= 0.5),
+    }
+
     # each row is judged against ITS OWN scale factor: deep-probe rows
     # (name@xN) ran at N>=2x the standard factor, so a perfectly linear
     # deep row (sec_ratio ~N) must not be flagged as superlinear
@@ -1663,6 +1821,10 @@ def scale_stress_main(
         if r.get("sec_ratio") and r["sec_ratio"] > _row_factor(n) * 1.5
     ]
     busted = [n for n, r in results.items() if r.get("budget_ok") is False]
+    canary["end"] = bench_canary(spark)
+    floor_canary["end"] = bench_floor_canary(spark)
+    c_mins = [min(v) for v in canary.values()]
+    f_mins = [min(v) for v in floor_canary.values()]
     record = {
         "metric": "scale_stress",
         "factor": factor,
@@ -1670,6 +1832,17 @@ def scale_stress_main(
         "queries": results,
         "superlinear": superlinear,
         "budget_busted": busted,
+        # contention canaries (round-11 verdict #4): a row whose arms
+        # swing while the canaries drift is host contention, not code —
+        # same probes and drift definition as the gated bench record
+        "canary": canary,
+        "canary_drift": (
+            round(max(c_mins) / min(c_mins), 2) if min(c_mins) > 0 else None
+        ),
+        "floor_canary": floor_canary,
+        "floor_canary_drift": (
+            round(max(f_mins) / min(f_mins), 2) if min(f_mins) > 0 else None
+        ),
         "gate_rc": 1 if busted else 0,
     }
     if json_out:

@@ -1218,7 +1218,10 @@ def test_shard_scan_pushes_range_predicate_and_prunes_io(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "chunk_store" in payload_plan, payload_plan[:4000]
+    # the relation witness is the ReadSchema (only chunk_store carries a
+    # binary data column) — the Location path string is truncated at
+    # ~100 chars and cannot be matched reliably
+    assert "data:binary" in payload_plan, payload_plan[:4000]
     assert "GreaterThanOrEqual(chunk_key" in payload_plan, payload_plan[:4000]
     assert "LessThan(chunk_key" in payload_plan, payload_plan[:4000]
     # layout: every rewritten file spans a narrow key range, files are

@@ -1254,7 +1254,9 @@ def engine_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         pushdown_ok = (
             "GreaterThanOrEqual(chunk_key" in plan
             and "LessThan(chunk_key" in plan
-            and "chunk_store" in payload_plan
+            # relation witness: ReadSchema (only chunk_store carries a
+            # binary data column; the Location path string is truncated)
+            and "data:binary" in payload_plan
             and "GreaterThanOrEqual(chunk_key" in payload_plan
             and "LessThan(chunk_key" in payload_plan
         )
@@ -1410,7 +1412,7 @@ def engine_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .toString()
         )
         pushdown_ok = (
-            "chunk_store" in payload_plan
+            "data:binary" in payload_plan
             and "GreaterThanOrEqual(chunk_key" in payload_plan
             and "LessThan(chunk_key" in payload_plan
         )

@@ -153,6 +153,22 @@ def main() -> int:
                 f" [floor canary drift {floor_drift}x -> host "
                 "scheduling/IO contention on a fixed-floor row]"
             )
+        # a flat CPU canary alone must not declare "likely real" while
+        # the OTHER contention axis drifted: sub-second multi-job rows
+        # carry scheduling/py4j floor too (round 12: eight median-warns
+        # labeled likely-real under CPU 1.14x / floor 1.54x — the same
+        # rotating set that clears on untouched code). Report both axes
+        # and let min-of-runs stay the gate.
+        if (
+            drift is not None
+            and drift < 1.3
+            and floor_drift is not None
+            and floor_drift >= 1.3
+        ):
+            return (
+                f" [cpu canary flat ({drift}x) but floor canary drift "
+                f"{floor_drift}x -> possibly floor contention]"
+            )
         return canary_note
 
     warn, fail, new = [], [], []

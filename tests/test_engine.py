@@ -1428,3 +1428,72 @@ def test_clone_at_without_max_id_fails_loudly(spark, tmp_path):
     engine.write("b", b"payload b " * 300)
     clone = engine.clone(str(tmp_path / "c2"))
     assert sorted(r.object_key for r in clone.objects.collect()) == ["a", "b"]
+
+
+def test_vacuum_reclaims_orphans_with_grace_and_retention(engine):
+    """vacuum() (the Delta VACUUM analogue) removes a crashed writer's
+    aged orphan part dirs, SPARES younger-than-grace dirs (possible
+    in-flight writers) and everything referenced by any retained
+    manifest version (time-travel readers), and changes no answers."""
+    import os
+    import time as _time
+
+    data = {f"v{i}": rand_bytes(3000, 40 + i) for i in range(6)}
+    engine.write_batch(
+        engine.spark.createDataFrame(
+            [(k, bytearray(v)) for k, v in data.items()],
+            "object_key string, data binary",
+        )
+    )
+    v_before = engine.store.current_version("chunk_store")
+    engine.optimize()  # prior parts now referenced ONLY by retained history
+
+    tdir = os.path.join(engine.store.root, "chunk_store")
+    old = os.path.join(tdir, "p99999990_orphaned")
+    fresh = os.path.join(tdir, "p99999991_inflight")
+    for p in (old, fresh):
+        os.makedirs(p)
+        with open(os.path.join(p, "part-junk.parquet"), "wb") as f:
+            f.write(b"x" * 4096)
+    stale = _time.time() - 7200
+    os.utime(old, (stale, stale))
+
+    out = engine.vacuum()
+    assert out["chunk_store"]["parts_removed"] == 1
+    assert out["chunk_store"]["mb_reclaimed"] > 0
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh), "younger-than-grace dir must be spared"
+    # explicit zero grace (single-writer quiesced) removes the fresh one
+    out2 = engine.vacuum(grace_seconds=0)
+    assert out2["chunk_store"]["parts_removed"] == 1
+    assert not os.path.exists(fresh)
+    # retention protection: the pre-optimize version stays readable
+    assert engine.store.read_version("chunk_store", v_before).count() > 0
+    for k, v in data.items():
+        assert engine.get(k) == v
+    assert engine.verify().count() == 0
+
+
+def test_cli_vacuum_verb(spark, tmp_path, capsys):
+    import json as _json
+    import os
+    import time as _time
+
+    from watsondedupe_spark import cli
+
+    root = str(tmp_path / "idx")
+    assert cli.main([root, "create"], spark=spark) == 0
+    eng = DedupeEngine.open(spark, root)
+    eng.write("k0", b"payload " * 500)
+    orphan = os.path.join(root, "objects", "p99999990_orphaned")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"y" * 1024)
+    stale = _time.time() - 7200
+    os.utime(orphan, (stale, stale))
+    capsys.readouterr()
+    assert cli.main([root, "vacuum"], spark=spark) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["objects"]["parts_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert eng.get("k0") == b"payload " * 500

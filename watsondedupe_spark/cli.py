@@ -112,6 +112,17 @@ def _build_parser() -> argparse.ArgumentParser:
         help="compact only parts appended since the last clustering "
         "pass — O(new bytes), not O(table); the daily job at scale",
     )
+    vac = sub.add_parser(
+        "vacuum", help="reclaim orphan part dirs (retention-protected VACUUM)"
+    )
+    vac.add_argument(
+        "--grace",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="minimum orphan age to remove (default: the store's 1h "
+        "in-flight-writer grace; shrink only when no writer can be live)",
+    )
     verify = sub.add_parser(
         "verify",
         help="content-address integrity scan (exit 0 clean / 1 violations)",
@@ -280,6 +291,10 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
 
     if args.verb == "optimize":
         print(json.dumps(engine.optimize(incremental=args.incremental)))
+        return 0
+
+    if args.verb == "vacuum":
+        print(json.dumps(engine.vacuum(grace_seconds=args.grace)))
         return 0
 
     if args.verb == "verify":

@@ -1445,6 +1445,26 @@ class DedupeEngine:
                 self._record_checkpoint("repair")
         return deltas
 
+    def vacuum(self, grace_seconds: float | None = None) -> dict[str, dict]:
+        """Explicit orphan-part reclamation across every index table —
+        the Delta VACUUM analogue (no reference counterpart; SQLite has
+        no orphan files). GC normally rides each commit, so a crashed
+        writer's unpublished part dirs on a QUIET index sit on disk
+        until the next write; at 100 TB a crashed bulk ingest can strand
+        terabytes. This sweeps on demand with the same two protections
+        the implicit GC has — retention (a part referenced by ANY
+        retained manifest version survives, so concurrent readers and
+        restore()/clone(at=) targets stay intact) and the in-flight
+        grace window (default :attr:`IndexStore.gc_grace_seconds`; only
+        pass a smaller ``grace_seconds`` when no writer can be live).
+        Returns per-table ``{parts_removed, mb_reclaimed}``.
+        """
+        return {
+            name: self.store.vacuum(name, grace_seconds=grace_seconds)
+            for name in ("config", "objects", "object_map", "chunks", "chunk_store")
+            if self.store.exists(name)
+        }
+
     def optimize(self, incremental: bool = False) -> dict[str, int]:
         """Fold every index table's live parts into a range-clustered
         layout (the OPTIMIZE / VACUUM analogue — no reference
@@ -1521,7 +1541,7 @@ class DedupeEngine:
                     -(-self.store.parts_bytes(todo) // self.OPTIMIZE_TARGET_FILE_BYTES),
                 )
 
-                def meta_fn(meta, new_parts, new_part, key=key):
+                def meta_fn(meta, new_parts, new_part):
                     live = {os.path.basename(p) for p in new_parts}
                     kept = [
                         b for b in meta.get("clustered_parts", []) if b in live

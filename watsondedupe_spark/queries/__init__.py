@@ -66,22 +66,26 @@ _GRADING_PRIORITY = [
     # item); after this window no registry query's last driver grade
     # is older than round 6.
     #
-    # Tier 1 — BUILT IN ROUND 12 (2): incremental optimize()
+    # Tier 1 — BUILT IN ROUND 12 (3): incremental optimize()
     # (store.compact_parts folds only the parts appended since the
     # last clustering pass; baseline part survives by path, zero-IO
-    # no-op when fully clustered) and the consistent-scrub retention
+    # no-op when fully clustered), the consistent-scrub retention
     # contract (optimize() records a consistency point; expired-ledger
-    # scrubs raise one remediation error and heal on the next op).
+    # scrubs raise one remediation error and heal on the next op), and
+    # explicit orphan-part vacuum (grace + retention protections).
     "engine_optimize_incremental", "engine_verify_consistent_retention",
-    # Tier 2 — change risk (6): optimize() was rewritten onto
+    "engine_vacuum_orphans",
+    # Tier 2 — change risk (5): optimize() was rewritten onto
     # compact_parts and records checkpoints (clustering + multibatch
     # consumers re-grade), verify(consistent=True) gained the
     # retention fallback (live-race rows re-grade, now handshake-paced),
     # shard_range error bounds changed (shard scrub row), and
-    # clone(at=) fails loudly without a max_id high-water (PITR row).
+    # clone(at=) fails loudly without a max_id high-water (PITR row;
+    # engine_restore_inplace sat here too but yielded its slot — its
+    # code is untouched this round and its last driver grade is r11).
     "engine_optimize_clustering", "engine_verify_consistent_live",
     "engine_verify_consistent_live_sqlite", "engine_verify_shards",
-    "engine_pitr_clone", "engine_restore_inplace",
+    "engine_pitr_clone",
     # Tier 3 — the full r4/r5-stale cohort (42), oldest first:
     "events_session_streamed", "multimodal_wav_roundtrip",
     "cdc_chunk_index", "ddp_gc_candidates", "ddp_object_map_lookup",

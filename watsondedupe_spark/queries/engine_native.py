@@ -1508,6 +1508,98 @@ def engine_verify_consistent_retention(
     return spark.createDataFrame(rows, "check_name string, ok boolean")
 
 
+_VACUUM_ORPHANS_SQL = """
+SELECT * FROM (VALUES
+    ('orphan_removed_ok',     TRUE),
+    ('grace_spared_ok',       TRUE),
+    ('grace_zero_removes_ok', TRUE),
+    ('retention_protected_ok', TRUE),
+    ('reads_ok',              TRUE)
+) AS t(check_name, ok)
+"""
+
+
+@register(
+    "engine_vacuum_orphans",
+    _VACUUM_ORPHANS_SQL,
+    doc="explicit orphan-part reclamation (round 12): vacuum() — the "
+    "Delta VACUUM analogue — removes a crashed writer's aged orphan "
+    "part dirs on demand (GC otherwise rides commits, so a quiet index "
+    "strands them), SPARES dirs younger than the in-flight-writer "
+    "grace window, never touches a part referenced by any retained "
+    "manifest version (time-travel/restore targets stay readable), "
+    "and changes no answers (store.py vacuum; engine.py vacuum; CLI "
+    "verb vacuum --grace).",
+)
+def engine_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+
+    objs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("_id"),
+        F.col("doc_id").cast("string").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+    ).filter(F.col("_id") % 4 == 0).select("object_key", "data")
+    probe_key, probe_md5 = (
+        objs.select("object_key", F.md5("data").alias("m"))
+        .orderBy("object_key")
+        .limit(1)
+        .collect()[0]
+    )
+    root = tempfile.mkdtemp(prefix="wds_vacuum_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        eng.write_batch(objs)
+        v_before = eng.store.current_version("chunk_store")
+        eng.optimize()  # prior parts referenced ONLY by retained history
+
+        tdir = os.path.join(root, "chunk_store")
+        old = os.path.join(tdir, "p99999990_orphaned")
+        fresh = os.path.join(tdir, "p99999991_inflight")
+        for p in (old, fresh):
+            os.makedirs(p)
+            with open(os.path.join(p, "part-junk.parquet"), "wb") as f:
+                f.write(b"x" * 4096)
+        stale = time.time() - 7200
+        os.utime(old, (stale, stale))
+
+        out = eng.vacuum()
+        orphan_removed_ok = (
+            out["chunk_store"]["parts_removed"] == 1
+            and out["chunk_store"]["mb_reclaimed"] > 0
+            and not os.path.exists(old)
+        )
+        grace_spared_ok = os.path.exists(fresh)
+        out2 = eng.vacuum(grace_seconds=0)
+        grace_zero_removes_ok = (
+            out2["chunk_store"]["parts_removed"] == 1
+            and not os.path.exists(fresh)
+        )
+        retention_protected_ok = (
+            eng.store.read_version("chunk_store", v_before).count() > 0
+        )
+        reads_ok = (
+            hashlib.md5(eng.get(probe_key)).hexdigest() == probe_md5
+            and eng.verify().count() == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        ("orphan_removed_ok", bool(orphan_removed_ok)),
+        ("grace_spared_ok", bool(grace_spared_ok)),
+        ("grace_zero_removes_ok", bool(grace_zero_removes_ok)),
+        ("retention_protected_ok", bool(retention_protected_ok)),
+        ("reads_ok", bool(reads_ok)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
+
+
 _VERIFY_CONSISTENT_LIVE_SQL = """
 SELECT * FROM (VALUES
     ('live_scans_clean',       TRUE),

@@ -443,8 +443,24 @@ class IndexStore:
         publishes them). Crashed writers leave at worst an orphan dir
         that ages out; never a dangling reference; and retention keeps
         concurrent readers' parts live."""
+        self.vacuum(name)
+
+    def vacuum(self, name: str, grace_seconds: float | None = None) -> dict:
+        """Explicit orphan-part removal with stats — the Delta VACUUM
+        analogue. GC normally piggybacks on commits (:meth:`_gc`), so a
+        QUIET table never reclaims a crashed writer's orphan dirs; this
+        runs the same retention-protected sweep on demand and reports
+        what it removed. A part is removed only when it is unreachable
+        from the current manifest AND every retained historical
+        manifest (concurrent readers of any retained version stay
+        safe), and only when older than ``grace_seconds`` (default
+        :attr:`gc_grace_seconds`) — an in-flight concurrent writer's
+        part is written BEFORE its manifest flip publishes it, so a
+        younger unreferenced dir is indistinguishable from one.
+        Returns ``{"parts_removed": n, "mb_reclaimed": mb}``."""
         import time
 
+        grace = self.gc_grace_seconds if grace_seconds is None else grace_seconds
         live: set[str] = set()
         states = [self._state(name)] + [
             s
@@ -454,19 +470,23 @@ class IndexStore:
         for state in states:
             live.update(os.path.basename(p) for p in state["parts"])
         tdir = self._table_dir(name)
+        removed, freed = 0, 0
         if not os.path.isdir(tdir):
-            return
+            return {"parts_removed": 0, "mb_reclaimed": 0.0}
         now = time.time()
         for entry in os.listdir(tdir):
             if not entry.startswith("p") or entry in live:
                 continue
             path = os.path.join(tdir, entry)
             try:
-                if now - os.path.getmtime(path) < self.gc_grace_seconds:
+                if now - os.path.getmtime(path) < grace:
                     continue  # possibly a concurrent writer's in-flight part
             except OSError:
                 continue  # vanished under us: its writer is cleaning up
+            freed += self.parts_bytes([path])
             shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+        return {"parts_removed": removed, "mb_reclaimed": round(freed / 1e6, 3)}
 
     # -- contract -----------------------------------------------------------
 

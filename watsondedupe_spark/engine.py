@@ -761,13 +761,18 @@ class DedupeEngine:
     # -- point reads (O6-O11, O13-O15) ----------------------------------------
     #
     # Every point read resolves through the manifest's min/max skip
-    # stats (IndexStore.read_point / read_pruned, round 8): the part
+    # stats (IndexStore.read_point / read_pruned, round 8) AND the
+    # per-part Bloom sidecars (store.BLOOM_COLS, round 12): the part
     # list is pruned BEFORE Spark plans the scan, so a probe opens only
-    # the parts whose recorded key span can contain it — at 100 TB an
-    # ``exists()`` that plans a scan over every part is an O(parts)
-    # stall; the manifest span check is the Delta/Iceberg data-skipping
-    # analogue of the reference's b-tree PK (SqliteProvider.cs:258-270).
-    # The exact row filter is always applied on top: pruning shrinks the
+    # the parts whose recorded key span can contain it — and, where the
+    # spans are useless because the keys are uniform hashes
+    # (store.HASH_KEYED), only the parts whose bloom says the key may be
+    # PRESENT. At 100 TB an ``exists()`` that plans a scan over every
+    # part is an O(parts) stall; the manifest span check is the
+    # Delta/Iceberg data-skipping analogue of the reference's b-tree PK
+    # (SqliteProvider.cs:258-270), and the bloom miss is its b-tree-miss
+    # fast path: a lookup of an absent key plans no scan at all. The
+    # exact row filter is always applied on top: pruning shrinks the
     # file list, never the semantics.
 
     def exists(self, key: str) -> bool:
@@ -792,10 +797,12 @@ class DedupeEngine:
         IN-list lookup (SqliteProvider.cs:333-355) as a broadcast
         semi-join: the (tiny, part-pruned) map for one object is the
         broadcast side, the chunks table the probe. No driver collect —
-        chunk keys are uniform hashes, so manifest pruning on the chunks
-        side never skips a part anyway (store.HASH_KEYED), and a
-        multi-GB object's thousands of chunk keys never round-trip
-        through the driver or bloat the plan as IN-list literals."""
+        bloom-pruning the chunks side would need the chunk keys on the
+        driver, and a multi-GB object's thousands of keys should never
+        round-trip through the driver or bloat the plan as IN-list
+        literals; the chunks table is a single CAS-merged part anyway
+        (refcount commits are full replaces), so there is nothing for
+        the prune to skip."""
         wanted = self.get_object_map(key).select("chunk_key").distinct()
         return self.chunks.join(F.broadcast(wanted), "chunk_key", "left_semi")
 
@@ -834,8 +841,9 @@ class DedupeEngine:
 
         Two-phase IN-list read: the (tiny) map for one object is
         collected first, then the payload read prunes chunk_store to the
-        parts whose chunk-key span can hold those keys and fetches each
-        payload once. Reassembly walks the map in address order — a
+        parts whose Bloom sidecar says they may contain one of those
+        chunk keys (spans cannot discriminate uniform hash keys —
+        store.BLOOM_COLS) and fetches each payload once. Reassembly walks the map in address order — a
         chunk referenced at several addresses (dedup reuse) is fetched
         once and concatenated at each site.
 
@@ -885,12 +893,14 @@ class DedupeEngine:
             "object_map", "object_key", keys, OBJECT_MAP_SCHEMA
         ).filter(F.col("object_key").isin(keys))
         # the payload fetch is a broadcast hash join against the full
-        # chunk_store snapshot: chunk keys are uniform hashes, so a
-        # manifest prune of the payload parts never skips one
-        # (store.HASH_KEYED) — the old collect of up to 100k chunk keys
-        # to the driver bought nothing and cost a Spark job + an
-        # IN-list-literal plan. Parquet bloom/dictionary pushdown on the
-        # join key plus the broadcast keep the probe scan cheap.
+        # chunk_store snapshot: bloom-pruning the payload parts would
+        # need the batch's chunk keys on the driver, and the old collect
+        # of up to 100k chunk keys cost a Spark job + an IN-list-literal
+        # plan for a batch whose keys plausibly touch every part anyway
+        # (a LARGE batch is exactly where per-part membership stops
+        # discriminating). Parquet row-group pushdown on the join key
+        # plus the broadcast keep the probe scan cheap; single-object
+        # get()/get_range() DO ride the bloom-pruned read_point path.
         pieces = self.chunk_store.join(F.broadcast(wanted), "chunk_key")
         return (
             pieces.groupBy("object_key")

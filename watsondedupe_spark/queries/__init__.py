@@ -66,15 +66,20 @@ _GRADING_PRIORITY = [
     # item); after this window no registry query's last driver grade
     # is older than round 6.
     #
-    # Tier 1 — BUILT IN ROUND 12 (3): incremental optimize()
+    # Tier 1 — BUILT IN ROUND 12 (4): incremental optimize()
     # (store.compact_parts folds only the parts appended since the
     # last clustering pass; baseline part survives by path, zero-IO
     # no-op when fully clustered), the consistent-scrub retention
     # contract (optimize() records a consistency point; expired-ledger
-    # scrubs raise one remediation error and heal on the next op), and
-    # explicit orphan-part vacuum (grace + retention protections).
+    # scrubs raise one remediation error and heal on the next op),
+    # explicit orphan-part vacuum (grace + retention protections), and
+    # per-part Bloom sidecars on the hash-keyed tables (session-3:
+    # membership pruning where spans can't prune; this row also drives
+    # the restructured store.read_point end-to-end on both hash- and
+    # span-keyed tables, so it doubles as that change's risk row —
+    # window_rank_lag yields its slot and rolls to the r13 rotation).
     "engine_optimize_incremental", "engine_verify_consistent_retention",
-    "engine_vacuum_orphans",
+    "engine_vacuum_orphans", "engine_bloom_prune",
     # Tier 2 — change risk (5): optimize() was rewritten onto
     # compact_parts and records checkpoints (clustering + multibatch
     # consumers re-grade), verify(consistent=True) gained the
@@ -102,7 +107,8 @@ _GRADING_PRIORITY = [
     "events_session", "events_tumbling_streamed",
     "events_user_totals_streamed", "setops_multiset", "tpch_q1_pricing",
     "tpch_q21_waiting_supplier", "tpch_q3_topk", "tpch_q6_revenue",
-    "window_rank_lag",
+    # window_rank_lag was the 50th slot; it yielded to engine_bloom_prune
+    # (sweep-green every round; first in line for the r13 rotation)
     #
     # r11 window — standing rotation: new-this-round first, then
     # change-risk, then the LONGEST-UNGRADED oracled queries (ranked by

@@ -3239,3 +3239,127 @@ def engine_point_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# point-read latency path II: per-part Bloom sidecars on the hash-keyed
+# tables (round 12)
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRUNE_SQL = """
+WITH sel AS (
+    SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS object_key, text
+    FROM documents WHERE doc_id % 11 = 0 AND doc_id < 66
+)
+SELECT object_key,
+       md5(repeat(text, 20)) AS payload_md5,
+       TRUE AS sidecars_ok, TRUE AS pruned_ok,
+       TRUE AS miss_zero_ok, TRUE AS exists_miss_ok
+FROM sel
+"""
+
+
+@register(
+    "engine_bloom_prune",
+    _BLOOM_PRUNE_SQL,
+    doc="Round-12 data-skipping claim for the HASH-keyed tables: manifest "
+    "min/max spans can never skip a part of chunks/chunk_store (uniform "
+    "urlsafe-b64 SHA-256 keys span the whole keyspace — store.HASH_KEYED), "
+    "so every part-write records a per-part Bloom sidecar "
+    "(bloom.py, store.BLOOM_COLS) and point reads prune on MEMBERSHIP: "
+    "a get()'s payload fetch scans strictly fewer parts than the live "
+    "part count (pruned_ok), a probe for a never-written chunk key "
+    "prunes ALL payload parts (miss_zero_ok: the scan-free negative "
+    "lookup — the b-tree-miss fast path of SqliteProvider.cs:258-270 as "
+    "file skipping), and an exists() miss on an arbitrary user key "
+    "prunes every objects part via the BLAKE2b fallback hash "
+    "(exists_miss_ok). get() reassembly md5 stays the closed form "
+    "(correctness through the pruned read path).",
+)
+def engine_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from watsondedupe_spark.chunking import ChunkSettings, SMALL_FILE_PROFILE
+    from watsondedupe_spark.engine import DedupeEngine
+    from watsondedupe_spark.keys import chunk_key as _ck
+
+    objs = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("object_key"),
+        F.encode(F.repeat("text", 20), "UTF-8").alias("data"),
+        F.col("doc_id").cast("long").alias("_id"),
+    )
+    n_docs = objs.count()
+    root = tempfile.mkdtemp(prefix="wds_bloomprune_")
+    try:
+        eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
+        # three append batches: chunk keys are uniform hashes, so the
+        # three chunk_store parts have fully-overlapping key SPANS —
+        # only the bloom can tell them apart
+        cut1, cut2 = n_docs // 3, 2 * n_docs // 3
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n_docs + 1)):
+            batch = objs.filter((F.col("_id") >= lo) & (F.col("_id") < hi))
+            eng.write_batch(batch.select("object_key", "data"))
+        eng = DedupeEngine.open(spark, root)
+        st = eng.store
+
+        cs_state = st._state("chunk_store")
+        cs_parts = cs_state["parts"]
+        obj_parts = st._state("objects")["parts"]
+        sidecars_ok = len(cs_parts) == 3 and all(
+            _os.path.exists(_os.path.join(p, "_BLOOM.chunk_key"))
+            for p in cs_parts
+        ) and all(
+            _os.path.exists(_os.path.join(p, "_BLOOM.object_key"))
+            for p in obj_parts
+        )
+
+        sample = sorted(
+            r.object_key
+            for r in objs.filter((F.col("_id") % 11 == 0) & (F.col("_id") < 66))
+            .select("object_key")
+            .collect()
+        )
+        rows = []
+        for key in sample:
+            data = eng.get(key)  # reassembly THROUGH the bloom-pruned path
+            ck_list = [
+                r.chunk_key
+                for r in eng.get_object_map(key).select("chunk_key").collect()
+            ]
+            kept = st._bloom_prune("chunk_store", "chunk_key", cs_parts, ck_list)
+            # dedup reuse may legitimately place a shared chunk in an
+            # earlier part, but an object's chunks can never need every
+            # part — pruning must beat the span baseline (all 3)
+            pruned_ok = 0 < len(kept) < len(cs_parts)
+            absent = _ck(hashlib.sha256(f"absent|{key}".encode()).digest())
+            miss_zero_ok = (
+                st._bloom_prune("chunk_store", "chunk_key", cs_parts, [absent])
+                == []
+            )
+            exists_miss_ok = (not eng.exists(key + "_missing")) and (
+                st._bloom_prune(
+                    "objects", "object_key", obj_parts, [key + "_missing"]
+                )
+                == []
+            )
+            rows.append(
+                (
+                    key,
+                    hashlib.md5(data).hexdigest(),
+                    bool(sidecars_ok),
+                    bool(pruned_ok),
+                    bool(miss_zero_ok),
+                    bool(exists_miss_ok),
+                )
+            )
+        result = spark.createDataFrame(
+            rows,
+            "object_key string, payload_md5 string, sidecars_ok boolean, "
+            "pruned_ok boolean, miss_zero_ok boolean, exists_miss_ok boolean",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

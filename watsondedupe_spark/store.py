@@ -110,6 +110,9 @@ class IndexStore:
         # composite ops that nest — write_or_replace holding the lock
         # across its delete+write phases — ride the outer acquisition
         self._op_tls = threading.local()
+        # parsed Bloom sidecars keyed by (part basename, col): parts
+        # are immutable once published, so the cache never invalidates
+        self._bloom_cache: dict = {}
         os.makedirs(root, exist_ok=True)
 
     # -- backend primitives (the only parts a new backend overrides) --------
@@ -348,10 +351,108 @@ class IndexStore:
 
     #: (table, column) pairs whose keys are uniform cryptographic hashes
     #: (urlsafe-b64 SHA-256): any non-trivial part's span covers
-    #: essentially the whole keyspace, so manifest pruning never skips a
-    #: part there — read_point goes straight to the snapshot instead of
-    #: paying the per-part span test for nothing (round-9 advice).
+    #: essentially the whole keyspace, so min/max SPAN pruning never
+    #: skips a part there — read_point skips the per-part span test for
+    #: these (round-9 advice) and relies on the Bloom sidecars instead,
+    #: which prune on membership rather than order (round 12).
     HASH_KEYED: frozenset = frozenset({("chunks", "chunk_key"), ("chunk_store", "chunk_key")})
+
+    # -- per-part Bloom sidecars (round 12) ----------------------------------
+
+    #: key column per table that gets a Bloom sidecar at part-write
+    #: time (see :mod:`watsondedupe_spark.bloom` for the design and the
+    #: 100 TB rationale). Span stats answer "can this part's key RANGE
+    #: contain the probe"; the bloom answers "does this part plausibly
+    #: CONTAIN the probe" — the only question that prunes anything on
+    #: the hash-keyed chunk tables, and the one that makes a negative
+    #: ``exists()`` plan no scan at all.
+    BLOOM_COLS: dict[str, str] = {
+        "objects": "object_key",
+        "object_map": "object_key",
+        "chunks": "chunk_key",
+        "chunk_store": "chunk_key",
+    }
+
+    def _write_part(self, name: str, df: DataFrame, path: str) -> None:
+        """Write ``df`` as an immutable part dir plus its Bloom sidecar
+        — the single choke point every part-creating commit path goes
+        through, so no part can miss its sidecar by omission."""
+        df.write.mode("overwrite").parquet(path)
+        self._write_bloom(name, path)
+
+    def _write_bloom(self, name: str, path: str) -> None:
+        """Build ``{path}/_BLOOM.{col}`` from the part's key column — a
+        driver-side columnar read-back of ONLY that column (no Spark
+        job; the part was just written and is OS-cache-hot). Written
+        atomically; any failure leaves no sidecar, which readers treat
+        as "never prune this part"."""
+        col = self.BLOOM_COLS.get(name)
+        if not col:
+            return
+        try:
+            import pyarrow.dataset as pads
+
+            from watsondedupe_spark import bloom
+
+            vals = (
+                pads.dataset(path, format="parquet")
+                .to_table(columns=[col])
+                .column(col)
+                .drop_null()
+                .to_pylist()
+            )
+            raw = bloom.build(vals)
+            tmp = os.path.join(path, f"_BLOOM.{col}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            os.replace(tmp, os.path.join(path, f"_BLOOM.{col}"))
+        except Exception:  # noqa: BLE001 — the sidecar is an optimization only
+            pass
+
+    def _part_bloom(self, path: str, col: str):
+        """Parsed sidecar for one part (cached; parts are immutable),
+        or None when absent/unreadable — meaning "cannot prune"."""
+        key = (os.path.basename(path), col)
+        cache = self._bloom_cache
+        if key in cache:
+            return cache[key]
+        parsed = None
+        try:
+            from watsondedupe_spark import bloom
+
+            with open(os.path.join(path, f"_BLOOM.{col}"), "rb") as f:
+                parsed = bloom.parse(f.read())
+        except Exception:  # noqa: BLE001 — absent/corrupt sidecar: keep part
+            parsed = None
+        if len(cache) >= 512:
+            cache.clear()
+        cache[key] = parsed
+        return parsed
+
+    def _bloom_prune(
+        self, name: str, col: str, parts: list[str], values: list
+    ) -> list[str]:
+        """Parts whose Bloom sidecar says they MAY contain at least one
+        of ``values``. Parts without a sidecar are always kept; false
+        positives only widen the scan — skipping is an optimization,
+        never a correctness gate (same contract as :meth:`_prune_parts`).
+        """
+        if not parts or not values or not all(isinstance(v, str) for v in values):
+            return parts
+        from watsondedupe_spark import bloom
+
+        hashed = None  # probe hashes computed once, only if any sidecar exists
+        kept = []
+        for p in parts:
+            parsed = self._part_bloom(p, col)
+            if parsed is None:
+                kept.append(p)
+                continue
+            if hashed is None:
+                hashed = bloom.hash_pairs(values)
+            if bloom.might_contain_any(parsed, *hashed):
+                kept.append(p)
+        return kept
 
     def read_point(
         self,
@@ -361,37 +462,45 @@ class IndexStore:
         schema: StructType | None = None,
     ) -> DataFrame:
         """Point-lookup form of :meth:`read_pruned`: keep only parts
-        whose span of ``col`` can contain one of ``values``. The probe
-        set is sorted once and each part span is tested with a bisect
-        (O(parts x log |values|), not O(parts x |values|) — a 100k-key
-        batch probe against a many-part store stays driver-cheap).
-        Hash-keyed tables (:attr:`HASH_KEYED`) skip pruning entirely."""
-        if (name, col) in self.HASH_KEYED:
-            return self.read(name, schema=schema)
-        import bisect
-
+        that can contain one of ``values``, by two independent
+        witnesses — min/max SPANS (the probe set is sorted once and
+        each part span is tested with a bisect: O(parts x log |values|),
+        not O(parts x |values|) — a 100k-key batch probe against a
+        many-part store stays driver-cheap), then Bloom sidecars
+        (:meth:`_bloom_prune`), which prune on MEMBERSHIP and so still
+        work on the hash-keyed tables whose spans cover the whole
+        keyspace (:attr:`HASH_KEYED` skips the useless span test there).
+        """
         state = self._state(name)
-        stats = state.get("stats", {})
-        try:
-            vals = sorted(values)
-        except TypeError:  # mixed/unorderable probe types: no pruning
-            vals = None
-        if vals:
-            kept = []
-            for p in state["parts"]:
-                span = (stats.get(os.path.basename(p)) or {}).get(col)
-                if span is None:
-                    kept.append(p)  # no stats: cannot prune
-                    continue
-                plo, phi = span
-                # smallest probe >= the part's low bound; a hit iff it
-                # also sits at or below the part's high bound
-                i = bisect.bisect_left(vals, plo)
-                if i < len(vals) and vals[i] <= phi:
-                    kept.append(p)
-            parts = kept
+        if (name, col) in self.HASH_KEYED:
+            parts = list(state["parts"])
+            vals = list(values) if values else []
         else:
-            parts = [] if vals is not None else state["parts"]
+            import bisect
+
+            stats = state.get("stats", {})
+            try:
+                vals = sorted(values)
+            except TypeError:  # mixed/unorderable probe types: no pruning
+                vals = None
+            if vals:
+                kept = []
+                for p in state["parts"]:
+                    span = (stats.get(os.path.basename(p)) or {}).get(col)
+                    if span is None:
+                        kept.append(p)  # no stats: cannot prune
+                        continue
+                    plo, phi = span
+                    # smallest probe >= the part's low bound; a hit iff
+                    # it also sits at or below the part's high bound
+                    i = bisect.bisect_left(vals, plo)
+                    if i < len(vals) and vals[i] <= phi:
+                        kept.append(p)
+                parts = kept
+            else:
+                parts = [] if vals is not None else state["parts"]
+        if parts and vals and self.BLOOM_COLS.get(name) == col:
+            parts = self._bloom_prune(name, col, parts, vals)
         if not parts:
             return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
         return self.spark.read.parquet(*parts)
@@ -643,7 +752,7 @@ class IndexStore:
         hint = (expected_version if expected_version is not None
                 else self.current_version(name)) + 1
         path = self._new_part_path(name, hint)
-        df.write.mode("overwrite").parquet(path)
+        self._write_part(name, df, path)
         with self._transact(name):
             state = self._state(name)
             if expected_version is not None and state["version"] != expected_version:
@@ -714,7 +823,7 @@ class IndexStore:
             raise last_err  # contended beyond the retry budget
         os.makedirs(self._table_dir(name), exist_ok=True)
         path = self._new_part_path(name, state["version"] + 1)
-        df.write.mode("overwrite").parquet(path)
+        self._write_part(name, df, path)
         with self._transact(name):
             fresh = self._state(name)  # REBASE: another append may have landed
             if expected_version is not None and fresh["version"] != expected_version:
@@ -754,7 +863,7 @@ class IndexStore:
         shape: optimistic data-file write, serialized metadata flip."""
         os.makedirs(self._table_dir(name), exist_ok=True)
         path = self._new_part_path(name, version_hint)
-        df.write.mode("overwrite").parquet(path)
+        self._write_part(name, df, path)
         return path
 
     def attach_part(
@@ -879,7 +988,7 @@ class IndexStore:
         if layout is not None:
             df = layout(df)
         path = self._new_part_path(name, self.current_version(name) + 1)
-        df.write.mode("overwrite").parquet(path)
+        self._write_part(name, df, path)
         # footer stats outside the critical section (part is immutable)
         part_stats = self._part_stats(name, path)
         with self._transact(name):

@@ -91,17 +91,29 @@ def hash_pairs(values: list) -> "tuple[np.ndarray, np.ndarray]":
         (fast if len(b) == 43 else slow).append(i)
     if fast:
         mat = np.frombuffer(b"".join(enc[i] for i in fast), dtype=np.uint8)
-        sym = _LUT[mat.reshape(-1, 43)]
+        mat = mat.reshape(-1, 43)
         fa = np.asarray(fast)
-        # uint64 arithmetic wraps mod 2^64 — exactly the ring we want
-        h1[fa] = (sym[:, :21].astype(np.uint64) * _POW1).sum(
-            axis=1, dtype=np.uint64
-        )
-        h2[fa] = (sym[:, 21:].astype(np.uint64) * _POW2).sum(
-            axis=1, dtype=np.uint64
-        )
+        # column-wise accumulation, deliberately allocation-lean: the
+        # obvious (n, 21)-matrix form materializes ~170 bytes/key of
+        # uint64 temporaries, and big numpy temps go back to the OS on
+        # free — on lazily-backed VMs every call then re-faults hundreds
+        # of MB at disk speed (measured 20s+ for a 3M-key part where the
+        # warm-page cost is 0.2s). Per-column temps stay ~8 bytes/key.
+        # uint64 arithmetic wraps mod 2^64 — exactly the ring we want.
+        f1 = np.zeros(len(fa), dtype=np.uint64)
+        f2 = np.zeros(len(fa), dtype=np.uint64)
+        bad = np.zeros(len(fa), dtype=bool)
+        for i in range(43):
+            s = _LUT[mat[:, i]]
+            bad |= s == 255
+            if i < 21:
+                f1 += s.astype(np.uint64) * _POW1[i]
+            else:
+                f2 += s.astype(np.uint64) * _POW2[i - 21]
+        h1[fa] = f1
+        h2[fa] = f2
         # 43-byte values containing non-alphabet bytes: fallback path
-        slow.extend(int(i) for i in fa[(sym == 255).any(axis=1)])
+        slow.extend(int(i) for i in fa[bad])
     for i in slow:
         d = hashlib.blake2b(enc[i], digest_size=16).digest()
         h1[i] = int.from_bytes(d[:8], "little")

@@ -394,9 +394,15 @@ class IndexStore:
 
             from watsondedupe_spark import bloom
 
+            ds = pads.dataset(path, format="parquet")
+            # safety valve: past ~16M keys the capped bitmap's FP rate
+            # degrades toward useless while the build cost grows linear
+            # on the driver — skip the sidecar (part is simply never
+            # pruned) instead of stalling the commit
+            if ds.count_rows() > 16_000_000:
+                return
             vals = (
-                pads.dataset(path, format="parquet")
-                .to_table(columns=[col])
+                ds.to_table(columns=[col])
                 .column(col)
                 .drop_null()
                 .to_pylist()

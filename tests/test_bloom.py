@@ -77,6 +77,24 @@ def test_build_is_deterministic():
     assert bloom.build(keys) == bloom.build(keys)
 
 
+def test_arrow_path_is_byte_identical_to_list_path():
+    """The zero-copy arrow build must produce the SAME sidecar as the
+    list build for every array shape — otherwise a sidecar built by one
+    path could false-negative a probe hashed by the other."""
+    import pyarrow as pa
+
+    pure = [_chunk_key(f"c{i}") for i in range(1000)]
+    cases = [
+        (pure, pa.array(pure)),  # plain string
+        (pure, pa.array(pure, type=pa.large_string())),  # 64-bit offsets
+        (pure[37:537], pa.array(pure)[37:537]),  # sliced (nonzero offset)
+        (pure + ["user-key", "!" * 43], pa.array(pure + ["user-key", "!" * 43])),
+        (pure[:10], pa.chunked_array([pa.array(pure[:5]), pa.array(pure[5:10])])),
+    ]
+    for vals, arr in cases:
+        assert bloom.build(vals) == bloom.build_arrow(arr)
+
+
 def test_parse_rejects_garbage():
     with pytest.raises(ValueError):
         bloom.parse(b"not a sidecar")

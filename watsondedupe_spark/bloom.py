@@ -123,6 +123,73 @@ def hash_pairs(values: list) -> "tuple[np.ndarray, np.ndarray]":
     return h1, h2
 
 
+def _hash_pairs_arrow(arr):
+    """Zero-copy fast path for :func:`hash_pairs` over a pyarrow string
+    array: when EVERY value is exactly 43 utf-8 bytes (the chunk-key
+    shape), hash straight off the arrow value buffer — no to_pylist, no
+    per-value Python encode. Returns None when the array doesn't fit
+    the shape (caller falls back to the list path). Values with
+    non-alphabet bytes still get their per-value BLAKE2b, exactly as
+    the list path would. Identical output to ``hash_pairs(
+    arr.to_pylist())`` by construction: arrow stores utf-8 bytes, and
+    43 ascii alphabet bytes encode to themselves."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count or len(arr) == 0:
+        return None
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        return None
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
+    )[arr.offset :]
+    if offsets[-1] - offsets[0] != 43 * len(arr):
+        return None
+    widths = np.diff(offsets)
+    if not (widths == 43).all():
+        return None
+    mat = np.frombuffer(bufs[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ].reshape(-1, 43)
+    n = len(arr)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    bad = np.zeros(n, dtype=bool)
+    for i in range(43):
+        s = _LUT[mat[:, i]]
+        bad |= s == 255
+        if i < 21:
+            h1 += s.astype(np.uint64) * _POW1[i]
+        else:
+            h2 += s.astype(np.uint64) * _POW2[i - 21]
+    if bad.any():
+        for i in np.flatnonzero(bad):
+            d = hashlib.blake2b(
+                arr[int(i)].as_py().encode("utf-8", "surrogatepass"),
+                digest_size=16,
+            ).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+    h2 |= np.uint64(1)
+    return h1, h2
+
+
+def build_arrow(arr) -> bytes:
+    """:func:`build` from a pyarrow string column (nulls dropped by the
+    caller) — rides the zero-copy hash path when the values fit the
+    43-byte chunk-key shape, else falls back to the list path."""
+    hashed = _hash_pairs_arrow(arr)
+    if hashed is None:
+        return build(arr.to_pylist())
+    return _build_from_hashes(len(arr), *hashed)
+
+
 def _probe_bits(h1, h2, i: int, m: int):
     """(byte index, bit mask) arrays for probe round ``i``."""
     pos = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
@@ -135,12 +202,16 @@ def build(values: list) -> bytes:
     """Serialized sidecar for one part's key column (nulls excluded by
     the caller; a null key never equals a probe value, so pruning a
     part on its non-null keys alone is exact)."""
-    n = len(values)
+    if not values:
+        return _build_from_hashes(0, None, None)
+    return _build_from_hashes(len(values), *hash_pairs(values))
+
+
+def _build_from_hashes(n: int, h1, h2) -> bytes:
     m = 64
     while m < n * BITS_PER_KEY and m < MAX_BITS:
         m <<= 1
     if n:
-        h1, h2 = hash_pairs(values)
         # vectorized bit set: boolean scatter (duplicate indices are
         # fine for assignment) + packbits — orders of magnitude faster
         # than a scattered read-modify-write per probe

@@ -401,13 +401,9 @@ class IndexStore:
             # pruned) instead of stalling the commit
             if ds.count_rows() > 16_000_000:
                 return
-            vals = (
-                ds.to_table(columns=[col])
-                .column(col)
-                .drop_null()
-                .to_pylist()
+            raw = bloom.build_arrow(
+                ds.to_table(columns=[col]).column(col).drop_null()
             )
-            raw = bloom.build(vals)
             tmp = os.path.join(path, f"_BLOOM.{col}.tmp")
             with open(tmp, "wb") as f:
                 f.write(raw)

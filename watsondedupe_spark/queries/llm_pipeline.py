@@ -1514,22 +1514,43 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_b AS u", "doc_a AS v")
     ).distinct()
     deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
-    # one checkpoint at the head materializes the (tiny) node table; the
-    # 8 FIXED rounds build one bounded-depth plan, so no per-round
-    # lineage truncation is needed (unlike CC, whose round count is
-    # data-dependent) — cutting 8 eager materialization barriers
-    ranks = deg.select(
-        F.col("u").alias("v"), "deg", F.lit(_PR_TICK).cast("long").alias("ticks")
-    ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    # r12 optimization (guide §2.4 — remove shuffles outright): the old
+    # loop joined `deg` back onto each round's inflow, but `deg` hung
+    # off the UN-checkpointed pairs plan, so all 8 rounds re-embedded
+    # the whole minhash-LSH candidate subtree (a 431-node physical plan
+    # re-running the band self-join per round). Annotating each edge
+    # with its RECEIVER's degree once, inside the single head
+    # checkpoint, makes every round exactly one join + one aggregate
+    # over two bounded-depth inputs: the per-round deg join (and its
+    # hash build) disappears, and the final plan is ~8 rounds x 2
+    # operators instead of 8 copies of the candidate-generation DAG.
+    # Arithmetic, vertex set, and output schema are unchanged
+    # (oracle-hash identical): inflow(u) still sums
+    # 85*(ticks_v DIV deg_v) DIV 100 over u's edges, and u's own degree
+    # now rides the edge rows (F.first over a constant-per-group column
+    # — deterministic) instead of a join.
+    sym_deg = (
+        sym.join(deg, "u")
+        .select("u", "v", F.col("deg").alias("u_deg"))
+        .localCheckpoint(eager=True)
+    )
+    # node table derived from the checkpoint, not the pairs plan
+    ranks = (
+        sym_deg.groupBy("u")
+        .agg(F.first("u_deg").alias("deg"))
+        .select(
+            F.col("u").alias("v"), "deg", F.lit(_PR_TICK).cast("long").alias("ticks")
+        )
+        .localCheckpoint(eager=True)
+    )
     teleport = 15 * _PR_TICK // 100
     for _ in range(_PR_ROUNDS):
-        # rank/contrib tables are one row per VERTEX — corpus-growing,
-        # so both per-round joins pin shuffle-hash (round-8
-        # no-corpus-broadcast rule); every side hash-partitions on the
-        # vertex key, so rounds share one partitioning
-        contrib = (
-            sym.join(
+        # rank tables are one row per VERTEX — corpus-growing, so the
+        # per-round join pins shuffle-hash (round-8 no-corpus-broadcast
+        # rule); every side hash-partitions on the vertex key, so
+        # rounds share one partitioning
+        ranks = (
+            sym_deg.join(
                 ranks.select(
                     F.col("v").alias("p_v"),
                     F.col("deg").alias("p_deg"),
@@ -1539,13 +1560,14 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "u",
+                "u_deg",
                 F.expr("(85 * (p_ticks DIV p_deg)) DIV 100").alias("c"),
             )
             .groupBy("u")
-            .agg(F.sum("c").cast("long").alias("inflow"))
-        )
-        ranks = (
-            deg.join(contrib.hint("shuffle_hash"), "u")
+            .agg(
+                F.sum("c").cast("long").alias("inflow"),
+                F.first("u_deg").alias("deg"),
+            )
             .select(
                 F.col("u").alias("v"),
                 "deg",

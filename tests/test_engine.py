@@ -1497,3 +1497,83 @@ def test_cli_vacuum_verb(spark, tmp_path, capsys):
     assert out["objects"]["parts_removed"] == 1
     assert not os.path.exists(orphan)
     assert eng.get("k0") == b"payload " * 500
+
+
+def test_surgical_repair_rewrites_only_affected_parts(engine, spark):
+    """r12 optimization witness: when the store is past the surgical
+    byte gate, repair()/recover() canonicalization and GC rewrite ONLY
+    the parts that may contain a bad key — healthy parts survive BY
+    PATH — and the healed state is byte-identical to the full-rewrite
+    path's answer (verify() clean, payloads intact)."""
+    from watsondedupe_spark.keys import chunk_key
+
+    eng = engine
+    eng.SURGICAL_MIN_BYTES = 0  # force the surgical path on a tiny store
+    # three separate batches -> three chunk_store PART DIRS, each with
+    # its own Bloom sidecar (pruning is per part; hash keys need the
+    # membership witness, spans cover the whole keyspace)
+    for lo in (0, 8, 16):
+        eng.write_batch(
+            spark.createDataFrame(
+                [(f"k{i:03d}", rand_bytes(40_000, seed=i)) for i in range(lo, lo + 8)],
+                "object_key string, data binary",
+            )
+        )
+    before_parts = set(eng.store.live_parts("chunk_store"))
+    assert len(before_parts) > 1
+
+    # plant: a duplicate-garbage payload under an existing key plus an
+    # orphan payload (no chunks row) — the repair()+recover() classes
+    victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+    orphan = b"surgical-orphan-payload"
+    eng.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
+            "chunk_key string, data binary",
+        ),
+    )
+    planted_part = (set(eng.store.live_parts("chunk_store")) - before_parts).pop()
+
+    deltas = eng.repair()
+    # both planted rows are gone: the garbage dup via canonicalization,
+    # the orphan via recover()'s GC
+    assert deltas["chunk_store_canonicalized"] == -1
+    assert deltas["chunk_store"] == -1
+    assert eng.verify().count() == 0
+    after_parts = set(eng.store.live_parts("chunk_store"))
+    # surgical witness: every healthy pre-existing part whose key span
+    # excludes the victim survived BY PATH (untouched bytes); the
+    # planted part and the victim's part were rewritten
+    survivors = before_parts & after_parts
+    assert len(survivors) >= len(before_parts) - 2
+    assert planted_part not in after_parts
+    # and the data still reassembles exactly
+    got = eng.get("k003")
+    assert got == rand_bytes(40_000, seed=3)
+
+
+def test_surgical_delete_falls_back_below_byte_gate(engine, spark):
+    """Below SURGICAL_MIN_BYTES the full-rewrite path runs (single
+    part afterwards) and heals identically."""
+    from watsondedupe_spark.keys import chunk_key
+
+    eng = engine
+    assert eng.SURGICAL_MIN_BYTES > 0  # class default: tiny stores full-rewrite
+    objs = spark.createDataFrame(
+        [(f"k{i:03d}", rand_bytes(30_000, seed=100 + i)) for i in range(4)],
+        "object_key string, data binary",
+    )
+    eng.write_batch(objs)
+    orphan = b"fallback-orphan"
+    eng.store.append(
+        "chunk_store",
+        spark.createDataFrame(
+            [(chunk_key(orphan), bytearray(orphan))],
+            "chunk_key string, data binary",
+        ),
+    )
+    deltas = eng.repair()
+    assert deltas["chunk_store"] == -1
+    assert eng.verify().count() == 0
+    assert eng.get("k001") == rand_bytes(30_000, seed=101)

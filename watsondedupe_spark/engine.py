@@ -690,6 +690,23 @@ class DedupeEngine:
     # the manifest-meta size at O(1) forever
     CHECKPOINT_RETAIN = 64
 
+    #: :meth:`repair` canonicalization rewrites only the payload parts
+    #: that may contain a corrupt chunk key, as long as the bad-key set
+    #: fits a bounded driver collect (~100k keys x ~50 B = a few MB);
+    #: past that, corruption is systemic and the full rewrite is the
+    #: honest path anyway
+    REPAIR_SURGICAL_MAX_KEYS = 100_000
+
+    #: below this live-table size the surgical part swap is pure
+    #: overhead (the extra key-collect + part-pruned rewrite jobs cost
+    #: more than just rewriting a small table) — measured at sf0.1,
+    #: where the full rewrite of a few-MB table is ~0.1 s and the
+    #: surgical path ~0.5 s of fixed job latency. At 100 TB the same
+    #: comparison is a handful of part files versus the whole store,
+    #: which is the entire point of the surgical path. Class attribute,
+    #: overridable per deployment.
+    SURGICAL_MIN_BYTES = 256 << 20
+
     #: target parquet file size for :meth:`optimize`'s range-clustered
     #: rewrite — matches spark.sql.files.maxPartitionBytes so one scan
     #: task reads one file
@@ -1426,29 +1443,87 @@ class DedupeEngine:
         with self.store.op_lock():
             deltas = self.recover()
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
-            # detection first, one cache-free pass: a HEALTHY store costs
-            # one scan and zero writes (a repair sweep over a clean
-            # 100 TB index must not rewrite — or cache — the payload
-            # table; the canonical derivation runs only when the scan
-            # found something, paying its second sha pass inside the
-            # commit's own part write)
-            n_rows = cstore.count()
+            # detection first, ONE cache-free pass (r12, guide §1.2 —
+            # don't compute things twice): a HEALTHY store costs one
+            # payload scan and zero writes. Previously this was three
+            # actions — a count, a full sha-recompute filter count, and
+            # a distinct-key count (two payload-table scans plus a key
+            # scan); the single aggregate below computes all three
+            # numbers in one pass (countDistinct plans an expand over
+            # the same scan, not a second read). The canonical
+            # derivation still runs only when the scan found something,
+            # paying its second sha pass inside the commit's own part
+            # write.
             # null-safe mirror of verify(): a NULL-payload row must count as
             # bad (and must NOT survive canonicalization) rather than
             # vanishing from both filters as a NULL predicate
-            n_bad = (
-                cstore.filter(
-                    ~chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
-                ).count()
-                + n_rows
-                - cstore.select("chunk_key").distinct().count()
+            per_key = (
+                cstore.select(
+                    "chunk_key",
+                    chunk_key_col(F.col("data")).alias("_computed"),
+                )
+                .groupBy("chunk_key")
+                .agg(
+                    F.count("*").alias("_n"),
+                    F.sum(
+                        F.when(
+                            ~F.col("_computed").eqNullSafe(F.col("chunk_key")), 1
+                        ).otherwise(0)
+                    ).alias("_n_mismatch"),
+                )
             )
+            bad_pred = (F.col("_n") > 1) | (F.col("_n_mismatch") > 0)
+            # the ONE payload pass surfaces the bad KEYS directly
+            # (bounded collect; the +1 sentinel detects overflow past
+            # the surgical cap); the pre-repair row count for the delta
+            # is a parquet-metadata-only count, no second payload read
+            n_rows = cstore.count()
+            bad_keys = [
+                r.chunk_key
+                for r in per_key.filter(bad_pred)
+                .select("chunk_key")
+                .limit(self.REPAIR_SURGICAL_MAX_KEYS + 1)
+                .collect()
+            ]
             deltas["chunk_store_canonicalized"] = 0
-            if n_bad:
-                canon = cstore.filter(
-                    chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
-                ).dropDuplicates(["chunk_key"])
-                self.store.commit("chunk_store", canon, expected_version=v_cs)
+            if bad_keys:
+                good = chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
+
+                def canonicalize(df: DataFrame) -> DataFrame:
+                    return df.filter(good).dropDuplicates(["chunk_key"])
+
+                # r12 (guide §6 / incremental-optimize shape): a handful
+                # of corrupt chunks must not rewrite the whole payload
+                # table — at 100 TB that's the difference between a
+                # surgical part swap and a full-store rewrite inside the
+                # repair window. When the bad-key set is bounded, select
+                # ONLY the live parts that may contain a bad key (span +
+                # Bloom witnesses; Bloom has no false negatives, so
+                # every row of every bad key lives in the selected
+                # subset — cross-part duplicates included) and fold just
+                # those through the same canonicalization. Healthy parts
+                # keep their bytes untouched. Survivor choice within a
+                # key is content-deterministic either way (hash-verified
+                # survivors are byte-identical). Widespread corruption
+                # (> REPAIR_SURGICAL_MAX_KEYS) or a store where pruning
+                # selects everything falls back to the full rewrite.
+                affected = None
+                live = self.store.live_parts("chunk_store")
+                if (
+                    len(bad_keys) <= self.REPAIR_SURGICAL_MAX_KEYS
+                    and self.store.parts_bytes(live) >= self.SURGICAL_MIN_BYTES
+                ):
+                    affected = self.store.parts_for_keys(
+                        "chunk_store", "chunk_key", bad_keys
+                    )
+                if affected is not None and len(affected) < len(live):
+                    self.store.compact_parts(
+                        "chunk_store", affected, layout=canonicalize
+                    )
+                else:
+                    self.store.commit(
+                        "chunk_store", canonicalize(cstore), expected_version=v_cs
+                    )
                 deltas["chunk_store_canonicalized"] = (
                     self.chunk_store.count() - n_rows
                 )
@@ -1736,6 +1811,39 @@ class DedupeEngine:
             self._record_checkpoint("restore")
         return out
 
+    def _surgical_delete(self, name: str, col: str, doomed_keys) -> bool:
+        """Drop exactly the rows whose ``col`` is one of the keys in
+        ``doomed_keys`` (a 1-column DataFrame) by rewriting ONLY the
+        live parts that may contain them (span + Bloom part selection,
+        :meth:`IndexStore.parts_for_keys`) — the O(damage) form of a
+        maintenance delete. Returns False (nothing rewritten) when the
+        doomed-key set exceeds :attr:`REPAIR_SURGICAL_MAX_KEYS` or part
+        pruning selects every live part anyway — callers then fall back
+        to their full-table rewrite, which is the honest path for
+        systemic damage. Correctness leans on Bloom having no false
+        negatives: every row of every doomed key lives inside the
+        selected parts, so the bounded broadcast anti-join removes all
+        of them and healthy parts keep their bytes untouched."""
+        live = self.store.live_parts(name)
+        if self.store.parts_bytes(live) < self.SURGICAL_MIN_BYTES:
+            return False  # small table: a full rewrite is cheaper
+        rows = doomed_keys.limit(self.REPAIR_SURGICAL_MAX_KEYS + 1).collect()
+        if not rows or len(rows) > self.REPAIR_SURGICAL_MAX_KEYS:
+            return False
+        doomed = [r[0] for r in rows]
+        affected = self.store.parts_for_keys(name, col, doomed)
+        if len(affected) >= len(live):
+            return False
+        doomed_df = self.spark.createDataFrame(
+            [(k,) for k in doomed], f"{col} string"
+        )
+        self.store.compact_parts(
+            name,
+            affected,
+            layout=lambda df: df.join(F.broadcast(doomed_df), col, "left_anti"),
+        )
+        return True
+
     def recover(self) -> dict[str, int]:
         """Repair a partially-committed ingest after a crash.
 
@@ -1776,29 +1884,56 @@ class DedupeEngine:
             n_orphans = omap.count() - valid_map.count()
             deltas["object_map"] = -n_orphans
             if n_orphans:
-                self.store.commit("object_map", valid_map, expected_version=v_map)
+                # r12: a typical crash strands ONE batch's map rows — at
+                # 100 TB pruning them must not rewrite the whole map
+                # table. Surgical part swap when the orphan key set is
+                # bounded; full rewrite (the old path) otherwise.
+                if not self._surgical_delete(
+                    "object_map",
+                    "object_key",
+                    omap.join(keys, "object_key", "left_anti")
+                    .select("object_key")
+                    .distinct(),
+                ):
+                    self.store.commit(
+                        "object_map", valid_map, expected_version=v_map
+                    )
                 committed = True
 
             # chunks: rebuild refcounts from the surviving map and commit
             # whenever ANY row differs — count drift alone would miss a
             # same-size table with inflated counts (the state a crash
-            # between the map and chunks commits leaves behind)
-            refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("ref_count"))
+            # between the map and chunks commits leaves behind).
+            # r12 (guide §2.4): the old-vs-new comparison rides the
+            # rebuild join itself (_stale flag on the checkpointed rows)
+            # instead of a separate chunks-vs-rebuilt anti-join, which
+            # re-scanned the chunks table and paid a second two-sided
+            # shuffle. Equivalence: rebuilt keys are always a subset of
+            # chunks keys and `length` is carried from chunks verbatim,
+            # so with equal row counts the key sets are equal and the
+            # only possible difference is a per-key ref_count change —
+            # exactly what _stale records; with unequal counts the
+            # deltas branch commits regardless, as before.
+            refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("_n_refs"))
             v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
             rebuilt = (
-                chunks.drop("ref_count")
-                .join(refs, "chunk_key")
-                .select("chunk_key", "length", F.col("ref_count").cast("long"))
+                chunks.join(refs, "chunk_key")
+                .select(
+                    "chunk_key",
+                    "length",
+                    F.col("_n_refs").cast("long").alias("ref_count"),
+                    (~F.col("ref_count").eqNullSafe(F.col("_n_refs").cast("long"))).alias(
+                        "_stale"
+                    ),
+                )
                 .localCheckpoint(eager=True)
             )
             deltas["chunks"] = rebuilt.count() - chunks.count()
-            stale = bool(
-                chunks.join(
-                    rebuilt, ["chunk_key", "length", "ref_count"], "left_anti"
-                ).head(1)
-            )
+            stale = bool(rebuilt.filter(F.col("_stale")).head(1))
             if deltas["chunks"] or stale:
-                self.store.commit("chunks", rebuilt, expected_version=v_ch)
+                self.store.commit(
+                    "chunks", rebuilt.drop("_stale"), expected_version=v_ch
+                )
                 committed = True
 
             # chunk_store: GC payloads whose chunk no longer exists
@@ -1807,7 +1942,17 @@ class DedupeEngine:
             n_dead = cstore.count() - live.count()
             deltas["chunk_store"] = -n_dead
             if n_dead:
-                self.store.commit("chunk_store", live, expected_version=v_cs)
+                # r12: same surgical shape for the payload GC — dead
+                # payloads are O(one crashed batch), the table is the
+                # 100 TB one; rewrite only the parts holding them
+                if not self._surgical_delete(
+                    "chunk_store",
+                    "chunk_key",
+                    cstore.select("chunk_key")
+                    .distinct()
+                    .join(rebuilt.select("chunk_key"), "chunk_key", "left_anti"),
+                ):
+                    self.store.commit("chunk_store", live, expected_version=v_cs)
                 committed = True
             if committed:
                 # a clean pass changed nothing — the previous ledger row

@@ -507,6 +507,44 @@ class IndexStore:
             return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
         return self.spark.read.parquet(*parts)
 
+    def parts_for_keys(self, name: str, col: str, values: list) -> list[str]:
+        """Live parts that MAY contain any of ``values`` in ``col`` —
+        the part-selection half of :meth:`read_point`, exposed for
+        surgical part rewrites (``repair()`` canonicalization): both
+        witnesses apply (min/max spans unless the table is
+        :attr:`HASH_KEYED`, then Bloom sidecars), parts without
+        stats/sidecars are always kept, and false positives only widen
+        the rewrite — never a correctness gate. An empty ``values``
+        keeps every part (the caller is asking about nothing; the safe
+        answer is "anywhere")."""
+        state = self._state(name)
+        parts = list(state.get("parts", []))
+        if not parts or not values:
+            return parts
+        vals: list | None
+        try:
+            vals = sorted(values)
+        except TypeError:
+            vals = None
+        if vals and (name, col) not in self.HASH_KEYED:
+            import bisect
+
+            stats = state.get("stats", {})
+            kept = []
+            for p in parts:
+                span = (stats.get(os.path.basename(p)) or {}).get(col)
+                if span is None:
+                    kept.append(p)
+                    continue
+                plo, phi = span
+                i = bisect.bisect_left(vals, plo)
+                if i < len(vals) and vals[i] <= phi:
+                    kept.append(p)
+            parts = kept
+        if parts and self.BLOOM_COLS.get(name) == col:
+            parts = self._bloom_prune(name, col, parts, list(values))
+        return parts
+
     def read_version(self, name: str, version: int) -> DataFrame:
         """Snapshot of ``name`` as of ``version`` — Delta-style time
         travel over the retained manifest history."""
@@ -978,7 +1016,11 @@ class IndexStore:
         part is discarded and the caller re-derives its subset from a
         fresh manifest (rewriting retired rows would resurrect them).
 
-        ``layout`` as in :meth:`compact`. ``meta_fn(meta, new_parts,
+        ``layout`` as in :meth:`compact` for compaction callers; unlike
+        :meth:`compact` it MAY drop rows when the caller's contract is a
+        rewrite-with-cleanup (``engine.repair()`` canonicalizes corrupt
+        payload rows out of exactly the affected parts this way).
+        ``meta_fn(meta, new_parts,
         new_part)`` lets the caller update carried table meta (e.g. the
         clustered-parts watermark) in the SAME manifest flip — no extra
         version churn. Returns the new manifest version (0 when the

@@ -143,18 +143,63 @@ def global_prefix_sum(
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    vf = df.schema[value_col].dataType.typeName()
+    if vf not in ("byte", "short", "integer", "long"):
+        raise TypeError(f"global_prefix_sum needs an integral value column, got {vf}")
+    part = df.repartitionByRange(num_partitions, F.col(order_col))
+    # r12 (guide §2.4/§4.2): the local cumsum used to be a
+    # Window.partitionBy(spark_partition_id()) — but Catalyst cannot
+    # know `_pid` IS the current partition id, so it inserted a SECOND
+    # full exchange (hashpartitioning(_pid)) right after the range
+    # exchange, re-shuffling the whole table to arrive exactly where it
+    # already was. The running sum is now one vectorized Arrow pass over
+    # the range-sorted partitions (numpy cumsum per batch, carry across
+    # batches): same rows, same offsets, one exchange total. The
+    # REPARTITION_BY_NUM range exchange is user-pinned, so AQE cannot
+    # coalesce the two branches differently and the partition ids seen
+    # here and in the totals branch always agree.
+    names = [f.name for f in part.schema.fields] + ["_pid", "_local_excl"]
+    out_schema = (
+        part.schema.add("_pid", "integer", False).add("_local_excl", "long", False)
     )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = part.withColumn("_local_excl", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+
+    def _cumsum(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for b in batches:
+            vals = (
+                b.column(b.schema.get_field_index(value_col))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            excl = np.empty(len(vals), dtype=np.int64)
+            if len(vals):
+                excl[0] = run
+                np.cumsum(vals[:-1], out=excl[1:])
+                excl[1:] += run
+                run += int(vals.sum())
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [
+                    pa.array(np.full(len(vals), pid, dtype=np.int32), pa.int32()),
+                    pa.array(excl, pa.int64()),
+                ],
+                names=names,
+            )
+
+    local = part.sortWithinPartitions(order_col).mapInArrow(_cumsum, out_schema)
     # totals branch reads `part`, not `local`: the range-shuffle Exchange
-    # is reused (ReusedExchange) and this side skips the window sort
-    totals = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    # is reused (ReusedExchange), the per-partition sums combine
+    # map-side, and only #partitions tiny rows move
+    totals = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptotal"))
+    )
     w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     bases = totals.withColumn("_base", F.coalesce(F.sum("_ptotal").over(w_parts), F.lit(0))).select(
         "_pid", "_base"

@@ -266,12 +266,34 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     is_target = F.col("doc_id") % _DSIR_TARGET_MOD == 0
-    tot = bk.agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("dt"),
-        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("dr"),
+    # r12 (guide §1.2 — don't compute things twice): the four model
+    # aggregations (grand totals, target/raw per-bucket counts, per-doc
+    # bucket counts) all hung off `bk`, so the expensive
+    # tokenize+explode+md5 gram derivation re-executed FOUR times per
+    # run. Every one of them is derivable from the finest-grain rollup
+    # — (doc_id, bucket) instance counts — which is bounded by
+    # |docs| x B rows (B=256), orders of magnitude under the gram
+    # stream. One gram pass + one shuffle materializes it; the model
+    # tables are integer sums over it (bit-identical results).
+    perdoc_all = (
+        bk.groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    tcnt = bk.filter(is_target).groupBy("b").agg(F.count("*").cast("long").alias("nt"))
-    rcnt = bk.filter(~is_target).groupBy("b").agg(F.count("*").cast("long").alias("nr"))
+    tot = perdoc_all.agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(0)).cast("long").alias("dt"),
+        F.sum(F.when(~is_target, F.col("c")).otherwise(0)).cast("long").alias("dr"),
+    )
+    tcnt = (
+        perdoc_all.filter(is_target)
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("nt"))
+    )
+    rcnt = (
+        perdoc_all.filter(~is_target)
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("nr"))
+    )
     llr = (
         rcnt.join(tcnt, "b", "left")
         .crossJoin(F.broadcast(tot))  # 1-row totals
@@ -283,11 +305,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lq"),
         )
     )
-    perdoc = (
-        bk.filter(~is_target)
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").cast("long").alias("c"))
-    )
+    perdoc = perdoc_all.filter(~is_target)
     return (
         perdoc.join(F.broadcast(llr), "b")  # model table: <= B rows
         .groupBy("doc_id")

@@ -1075,8 +1075,16 @@ CROSS JOIN n
     "added. All-integer counts, fixed-order double ratios",
 )
 def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §1.2): the deduped basket table feeds FOUR consumers
+    # (basket count, item counts, both pair-join sides) — without a
+    # materialization each re-ran the lineitem scan + distinct shuffle.
+    # One eager checkpoint makes it one pass; the checkpointed rows are
+    # the (order, part) pairs, already far under the fact table.
     basket = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_baskets = basket.select("l_orderkey").distinct().agg(
         F.count("*").cast("long").alias("n_baskets")

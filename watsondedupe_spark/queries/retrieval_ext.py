@@ -391,6 +391,21 @@ FROM sel WHERE pos <= n_grams - {_WIN_W - 1}
     "global sort, no shuffle wider than the doc key.",
 )
 def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = _winnow_sel(spark, sf_dir)
+    return sel.distinct().select(
+        "doc_id",
+        (F.col("fp") % _POS_BASE).cast("long").alias("sel_pos"),
+        F.expr(f"fp div {_POS_BASE}").cast("long").alias("gram_hash"),
+    )
+
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-distinct winnowing selection: one packed (hash, pos) min per
+    window position, as ``(doc_id, fp)`` rows. Shared by the
+    fingerprint query (which dedups at (doc_id, fp) grain) and the
+    pairs query (which only needs (doc_id, gram_hash) grain — composing
+    the finished fingerprint query there paid a second full distinct
+    shuffle over the fingerprint stream for nothing)."""
     grams = (
         _docs_parallel(spark, sf_dir)
         .filter(
@@ -421,15 +436,10 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trailing-window filter applies AFTER the window min — a WHERE
     # before it would drop the last w-1 grams out of earlier frames
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    sel = (
+    return (
         m.select("doc_id", "pos", "n_grams", F.min("comb").over(w).alias("fp"))
         .filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
         .select("doc_id", "fp")
-    )
-    return sel.distinct().select(
-        "doc_id",
-        (F.col("fp") % _POS_BASE).cast("long").alias("sel_pos"),
-        F.expr(f"fp div {_POS_BASE}").cast("long").alias("gram_hash"),
     )
 
 
@@ -471,7 +481,16 @@ HAVING COUNT(*) >= {_WIN_MIN_SHARED}
     "fingerprint query's SQL verbatim.",
 )
 def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = docs_winnowing(spark, sf_dir).select("doc_id", "gram_hash").distinct()
+    # r12 (guide §2.4): dedup ONCE at (doc_id, gram_hash) grain straight
+    # off the pre-distinct selection — composing the finished
+    # fingerprint query here paid an extra full distinct shuffle at
+    # (doc_id, pos, hash) grain whose position column this query
+    # immediately discards. Same distinct hash set, one shuffle fewer.
+    prints = (
+        _winnow_sel(spark, sf_dir)
+        .select("doc_id", F.expr(f"fp div {_POS_BASE}").cast("long").alias("gram_hash"))
+        .distinct()
+    )
     posting = (
         prints.groupBy("gram_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))

@@ -1473,20 +1473,27 @@ class DedupeEngine:
                 )
             )
             bad_pred = (F.col("_n") > 1) | (F.col("_n_mismatch") > 0)
-            # the ONE payload pass surfaces the bad KEYS directly
-            # (bounded collect; the +1 sentinel detects overflow past
-            # the surgical cap); the pre-repair row count for the delta
-            # is a parquet-metadata-only count, no second payload read
-            n_rows = cstore.count()
-            bad_keys = [
-                r.chunk_key
-                for r in per_key.filter(bad_pred)
-                .select("chunk_key")
-                .limit(self.REPAIR_SURGICAL_MAX_KEYS + 1)
-                .collect()
-            ]
+            # ONE payload pass computes every detection number (row,
+            # mismatch, key, and bad-key counts ride the same per-key
+            # aggregate); the bad KEYS themselves are only collected
+            # when the surgical path is actually viable — a healthy
+            # store pays exactly one scan and zero extra jobs, a
+            # damaged-but-small store goes straight to the full rewrite
+            # (old behavior), and a damaged big store pays one extra
+            # key pass to save a full-table write.
+            n_rows, n_mismatch, n_keys, n_bad_keys = (
+                per_key.agg(
+                    F.sum("_n"),
+                    F.sum("_n_mismatch"),
+                    F.count("*"),
+                    F.sum(F.when(bad_pred, 1).otherwise(0)),
+                ).collect()[0]
+            )
+            n_rows = int(n_rows or 0)
+            n_bad_keys = int(n_bad_keys or 0)
+            n_bad = int(n_mismatch or 0) + n_rows - int(n_keys or 0)
             deltas["chunk_store_canonicalized"] = 0
-            if bad_keys:
+            if n_bad:
                 good = chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
 
                 def canonicalize(df: DataFrame) -> DataFrame:
@@ -1510,9 +1517,15 @@ class DedupeEngine:
                 affected = None
                 live = self.store.live_parts("chunk_store")
                 if (
-                    len(bad_keys) <= self.REPAIR_SURGICAL_MAX_KEYS
+                    n_bad_keys <= self.REPAIR_SURGICAL_MAX_KEYS
                     and self.store.parts_bytes(live) >= self.SURGICAL_MIN_BYTES
                 ):
+                    bad_keys = [
+                        r.chunk_key
+                        for r in per_key.filter(bad_pred)
+                        .select("chunk_key")
+                        .collect()
+                    ]
                     affected = self.store.parts_for_keys(
                         "chunk_store", "chunk_key", bad_keys
                     )

@@ -108,7 +108,8 @@ def assign_ingest_ids(rolled: DataFrame, prev_max: int) -> DataFrame:
     from watsondedupe_spark.operators.text import global_prefix_sum
 
     seq = global_prefix_sum(
-        rolled.withColumn("_one", F.lit(1)), "object_key", "_one", out_col="_seq"
+        rolled.withColumn("_one", F.lit(1)), "object_key", "_one", out_col="_seq",
+        ones=True,
     )
     return seq.withColumn(
         "id", (F.lit(int(prev_max)) + F.col("_seq") + 1).cast("long")

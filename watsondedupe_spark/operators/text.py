@@ -124,6 +124,7 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "offset",
     num_partitions: int | None = None,
+    ones: bool = False,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order,
     computed with the two-phase distributed scan:
@@ -140,58 +141,51 @@ def global_prefix_sum(
     partitions`` rows). Result is independent of where the (sampled)
     range boundaries land, so the output is deterministic even though
     partitioning is not.
+
+    ``ones=True`` declares that every ``value_col`` value is the
+    literal 1 (rank/id assignment — the most common call). The local
+    cumsum then costs nothing (it is the sorted row position, read off
+    ``monotonically_increasing_id``) and the whole scan needs ONE
+    exchange instead of two. The caller owns the all-ones contract.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    vf = df.schema[value_col].dataType.typeName()
-    if vf not in ("byte", "short", "integer", "long"):
-        raise TypeError(f"global_prefix_sum needs an integral value column, got {vf}")
     part = df.repartitionByRange(num_partitions, F.col(order_col))
-    # r12 (guide §2.4/§4.2): the local cumsum used to be a
-    # Window.partitionBy(spark_partition_id()) — but Catalyst cannot
-    # know `_pid` IS the current partition id, so it inserted a SECOND
-    # full exchange (hashpartitioning(_pid)) right after the range
-    # exchange, re-shuffling the whole table to arrive exactly where it
-    # already was. The running sum is now one vectorized Arrow pass over
-    # the range-sorted partitions (numpy cumsum per batch, carry across
-    # batches): same rows, same offsets, one exchange total. The
-    # REPARTITION_BY_NUM range exchange is user-pinned, so AQE cannot
-    # coalesce the two branches differently and the partition ids seen
-    # here and in the totals branch always agree.
-    names = [f.name for f in part.schema.fields] + ["_pid", "_local_excl"]
-    out_schema = (
-        part.schema.add("_pid", "integer", False).add("_local_excl", "long", False)
-    )
-
-    def _cumsum(batches):
-        import numpy as np
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        run = 0
-        for b in batches:
-            vals = (
-                b.column(b.schema.get_field_index(value_col))
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64, copy=False)
+    if ones:
+        # r12 fast path (guide §2.4 — remove shuffles outright): when
+        # every value is the literal 1 (rank / id assignment), the
+        # local exclusive prefix-sum IS the row's 0-based position in
+        # its sorted partition, which monotonically_increasing_id()
+        # encodes for free (partition id in the upper 31 bits, position
+        # in the lower 33 — the documented layout). The old
+        # Window.partitionBy(spark_partition_id()) form forced a SECOND
+        # full exchange (hashpartitioning(_pid)) right after the range
+        # exchange, because Catalyst cannot know `_pid` is the current
+        # partition id; this path has no window, no second exchange,
+        # and no Python boundary. Evaluated strictly above the
+        # per-partition sort, so position follows ``order_col`` order.
+        mono = F.monotonically_increasing_id()
+        local = (
+            part.sortWithinPartitions(order_col)
+            .withColumn("_mono", mono)
+            .withColumn("_pid", F.shiftright("_mono", 33).cast("int"))
+            .withColumn(
+                "_local_excl", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
             )
-            excl = np.empty(len(vals), dtype=np.int64)
-            if len(vals):
-                excl[0] = run
-                np.cumsum(vals[:-1], out=excl[1:])
-                excl[1:] += run
-                run += int(vals.sum())
-            yield pa.RecordBatch.from_arrays(
-                list(b.columns)
-                + [
-                    pa.array(np.full(len(vals), pid, dtype=np.int32), pa.int32()),
-                    pa.array(excl, pa.int64()),
-                ],
-                names=names,
+            .drop("_mono")
+        )
+    else:
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = (
+            part.withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_local_excl", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
             )
-
-    local = part.sortWithinPartitions(order_col).mapInArrow(_cumsum, out_schema)
+        )
     # totals branch reads `part`, not `local`: the range-shuffle Exchange
     # is reused (ReusedExchange), the per-partition sums combine
     # map-side, and only #partitions tiny rows move

@@ -3278,7 +3278,7 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("_one"),
     )
     ranked = (
-        global_prefix_sum(keyed, "_ord", "_one", out_col="_rnk0")
+        global_prefix_sum(keyed, "_ord", "_one", out_col="_rnk0", ones=True)
         .select("cnt", (F.col("_rnk0") + 1).cast("int").alias("rnk"))
     )
     tot = vocab.agg(

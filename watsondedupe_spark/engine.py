@@ -1612,11 +1612,9 @@ class DedupeEngine:
             "chunk_store": "chunk_key",
         }
         out: dict[str, int] = {}
-        for name in ("objects", "object_map", "chunks", "chunk_store"):
-            if not self.store.exists(name):
-                continue
 
-            def attempt(name=name, key=cluster_key[name]):
+        def compact_one(name: str, key: str) -> int:
+            def attempt():
                 # re-derived per CAS attempt: a lost race means the part
                 # list moved and the rewrite subset must be re-selected
                 parts = self.store.live_parts(name)
@@ -1657,7 +1655,31 @@ class DedupeEngine:
                     meta_fn=meta_fn,
                 )
 
-            out[name] = self._cas(attempt)
+            return self._cas(attempt)
+
+        # r12 (guide §2.6 — overlap independent jobs): the four tables'
+        # compactions are independent per-table CAS commits; running
+        # them from driver threads overlaps their Spark jobs and
+        # manifest I/O exactly like _commit_ingest's concurrent table
+        # writes. This matters most for the INCREMENTAL quiet-window
+        # pass, whose cost is dominated by four serial small-fold fixed
+        # floors — the scale gate's incr/full seconds fraction tracks
+        # O(append bytes) more honestly once the fixed floors overlap.
+        from concurrent.futures import ThreadPoolExecutor
+
+        tables = [
+            (name, cluster_key[name])
+            for name in ("objects", "object_map", "chunks", "chunk_store")
+            if self.store.exists(name)
+        ]
+        if tables:
+            with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+                futures = {
+                    name: pool.submit(compact_one, name, key)
+                    for name, key in tables
+                }
+                for name, fut in futures.items():
+                    out[name] = fut.result()
         if any(out.values()) and all(
             self.store.exists(t)
             for t in ("objects", "object_map", "chunks", "chunk_store")

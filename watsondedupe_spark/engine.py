@@ -1646,12 +1646,23 @@ class DedupeEngine:
                     meta["clustered_parts"] = kept + [os.path.basename(new_part)]
                     return meta
 
+                # single-file folds (every small-table fold, and any
+                # incremental fold under the target file size) need no
+                # range exchange: coalesce(1) + sortWithinPartitions
+                # yields the identical one sorted part with zero
+                # shuffle. Multi-file folds keep repartitionByRange —
+                # the range bounds are what make each file a narrow,
+                # prunable key span.
+                if n_files == 1:
+                    layout = lambda df, k=key: df.coalesce(1).sortWithinPartitions(k)
+                else:
+                    layout = lambda df, k=key, n=n_files: df.repartitionByRange(
+                        n, F.col(k)
+                    ).sortWithinPartitions(k)
                 return self.store.compact_parts(
                     name,
                     todo,
-                    layout=lambda df, k=key, n=n_files: df.repartitionByRange(
-                        n, F.col(k)
-                    ).sortWithinPartitions(k),
+                    layout=layout,
                     meta_fn=meta_fn,
                 )
 

@@ -3045,7 +3045,11 @@ def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.element_at("qv", d) for d in pi]).alias("pqv"),
     )
     cbs = pq_codebooks(pemb, m=8, ks=16, vec_col="pemb")
-    codes = pq_encode(pemb, cbs, vec_col="pemb", quantize=1000)
+    # r12 (guide §3.1): carry pqv THROUGH the encoder instead of joining
+    # codes back to a second pemb subtree on vec_id — the join re-ran the
+    # whole embeddings scan + 128-element permutation projection on both
+    # sides and paid a two-sided exchange for it. One pass, zero joins.
+    codes = pq_encode(pemb, cbs, vec_col="pemb", quantize=1000, keep_cols=("pqv",))
     qcb = F.array(
         *[
             F.array(
@@ -3058,9 +3062,7 @@ def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     per_sub = (
-        pemb.select("vec_id", "pqv")
-        .join(codes.select("vec_id", "codes"), "vec_id")
-        .select("pqv", "codes", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"))
+        codes.select("pqv", "codes", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"))
         .select(
             "s",
             F.slice("pqv", F.col("s") * 8 + 1, F.lit(8)).alias("sv"),

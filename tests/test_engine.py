@@ -1383,6 +1383,51 @@ def test_optimize_incremental_rewrites_only_new_parts(spark, tmp_path):
     )
 
 
+def test_objects_append_preserves_clustered_watermark(spark, tmp_path):
+    """The objects commit advances its max_id watermark via meta MERGE,
+    not replace (r12): a write_batch between two optimize() passes must
+    leave ``clustered_parts`` intact so the incremental fold rewrites
+    only the appended objects part — before the fix the id-watermark
+    meta replace silently degraded every incremental optimize() into a
+    full objects-table refold."""
+    import os
+
+    engine = DedupeEngine.create(spark, str(tmp_path / "idx"), SMALL)
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"k{i}", bytearray(rand_bytes(3000, 11 + i))) for i in range(12)],
+            "object_key string, data binary",
+        )
+    )
+    engine.optimize()
+    obj_base = engine.store.live_parts("objects")
+    assert len(obj_base) == 1
+    meta0 = engine.store.table_meta("objects")
+    assert meta0["clustered_parts"] == [os.path.basename(obj_base[0])]
+    max_id0 = meta0["max_id"]
+
+    engine.write_batch(
+        spark.createDataFrame(
+            [(f"n{i}", bytearray(rand_bytes(3000, 99 + i))) for i in range(3)],
+            "object_key string, data binary",
+        )
+    )
+    meta1 = engine.store.table_meta("objects")
+    # both meta keys survive the append: the id watermark advanced AND
+    # the clustering watermark was carried, not clobbered
+    assert meta1["max_id"] == max_id0 + 3
+    assert meta1["clustered_parts"] == [os.path.basename(obj_base[0])]
+
+    base_mtime = os.path.getmtime(obj_base[0])
+    engine.optimize(incremental=True)
+    post = engine.store.live_parts("objects")
+    assert obj_base[0] in post, "clustered objects baseline must survive by path"
+    assert os.path.getmtime(obj_base[0]) == base_mtime
+    assert len(post) == 2  # baseline + one folded delta part
+    assert engine.objects.count() == 15
+    assert engine.verify().count() == 0
+
+
 def test_optimize_full_resets_incremental_watermark(spark, tmp_path):
     """A full optimize() after incremental passes re-tightens the layout
     to ONE part per table and a single-entry watermark."""

@@ -599,10 +599,13 @@ class DedupeEngine:
             # high-water mark and re-derives its ids.
             def attempt():
                 v, new_objects, prev_max = derive_objects()
+                # meta_merge, not meta: a replace here would wipe
+                # clustered_parts and turn the next incremental
+                # optimize() into a full objects refold (r12)
                 self.store.append(
                     "objects",
                     new_objects,
-                    meta={"max_id": prev_max + n_objects},
+                    meta_merge={"max_id": prev_max + n_objects},
                     expected_version=v,
                 )
 
@@ -675,7 +678,7 @@ class DedupeEngine:
             self.store.attach_part(
                 "objects",
                 path,
-                meta={"max_id": prev_max + n_objects},
+                meta_merge={"max_id": prev_max + n_objects},
                 expected_version=v,
             )
         except ConcurrentWriteError:

@@ -823,6 +823,7 @@ class IndexStore:
         df: DataFrame,
         meta: dict | None = None,
         expected_version: int | None = None,
+        meta_merge: dict | None = None,
     ) -> int:
         """Append ONLY the new rows as a fresh part — O(batch) I/O.
 
@@ -835,7 +836,12 @@ class IndexStore:
         if another writer landed first. Every ``max_parts`` appends the
         parts fold into one (bounded read fan-in), itself CAS-retried so
         a fold can never swallow a concurrent writer's commit.
-        ``meta`` as in :meth:`commit`.
+        ``meta`` as in :meth:`commit`; ``meta_merge`` instead MERGES the
+        given keys into the carried meta inside the critical section —
+        an append that only advances its own watermark (e.g. the objects
+        id high-water) must not clobber meta other machinery maintains
+        (``clustered_parts``: wiping it silently degrades the next
+        incremental ``optimize()`` into a full-table refold).
         """
         state = self._state(name)
         if len(state["parts"]) >= self.max_parts:
@@ -850,10 +856,13 @@ class IndexStore:
                         f"{name}: expected version {expected_version}, found {v}"
                     )
                 try:
+                    folded_meta = cur_meta if meta is None else meta
+                    if meta_merge:
+                        folded_meta = {**folded_meta, **meta_merge}
                     return self.commit(
                         name,
                         cur.unionByName(df),
-                        meta=cur_meta if meta is None else meta,
+                        meta=folded_meta,
                         expected_version=v,
                     )
                 except ConcurrentWriteError as e:
@@ -873,6 +882,9 @@ class IndexStore:
                     f"found {fresh['version']} — another writer committed first"
                 )
             new = fresh["version"] + 1
+            new_meta = fresh.get("meta", {}) if meta is None else meta
+            if meta_merge:
+                new_meta = {**new_meta, **meta_merge}
             self._write_state(
                 name,
                 self._attach_stats(
@@ -880,7 +892,7 @@ class IndexStore:
                     {
                         "version": new,
                         "parts": fresh["parts"] + [path],
-                        "meta": fresh.get("meta", {}) if meta is None else meta,
+                        "meta": new_meta,
                         **(
                             {"stats": fresh["stats"]}
                             if fresh.get("stats")
@@ -912,6 +924,7 @@ class IndexStore:
         path: str,
         meta: dict | None = None,
         expected_version: int | None = None,
+        meta_merge: dict | None = None,
     ) -> int:
         """Publish a staged part: the manifest-flip half of an append —
         no Spark job, just the transactional pointer update (plus the
@@ -920,12 +933,19 @@ class IndexStore:
         match :meth:`append`: on conflict the staged part is discarded
         and :class:`ConcurrentWriteError` raised — the caller re-derives
         its rows from a fresh snapshot (staged ids/absence sets are
-        snapshot-derived and stale after a conflicting commit)."""
+        snapshot-derived and stale after a conflicting commit).
+        ``meta``/``meta_merge`` as in :meth:`append`."""
         state = self._state(name)
         if len(state["parts"]) >= self.max_parts:
             df = self.spark.read.parquet(path).localCheckpoint(eager=True)
             try:
-                return self.append(name, df, meta=meta, expected_version=expected_version)
+                return self.append(
+                    name,
+                    df,
+                    meta=meta,
+                    expected_version=expected_version,
+                    meta_merge=meta_merge,
+                )
             finally:
                 shutil.rmtree(path, ignore_errors=True)
         # footer stats read OUTSIDE the critical section (the part is
@@ -940,6 +960,9 @@ class IndexStore:
                     f"found {fresh['version']} — another writer committed first"
                 )
             new = fresh["version"] + 1
+            new_meta = fresh.get("meta", {}) if meta is None else meta
+            if meta_merge:
+                new_meta = {**new_meta, **meta_merge}
             self._write_state(
                 name,
                 self._attach_stats(
@@ -947,7 +970,7 @@ class IndexStore:
                     {
                         "version": new,
                         "parts": fresh["parts"] + [path],
-                        "meta": fresh.get("meta", {}) if meta is None else meta,
+                        "meta": new_meta,
                         **(
                             {"stats": fresh["stats"]}
                             if fresh.get("stats")

@@ -2177,15 +2177,21 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
     ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
-    own = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "centroid_id", F.col("csim").alias("own_sim")
-    )
-    nxt = ranked.filter(F.col("rn") == 2).select(
-        "vec_id", F.col("csim").alias("next_sim")
+    # own (rn=1) and runner-up (rn=2) come out of ONE aggregation over
+    # the windowed stream instead of an rn=1 x rn=2 self-join — the join
+    # form re-ran the whole n x k scoring + window pipeline for each
+    # side (two Window subtrees + an SMJ in the plan). Every vec_id has
+    # exactly k>=2 candidate rows, so both slots are always populated;
+    # csim doubles pass through max(when(...)) untouched — bit-identical
+    # to the join form (r12, guide §1.2/§3).
+    pair = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias("centroid_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("csim"))).alias("own_sim"),
+        F.max(F.when(F.col("rn") == 2, F.col("csim"))).alias("next_sim"),
     )
     a_d = F.lit(1) - F.col("own_sim")
     b_d = F.lit(1) - F.col("next_sim")
-    sil = own.join(nxt, "vec_id").select(
+    sil = pair.select(
         "centroid_id",
         F.when(F.greatest(a_d, b_d) == 0, F.lit(0).cast("long"))
         .otherwise(
@@ -2550,10 +2556,16 @@ def _para_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back hash-partition on the segment hash, pinned shuffle-hash."""
     from watsondedupe_spark.operators.text import passage_chunks
 
+    # the raw instance stream and its first-occurrence aggregate are two
+    # DIFFERENT consumers of the same tokenize+explode+md5 pipeline —
+    # without a materialization the plan runs that pipeline twice (two
+    # Generate subtrees over separate documents scans). The instance
+    # table is hash+ints only (~1/32 of token count rows), so one eager
+    # checkpoint feeds both sides (r12, guide §1.2).
     paras = passage_chunks(
         _docs_parallel(spark, sf_dir), "text", "doc_id",
         window=_PARA_W, stride=_PARA_W,
-    )
+    ).localCheckpoint(eager=True)
     first = paras.groupBy("passage_hash").agg(
         F.min(F.struct("doc_id", "passage_idx")).alias("first")
     )

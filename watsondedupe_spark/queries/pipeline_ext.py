@@ -3793,9 +3793,15 @@ def emb_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # the reciprocity self-join consumes the edge list TWICE (forward +
+    # reversed); without a materialization Spark re-runs the Arrow
+    # matmul kernel for the second side (two FlatMapGroupsInPandas
+    # subtrees in the plan). The edge list is bounded at k rows per
+    # vector, so one eager checkpoint feeds both sides (r12, guide
+    # §1.2) — Python pass count 2 -> 1.
     topk = emb.groupBy("bucket").applyInPandas(
         _topk_group, "src long, dst long, cosine double, rnk int"
-    )
+    ).localCheckpoint(eager=True)
     back = topk.select(
         F.col("src").alias("b_src"), F.col("dst").alias("b_dst"),
         F.col("rnk").alias("rank_ba"),

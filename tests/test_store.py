@@ -296,3 +296,66 @@ def test_fold_preserves_skipping(spark, tmp_path, store_cls):
 
     for p in state["parts"]:
         assert _os.path.basename(p) in state.get("stats", {})
+
+
+def test_read_key_range_prunes_files_not_rows(spark, tmp_path, store_cls):
+    """read_key_range (r12) plans only the parquet FILES whose footer
+    span can overlap [lo, hi) — but stays a SUPERSET selection: rows
+    outside the range in a kept file still come back (the caller owns
+    the exact predicate), multi-file clustered parts prune per file,
+    and a boundary-touching file is kept."""
+    st = store_cls(spark, str(tmp_path))
+    # one part, 4 range-clustered files over object_key "000".."199"
+    df = spark.range(200).selectExpr(
+        "cast(id as long) as id",
+        "lpad(cast(id as string), 3, '0') as object_key",
+        "cast(id as long) as original_length",
+        "cast(id as long) as comp_length",
+        "cast(1 as long) as chunk_count",
+        "timestamp'2024-01-01' as created_utc",
+    ).select("id", "object_key", "original_length", "comp_length",
+             "chunk_count", "created_utc")
+    from pyspark.sql import functions as F
+
+    st.commit(
+        "objects",
+        df.repartitionByRange(4, F.col("object_key")).sortWithinPartitions(
+            "object_key"
+        ),
+    )
+    full = st.read("objects")
+    n_files = len(full.inputFiles())
+    assert n_files == 4
+
+    pruned = st.read_key_range("objects", "object_key", "050", "100")
+    kept = pruned.inputFiles()
+    assert 0 < len(kept) < n_files  # really pruned, really kept some
+    # superset semantics: every in-range row present, exact filter final
+    got = pruned.filter(
+        (F.col("object_key") >= "050") & (F.col("object_key") < "100")
+    )
+    assert got.count() == 50
+    # open bounds return everything
+    assert st.read_key_range("objects", "object_key", None, None).count() == 200
+    # a range beyond every span prunes all files -> empty typed frame
+    assert st.read_key_range("objects", "object_key", "900", None).count() == 0
+
+
+def test_read_key_range_keeps_statless_files(spark, tmp_path, store_cls):
+    """A file whose footer stats can't be trusted is always planned —
+    pruning is an optimization, never a correctness gate."""
+    st = store_cls(spark, str(tmp_path))
+    st.commit("objects", _df(spark, 0, 10))
+    state = st._state("objects")
+    # poison the span cache as if the footer read failed for every file
+    import os as _os
+
+    for part in state["parts"]:
+        for f in _os.listdir(part):
+            if f.endswith(".parquet"):
+                st._file_span_cache[_os.path.join(part, f)] = None
+    # with untrusted stats the files are kept, so all rows come back
+    assert (
+        st.read_key_range("objects", "object_key", "900", None).count()
+        == st.read("objects").count()
+    )

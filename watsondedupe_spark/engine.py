@@ -1357,6 +1357,24 @@ class DedupeEngine:
             # i (1.5) would otherwise build a predicate matching NOTHING,
             # silently reporting a clean shard instead of scanning one
             pred = shard_predicate(i, n)
+            if not consistent and since_version is None:
+                # r12 (guide §6): on the current snapshot, plan only the
+                # parquet FILES whose footer key span can overlap the
+                # shard range (store.read_key_range). Row-group pruning
+                # already skips the out-of-range BYTES, but Spark still
+                # schedules a task per file — a 1-of-n shard on a
+                # range-clustered 100 TB payload table would launch the
+                # full file count to read 1/n of it. File selection is a
+                # superset (stats-less files kept); the exact row
+                # predicate below still applies, so results are
+                # byte-identical to the unpruned scan.
+                lo, hi = shard_range(i, n)
+                cs_src = self.store.read_key_range(
+                    "chunk_store", "chunk_key", lo, hi, CHUNK_STORE_SCHEMA
+                )
+                meta = self.store.read_key_range(
+                    "chunks", "chunk_key", lo, hi, CHUNKS_SCHEMA
+                ).select("chunk_key", "length", "ref_count")
             cs_src = cs_src.filter(pred)
             meta = meta.filter(pred)
         cs = cs_src.select(
@@ -1364,49 +1382,89 @@ class DedupeEngine:
             chunk_key_col(F.col("data")).alias("_computed"),
             F.length("data").cast("long").alias("_stored_len"),
         ).localCheckpoint(eager=True)
-        # null-safe: a NULL payload makes _computed/_stored_len NULL, and a
-        # plain != would evaluate to NULL and let the unreadable row escape
-        # the very scan built to catch it
-        hash_bad = cs.filter(~F.col("_computed").eqNullSafe(F.col("chunk_key"))).select(
-            F.lit("hash_mismatch").alias("check"), F.col("chunk_key").alias("key")
+        # null-safe throughout: a NULL payload makes _computed/
+        # _stored_len NULL, and a plain != would evaluate to NULL and
+        # let the unreadable row escape the very scan built to catch it.
+        #
+        # r12 (guide §2.4): the six chunk-keyed checks fuse into ONE
+        # full-outer join + ONE per-key aggregate + an explode, instead
+        # of six branch subtrees (filter / groupBy / inner join / two
+        # anti-joins / full-outer join) unioned together — the branch
+        # form cost ~10 AQE stages of pure scheduling floor per scan,
+        # which dominated the scoped shard scrub (the rolling-scrub
+        # seconds fraction the scale gate watches). The emitted
+        # (check, key) multiset is identical by construction:
+        # per-row classes (hash_mismatch, length_drift) re-emit their
+        # row multiplicity via array_repeat of the per-key counts;
+        # per-key classes emit conditional singletons. Keys are
+        # engine-written (never NULL), so the key-grain group is
+        # exactly the join key.
+        mcols = meta.select(
+            "chunk_key", "length", "ref_count", F.lit(1).alias("_m")
         )
-        dup_payload = (
-            cs.groupBy("chunk_key")
-            .count()
-            .filter(F.col("count") > 1)
-            .select(F.lit("dup_payload").alias("check"), F.col("chunk_key").alias("key"))
+        grain = cs.withColumn("_c", F.lit(1)).join(
+            mcols, "chunk_key", "full_outer"
         )
-        len_bad = (
-            cs.join(meta, "chunk_key")
-            .filter(~F.col("_stored_len").eqNullSafe(F.col("length")))
-            .select(F.lit("length_drift").alias("check"), F.col("chunk_key").alias("key"))
-        )
-        missing = meta.join(cs, "chunk_key", "left_anti").select(
-            F.lit("missing_payload").alias("check"), F.col("chunk_key").alias("key")
-        )
-        orphan_payload = (
-            cs.select("chunk_key")
-            .distinct()
-            .join(meta, "chunk_key", "left_anti")
-            .select(F.lit("orphan_payload").alias("check"), F.col("chunk_key").alias("key"))
-        )
-        parts = [len_bad, dup_payload, missing, orphan_payload]
         if not scoped:
-            # metadata-wide checks ride the full scan only (see
-            # docstring) — a scoped run reporting them would double- or
-            # n-count the same drift across the scrub rotation
             refs = omap_src.groupBy("chunk_key").agg(
-                F.count("*").cast("long").alias("_n_refs")
+                F.count("*").cast("long").alias("_n_refs"),
+                F.lit(1).alias("_r"),
             )
-            parts.append(
-                meta.join(refs, "chunk_key", "full_outer")
-                .filter(~F.col("ref_count").eqNullSafe(F.col("_n_refs")))
-                .select(
-                    F.lit("refcount_drift").alias("check"),
-                    F.col("chunk_key").alias("key"),
+            grain = grain.join(refs, "chunk_key", "full_outer")
+        else:
+            grain = grain.withColumn(
+                "_n_refs", F.lit(None).cast("long")
+            ).withColumn("_r", F.lit(None).cast("int"))
+        per_key = grain.groupBy("chunk_key").agg(
+            F.count("_c").alias("_n_cs"),
+            F.sum(
+                F.when(
+                    F.col("_c").isNotNull()
+                    & ~F.col("_computed").eqNullSafe(F.col("chunk_key")),
+                    1,
+                ).otherwise(0)
+            ).alias("_n_hash_bad"),
+            F.sum(
+                F.when(
+                    F.col("_c").isNotNull()
+                    & F.col("_m").isNotNull()
+                    & ~F.col("_stored_len").eqNullSafe(F.col("length")),
+                    1,
+                ).otherwise(0)
+            ).alias("_n_len_bad"),
+            F.count("_m").alias("_n_m"),
+            F.count("_r").alias("_n_r"),
+            F.max("ref_count").alias("_ref_count"),
+            F.max("_n_refs").alias("_refs"),
+        )
+        empty = F.array().cast("array<string>")
+        one = lambda cond, tag: F.when(cond, F.array(F.lit(tag))).otherwise(empty)
+        checks = F.concat(
+            F.array_repeat(F.lit("hash_mismatch"), F.col("_n_hash_bad").cast("int")),
+            F.array_repeat(F.lit("length_drift"), F.col("_n_len_bad").cast("int")),
+            one(F.col("_n_cs") > 1, "dup_payload"),
+            one((F.col("_n_m") > 0) & (F.col("_n_cs") == 0), "missing_payload"),
+            one((F.col("_n_cs") > 0) & (F.col("_n_m") == 0), "orphan_payload"),
+            *(
+                ()
+                if scoped
+                else (
+                    # metadata-wide check, full scan only (see
+                    # docstring): keys present in chunks or object_map
+                    # whose ref_count disagrees with the map multiplicity
+                    one(
+                        ((F.col("_n_m") > 0) | (F.col("_n_r") > 0))
+                        & ~F.col("_ref_count").eqNullSafe(F.col("_refs")),
+                        "refcount_drift",
+                    ),
                 )
-            )
-            parts.append(
+            ),
+        )
+        out = per_key.select(
+            F.explode(checks).alias("check"), F.col("chunk_key").alias("key")
+        )
+        if not scoped:
+            out = out.unionByName(
                 omap_src.select("object_key")
                 .distinct()
                 .join(objects_src.select("object_key"), "object_key", "left_anti")
@@ -1415,9 +1473,6 @@ class DedupeEngine:
                     F.col("object_key").alias("key"),
                 )
             )
-        out = hash_bad
-        for part in parts:
-            out = out.unionByName(part)
         return out
 
     def repair(self) -> dict[str, int]:

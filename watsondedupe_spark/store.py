@@ -113,6 +113,8 @@ class IndexStore:
         # parsed Bloom sidecars keyed by (part basename, col): parts
         # are immutable once published, so the cache never invalidates
         self._bloom_cache: dict = {}
+        # per-file footer key spans (read_key_range): immutable too
+        self._file_span_cache: dict = {}
         os.makedirs(root, exist_ok=True)
 
     # -- backend primitives (the only parts a new backend overrides) --------
@@ -348,6 +350,94 @@ class IndexStore:
         if not parts:
             return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
         return self.spark.read.parquet(*parts)
+
+    def _file_span(self, fpath: str, col: str):
+        """``[lo, hi]`` of ``col`` across one parquet FILE's row groups
+        from its footer (driver-side, cached — parts are immutable), or
+        None when the stats can't be trusted (file is then never
+        pruned). Same strict-decode posture as :meth:`_part_stats`."""
+        cache = self._file_span_cache
+        hit = cache.get(fpath, self._STATS_UNSET)
+        if hit is not self._STATS_UNSET:
+            return hit
+        span = None
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(fpath).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    c = row_group.column(ci)
+                    if c.path_in_schema != col:
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        span = None
+                        raise StopIteration
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    if not isinstance(lo, (str, int, float)):
+                        span = None
+                        raise StopIteration
+                    span = (
+                        (lo, hi)
+                        if span is None
+                        else (min(span[0], lo), max(span[1], hi))
+                    )
+        except Exception:  # noqa: BLE001 — stats are an optimization only
+            span = None
+        if len(cache) >= 65536:
+            cache.clear()
+        cache[fpath] = span
+        return span
+
+    def read_key_range(
+        self,
+        name: str,
+        col: str,
+        lo,
+        hi,
+        schema: StructType | None = None,
+    ) -> DataFrame:
+        """Current snapshot of ``name`` planning only the parquet FILES
+        whose footer ``col`` span can overlap ``[lo, hi)`` (``None``
+        bounds open). Parquet row-group pruning skips the BYTES of
+        out-of-range files, but Spark still lists and plans a task per
+        file — on a range-clustered 100 TB table a 1-of-n scrub shard
+        would schedule the full file count to read 1/n of it. This is
+        the Iceberg/Delta file-stats prune done manifest-side: footer
+        spans (driver-side, cached; parts are immutable) select the
+        shard's files BEFORE the scan is planned. Files without
+        trustworthy stats are always kept, and the caller still applies
+        the exact row predicate — pruning only shrinks the file list,
+        exactly like :meth:`read_pruned`."""
+        state = self._state(name)
+        keep: list[str] = []
+        for part in state.get("parts", []):
+            try:
+                files = sorted(
+                    os.path.join(part, f)
+                    for f in os.listdir(part)
+                    if f.endswith(".parquet")
+                )
+            except OSError:
+                keep.append(part)  # unreadable listing: scan whole part
+                continue
+            for fpath in files:
+                span = self._file_span(fpath, col)
+                if span is None:
+                    keep.append(fpath)
+                    continue
+                flo, fhi = span
+                if (lo is None or lo <= fhi) and (hi is None or hi > flo):
+                    keep.append(fpath)
+        if not keep:
+            return self.spark.createDataFrame([], schema or TABLE_SCHEMAS[name])
+        # plain read like _df_for — same inferred schema as the unpruned
+        # snapshot, so downstream plans are type-identical
+        return self.spark.read.parquet(*keep)
 
     #: (table, column) pairs whose keys are uniform cryptographic hashes
     #: (urlsafe-b64 SHA-256): any non-trivial part's span covers

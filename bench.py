@@ -1810,9 +1810,13 @@ def scale_stress_main(
     # meaningful (< 0.5 s) the old raw-fraction check applies unchanged.
     d_floor = d_dr["floor_sec"]
     d_marg_den = d_dr["full_sec"] - d_floor
+    # r13 (advisor item): when host noise makes the shard arm faster
+    # than the floor arm the marginal fraction goes negative and would
+    # trivially pass the gate — treat that run like the small-denominator
+    # case and fall back to the raw-fraction check instead.
     d_marg_frac = (
         round((d_dr["shard_sec"] - d_floor) / d_marg_den, 2)
-        if d_marg_den > 0.5
+        if d_marg_den > 0.5 and d_dr["shard_sec"] >= d_floor
         else None
     )
     results[f"engine_verify_shard@x{deep_factor}"] = {
@@ -2151,14 +2155,18 @@ def main() -> None:
             for n, s in times.items()
             if n not in baseline or (baseline[n] and s >= 1.35 * baseline[n])
         }
-        # worst offenders first; shrink the inline set until the line
-        # fits — the fallback must never itself overflow the capture
-        # window (e.g. when the baseline table fails to load and EVERY
-        # entry gets flagged)
+        # lock-breachers first (worst ratio first), then — r12 verdict
+        # item 2 — the slowest rows unconditionally: a fully-improved
+        # round used to emit "queries":{} which starved the driver's
+        # per-query comparator (PERF_r12 n_common: 0). The shrink loop
+        # below still guarantees the line fits; breachers are listed
+        # first so truncation drops slow-but-healthy rows before them.
         order = sorted(
             flagged,
             key=lambda n: -(times[n] / baseline[n]) if baseline.get(n) else -1e9,
         )
+        slowest = sorted(times, key=lambda n: -times[n])
+        order += [n for n in slowest[:40] if n not in flagged]
         while True:
             line = json.dumps(
                 {

@@ -617,7 +617,14 @@ class DedupeEngine:
             v, objs, meta = self.store.snapshot("objects", OBJECTS_SCHEMA)
             prev_max = meta.get("max_id")
             if prev_max is None:
-                prev_max = objs.agg(F.max("id")).collect()[0][0] or 0
+                # v == 0 <=> the table has never been written: the
+                # max(id) fallback exists for pre-meta LEGACY indexes,
+                # and running it against a fresh store's empty frame
+                # cost one pointless Spark job on every first ingest
+                # (r13 — the integrity-scan/ingest rows each pay it)
+                prev_max = (
+                    0 if v == 0 else objs.agg(F.max("id")).collect()[0][0] or 0
+                )
             # deterministic intra-batch sequence, assigned distributed
             # (two-phase prefix scan — no single-task global window)
             new_objects = (
@@ -1282,14 +1289,13 @@ class DedupeEngine:
         the health report. Every join is corpus-keyed (chunk_key /
         object_key) — shuffle joins at scale, no driver round-trips.
 
-        The payload table is read EXACTLY ONCE: the narrow
-        (key, recomputed-key, length) projection is materialized
-        eagerly (localCheckpoint — ~tens of bytes per chunk, executor
-        memory+disk), and all five chunk_store-derived checks read the
-        checkpoint. Without it, Catalyst treats each branch as an
-        independent plan and the hash branch and the length branch
-        would EACH rescan every stored payload byte — at 100 TB that is
-        the difference between one sweep and two.
+        The payload table is read EXACTLY ONCE: all chunk_store-derived
+        checks are fused into one join + aggregate over the narrow
+        (key, recomputed-key, length) projection, so the single plan
+        scans each stored payload byte once and shuffles only the
+        projection. (The pre-r12 branch form needed an eager
+        checkpoint of the projection to avoid a rescan per branch; the
+        fused form has one consumer and needs no materialization.)
         """
         from watsondedupe_spark.keys import chunk_key_col
 
@@ -1377,11 +1383,20 @@ class DedupeEngine:
                 ).select("chunk_key", "length", "ref_count")
             cs_src = cs_src.filter(pred)
             meta = meta.filter(pred)
+        # r13 (guide §1.2): no localCheckpoint here any more — the r12
+        # check fusion below left exactly ONE consumer of this
+        # projection (the six-branch form it replaced had five), so the
+        # eager materialization had become a pure extra pass: one
+        # additional job per scan plus a block-manager round-trip of
+        # the projected rows, paid three times per integrity-scan row
+        # and once per scheduled scrub at scale. The single fused plan
+        # still reads each payload byte exactly once (one scan feeds
+        # the join's exchange directly).
         cs = cs_src.select(
             "chunk_key",
             chunk_key_col(F.col("data")).alias("_computed"),
             F.length("data").cast("long").alias("_stored_len"),
-        ).localCheckpoint(eager=True)
+        )
         # null-safe throughout: a NULL payload makes _computed/
         # _stored_len NULL, and a plain != would evaluate to NULL and
         # let the unreadable row escape the very scan built to catch it.
@@ -1399,8 +1414,21 @@ class DedupeEngine:
         # per-key classes emit conditional singletons. Keys are
         # engine-written (never NULL), so the key-grain group is
         # exactly the join key.
-        mcols = meta.select(
-            "chunk_key", "length", "ref_count", F.lit(1).alias("_m")
+        #
+        # r13 (advisor): the meta side pre-aggregates to ONE row per
+        # chunk_key before the join. chunks is key-unique by
+        # construction, so on any store the write path produced this
+        # is a no-op (max over one row) riding the same exchange the
+        # join needs anyway — but if chunks metadata itself were ever
+        # corrupted with duplicate key rows, the old row-grain join
+        # would multiply the cs side through the full-outer join and
+        # misreport a healthy single payload row as dup_payload (with
+        # doubled hash/length counts). Keys still get flagged either
+        # way; this keeps the check CLASSES truthful.
+        mcols = meta.groupBy("chunk_key").agg(
+            F.max("length").alias("length"),
+            F.max("ref_count").alias("ref_count"),
+            F.lit(1).alias("_m"),
         )
         grain = cs.withColumn("_c", F.lit(1)).join(
             mcols, "chunk_key", "full_outer"
@@ -1540,16 +1568,24 @@ class DedupeEngine:
             # damaged-but-small store goes straight to the full rewrite
             # (old behavior), and a damaged big store pays one extra
             # key pass to save a full-table write.
-            n_rows, n_mismatch, n_keys, n_bad_keys = (
+            n_rows, n_mismatch, n_keys, n_bad_keys, n_good_keys = (
                 per_key.agg(
                     F.sum("_n"),
                     F.sum("_n_mismatch"),
                     F.count("*"),
                     F.sum(F.when(bad_pred, 1).otherwise(0)),
+                    # keys with >= 1 hash-verified row == exactly the
+                    # canonical table's row count (canonicalize keeps
+                    # one good survivor per such key), so the post-
+                    # rewrite delta needs no second table count (r13)
+                    F.sum(
+                        F.when(F.col("_n") > F.col("_n_mismatch"), 1).otherwise(0)
+                    ),
                 ).collect()[0]
             )
             n_rows = int(n_rows or 0)
             n_bad_keys = int(n_bad_keys or 0)
+            n_good_keys = int(n_good_keys or 0)
             n_bad = int(n_mismatch or 0) + n_rows - int(n_keys or 0)
             deltas["chunk_store_canonicalized"] = 0
             if n_bad:
@@ -1596,9 +1632,12 @@ class DedupeEngine:
                     self.store.commit(
                         "chunk_store", canonicalize(cstore), expected_version=v_cs
                     )
-                deltas["chunk_store_canonicalized"] = (
-                    self.chunk_store.count() - n_rows
-                )
+                # n_good_keys IS the canonical row count in both the
+                # surgical and full-rewrite paths: bad keys' rows all
+                # live in the rewritten parts (Bloom/span selection has
+                # no false negatives), healthy parts hold only
+                # single-row hash-verified keys
+                deltas["chunk_store_canonicalized"] = n_good_keys - n_rows
                 self._record_checkpoint("repair")
         return deltas
 
@@ -1983,10 +2022,20 @@ class DedupeEngine:
         with self.store.op_lock():
             keys = self.objects.select("object_key")
             v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
-            valid_map = omap.join(keys, "object_key", "left_semi").localCheckpoint(
-                eager=True
-            )
-            n_orphans = omap.count() - valid_map.count()
+            # r13 (guide §1.2 — don't pay three jobs for two numbers):
+            # annotate liveness on the join itself (objects keys are
+            # unique, so the left join preserves map multiplicity
+            # exactly like the old left_semi) and read total/live off
+            # ONE aggregate over the checkpointed rows, instead of a
+            # separate omap.count() scan plus a valid_map.count().
+            ann_map = omap.join(
+                keys.withColumn("_live", F.lit(1)), "object_key", "left"
+            ).localCheckpoint(eager=True)
+            n_map_total, n_map_live = ann_map.agg(
+                F.count("*"), F.count("_live")
+            ).collect()[0]
+            valid_map = ann_map.filter(F.col("_live").isNotNull()).drop("_live")
+            n_orphans = int(n_map_total) - int(n_map_live)
             deltas["object_map"] = -n_orphans
             if n_orphans:
                 # r12: a typical crash strands ONE batch's map rows — at
@@ -1996,7 +2045,7 @@ class DedupeEngine:
                 if not self._surgical_delete(
                     "object_map",
                     "object_key",
-                    omap.join(keys, "object_key", "left_anti")
+                    ann_map.filter(F.col("_live").isNull())
                     .select("object_key")
                     .distinct(),
                 ):
@@ -2019,32 +2068,57 @@ class DedupeEngine:
             # only possible difference is a per-key ref_count change —
             # exactly what _stale records; with unequal counts the
             # deltas branch commits regardless, as before.
+            # r13 (guide §1.2): LEFT join so the dropped-chunk rows ride
+            # the same checkpoint, and total/rebuilt/stale all read off
+            # ONE aggregate — the old inner-join form paid three
+            # separate jobs (rebuilt.count, a second chunks scan for
+            # chunks.count, and a stale head()) for numbers the rebuild
+            # join already knew.
             refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("_n_refs"))
             v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
-            rebuilt = (
-                chunks.join(refs, "chunk_key")
+            ann_ch = (
+                chunks.join(refs, "chunk_key", "left")
                 .select(
                     "chunk_key",
                     "length",
-                    F.col("_n_refs").cast("long").alias("ref_count"),
-                    (~F.col("ref_count").eqNullSafe(F.col("_n_refs").cast("long"))).alias(
-                        "_stale"
-                    ),
+                    F.col("_n_refs").cast("long").alias("_n_refs"),
+                    (
+                        F.col("_n_refs").isNotNull()
+                        & ~F.col("ref_count").eqNullSafe(
+                            F.col("_n_refs").cast("long")
+                        )
+                    ).alias("_stale"),
                 )
                 .localCheckpoint(eager=True)
             )
-            deltas["chunks"] = rebuilt.count() - chunks.count()
-            stale = bool(rebuilt.filter(F.col("_stale")).head(1))
+            n_ch_total, n_rebuilt, n_stale = ann_ch.agg(
+                F.count("*"),
+                F.count("_n_refs"),
+                F.sum(F.when(F.col("_stale"), 1).otherwise(0)),
+            ).collect()[0]
+            rebuilt = ann_ch.filter(F.col("_n_refs").isNotNull()).select(
+                "chunk_key", "length", F.col("_n_refs").alias("ref_count")
+            )
+            deltas["chunks"] = int(n_rebuilt) - int(n_ch_total)
+            stale = bool(n_stale)
             if deltas["chunks"] or stale:
-                self.store.commit(
-                    "chunks", rebuilt.drop("_stale"), expected_version=v_ch
-                )
+                self.store.commit("chunks", rebuilt, expected_version=v_ch)
                 committed = True
 
-            # chunk_store: GC payloads whose chunk no longer exists
+            # chunk_store: GC payloads whose chunk no longer exists.
+            # r13: dead/live counts come from one key-only aggregate
+            # over the membership join (two separate count() actions
+            # before); the payload-bearing `live` frame is only built
+            # when there is actually something to GC.
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
-            live = cstore.join(rebuilt.select("chunk_key"), "chunk_key", "left_semi")
-            n_dead = cstore.count() - live.count()
+            live_keys = rebuilt.select("chunk_key")
+            n_cs_total, n_cs_live = (
+                cstore.select("chunk_key")
+                .join(live_keys.withColumn("_l", F.lit(1)), "chunk_key", "left")
+                .agg(F.count("*"), F.count("_l"))
+                .collect()[0]
+            )
+            n_dead = int(n_cs_total) - int(n_cs_live)
             deltas["chunk_store"] = -n_dead
             if n_dead:
                 # r12: same surgical shape for the payload GC — dead
@@ -2057,6 +2131,7 @@ class DedupeEngine:
                     .distinct()
                     .join(rebuilt.select("chunk_key"), "chunk_key", "left_anti"),
                 ):
+                    live = cstore.join(live_keys, "chunk_key", "left_semi")
                     self.store.commit("chunk_store", live, expected_version=v_cs)
                 committed = True
             if committed:

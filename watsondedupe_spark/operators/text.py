@@ -164,11 +164,17 @@ def global_prefix_sum(
         # partition id; this path has no window, no second exchange,
         # and no Python boundary. Evaluated strictly above the
         # per-partition sort, so position follows ``order_col`` order.
+        # _pid from spark_partition_id() — the SAME source the totals
+        # branch uses — so the base-offset join can never depend on
+        # monotonically_increasing_id's internal partition-id bit
+        # layout staying in sync across Spark versions (r13, advisor
+        # item); only the low 33 bits (the documented per-partition
+        # row position) are read off the mono id.
         mono = F.monotonically_increasing_id()
         local = (
             part.sortWithinPartitions(order_col)
             .withColumn("_mono", mono)
-            .withColumn("_pid", F.shiftright("_mono", 33).cast("int"))
+            .withColumn("_pid", F.spark_partition_id())
             .withColumn(
                 "_local_excl", F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
             )

@@ -779,25 +779,43 @@ def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             return {c: int(got.get(c, 0)) for c in _VERIFY_CHECKS}
 
-        before = counts()
-        # deterministic victim: the smallest chunk_key in the index
-        victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+        from concurrent.futures import ThreadPoolExecutor
+
+        # r13 (guide §2.6): the clean-scan count and the victim lookup
+        # are independent READ-ONLY jobs over the same frozen store —
+        # run them from two driver threads so the victim scan's
+        # scheduling latency hides inside the verify pass, and plant
+        # the two faults the same way (different tables, per-table CAS
+        # — the exact concurrency _commit_ingest already relies on).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_before = pool.submit(counts)
+            # deterministic victim: the smallest chunk_key in the index
+            victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+            before = f_before.result()
         orphan = b"___orphan_payload"
-        eng.store.append(
-            "chunk_store",
-            spark.createDataFrame(
-                [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
-                "chunk_key string, data binary",
-            ),
-        )
-        eng.store.append(
-            "object_map",
-            spark.createDataFrame(
-                [("___ghost", victim, 1, 0, 0)],
-                "object_key string, chunk_key string, length int, "
-                "position int, address long",
-            ),
-        )
+
+        def plant_payloads():
+            eng.store.append(
+                "chunk_store",
+                spark.createDataFrame(
+                    [(victim, bytearray(b"x")), (chunk_key(orphan), bytearray(orphan))],
+                    "chunk_key string, data binary",
+                ),
+            )
+
+        def plant_ghost_map():
+            eng.store.append(
+                "object_map",
+                spark.createDataFrame(
+                    [("___ghost", victim, 1, 0, 0)],
+                    "object_key string, chunk_key string, length int, "
+                    "position int, address long",
+                ),
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(plant_payloads), pool.submit(plant_ghost_map)]:
+                f.result()
         after = counts()
         eng.repair()
         healed = counts()

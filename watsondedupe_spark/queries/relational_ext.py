@@ -3098,7 +3098,12 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         global_prefix_sum(pd_grain, "price", "w", out_col="_cw_excl")
         .crossJoin(F.broadcast(tot))
-        .select("price", (F.col("_cw_excl") + F.col("w")).alias("cw"), "n")
+        .select("price", "w", (F.col("_cw_excl") + F.col("w")).alias("cw"), "n")
+        # r13 (guide §1.2/§6): the cumulative dictionary feeds BOTH the
+        # boundary aggregate and the final rollup below — materialize
+        # it once (it is bounded by the value domain, not the corpus)
+        # so the prefix-scan machinery doesn't re-execute per consumer
+        .localCheckpoint(eager=True)
     )
     bounds = cum.agg(
         *[
@@ -3114,12 +3119,20 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("price") > F.col(f"b{i}"), 1).otherwise(0)
         for i in range(1, _EQD_BUCKETS)
     ).cast("int")
+    # r13 (guide §1.2 — don't rescan what you already aggregated): the
+    # old final pass re-read the WHOLE fact table just to bucket each
+    # row, but bucket assignment depends only on price, so n_rows/lo/hi
+    # all fold from the (price, count) dictionary already in hand —
+    # n_rows = sum of per-price counts, lo/hi = min/max price in the
+    # bucket. One fact-table scan total instead of two; at 100 TB the
+    # second scan IS the query's cost. Bit-identical: same bucket
+    # expression, integer count sums, and min/max over the same values.
     return (
-        li.crossJoin(F.broadcast(bounds))
-        .select(bucket.alias("bucket"), "price")
+        cum.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "price", "w")
         .groupBy("bucket")
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("n_rows"),
             F.min("price").cast("double").alias("lo"),
             F.max("price").cast("double").alias("hi"),
         )

@@ -3026,16 +3026,44 @@ FROM per JOIN eng ON eng.s = per.s
 def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from watsondedupe_spark.operators.similarity import pq_codebooks, pq_encode
+    from watsondedupe_spark.operators.similarity import pq_encode
     from watsondedupe_spark.queries.llm_pipeline import _quant_vec
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding", _quant_vec().alias("qv"))
-    e_row = emb.agg(
-        *[
-            F.sum(F.element_at("qv", i) * F.element_at("qv", i)).alias(f"e{i}")
-            for i in range(1, 65)
-        ]
-    ).collect()[0]
+    # r13 (guide §2.6/§5): the energy aggregate and the codebook SAMPLE
+    # are independent corpus reads — the 16 sample rows are picked by
+    # md5(vec_id) alone, and the permutation is a driver-side literal
+    # reindex that applies just as well to the 16 collected raw vectors
+    # as to a permuted frame. The old form serialized collect(energy)
+    # -> build pemb -> collect(sample over pemb); now both bounded
+    # collects run from two driver threads and the sample is permuted
+    # on the driver (16 x 64 floats), producing byte-identical
+    # codebooks (permute-then-slice == slice of driver-permuted row).
+    from concurrent.futures import ThreadPoolExecutor
+
+    skey = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+    def _energy():
+        return emb.agg(
+            *[
+                F.sum(F.element_at("qv", i) * F.element_at("qv", i)).alias(f"e{i}")
+                for i in range(1, 65)
+            ]
+        ).collect()[0]
+
+    def _sample():
+        return (
+            emb.select("vec_id", "embedding")
+            .orderBy(skey, "vec_id")
+            .limit(16)
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_e, f_s = pool.submit(_energy), pool.submit(_sample)
+        e_row, sample_rows = f_e.result(), f_s.result()
     order = sorted(range(1, 65), key=lambda d: (-e_row[f"e{d}"], d))
     assign = [(r % 8, r // 8, d) for r, d in enumerate(order)]
     pi = [d for _s, _p, d in sorted(assign)]  # permuted position -> source dim
@@ -3044,7 +3072,11 @@ def emb_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.element_at("embedding", d) for d in pi]).alias("pemb"),
         F.array(*[F.element_at("qv", d) for d in pi]).alias("pqv"),
     )
-    cbs = pq_codebooks(pemb, m=8, ks=16, vec_col="pemb")
+    # same [m][ks][d/m] structure pq_codebooks(pemb) built, from the
+    # driver-permuted sample (identical sample set and order: the sort
+    # key is md5(vec_id), unchanged by the permutation)
+    pvecs = [[float(r["embedding"][d - 1]) for d in pi] for r in sample_rows]
+    cbs = [[v[s * 8 : (s + 1) * 8] for v in pvecs] for s in range(8)]
     # r12 (guide §3.1): carry pqv THROUGH the encoder instead of joining
     # codes back to a second pemb subtree on vec_id — the join re-ran the
     # whole embeddings scan + 128-element permutation projection on both

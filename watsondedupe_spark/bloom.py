@@ -33,19 +33,22 @@ characters ARE uniform entropy, so the two double-hashing bases come
 from vectorized polynomials over the 6-bit symbol values of the two
 disjoint halves of the key (no per-key Python hashing in the common
 path). Values that are not 43-byte urlsafe-b64 (object keys are
-arbitrary user strings) fall back to BLAKE2b per value; the fast/slow
-choice is made per value, so mixed probe sets stay consistent with
-mixed builds.
+arbitrary user strings) take a vectorized variable-length byte
+polynomial (r13 — this was a per-value BLAKE2b Python loop, a
+row-at-a-time stall inside every big fold's sidecar build); the
+fast/slow choice is made per value, so mixed probe sets stay
+consistent with mixed builds. The magic is bumped (WBLM2) so sidecars
+written by the BLAKE2b version parse-fail and fall back to a full
+scan — a stale sidecar must never become a false negative.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np
 
-_MAGIC = b"WBLM1"
+_MAGIC = b"WBLM2"
 _HEADER = struct.Struct("<BQQ")  # k, m (bits), n (keys)
 
 #: sizing: ~16 bits/key with k=8 probes -> false-positive rate ~6e-4
@@ -69,6 +72,76 @@ for _i, _ch in enumerate(
 # per-position multiplier powers for the two key halves (mod 2^64)
 _POW1 = np.array([pow(_MULT, i, 1 << 64) for i in range(21)], dtype=np.uint64)
 _POW2 = np.array([pow(_MULT, i, 1 << 64) for i in range(22)], dtype=np.uint64)
+
+# slow-path (arbitrary-length values) polynomial constants: a second
+# full-period odd multiplier (xxhash64 prime) decorrelates h2 from h1,
+# and the length terms keep "ab"+pad distinct from "ab\0"
+_MULT2 = 0xC2B2AE3D27D4EB4F
+_LEN1 = np.uint64(0xFF51AFD7ED558CCD)
+_LEN2 = np.uint64(0xC4CEB9FE1A85EC53)
+_SPOW1 = _POW1.copy()
+_SPOW2 = np.array([pow(_MULT2, i, 1 << 64) for i in range(22)], dtype=np.uint64)
+
+
+def _slow_pows(maxlen: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Grow the cached per-position power tables to ``maxlen``."""
+    global _SPOW1, _SPOW2
+    if len(_SPOW1) < maxlen:
+        _SPOW1 = np.array(
+            [pow(_MULT, i, 1 << 64) for i in range(maxlen)], dtype=np.uint64
+        )
+    if len(_SPOW2) < maxlen:
+        _SPOW2 = np.array(
+            [pow(_MULT2, i, 1 << 64) for i in range(maxlen)], dtype=np.uint64
+        )
+    return _SPOW1, _SPOW2
+
+
+def _slow_hashes_flat(
+    flat: "np.ndarray", offs: "np.ndarray"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized double-hashing bases for arbitrary-length byte
+    values, given the concatenated bytes and int64 offsets (the arrow
+    string-buffer layout): two byte-polynomials with independent
+    multipliers plus a length term. One weighted pass over the flat
+    buffer + a segment sum (``np.add.reduceat``) — O(total bytes), no
+    per-value Python, no padded matrix. A value's hash depends only on
+    its own bytes and length, so it is per-VALUE deterministic like
+    the fast path. Replaces a per-value BLAKE2b Python loop (r13,
+    guide §4): a Bloom base needs uniformity, not cryptographic
+    strength, and the loop was the one row-at-a-time stall left inside
+    big folds' sidecar builds."""
+    lens = np.diff(offs)
+    n = len(lens)
+    ul = lens.astype(np.uint64)
+    h1 = ul * _LEN1
+    h2 = ul * _LEN2
+    if len(flat) and n:
+        p1, p2 = _slow_pows(int(lens.max()))
+        col = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        b = flat.astype(np.uint64) + np.uint64(1)
+        # reduceat over NON-EMPTY segments only: empty segments would
+        # need duplicate/clipped boundary indices, and np.add.reduceat
+        # mis-sums around those (an equal-index pair yields the next
+        # value's first term; a clipped final index splits the previous
+        # segment). Non-empty starts are strictly increasing and all
+        # < len(flat), so the sums are exact; empties keep their pure
+        # length term (their polynomial sum is 0).
+        nz = lens > 0
+        idx = offs[:-1][nz]
+        h1[nz] += np.add.reduceat(b * p1[col], idx)
+        h2[nz] += np.add.reduceat(b * p2[col], idx)
+    return h1, h2
+
+
+def _slow_hashes(enc: "list[bytes]") -> "tuple[np.ndarray, np.ndarray]":
+    """List-of-bytes adapter over :func:`_slow_hashes_flat`."""
+    n = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    return _slow_hashes_flat(flat, offs)
 
 
 def hash_pairs(values: list) -> "tuple[np.ndarray, np.ndarray]":
@@ -114,25 +187,29 @@ def hash_pairs(values: list) -> "tuple[np.ndarray, np.ndarray]":
         h2[fa] = f2
         # 43-byte values containing non-alphabet bytes: fallback path
         slow.extend(int(i) for i in fa[bad])
-    for i in slow:
-        d = hashlib.blake2b(enc[i], digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
+    if slow:
+        s1, s2 = _slow_hashes([enc[i] for i in slow])
+        si = np.asarray(slow)
+        h1[si] = s1
+        h2[si] = s2
     # odd step => the k probes hit k distinct positions mod a power of two
     h2 |= np.uint64(1)
     return h1, h2
 
 
 def _hash_pairs_arrow(arr):
-    """Zero-copy fast path for :func:`hash_pairs` over a pyarrow string
-    array: when EVERY value is exactly 43 utf-8 bytes (the chunk-key
-    shape), hash straight off the arrow value buffer — no to_pylist, no
-    per-value Python encode. Returns None when the array doesn't fit
-    the shape (caller falls back to the list path). Values with
-    non-alphabet bytes still get their per-value BLAKE2b, exactly as
-    the list path would. Identical output to ``hash_pairs(
-    arr.to_pylist())`` by construction: arrow stores utf-8 bytes, and
-    43 ascii alphabet bytes encode to themselves."""
+    """Zero-copy :func:`hash_pairs` over a pyarrow string array: hash
+    straight off the arrow value buffer — no to_pylist, no per-value
+    Python encode. Returns None only for nulls/empty/non-string arrays
+    (caller falls back to the list path). The per-value fast/slow rule
+    is the list path's verbatim: exactly-43-utf-8-byte values made of
+    the urlsafe-b64 alphabet take the split-halves polynomial,
+    everything else the variable-length polynomial — identical output
+    to ``hash_pairs(arr.to_pylist())`` by construction (arrow stores
+    utf-8 bytes, and 43 ascii alphabet bytes encode to themselves).
+    r13: variable-length columns (object keys) used to bail to the
+    to_pylist + per-value-BLAKE2b path; now they ride the same flat
+    buffer through the vectorized slow polynomial."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -149,33 +226,46 @@ def _hash_pairs_arrow(arr):
     offsets = np.frombuffer(
         bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
     )[arr.offset :]
-    if offsets[-1] - offsets[0] != 43 * len(arr):
-        return None
-    widths = np.diff(offsets)
-    if not (widths == 43).all():
-        return None
-    mat = np.frombuffer(bufs[2], dtype=np.uint8)[
-        offsets[0] : offsets[-1]
-    ].reshape(-1, 43)
     n = len(arr)
-    h1 = np.zeros(n, dtype=np.uint64)
-    h2 = np.zeros(n, dtype=np.uint64)
-    bad = np.zeros(n, dtype=bool)
-    for i in range(43):
-        s = _LUT[mat[:, i]]
-        bad |= s == 255
-        if i < 21:
-            h1 += s.astype(np.uint64) * _POW1[i]
+    flat = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offs = (offsets - offsets[0]).astype(np.int64)
+    widths = np.diff(offs)
+    uniform43 = offs[-1] == 43 * n and bool((widths == 43).all())
+    if uniform43:
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        f = np.arange(n)
+        mat = flat.reshape(-1, 43)
+    else:
+        h1, h2 = _slow_hashes_flat(flat, offs)
+        f = np.flatnonzero(widths == 43)
+        if len(f):
+            take = (offs[f][:, None] + np.arange(43, dtype=np.int64)).ravel()
+            mat = flat[take].reshape(-1, 43)
         else:
-            h2 += s.astype(np.uint64) * _POW2[i - 21]
-    if bad.any():
-        for i in np.flatnonzero(bad):
-            d = hashlib.blake2b(
-                arr[int(i)].as_py().encode("utf-8", "surrogatepass"),
-                digest_size=16,
-            ).digest()
-            h1[i] = int.from_bytes(d[:8], "little")
-            h2[i] = int.from_bytes(d[8:], "little")
+            mat = None
+    if mat is not None and len(f):
+        f1 = np.zeros(len(f), dtype=np.uint64)
+        f2 = np.zeros(len(f), dtype=np.uint64)
+        bad = np.zeros(len(f), dtype=bool)
+        for i in range(43):
+            s = _LUT[mat[:, i]]
+            bad |= s == 255
+            if i < 21:
+                f1 += s.astype(np.uint64) * _POW1[i]
+            else:
+                f2 += s.astype(np.uint64) * _POW2[i - 21]
+        good = ~bad
+        h1[f[good]] = f1[good]
+        h2[f[good]] = f2[good]
+        if uniform43 and bad.any():
+            # 43-byte values with non-alphabet bytes: slow rule
+            bi = f[bad]
+            b1, b2 = _slow_hashes(
+                [bytes(flat[offs[i] : offs[i + 1]]) for i in bi]
+            )
+            h1[bi] = b1
+            h2[bi] = b2
     h2 |= np.uint64(1)
     return h1, h2
 

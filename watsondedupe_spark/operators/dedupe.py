@@ -543,6 +543,8 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    _pin.durable = checkpoint_dir is not None
+
     if algorithm == "star":
         return _cc_star(
             edges, nodes, node_col, src_col, dst_col, max_iterations, _pin, stats
@@ -578,7 +580,15 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("changed"),
             )
         )
-        new_labels = _pin(new_labels)
+        # r13 (guide §1.2): LAZY checkpoint + count in ONE action — the
+        # count triggers the checkpoint materialization (all partitions
+        # compute, the filter sits above the checkpointed RDD), so each
+        # round schedules one job instead of an eager-pin job followed
+        # by a count job. Same materialization tier, same lineage cut.
+        if checkpoint_dir is not None:
+            new_labels = new_labels.checkpoint(eager=False)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:
@@ -666,7 +676,9 @@ def _cc_star(
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
-        canon = _pin(small)
+        # r13: lazy checkpoint + the signature aggregate in ONE action
+        # per round (see the label-prop loop above)
+        canon = small.checkpoint(eager=False) if _pin.durable else small.localCheckpoint(eager=False)
         sig = canon.agg(
             F.count("*").alias("n"),
             # decimal sum: order-free and overflow-proof under ANSI mode

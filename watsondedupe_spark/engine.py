@@ -2017,9 +2017,14 @@ class DedupeEngine:
         transactions (SqliteProvider.cs:29-30); this is the price/repair
         of four-way concurrent batched commits.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         deltas: dict[str, int] = {}
         committed = False
-        with self.store.op_lock():
+        fixes = []
+        # lock OUTSIDE the pool: the pool's exit joins any in-flight fix
+        # thread BEFORE the op lock releases, even on an exception path
+        with self.store.op_lock(), ThreadPoolExecutor(max_workers=2) as pool:
             keys = self.objects.select("object_key")
             v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
             # r13 (guide §1.2 — don't pay three jobs for two numbers):
@@ -2042,16 +2047,25 @@ class DedupeEngine:
                 # 100 TB pruning them must not rewrite the whole map
                 # table. Surgical part swap when the orphan key set is
                 # bounded; full rewrite (the old path) otherwise.
-                if not self._surgical_delete(
-                    "object_map",
-                    "object_key",
-                    ann_map.filter(F.col("_live").isNull())
-                    .select("object_key")
-                    .distinct(),
-                ):
-                    self.store.commit(
-                        "object_map", valid_map, expected_version=v_map
-                    )
+                # r13 (guide §2.6): each table's fix commits from a
+                # driver thread while the NEXT table's verification
+                # computes — the chunks rebuild reads only the pinned
+                # valid_map and its own immutable snapshot, never the
+                # table another thread is committing, and the ledger
+                # row records strictly after every fix has landed.
+                def fix_map():
+                    if not self._surgical_delete(
+                        "object_map",
+                        "object_key",
+                        ann_map.filter(F.col("_live").isNull())
+                        .select("object_key")
+                        .distinct(),
+                    ):
+                        self.store.commit(
+                            "object_map", valid_map, expected_version=v_map
+                        )
+
+                fixes.append(pool.submit(fix_map))
                 committed = True
 
             # chunks: rebuild refcounts from the surviving map and commit
@@ -2102,7 +2116,11 @@ class DedupeEngine:
             deltas["chunks"] = int(n_rebuilt) - int(n_ch_total)
             stale = bool(n_stale)
             if deltas["chunks"] or stale:
-                self.store.commit("chunks", rebuilt, expected_version=v_ch)
+                fixes.append(
+                    pool.submit(
+                        self.store.commit, "chunks", rebuilt, expected_version=v_ch
+                    )
+                )
                 committed = True
 
             # chunk_store: GC payloads whose chunk no longer exists.
@@ -2134,6 +2152,10 @@ class DedupeEngine:
                     live = cstore.join(live_keys, "chunk_key", "left_semi")
                     self.store.commit("chunk_store", live, expected_version=v_cs)
                 committed = True
+            # every overlapped fix must land (and re-raise) before the
+            # ledger row claims the repaired state exists
+            for f in fixes:
+                f.result()
             if committed:
                 # a clean pass changed nothing — the previous ledger row
                 # still describes this exact state; only a repair that

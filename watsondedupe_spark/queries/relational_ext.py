@@ -1090,12 +1090,31 @@ def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_baskets")
     )
     item = basket.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
-    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    # r13 (guide §2.4 — the jaccard posting-list shape): pairs come from
+    # a row-local nested-index expansion over each order's sorted item
+    # array instead of a self-join on l_orderkey — one exchange (the
+    # per-order groupBy) replaces the join's two, and the expansion is
+    # bounded by basket size (a handful of items per order), never a
+    # shuffle. Sorted-ascending arrays make every emitted pair a < b,
+    # and basket rows are already distinct, so (pair, count) multisets
+    # are identical to the join form.
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ps") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps") - 1),
+                lambda j: F.struct(
+                    F.get("ps", i).alias("a"), F.get("ps", j).alias("b")
+                ),
+            ),
+        )
+    )
     pair = (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        basket.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count("*").cast("long").alias("n_ab"))
     )
     top = pair.orderBy(F.desc("n_ab"), "part_a", "part_b").limit(_BASKET_K)

@@ -1051,8 +1051,13 @@ def _sql_exec_hwm(spark) -> "int | None":
     if not base:
         return None
     try:
+        # explicit length: the endpoint PAGINATES at 20 by default, so
+        # in a long session the unparameterized list is the app's first
+        # twenty executions and max(id) freezes at ~19 (r13 — this
+        # silently starved the witness into its broken fallback)
         with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app}/sql?details=false", timeout=10
+            f"{base}/api/v1/applications/{app}/sql?details=false&length=1000000",
+            timeout=30,
         ) as r:
             sqls = json.load(r)
         return max((s.get("id", -1) for s in sqls), default=-1)

@@ -772,26 +772,32 @@ def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = DedupeEngine.create(spark, root, ChunkSettings(*SMALL_FILE_PROFILE))
         eng.write_batch(objs)
 
-        def counts() -> dict[str, int]:
-            got = {
-                r.check: r.n
-                for r in eng.verify().groupBy("check").agg(F.count("*").alias("n")).collect()
-            }
+        def counts_frame() -> DataFrame:
+            # Constructing verify() pins all four table manifests HERE
+            # (store frames read explicit part paths resolved at
+            # construction), so a commit that lands while the collect is
+            # still running cannot change what this frame reads — and
+            # retention keeps the pinned parts on disk through it
+            # (repair makes <= 3 commits/table against an 8-version
+            # retain window).
+            return eng.verify().groupBy("check").agg(F.count("*").alias("n"))
+
+        def collect_counts(df: DataFrame) -> dict[str, int]:
+            got = {r.check: r.n for r in df.collect()}
             return {c: int(got.get(c, 0)) for c in _VERIFY_CHECKS}
+
+        def counts() -> dict[str, int]:
+            return collect_counts(counts_frame())
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # r13 (guide §2.6): the clean-scan count and the victim lookup
-        # are independent READ-ONLY jobs over the same frozen store —
-        # run them from two driver threads so the victim scan's
-        # scheduling latency hides inside the verify pass, and plant
-        # the two faults the same way (different tables, per-table CAS
-        # — the exact concurrency _commit_ingest already relies on).
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_before = pool.submit(counts)
-            # deterministic victim: the smallest chunk_key in the index
-            victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
-            before = f_before.result()
+        # r13 (guide §2.6): the clean-scan count is a READ-ONLY job over
+        # the pinned pre-plant snapshot, so its collect can span the
+        # victim lookup AND the fault plants (different tables,
+        # per-table CAS — the exact concurrency _commit_ingest already
+        # relies on): the frame is built before anything commits, and
+        # the plants' appends cannot touch the parts it reads.
+        before_df = counts_frame()
         orphan = b"___orphan_payload"
 
         def plant_payloads():
@@ -814,10 +820,23 @@ def engine_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(plant_payloads), pool.submit(plant_ghost_map)]:
-                f.result()
-        after = counts()
-        eng.repair()
+            f_before = pool.submit(collect_counts, before_df)
+            # deterministic victim: the smallest chunk_key in the index
+            victim = eng.chunks.agg(F.min("chunk_key")).collect()[0][0]
+            with ThreadPoolExecutor(max_workers=2) as p2:
+                for f in [p2.submit(plant_payloads), p2.submit(plant_ghost_map)]:
+                    f.result()
+            before = f_before.result()
+        # r13 (guide §2.6): the post-plant verify reads the pinned
+        # FAULTED snapshot (frame built after the plants land, before
+        # repair starts), so its collect overlaps repair()'s detection
+        # and rewrite — the serial form paid a full verify pass of
+        # wall-clock between the plants and the heal.
+        after_df = counts_frame()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_after = pool.submit(collect_counts, after_df)
+            eng.repair()
+            after = f_after.result()
         healed = counts()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1525,25 +1525,36 @@ class DedupeEngine:
         recover(); returns recover's per-table deltas plus the count of
         canonicalization-dropped payload rows.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from watsondedupe_spark.keys import chunk_key_col
 
-        with self.store.op_lock():
-            deltas = self.recover()
+        fixes: list = []
+        # lock OUTSIDE the pool (recover()'s contract): the pool exit
+        # joins in-flight fix threads before the lock releases
+        with self.store.op_lock(), ThreadPoolExecutor(max_workers=2) as pool:
+            deltas, rebuilt, committed_mc = self._recover_map_chunks(pool, fixes)
+            # FUSED chunk_store phase (r13 session 3, guide §1.2/§2.6):
+            # repair used to run recover()'s membership scan + GC
+            # rewrite and THEN a second sha-detection scan + a second
+            # canonicalization rewrite — two passes over the payload
+            # table and, with both damage classes present, two full
+            # rewrites of it inside one maintenance call. One per-key
+            # aggregate now computes BOTH: the sha/dup detection rides
+            # the same groupBy that the GC membership join annotates
+            # (_live from the rebuilt chunks), and a single commit
+            # applies both fixes. The scan also starts while the
+            # map/chunks fixes are still committing — it reads only the
+            # pinned chunk_store snapshot and the eagerly-checkpointed
+            # rebuild, never a table another thread is writing.
+            # null-safe mirror of verify(): a NULL-payload row must
+            # count as bad (and must NOT survive canonicalization)
+            # rather than vanishing from both filters as NULL.
             v_cs, cstore, _ = self.store.snapshot("chunk_store", CHUNK_STORE_SCHEMA)
-            # detection first, ONE cache-free pass (r12, guide §1.2 —
-            # don't compute things twice): a HEALTHY store costs one
-            # payload scan and zero writes. Previously this was three
-            # actions — a count, a full sha-recompute filter count, and
-            # a distinct-key count (two payload-table scans plus a key
-            # scan); the single aggregate below computes all three
-            # numbers in one pass (countDistinct plans an expand over
-            # the same scan, not a second read). The canonical
-            # derivation still runs only when the scan found something,
-            # paying its second sha pass inside the commit's own part
-            # write.
-            # null-safe mirror of verify(): a NULL-payload row must count as
-            # bad (and must NOT survive canonicalization) rather than
-            # vanishing from both filters as a NULL predicate
+            live_keys = rebuilt.select("chunk_key")
+            is_live = F.col("_live").isNotNull()
+            bad_pred = is_live & ((F.col("_n") > 1) | (F.col("_n_mismatch") > 0))
+            dead_pred = F.col("_live").isNull()
             per_key = (
                 cstore.select(
                     "chunk_key",
@@ -1558,86 +1569,109 @@ class DedupeEngine:
                         ).otherwise(0)
                     ).alias("_n_mismatch"),
                 )
+                .join(live_keys.withColumn("_live", F.lit(1)), "chunk_key", "left")
+                # lazy checkpoint, materialized by the aggregate below —
+                # the damaged-path key collects then read per-key ROWS
+                # (O(keys), no payload bytes) instead of re-running the
+                # whole sha scan per action (the pre-fusion surgical
+                # path re-hashed the entire table once per key collect)
+                .localCheckpoint(eager=False)
             )
-            bad_pred = (F.col("_n") > 1) | (F.col("_n_mismatch") > 0)
-            # ONE payload pass computes every detection number (row,
-            # mismatch, key, and bad-key counts ride the same per-key
-            # aggregate); the bad KEYS themselves are only collected
-            # when the surgical path is actually viable — a healthy
-            # store pays exactly one scan and zero extra jobs, a
-            # damaged-but-small store goes straight to the full rewrite
-            # (old behavior), and a damaged big store pays one extra
-            # key pass to save a full-table write.
-            n_rows, n_mismatch, n_keys, n_bad_keys, n_good_keys = (
-                per_key.agg(
-                    F.sum("_n"),
-                    F.sum("_n_mismatch"),
-                    F.count("*"),
-                    F.sum(F.when(bad_pred, 1).otherwise(0)),
-                    # keys with >= 1 hash-verified row == exactly the
-                    # canonical table's row count (canonicalize keeps
-                    # one good survivor per such key), so the post-
-                    # rewrite delta needs no second table count (r13)
-                    F.sum(
-                        F.when(F.col("_n") > F.col("_n_mismatch"), 1).otherwise(0)
-                    ),
-                ).collect()[0]
-            )
-            n_rows = int(n_rows or 0)
-            n_bad_keys = int(n_bad_keys or 0)
-            n_good_keys = int(n_good_keys or 0)
-            n_bad = int(n_mismatch or 0) + n_rows - int(n_keys or 0)
-            deltas["chunk_store_canonicalized"] = 0
-            if n_bad:
+            # detection numbers are scoped to LIVE keys — identical to
+            # the old post-GC detection by construction (GC removed
+            # exactly the dead keys' rows before the old scan ran)
+            agg_row = per_key.agg(
+                F.sum("_n"),
+                F.sum(F.when(is_live, F.col("_n")).otherwise(0)),
+                F.sum(F.when(is_live, F.col("_n_mismatch")).otherwise(0)),
+                F.sum(F.when(is_live, 1).otherwise(0)),
+                F.sum(F.when(dead_pred, 1).otherwise(0)),
+                F.sum(F.when(bad_pred, 1).otherwise(0)),
+                F.sum(
+                    F.when(
+                        is_live & (F.col("_n") > F.col("_n_mismatch")), 1
+                    ).otherwise(0)
+                ),
+            ).collect()[0]
+            (
+                n_rows_all, n_rows, n_mismatch, n_keys,
+                n_dead_keys, n_bad_keys, n_good_keys,
+            ) = (int(x or 0) for x in agg_row)
+            n_dead = n_rows_all - n_rows
+            n_bad = n_mismatch + n_rows - n_keys
+            deltas["chunk_store"] = -n_dead
+            # n_good_keys IS the canonical live row count (canonicalize
+            # keeps exactly one hash-verified survivor per such key), so
+            # the post-rewrite delta needs no second table count; with
+            # nothing bad it equals n_rows and the delta is 0
+            deltas["chunk_store_canonicalized"] = n_good_keys - n_rows
+            if n_dead or n_bad:
                 good = chunk_key_col(F.col("data")).eqNullSafe(F.col("chunk_key"))
 
-                def canonicalize(df: DataFrame) -> DataFrame:
-                    return df.filter(good).dropDuplicates(["chunk_key"])
-
-                # r12 (guide §6 / incremental-optimize shape): a handful
-                # of corrupt chunks must not rewrite the whole payload
-                # table — at 100 TB that's the difference between a
-                # surgical part swap and a full-store rewrite inside the
-                # repair window. When the bad-key set is bounded, select
-                # ONLY the live parts that may contain a bad key (span +
-                # Bloom witnesses; Bloom has no false negatives, so
-                # every row of every bad key lives in the selected
-                # subset — cross-part duplicates included) and fold just
-                # those through the same canonicalization. Healthy parts
-                # keep their bytes untouched. Survivor choice within a
-                # key is content-deterministic either way (hash-verified
-                # survivors are byte-identical). Widespread corruption
-                # (> REPAIR_SURGICAL_MAX_KEYS) or a store where pruning
-                # selects everything falls back to the full rewrite.
-                affected = None
-                live = self.store.live_parts("chunk_store")
+                # r12 (guide §6): bounded damage must not rewrite the
+                # whole payload table at 100 TB. Select ONLY the live
+                # parts that may contain a doomed key (span + Bloom —
+                # no false negatives, so every row of every dead OR bad
+                # key lives in the selected subset, cross-part
+                # duplicates included) and fold just those through the
+                # combined GC+canonicalization layout. Healthy parts
+                # keep their bytes untouched. Widespread damage falls
+                # back to one full rewrite (still one, not two).
+                affected = dead_rows = None
+                live_parts = self.store.live_parts("chunk_store")
                 if (
-                    n_bad_keys <= self.REPAIR_SURGICAL_MAX_KEYS
-                    and self.store.parts_bytes(live) >= self.SURGICAL_MIN_BYTES
+                    n_dead_keys + n_bad_keys <= self.REPAIR_SURGICAL_MAX_KEYS
+                    and self.store.parts_bytes(live_parts)
+                    >= self.SURGICAL_MIN_BYTES
                 ):
-                    bad_keys = [
-                        r.chunk_key
-                        for r in per_key.filter(bad_pred)
-                        .select("chunk_key")
+                    doomed_rows = (
+                        per_key.filter(dead_pred | bad_pred)
+                        .select("chunk_key", dead_pred.alias("_dead"))
                         .collect()
-                    ]
-                    affected = self.store.parts_for_keys(
-                        "chunk_store", "chunk_key", bad_keys
                     )
-                if affected is not None and len(affected) < len(live):
+                    dead_rows = [r.chunk_key for r in doomed_rows if r._dead]
+                    affected = self.store.parts_for_keys(
+                        "chunk_store",
+                        "chunk_key",
+                        [r.chunk_key for r in doomed_rows],
+                    )
+
+                def fused_layout(df: DataFrame) -> DataFrame:
+                    # dead keys: hash-consistent rows whose chunk is
+                    # gone — only the membership filter can drop them;
+                    # bad keys: filter to hash-verified rows, keep one
+                    # survivor (content-deterministic: verified
+                    # survivors are byte-identical). Healthy rows pass
+                    # both filters untouched.
+                    out = df
+                    if n_dead:
+                        if dead_rows is not None:
+                            dead_df = self.spark.createDataFrame(
+                                [(k,) for k in dead_rows], "chunk_key string"
+                            )
+                            out = out.join(
+                                F.broadcast(dead_df), "chunk_key", "left_anti"
+                            )
+                        else:
+                            out = out.join(live_keys, "chunk_key", "left_semi")
+                    if n_bad:
+                        out = out.filter(good).dropDuplicates(["chunk_key"])
+                    return out
+
+                if affected is not None and len(affected) < len(live_parts):
                     self.store.compact_parts(
-                        "chunk_store", affected, layout=canonicalize
+                        "chunk_store", affected, layout=fused_layout
                     )
                 else:
+                    dead_rows = None  # full path: distributed semi-join
                     self.store.commit(
-                        "chunk_store", canonicalize(cstore), expected_version=v_cs
+                        "chunk_store", fused_layout(cstore), expected_version=v_cs
                     )
-                # n_good_keys IS the canonical row count in both the
-                # surgical and full-rewrite paths: bad keys' rows all
-                # live in the rewritten parts (Bloom/span selection has
-                # no false negatives), healthy parts hold only
-                # single-row hash-verified keys
-                deltas["chunk_store_canonicalized"] = n_good_keys - n_rows
+            # every overlapped fix must land (and re-raise) before the
+            # ledger row claims the repaired state exists
+            for f in fixes:
+                f.result()
+            if committed_mc or n_dead or n_bad:
                 self._record_checkpoint("repair")
         return deltas
 
@@ -1988,6 +2022,120 @@ class DedupeEngine:
         )
         return True
 
+    def _recover_map_chunks(
+        self, pool, fixes: list
+    ) -> tuple[dict[str, int], DataFrame, bool]:
+        """The object_map + chunks phases shared by :meth:`recover` and
+        :meth:`repair`: verify/prune map rows against ``objects`` and
+        rebuild chunk ref_counts from the surviving map. Fix commits are
+        submitted to ``pool`` (appended to ``fixes``); the CALLER joins
+        them before recording any ledger row. Returns ``(deltas,
+        rebuilt, committed)`` where ``rebuilt`` is the post-rebuild
+        chunks frame — it reads only eagerly-checkpointed rows, so it is
+        safe to consume while the submitted fixes are still committing.
+        Caller must hold the composite-op lock.
+        """
+        deltas: dict[str, int] = {}
+        committed = False
+        keys = self.objects.select("object_key")
+        v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
+        # r13 (guide §1.2 — don't pay three jobs for two numbers):
+        # annotate liveness on the join itself (objects keys are
+        # unique, so the left join preserves map multiplicity
+        # exactly like the old left_semi) and read total/live off
+        # ONE aggregate over the checkpointed rows, instead of a
+        # separate omap.count() scan plus a valid_map.count().
+        ann_map = omap.join(
+            keys.withColumn("_live", F.lit(1)), "object_key", "left"
+        ).localCheckpoint(eager=True)
+        n_map_total, n_map_live = ann_map.agg(
+            F.count("*"), F.count("_live")
+        ).collect()[0]
+        valid_map = ann_map.filter(F.col("_live").isNotNull()).drop("_live")
+        n_orphans = int(n_map_total) - int(n_map_live)
+        deltas["object_map"] = -n_orphans
+        if n_orphans:
+            # r12: a typical crash strands ONE batch's map rows — at
+            # 100 TB pruning them must not rewrite the whole map
+            # table. Surgical part swap when the orphan key set is
+            # bounded; full rewrite (the old path) otherwise.
+            # r13 (guide §2.6): each table's fix commits from a
+            # driver thread while the NEXT table's verification
+            # computes — the chunks rebuild reads only the pinned
+            # valid_map and its own immutable snapshot, never the
+            # table another thread is committing, and the ledger
+            # row records strictly after every fix has landed.
+            def fix_map():
+                if not self._surgical_delete(
+                    "object_map",
+                    "object_key",
+                    ann_map.filter(F.col("_live").isNull())
+                    .select("object_key")
+                    .distinct(),
+                ):
+                    self.store.commit(
+                        "object_map", valid_map, expected_version=v_map
+                    )
+
+            fixes.append(pool.submit(fix_map))
+            committed = True
+
+        # chunks: rebuild refcounts from the surviving map and commit
+        # whenever ANY row differs — count drift alone would miss a
+        # same-size table with inflated counts (the state a crash
+        # between the map and chunks commits leaves behind).
+        # r12 (guide §2.4): the old-vs-new comparison rides the
+        # rebuild join itself (_stale flag on the checkpointed rows)
+        # instead of a separate chunks-vs-rebuilt anti-join, which
+        # re-scanned the chunks table and paid a second two-sided
+        # shuffle. Equivalence: rebuilt keys are always a subset of
+        # chunks keys and `length` is carried from chunks verbatim,
+        # so with equal row counts the key sets are equal and the
+        # only possible difference is a per-key ref_count change —
+        # exactly what _stale records; with unequal counts the
+        # deltas branch commits regardless, as before.
+        # r13 (guide §1.2): LEFT join so the dropped-chunk rows ride
+        # the same checkpoint, and total/rebuilt/stale all read off
+        # ONE aggregate — the old inner-join form paid three
+        # separate jobs (rebuilt.count, a second chunks scan for
+        # chunks.count, and a stale head()) for numbers the rebuild
+        # join already knew.
+        refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("_n_refs"))
+        v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
+        ann_ch = (
+            chunks.join(refs, "chunk_key", "left")
+            .select(
+                "chunk_key",
+                "length",
+                F.col("_n_refs").cast("long").alias("_n_refs"),
+                (
+                    F.col("_n_refs").isNotNull()
+                    & ~F.col("ref_count").eqNullSafe(
+                        F.col("_n_refs").cast("long")
+                    )
+                ).alias("_stale"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_ch_total, n_rebuilt, n_stale = ann_ch.agg(
+            F.count("*"),
+            F.count("_n_refs"),
+            F.sum(F.when(F.col("_stale"), 1).otherwise(0)),
+        ).collect()[0]
+        rebuilt = ann_ch.filter(F.col("_n_refs").isNotNull()).select(
+            "chunk_key", "length", F.col("_n_refs").alias("ref_count")
+        )
+        deltas["chunks"] = int(n_rebuilt) - int(n_ch_total)
+        stale = bool(n_stale)
+        if deltas["chunks"] or stale:
+            fixes.append(
+                pool.submit(
+                    self.store.commit, "chunks", rebuilt, expected_version=v_ch
+                )
+            )
+            committed = True
+        return deltas, rebuilt, committed
+
     def recover(self) -> dict[str, int]:
         """Repair a partially-committed ingest after a crash.
 
@@ -2019,110 +2167,11 @@ class DedupeEngine:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        deltas: dict[str, int] = {}
-        committed = False
-        fixes = []
+        fixes: list = []
         # lock OUTSIDE the pool: the pool's exit joins any in-flight fix
         # thread BEFORE the op lock releases, even on an exception path
         with self.store.op_lock(), ThreadPoolExecutor(max_workers=2) as pool:
-            keys = self.objects.select("object_key")
-            v_map, omap, _ = self.store.snapshot("object_map", OBJECT_MAP_SCHEMA)
-            # r13 (guide §1.2 — don't pay three jobs for two numbers):
-            # annotate liveness on the join itself (objects keys are
-            # unique, so the left join preserves map multiplicity
-            # exactly like the old left_semi) and read total/live off
-            # ONE aggregate over the checkpointed rows, instead of a
-            # separate omap.count() scan plus a valid_map.count().
-            ann_map = omap.join(
-                keys.withColumn("_live", F.lit(1)), "object_key", "left"
-            ).localCheckpoint(eager=True)
-            n_map_total, n_map_live = ann_map.agg(
-                F.count("*"), F.count("_live")
-            ).collect()[0]
-            valid_map = ann_map.filter(F.col("_live").isNotNull()).drop("_live")
-            n_orphans = int(n_map_total) - int(n_map_live)
-            deltas["object_map"] = -n_orphans
-            if n_orphans:
-                # r12: a typical crash strands ONE batch's map rows — at
-                # 100 TB pruning them must not rewrite the whole map
-                # table. Surgical part swap when the orphan key set is
-                # bounded; full rewrite (the old path) otherwise.
-                # r13 (guide §2.6): each table's fix commits from a
-                # driver thread while the NEXT table's verification
-                # computes — the chunks rebuild reads only the pinned
-                # valid_map and its own immutable snapshot, never the
-                # table another thread is committing, and the ledger
-                # row records strictly after every fix has landed.
-                def fix_map():
-                    if not self._surgical_delete(
-                        "object_map",
-                        "object_key",
-                        ann_map.filter(F.col("_live").isNull())
-                        .select("object_key")
-                        .distinct(),
-                    ):
-                        self.store.commit(
-                            "object_map", valid_map, expected_version=v_map
-                        )
-
-                fixes.append(pool.submit(fix_map))
-                committed = True
-
-            # chunks: rebuild refcounts from the surviving map and commit
-            # whenever ANY row differs — count drift alone would miss a
-            # same-size table with inflated counts (the state a crash
-            # between the map and chunks commits leaves behind).
-            # r12 (guide §2.4): the old-vs-new comparison rides the
-            # rebuild join itself (_stale flag on the checkpointed rows)
-            # instead of a separate chunks-vs-rebuilt anti-join, which
-            # re-scanned the chunks table and paid a second two-sided
-            # shuffle. Equivalence: rebuilt keys are always a subset of
-            # chunks keys and `length` is carried from chunks verbatim,
-            # so with equal row counts the key sets are equal and the
-            # only possible difference is a per-key ref_count change —
-            # exactly what _stale records; with unequal counts the
-            # deltas branch commits regardless, as before.
-            # r13 (guide §1.2): LEFT join so the dropped-chunk rows ride
-            # the same checkpoint, and total/rebuilt/stale all read off
-            # ONE aggregate — the old inner-join form paid three
-            # separate jobs (rebuilt.count, a second chunks scan for
-            # chunks.count, and a stale head()) for numbers the rebuild
-            # join already knew.
-            refs = valid_map.groupBy("chunk_key").agg(F.count("*").alias("_n_refs"))
-            v_ch, chunks, _ = self.store.snapshot("chunks", CHUNKS_SCHEMA)
-            ann_ch = (
-                chunks.join(refs, "chunk_key", "left")
-                .select(
-                    "chunk_key",
-                    "length",
-                    F.col("_n_refs").cast("long").alias("_n_refs"),
-                    (
-                        F.col("_n_refs").isNotNull()
-                        & ~F.col("ref_count").eqNullSafe(
-                            F.col("_n_refs").cast("long")
-                        )
-                    ).alias("_stale"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            n_ch_total, n_rebuilt, n_stale = ann_ch.agg(
-                F.count("*"),
-                F.count("_n_refs"),
-                F.sum(F.when(F.col("_stale"), 1).otherwise(0)),
-            ).collect()[0]
-            rebuilt = ann_ch.filter(F.col("_n_refs").isNotNull()).select(
-                "chunk_key", "length", F.col("_n_refs").alias("ref_count")
-            )
-            deltas["chunks"] = int(n_rebuilt) - int(n_ch_total)
-            stale = bool(n_stale)
-            if deltas["chunks"] or stale:
-                fixes.append(
-                    pool.submit(
-                        self.store.commit, "chunks", rebuilt, expected_version=v_ch
-                    )
-                )
-                committed = True
-
+            deltas, rebuilt, committed = self._recover_map_chunks(pool, fixes)
             # chunk_store: GC payloads whose chunk no longer exists.
             # r13: dead/live counts come from one key-only aggregate
             # over the membership join (two separate count() actions

@@ -372,21 +372,22 @@ def ddp_position_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ddp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = object_map_df(spark, sf_dir)
-    ob = objects_df(spark, sf_dir)
-    # BOTH sides grow with the corpus (per-chunk occurrences vs
-    # per-object rollups): pin the join shuffle-hash with the rollup as
-    # build — Catalyst's static pick here was to BROADCAST the exploded
-    # per-chunk side (O(total bytes / chunk) rows — the round-8
-    # broadcast audit's first catch), exactly the relation that can
-    # never be a driver-side hashed relation at 100 TB.
+    # r13 (guide §1.2/§2.4): ob IS om re-aggregated (objects_df derives
+    # original_length as SUM(om.length) per object), so the old
+    # join-then-aggregate form ran the chunker-derivation subtree TWICE
+    # and shuffled both sides. ob is key-unique (one row per object) and
+    # its key set equals om's, so the inner join neither filters nor
+    # multiplies om rows — aggregate-once is row-identical: per object,
+    # original_length == SUM(length) == mapped_bytes by the same
+    # derivation both engines use. One om pass, one exchange, and the
+    # join operator is gone; at 100 TB this halves the per-chunk
+    # substrate compute for the row. Oracle hash unchanged.
     return (
-        om.join(
-            ob.select("object_key", "original_length").hint("shuffle_hash"),
-            "object_key",
-        )
-        .groupBy("object_key", "original_length")
+        om.groupBy("object_key")
         .agg(
+            F.sum("length").cast("long").alias("original_length"),
             F.count("*").cast("long").alias("n_chunks"),
             F.sum("length").cast("long").alias("mapped_bytes"),
         )
+        .select("object_key", "original_length", "n_chunks", "mapped_bytes")
     )

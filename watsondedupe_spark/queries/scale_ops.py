@@ -258,19 +258,18 @@ WHERE c.cnt * 100 >= tot.n_total
 """,
     doc="sketch-guided EXACT heavy hitters (tokens with >= 1% of stream "
     "mass): a Count-Min pass compresses the stream to a bounded cell "
-    "row (<= width cells, one shuffle), the total mass and the prune "
-    "threshold derive from that one collected row (no separate COUNT "
-    "pass, no crossJoin re-scan), and a broadcast probe of it drops "
-    "every token whose cell can't reach threshold BEFORE the exact "
-    "groupBy — sound because CM only over-counts, so no true heavy "
-    "hitter is ever pruned. The exact aggregate then runs on survivors "
-    "only. At 100 TB this turns a full-vocabulary shuffle (billions of "
-    "distinct n-grams, most of them singletons) into a shuffle of just "
-    "the plausibly-heavy tail. Oracle is the naive "
+    "table (one depth*width shuffle), the total mass is read off the "
+    "sketch's d=0 row (no separate COUNT pass), and a broadcast probe "
+    "of that row drops every token whose cell can't reach threshold "
+    "BEFORE the exact groupBy — sound because CM only over-counts, so "
+    "no true heavy hitter is ever pruned. The exact aggregate then runs "
+    "on survivors only. At 100 TB this turns a full-vocabulary shuffle "
+    "(billions of distinct n-grams, most of them singletons) into a "
+    "shuffle of just the plausibly-heavy tail. Oracle is the naive "
     "GROUP BY ... HAVING form.",
 )
 def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from watsondedupe_spark.functions.sketches import cm_sketch
+    from watsondedupe_spark.functions.sketches import cm_prune_heavy, cm_sketch
     from watsondedupe_spark.queries.llm_pipeline import _docs_parallel
 
     toks = (
@@ -278,37 +277,16 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    # r13 (guide §1.2/§2.4): the sketch's d=0 row is BOUNDED (<= width
-    # cells) and already carries the total mass (every token hashes
-    # into exactly one d=0 cell), so collect it ONCE and derive both
-    # the threshold (driver-side integer math, same ceil identity) and
-    # the prune table from the collected rows. The old plan embedded
-    # the sketch subtree under TWO broadcast builds (the 1-row total
-    # via crossJoin + the d=0 probe) plus re-scanned the token stream
-    # for the crossJoin side — three sketch materializations and an
-    # extra corpus pass in one action. Now: one bounded sketch action,
-    # then the single surviving token pass with one broadcast probe.
-    d0_cells = (
-        cm_sketch(toks, "token", depth=1, width=2048)
-        .filter(F.col("d") == 0)
-        .collect()
-    )
-    n_total = int(sum(r.cnt for r in d0_cells))
+    sk = cm_sketch(toks, "token", depth=5, width=2048)
+    tot = sk.filter(F.col("d") == 0).agg(F.sum("cnt").cast("long").alias("n_total"))
+    items = toks.crossJoin(F.broadcast(tot))
     # ceil(n/100) <= cell  <=>  cell * 100 >= n  (integers)
-    min_count = (n_total + 99) // 100
-    d0 = spark.createDataFrame(
-        [(r.w, r.cnt) for r in d0_cells], "__cw long, __cell_cnt long"
+    pruned = cm_prune_heavy(
+        items, "token", sk, F.expr("(n_total + 99) div 100"), width=2048
     )
-    probed = toks.withColumn(
-        "__w", F.pmod(F.xxhash64(F.col("token"), F.lit(0)), F.lit(2048))
-    ).join(F.broadcast(d0), F.col("__w") == F.col("__cw"), "left")
-    pruned = probed.filter(
-        F.coalesce(F.col("__cell_cnt"), F.lit(0)) >= F.lit(min_count)
-    ).select("token")
     return (
         pruned.groupBy("token")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .withColumn("n_total", F.lit(n_total).cast("long"))
+        .agg(F.count("*").cast("long").alias("cnt"), F.any_value("n_total").alias("n_total"))
         .filter(F.col("cnt") * 100 >= F.col("n_total"))
     )
 
